@@ -1,0 +1,29 @@
+from . import exprs
+from .exprs import (
+    RANKED_MODE_IDS,
+    battle_result,
+    card_variant,
+    deck_hash,
+    deck_pairs_from_cards,
+    deck_signature,
+    is_ranked_1v1,
+    ladder_value,
+    match_hash,
+    normalize_tag,
+    win_rate,
+)
+
+__all__ = [
+    "exprs",
+    "RANKED_MODE_IDS",
+    "battle_result",
+    "card_variant",
+    "deck_hash",
+    "deck_pairs_from_cards",
+    "deck_signature",
+    "is_ranked_1v1",
+    "ladder_value",
+    "match_hash",
+    "normalize_tag",
+    "win_rate",
+]

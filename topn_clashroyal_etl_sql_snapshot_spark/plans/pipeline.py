@@ -1,0 +1,385 @@
+"""The snapshot ETL pipeline as one declarative DataFrame DAG.
+
+Re-expresses the reference's single-threaded accumulator loop
+(``/root/reference/scripts/etl_snapshot_topn.py:189-345``) as:
+
+    read landing JSON
+      → ranked-1v1 filter (B1)
+      → match-hash dedup (B9 + D2, deterministic first-pick)
+      → deck extraction/validation both sides (B6)
+      → deck hash (B8) + classification (C1-C3, override-aware)
+      → matchup matrix (E6) from the battle grain
+      → unpivot to participant grain (D1) + win flag (B7)
+      → persist participants
+      → dims (D3-D6) + rollups (E1-E5)
+
+Scale notes (the 100 TB story):
+- The battle→participant core is ONE pass; ``participants`` is persisted
+  before fanning out to the rollup writes, mirroring the reference's
+  single-pass multi-aggregate structure (SURVEY.md §4).
+- The card catalog and overrides are tiny dimensions → map literals /
+  broadcast joins; nothing here shuffles except the groupBys themselves
+  and the two first-seen windows (match dedup, deck dim), both keyed on
+  high-cardinality content hashes → near-uniform shuffle distribution, no
+  skew. AQE handles residual skew.
+- All expressions are built-in column algebra — zero Python UDFs → the
+  whole plan stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import exprs
+from ..operators import deck as deck_ops
+
+# Tables produced by one snapshot refresh (+ deck_type_overrides preserved
+# separately — scripts/etl_snapshot_topn.py:162-182 excludes it from truncate).
+SNAPSHOT_TABLES = (
+    "deck_types",
+    "player",
+    "cards",
+    "decks",
+    "deck_cards",
+    "player_decks",
+    "meta_deck_types",
+    "meta_type_deck_ids",
+    "meta_type_cards",
+    "player_type_cards",
+    "meta_type_matchups",
+)
+
+
+@dataclass
+class SnapshotResult:
+    tables: dict[str, DataFrame]
+    participants: DataFrame  # persisted core; caller unpersists
+    counters: dict[str, int] = field(default_factory=dict)
+
+    def unpersist(self) -> None:
+        self.participants.unpersist()
+
+
+def _uses_wins():
+    """groupBy(keys).agg(uses, wins) — the E-family accumulator pattern
+    (scripts/etl_snapshot_topn.py:230-345): count observations, sum wins."""
+    return [
+        F.count(F.lit(1)).alias("uses"),
+        F.sum(F.col("won").cast("long")).alias("wins"),
+    ]
+
+
+def top_players_df(leaderboard: DataFrame, top_n: int) -> DataFrame:
+    """Leaderboard → player dim (scripts/etl_snapshot_topn.py:203-216).
+
+    ``rank_global = int(rank or i)`` with i = 1-based scan position; the
+    API returns rank order, so position ≡ rank ordering. The window is a
+    single partition — fine: the leaderboard is one API page (≤1000 rows)
+    by construction; this never sees table-scale data.
+    """
+    w = Window.orderBy(F.col("rank").asc_nulls_last(), F.col("tag"))
+    return (
+        leaderboard.withColumn("player_tag", exprs.normalize_tag(F.col("tag")))
+        .filter(F.col("player_tag") != "")
+        .withColumn("_pos", F.row_number().over(w))
+        .filter(F.col("_pos") <= top_n)
+        .select(
+            "player_tag",
+            F.trim(F.coalesce(F.col("name"), F.lit(""))).alias("player_name"),
+            exprs.ladder_value(F.col("trophies"), F.col("eloRating")).alias("trophies"),
+            F.coalesce(F.col("rank"), F.col("_pos")).cast("int").alias("rank_global"),
+        )
+    )
+
+
+def build_snapshot(
+    spark: SparkSession,
+    battles: DataFrame,
+    leaderboard: DataFrame,
+    catalog: DataFrame,
+    overrides: DataFrame,
+    top_n: int = 20,
+    collect_counters: bool = True,
+) -> SnapshotResult:
+    """Run the full snapshot ETL; returns all 11 warehouse tables as
+    (lazy) DataFrames sharing one persisted participant core.
+
+    ``collect_counters=False`` skips the E7 scan counters (two extra
+    actions) — use for latency-sensitive runs; the tables are unaffected.
+    """
+    maps = deck_ops.catalog_maps(catalog)
+
+    player = top_players_df(leaderboard, top_n)
+
+    # E7 counter (scripts:249) — raw battlelog entries scanned
+    scanned_entries = battles.count() if collect_counters else -1
+
+    # --- B1 ranked-1v1 filter -------------------------------------------
+    ranked = battles.filter(
+        exprs.is_ranked_1v1(F.col("team"), F.col("opponent"), F.col("gameMode.id"))
+    )
+
+    # --- B9 match hash + D2 dedup ---------------------------------------
+    # Reference keeps the first-in-scan-order copy (scripts:257-261).
+    # Spark has no scan order; we make the pick deterministic by ordering
+    # copies on their full serialized content. One shuffle on match_hash
+    # (high-cardinality content hash → uniform distribution).
+    hashed = ranked.withColumn(
+        "match_hash",
+        exprs.match_hash(
+            F.col("battleTime"),
+            F.col("gameMode.id"),
+            F.col("gameMode.name"),
+            F.col("type"),
+            F.col("team"),
+            F.col("opponent"),
+        ),
+    )
+    dedup_w = Window.partitionBy("match_hash").orderBy(
+        F.to_json(F.struct("team", "opponent"))
+    )
+    deduped = (
+        hashed.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # E7 counter (scripts:261) — counted BEFORE structural/deck validation,
+    # matching the reference's accounting (dedup happens at scripts:257-261,
+    # battles can still be discarded later at :279-282).
+    deduped_matches = deduped.count() if collect_counters else -1
+
+    # --- structural validation + B6 deck extraction ---------------------
+    # (scripts:263-282): both tags non-empty, both decks valid, else the
+    # whole battle is discarded.
+    extracted = (
+        deduped.select(
+            "match_hash",
+            "battleTime",
+            exprs.normalize_tag(F.col("team")[0]["tag"]).alias("team_tag"),
+            exprs.normalize_tag(F.col("opponent")[0]["tag"]).alias("opp_tag"),
+            F.coalesce(F.col("team")[0]["crowns"], F.lit(0)).alias("team_crowns"),
+            F.coalesce(F.col("opponent")[0]["crowns"], F.lit(0)).alias("opp_crowns"),
+            deck_ops.extract_deck(F.col("team")[0]["cards"], maps["name_by_id"]).alias(
+                "team_obs"
+            ),
+            deck_ops.extract_deck(
+                F.col("opponent")[0]["cards"], maps["name_by_id"]
+            ).alias("opp_obs"),
+        )
+        .filter((F.col("team_tag") != "") & (F.col("opp_tag") != ""))
+        .filter(F.col("team_obs").isNotNull() & F.col("opp_obs").isNotNull())
+    )
+
+    # --- B8 hash + C1-C3 classify (override beats classifier) -----------
+    def _names(obs_col: str):
+        return F.filter(
+            F.transform(F.col(obs_col), lambda o: o["card_name"]),
+            lambda n: n.isNotNull() & (n != ""),
+        )
+
+    classified = extracted.withColumns(
+        {
+            "team_dh": deck_ops.deck_hash_from_obs(F.col("team_obs")),
+            "opp_dh": deck_ops.deck_hash_from_obs(F.col("opp_obs")),
+            "team_cls": deck_ops.classify_cards(
+                _names("team_obs"),
+                maps["elixir_by_name"],
+                maps["bait_by_name"],
+                maps["spam_by_name"],
+                maps["tank_by_name"],
+            ),
+            "opp_cls": deck_ops.classify_cards(
+                _names("opp_obs"),
+                maps["elixir_by_name"],
+                maps["bait_by_name"],
+                maps["spam_by_name"],
+                maps["tank_by_name"],
+            ),
+        }
+    )
+
+    # Override application (C3, scripts:290-291) — broadcast left joins.
+    ov = overrides.select(
+        F.col("deck_hash").alias("_ov_dh"), F.col("deck_type").alias("_ov_type")
+    )
+    battles_core = (
+        classified.join(
+            F.broadcast(ov), F.col("team_dh") == F.col("_ov_dh"), "left"
+        )
+        .withColumn("team_dtype", F.coalesce(F.col("_ov_type"), F.col("team_cls")))
+        .drop("_ov_dh", "_ov_type")
+        .join(F.broadcast(ov), F.col("opp_dh") == F.col("_ov_dh"), "left")
+        .withColumn("opp_dtype", F.coalesce(F.col("_ov_type"), F.col("opp_cls")))
+        .drop("_ov_dh", "_ov_type")
+        .withColumn("team_won", F.col("team_crowns") > F.col("opp_crowns"))
+        .withColumn("opp_won", F.col("opp_crowns") > F.col("team_crowns"))
+    )
+
+    # --- D1 unpivot to participant grain + persist ----------------------
+    # Each deduped battle → 2 participant observations (scripts:304-310).
+    # side index keeps the first-seen ordering deterministic downstream.
+    participants = battles_core.select(
+        "match_hash",
+        "battleTime",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("side"),
+                    F.col("team_tag").alias("player_tag"),
+                    F.col("team_dh").alias("deck_hash"),
+                    F.col("team_dtype").alias("deck_type"),
+                    F.col("team_obs").alias("obs"),
+                    F.col("team_won").alias("won"),
+                ),
+                F.struct(
+                    F.lit(1).alias("side"),
+                    F.col("opp_tag").alias("player_tag"),
+                    F.col("opp_dh").alias("deck_hash"),
+                    F.col("opp_dtype").alias("deck_type"),
+                    F.col("opp_obs").alias("obs"),
+                    F.col("opp_won").alias("won"),
+                ),
+            )
+        ),
+    ).persist()
+
+    # --- E6 matchup matrix (battle grain, both perspectives) -------------
+    # Each deduped match inserts TWO directional rows (scripts:296-302);
+    # G5's `meta == 2×matches` invariant depends on it.
+    matchup_obs = battles_core.select(
+        F.col("team_dtype").alias("deck_type"),
+        F.col("opp_dtype").alias("opp_deck_type"),
+        F.col("team_won").alias("won"),
+    ).unionAll(
+        battles_core.select(
+            F.col("opp_dtype").alias("deck_type"),
+            F.col("team_dtype").alias("opp_deck_type"),
+            F.col("opp_won").alias("won"),
+        )
+    )
+    meta_type_matchups = matchup_obs.groupBy("deck_type", "opp_deck_type").agg(
+        *_uses_wins()
+    )
+
+    # --- dims -------------------------------------------------------------
+    # First-seen-wins deck dim (D4, scripts:312-314): deterministic pick =
+    # min over (battleTime, match_hash, side). Classifier+overrides are
+    # hash-deterministic so deck_type is identical across observations;
+    # only slot order can differ between copies of the same deck.
+    first_seen = Window.partitionBy("deck_hash").orderBy(
+        "battleTime", "match_hash", "side"
+    )
+    deck_first = (
+        participants.withColumn("_rn", F.row_number().over(first_seen))
+        .filter(F.col("_rn") == 1)
+        .select("deck_hash", "deck_type", "obs")
+    )
+    decks = deck_first.select("deck_hash", "deck_type")
+    deck_cards = deck_first.select(
+        "deck_hash", F.explode("obs").alias("c")
+    ).select(
+        "deck_hash",
+        F.col("c.card_id").alias("card_id"),
+        F.col("c.card_variant").alias("card_variant"),
+        F.col("c.slot").alias("slot"),
+    )
+
+    # cards dim (D4, scripts:317-319): reference is last-write-wins over a
+    # nondeterministic scan; we take max(card_name) per id — deterministic,
+    # equivalent whenever a card_id maps to one name (always, in practice).
+    cards = (
+        participants.select(F.explode("obs").alias("c"))
+        .select(
+            F.col("c.card_id").alias("card_id"),
+            F.col("c.card_name").alias("card_name"),
+        )
+        .filter(F.col("card_name") != "")
+        .groupBy("card_id")
+        .agg(F.max("card_name").alias("card_name"))
+    )
+
+    # deck_types labels (D3, scripts:367-372)
+    deck_types = decks.select("deck_type").distinct()
+
+    # --- E1-E4 rollups ----------------------------------------------------
+    meta_deck_types = participants.groupBy("deck_type").agg(*_uses_wins())
+    meta_type_deck_ids = participants.groupBy("deck_type", "deck_hash").agg(
+        *_uses_wins()
+    )
+    # E3: each deck observation fans out ×8 card observations (scripts:328-330)
+    meta_type_cards = (
+        participants.select(
+            "deck_type", "won", F.explode("obs").alias("c")
+        )
+        .groupBy(
+            "deck_type",
+            F.col("c.card_id").alias("card_id"),
+            F.col("c.card_variant").alias("card_variant"),
+        )
+        .agg(*_uses_wins())
+    )
+
+    # E4: player facts gated to TopN tags (D5 semi join, scripts:332-335).
+    # player is ≤ top_n rows → broadcast semi join, no shuffle on the fact.
+    player_decks = (
+        participants.join(
+            F.broadcast(player.select("player_tag")), "player_tag", "left_semi"
+        )
+        .groupBy("player_tag", "deck_hash")
+        .agg(*_uses_wins())
+    )
+
+    # E5: derived rollup — each card of the deck inherits the deck's
+    # uses/wins, SUMMED per (player, type, card, variant): a player can
+    # reach the same card via multiple decks of one type (scripts:337-345).
+    # Type fallback "Hybrid" for hashes missing from the dim (scripts:340).
+    player_type_cards = (
+        player_decks.join(
+            deck_first.select(
+                "deck_hash",
+                F.coalesce(F.col("deck_type"), F.lit("Hybrid")).alias("deck_type"),
+                "obs",
+            ),
+            "deck_hash",
+            "left",
+        )
+        .withColumn("deck_type", F.coalesce(F.col("deck_type"), F.lit("Hybrid")))
+        .select(
+            "player_tag",
+            "deck_type",
+            "uses",
+            "wins",
+            F.explode_outer("obs").alias("c"),
+        )
+        .filter(F.col("c").isNotNull())
+        .groupBy(
+            "player_tag",
+            "deck_type",
+            F.col("c.card_id").alias("card_id"),
+            F.col("c.card_variant").alias("card_variant"),
+        )
+        .agg(F.sum("uses").alias("uses"), F.sum("wins").alias("wins"))
+    )
+
+    tables = {
+        "deck_types": deck_types,
+        "player": player,
+        "cards": cards,
+        "decks": decks,
+        "deck_cards": deck_cards,
+        "player_decks": player_decks,
+        "meta_deck_types": meta_deck_types,
+        "meta_type_deck_ids": meta_type_deck_ids,
+        "meta_type_cards": meta_type_cards,
+        "player_type_cards": player_type_cards,
+        "meta_type_matchups": meta_type_matchups,
+    }
+    counters = {
+        "scanned_entries": scanned_entries,
+        "deduped_matches": deduped_matches,
+    }
+    return SnapshotResult(tables=tables, participants=participants, counters=counters)

@@ -1,0 +1,522 @@
+"""Driver-facing query surface over the synthetic testdata tables.
+
+Each entry maps one operator shape from the reference inventory
+(SURVEY.md §2) onto the TPC-H-ish tables in TESTDATA.md, as a
+(Spark DataFrame function, equivalent DuckDB SQL) pair. The driver runs
+both at sf0.01 and compares row-count + schema + order-insensitive value
+hash — so:
+
+- every computed column is aliased identically on both sides;
+- every ORDER BY under a LIMIT has a full deterministic tie-break;
+- floating aggregates that sum many values go through DECIMAL casts
+  (exact, order-independent) and convert to DOUBLE at the end — a
+  parallel Spark sum and a sequential DuckDB sum of raw doubles would
+  otherwise differ in the last bits.
+
+Scale notes are per-query; the common themes: small dims broadcast,
+aggregations are partial+final hash aggregates, filters sit directly on
+the parquet scan (predicate pushdown), and only the grouping shuffle
+remains.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_testdata
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if sql is not None:
+            _SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_SQL)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_testdata(spark, sf_dir, name)
+
+
+def _dec_sum(col: F.Column, alias: str) -> F.Column:
+    """Order-independent monetary sum: DECIMAL-exact, DOUBLE out."""
+    return F.sum(col.cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def _revenue_sum(price: F.Column, discount: F.Column, alias: str) -> F.Column:
+    """sum(price * (1-discount)) with exact decimal arithmetic."""
+    rev = price.cast("decimal(18,2)") * (F.lit(1) - discount).cast("decimal(9,4)")
+    return F.sum(rev).cast("double").alias(alias)
+
+
+_REVENUE_SQL = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE)"
+)
+
+
+# ---------------------------------------------------------------------------
+# F1-F7 — the reference's analysis-SQL shapes (SURVEY.md §2.F)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f1_top_parts_overall",
+    """
+    SELECT p_name, COUNT(*) AS appearances
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_name
+    ORDER BY appearances DESC, p_name
+    LIMIT 50
+    """,
+)
+def f1_top_parts_overall(spark, sf_dir):
+    """F1 top_cards_overall shape (queries/top_cards_overall.sql:1-8):
+    join to a small dim → groupBy → count → top-K. `part` is the small
+    side → broadcast: no shuffle on lineitem except the final agg."""
+    li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("appearances"))
+        .orderBy(F.desc("appearances"), "p_name")
+        .limit(50)
+    )
+
+
+@register(
+    "f2_top_priority_classes",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS uses,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS wins,
+           ROUND(100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 / NULLIF(COUNT(*), 0), 2) AS win_rate
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY uses DESC, o_orderpriority
+    LIMIT 30
+    """,
+)
+def f2_top_priority_classes(spark, sf_dir):
+    """F2 top_deck_types shape (queries/top_deck_types.sql): uses/wins/
+    win_rate counter aggregation ranked by volume."""
+    orders = _t(spark, sf_dir, "orders")
+    wins = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("uses"),
+            wins.alias("wins"),
+            F.round(100.0 * wins / F.nullif(F.count(F.lit(1)), F.lit(0)), 2).alias(
+                "win_rate"
+            ),
+        )
+        .orderBy(F.desc("uses"), "o_orderpriority")
+        .limit(30)
+    )
+
+
+@register(
+    "f3_customer_summary",
+    """
+    SELECT c_custkey, c_name, c_acctbal, COUNT(o_orderkey) AS orders_seen
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name, c_acctbal
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 50
+    """,
+)
+def f3_customer_summary(spark, sf_dir):
+    """F3 player_summary shape (queries/player_summary.sql): LEFT JOIN +
+    COUNT(col) non-null semantics — customers with no orders still appear
+    with orders_seen = 0."""
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("orders_seen"))
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(50)
+    )
+
+
+@register(
+    "f4_top_brand_flags",
+    """
+    SELECT p_brand, l_returnflag,
+           COUNT(*) AS uses,
+           SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS wins,
+           ROUND(100.0 * SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                 / NULLIF(COUNT(*), 0), 2) AS win_rate
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand, l_returnflag
+    ORDER BY uses DESC, p_brand, l_returnflag
+    LIMIT 50
+    """,
+)
+def f4_top_brand_flags(spark, sf_dir):
+    """F4 top_decks shape (queries/top_decks.sql): two-key groupBy with
+    rate ranking."""
+    li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    wins = F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("uses"),
+            wins.alias("wins"),
+            F.round(100.0 * wins / F.nullif(F.count(F.lit(1)), F.lit(0)), 2).alias(
+                "win_rate"
+            ),
+        )
+        .orderBy(F.desc("uses"), "p_brand", "l_returnflag")
+        .limit(50)
+    )
+
+
+@register(
+    "f5_event_type_rates",
+    """
+    SELECT event_type,
+           COUNT(*) AS uses,
+           SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS wins,
+           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE)
+               / NULLIF(COUNT(*), 0) AS winrate
+    FROM events
+    GROUP BY event_type
+    ORDER BY uses DESC, event_type
+    LIMIT 20
+    """,
+)
+def f5_event_type_rates(spark, sf_dir):
+    """F5 matchup-winrate shape (scripts/etl_snapshot_topn.py:535-536):
+    rate projection over an aggregate, ranked by volume."""
+    events = _t(spark, sf_dir, "events")
+    wins = F.sum(F.when(F.col("value") > 100, 1).otherwise(0))
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("uses"),
+            wins.alias("wins"),
+            (wins.cast("double") / F.nullif(F.count(F.lit(1)), F.lit(0))).alias(
+                "winrate"
+            ),
+        )
+        .orderBy(F.desc("uses"), "event_type")
+        .limit(20)
+    )
+
+
+@register(
+    "f6_best_parts_having",
+    """
+    SELECT l_partkey,
+           COUNT(*) AS uses,
+           SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS wins,
+           CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
+               / NULLIF(COUNT(*), 0) AS winrate
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 5
+    ORDER BY winrate DESC, uses DESC, l_partkey
+    LIMIT 10
+    """,
+)
+def f6_best_parts_having(spark, sf_dir):
+    """F6 best-decks-by-winrate shape (scripts:537-538): HAVING support
+    threshold ≡ post-aggregation filter, ranked by rate."""
+    li = _t(spark, sf_dir, "lineitem")
+    wins = F.sum(F.when(F.col("l_discount") >= 0.05, 1).otherwise(0))
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("uses"),
+            wins.alias("wins"),
+            (wins.cast("double") / F.nullif(F.count(F.lit(1)), F.lit(0))).alias(
+                "winrate"
+            ),
+        )
+        .filter(F.col("uses") >= 5)
+        .orderBy(F.desc("winrate"), F.desc("uses"), "l_partkey")
+        .limit(10)
+    )
+
+
+@register(
+    "f7_order_line_counts",
+    """
+    SELECT l_orderkey, COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) >= 6
+    ORDER BY n_items DESC, l_orderkey
+    LIMIT 20
+    """,
+)
+def f7_order_line_counts(spark, sf_dir):
+    """F7/G1 integrity shape (scripts:533): grouped HAVING over a count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") >= 6)
+        .orderBy(F.desc("n_items"), "l_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped coverage (joins, multi-way star, window, semi/anti, dates)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           {_REVENUE_SQL} AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy partial+final hash aggregate; the filter
+    pushes to the parquet scan; decimal sums are order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _revenue_sum(F.col("l_extendedprice"), F.col("l_discount"), "sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {_REVENUE_SQL} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective filters on all three tables (pushed to
+    scans), customer side reduced then broadcast, revenue top-K."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_revenue_sum(F.col("l_extendedprice"), F.col("l_discount"), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_order_volume",
+    """
+    SELECT r_name, n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    GROUP BY r_name, n_name
+    ORDER BY total_price DESC, r_name, n_name
+    """,
+)
+def q5_region_order_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 4-way star join; region/nation/customer chain
+    collapses to one broadcast side against the orders fact."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy(F.desc("total_price"), "r_name", "n_name")
+    )
+
+
+@register(
+    "semi_customers_with_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def semi_customers_with_orders(spark, sf_dir):
+    """Semi-join (D5 TopN gate shape, scripts:332-335): EXISTS ≡ left_semi."""
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def anti_customers_without_orders(spark, sf_dir):
+    """Anti-join (FK-orphan validation shape, validate.py): NOT EXISTS ≡
+    left_anti."""
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "window_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) t
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def window_top_orders_per_customer(spark, sf_dir):
+    """Window top-K per group — the idiomatic-Spark extension of the
+    reference's sort-based rankings (SURVEY.md §2.H)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Time-bucketed rollup over the event stream table (batch form of the
+    streaming windowed agg in streaming/)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "events_props_json",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_json(spark, sf_dir):
+    """JSON extraction at query time (the reference handles JSON at ingest
+    only — this is the query-time equivalent for semi-structured props)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

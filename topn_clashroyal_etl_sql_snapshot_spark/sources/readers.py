@@ -1,0 +1,92 @@
+"""Readers: landing-zone JSON, static catalog, warehouse parquet, testdata.
+
+Reference ingest is a sequential HTTP N+1 fetcher
+(``/root/reference/scripts/etl_snapshot_topn.py:243-245``); in this engine
+ingest lands raw JSONL per player and Spark reads the landing zone with a
+declared schema — at 100 TB the landing zone is just more files, and the
+JSON scan parallelizes per file split.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import (
+    BATTLE_SCHEMA,
+    CARD_METADATA_SCHEMA,
+    LEADERBOARD_SCHEMA,
+    OVERRIDES_SCHEMA,
+    TESTDATA_TABLES,
+    WAREHOUSE_SCHEMAS,
+)
+
+
+def read_battles_json(spark: SparkSession, path: str) -> DataFrame:
+    """Battlelog landing zone (JSONL; one battle per line).
+
+    Maps reference A2 (``src/api/battles.py:20-44``): the REST fetch is an
+    ingest-side concern; Spark reads the landed documents with the
+    explicit nested schema so malformed fields come back null instead of
+    triggering inference.
+    """
+    return spark.read.schema(BATTLE_SCHEMA).json(path)
+
+
+def read_leaderboard_json(spark: SparkSession, path: str) -> DataFrame:
+    """Leaderboard landing zone (A1, ``src/api/cr_client.py:51-61``)."""
+    return spark.read.schema(LEADERBOARD_SCHEMA).json(path)
+
+
+def read_card_catalog(spark: SparkSession, path: str) -> DataFrame:
+    """Static 121-card metadata catalog (A4, ``src/clashdb/card_metadata.py:11-17``).
+
+    Tiny dimension — callers broadcast it into joins.
+    """
+    if path.endswith(".json"):
+        return spark.read.schema(CARD_METADATA_SCHEMA).json(path, multiLine=True)
+    return spark.read.schema(CARD_METADATA_SCHEMA).parquet(path)
+
+
+def read_overrides(spark: SparkSession, path: str | None) -> DataFrame:
+    """deck_type_overrides config (A6, ``scripts/etl_snapshot_topn.py:150-159``).
+
+    Missing path → empty config (the reference tolerates an empty table).
+    """
+    if path and os.path.exists(path):
+        return spark.read.schema(OVERRIDES_SCHEMA).parquet(path)
+    return spark.createDataFrame([], OVERRIDES_SCHEMA)
+
+
+def read_table(spark: SparkSession, warehouse_dir: str, name: str) -> DataFrame:
+    """Read one warehouse table written by the snapshot sink."""
+    if name not in WAREHOUSE_SCHEMAS:
+        raise KeyError(f"unknown warehouse table {name!r}")
+    return spark.read.parquet(os.path.join(warehouse_dir, name))
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated synthetic table (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects — read nanos as long and convert to a microsecond
+    timestamp (truncation; all downstream use is ≥ second granularity).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            read_testdata(spark, sf_dir, name).createOrReplaceTempView(name)
