@@ -18,7 +18,10 @@ _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
-from topn_clashroyal_etl_sql_snapshot_spark.plans import testdata_queries  # noqa: E402
+from topn_clashroyal_etl_sql_snapshot_spark.plans import (  # noqa: E402
+    llm_queries,  # noqa: F401 — registers the LLM-pipeline queries
+    testdata_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -28,11 +28,21 @@ def main() -> None:
         sf = -1.0
 
     from topn_clashroyal_etl_sql_snapshot_spark.session import get_spark
-    from topn_clashroyal_etl_sql_snapshot_spark.plans import testdata_queries
+    from topn_clashroyal_etl_sql_snapshot_spark.plans import (  # noqa: F401
+        llm_queries,
+        testdata_queries,
+    )
 
     spark = get_spark(app_name="bench")
 
     qs = testdata_queries.queries()
+
+    # Headline = the scalable plans. The O(n²) exact ground-truth
+    # variants (kept registered for the sf0.01 correctness gate) are
+    # excluded from timing: their role is verifying the sub-quadratic
+    # paths, not being the path.
+    quadratic = {"embedding_neardup_pairs"}
+    qs = {n: f for n, f in qs.items() if n not in quadratic}
 
     # Warm the JVM/codegen path once so per-query timings measure the
     # queries, not first-call JIT + parquet footer reads.

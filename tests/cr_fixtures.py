@@ -113,9 +113,11 @@ def generate_fixture(seed: int = 42, n_players: int = 8, n_battles: int = 60):
         leaderboard.append(row)
 
     battles: list[dict] = []
-    t0 = 20260109000000
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 9, 0, 0, 0)
     for b in range(n_battles):
-        ts = f"{t0 + b * 100}.000Z"
+        ts = (t0 + timedelta(seconds=100 * b)).strftime("%Y%m%dT%H%M%S.000Z")
         mode = RANKED_MODES[b % 2]
         a, o = rng.sample(range(n_players), 2)
         ta, to = tags[a], tags[o]

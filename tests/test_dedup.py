@@ -1,0 +1,122 @@
+"""Dedup operator tests: exact, trigram Jaccard, MinHash-LSH, SimHash.
+
+Ground truth is a brute-force Python Jaccard over the same tokenization;
+MinHash/SimHash are validated against it (recall on planted near-dups,
+estimate accuracy bounds) since their hash outputs are engine-specific.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+import re
+
+import pytest
+
+from topn_clashroyal_etl_sql_snapshot_spark.operators import dedup
+
+WORDS = (
+    "spark table hash join scan filter sort merge shuffle batch stream key value "
+    "row column agg window query plan stage task part order line"
+).split()
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.sub(r"[^a-zA-Z0-9 ]", " ", text).lower().split() if t]
+
+
+def _trigrams(text: str) -> set[str]:
+    toks = _tokens(text)
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+def _jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(7)
+    docs = []
+    base_texts = []
+    for i in range(30):
+        text = " ".join(rng.choice(WORDS) for _ in range(60))
+        base_texts.append(text)
+        docs.append((i, text))
+    # exact duplicates of docs 0 and 1
+    docs.append((100, base_texts[0]))
+    docs.append((101, base_texts[1]))
+    # near-duplicates: change 3 of 60 words of docs 2..4
+    for j, src in enumerate((2, 3, 4)):
+        toks = base_texts[src].split()
+        for pos in (5, 25, 45):
+            toks[pos] = "changed%d" % pos
+        docs.append((200 + j, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    truth = {
+        (min(i, j), max(i, j)): _jaccard(_trigrams(t1), _trigrams(t2))
+        for (i, t1), (j, t2) in itertools.combinations(docs, 2)
+    }
+    return df, dict(docs), truth
+
+
+def test_exact_dedup(spark, corpus):
+    df, docs, _ = corpus
+    groups = dedup.exact_dup_groups(df).collect()
+    got = {(g["copies"], g["keep_id"]) for g in groups}
+    assert got == {(2, 0), (2, 1)}
+
+    kept = dedup.dedup_exact(df)
+    assert kept.count() == len(docs) - 2
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in kept_ids and 100 not in kept_ids
+
+
+def test_jaccard_pairs_match_bruteforce(spark, corpus):
+    df, _, truth = corpus
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(df, threshold=0.3).collect()
+    }
+    want = {p: j for p, j in truth.items() if j >= 0.3}
+    assert set(got) == set(want)
+    for p in want:
+        assert abs(got[p] - want[p]) < 1e-12
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, corpus):
+    df, _, truth = corpus
+    pairs = {
+        (r["id1"], r["id2"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.35).collect()
+    }
+    # every planted pair (exact j ≥ 0.6) must be recalled
+    planted = {p for p, j in truth.items() if j >= 0.6}
+    assert planted <= set(pairs), f"missed: {planted - set(pairs)}"
+    # estimates near truth for recalled pairs (k=128 → σ ≈ 0.044)
+    for p, est in pairs.items():
+        assert abs(est - truth[p]) < 0.2, (p, est, truth[p])
+    # exact duplicates estimate ≈ 1.0
+    assert pairs[(0, 100)] == 1.0
+    assert pairs[(1, 101)] == 1.0
+
+
+def test_simhash_candidates(spark, corpus):
+    df, _, truth = corpus
+    fps = dedup.simhash_fingerprints(df)
+    # exact duplicates: identical fingerprints → hamming 0
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in dedup.simhash_candidate_pairs(fps, max_hamming=16).collect()
+    }
+    assert got.get((0, 100)) == 0
+    assert got.get((1, 101)) == 0
+    # near-dups (3/60 words changed) land within small hamming distance
+    for pair in ((2, 200), (3, 201), (4, 202)):
+        assert pair in got and got[pair] <= 16, (pair, got.get(pair))
+    # unrelated docs do not appear at small hamming radii
+    small = {p for p, h in got.items() if h <= 3}
+    unrelated = {p for p in small if truth.get(p, 0.0) < 0.3}
+    assert not unrelated, unrelated

@@ -1,0 +1,65 @@
+"""Multimodal plumbing tests: schema, batching, fan-out, determinism.
+The decode step is a documented stub; the Spark-side contract is real."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from topn_clashroyal_etl_sql_snapshot_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG-fake-bytes-1", 64, 64, None),
+        (2, "image", "image/png", b"\x89PNG-fake-bytes-22", 32, 32, None),
+        (3, "audio", "audio/wav", b"RIFF-fake", None, None, 1200),
+        (4, "video", "video/mp4", bytes(range(100)), 320, 240, 5000),
+        (5, "image", "image/jpeg", None, None, None, None),  # null payload
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_image_features_deterministic(spark, media):
+    out = mm.extract_image_features(media).orderBy("media_id").collect()
+    assert [r["media_id"] for r in out] == [1, 2, 5]
+    r1 = out[0]
+    assert r1["sha1"] == hashlib.sha1(b"\x89PNG-fake-bytes-1").hexdigest()
+    assert r1["n_bytes"] == len(b"\x89PNG-fake-bytes-1")
+    assert len(r1["feature"]) == 8
+    assert all(0.0 <= f <= 1.0 for f in r1["feature"])
+    # null payload → empty-bytes semantics, not a crash
+    r5 = out[2]
+    assert r5["sha1"] == hashlib.sha1(b"").hexdigest()
+    assert r5["n_bytes"] == 0
+    # determinism: second run identical
+    again = mm.extract_image_features(media).orderBy("media_id").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_video_frame_fanout(spark, media):
+    frames = mm.sample_video_frames(media, every_n=10).collect()
+    assert all(r["media_id"] == 4 for r in frames)
+    assert len(frames) == 10
+    assert sorted(r["frame_idx"] for r in frames) == list(range(10))
+    # frames reassemble to the original payload
+    payload = b"".join(
+        r["frame_payload"] for r in sorted(frames, key=lambda r: r["frame_idx"])
+    )
+    assert payload == bytes(range(100))
+
+
+def test_media_stats_no_udf(spark, media):
+    stats = {r["kind"]: r for r in mm.media_stats(media).collect()}
+    assert stats["image"]["n"] == 3
+    assert stats["video"]["total_bytes"] == 100
+    # the rollup plan must be UDF-free (pure JVM)
+    plan = mm.media_stats(media)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stub_raises_without_fake(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        mm.extract_image_features(media, deterministic_fake=False).collect()

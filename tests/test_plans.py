@@ -1,0 +1,57 @@
+"""Physical-plan assertions (SURVEY.md §4): the plans we ship must be the
+plans we designed — broadcast joins for small dims, pushed-down filters,
+and zero Python evaluation nodes in the relational query surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from topn_clashroyal_etl_sql_snapshot_spark.plans import testdata_queries
+import topn_clashroyal_etl_sql_snapshot_spark.plans.llm_queries  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_joins_in_join_queries(spark):
+    qs = testdata_queries.queries()
+    for name in ("f1_top_parts_overall", "q3_shipping_priority", "q5_region_order_volume"):
+        plan = _plan(qs[name](spark, SF))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+            f"{name}: expected a broadcast join\n{plan}"
+        )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    qs = testdata_queries.queries()
+    plan = _plan(qs["q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_column_pruning(spark):
+    qs = testdata_queries.queries()
+    plan = _plan(qs["f1_top_parts_overall"](spark, SF))
+    # lineitem scan must read only the join key, not all 11 columns
+    assert "ReadSchema: struct<l_partkey:bigint>" in plan, plan
+
+
+def test_no_python_eval_in_relational_surface(spark):
+    # every registered query (incl. dedup/similarity/text) is pure column
+    # algebra — Python evaluation nodes would break codegen and 100 TB
+    # viability; only the multimodal operators are allowed Pandas UDFs
+    qs = testdata_queries.queries()
+    for name, fn in qs.items():
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name} has a Python UDF\n{plan}"
+        assert "ArrowEvalPython" not in plan, f"{name} has a Pandas UDF\n{plan}"
+
+
+def test_partial_aggregation_present(spark):
+    # E-family groupBys must be partial+final hash aggregates (map-side
+    # combine before the shuffle)
+    qs = testdata_queries.queries()
+    plan = _plan(qs["f2_top_priority_classes"](spark, SF))
+    assert plan.count("HashAggregate") >= 2, plan

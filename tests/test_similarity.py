@@ -1,0 +1,93 @@
+"""Similarity-search tests: brute-force top-k vs numpy ground truth;
+hyperplane-LSH near-dup recall on planted near-identical vectors."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from topn_clashroyal_etl_sql_snapshot_spark.operators import similarity
+
+DIM = 16
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(x * x for x in b) ** 0.5
+    return dot / (na * nb)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(11)
+    vecs = {}
+    for i in range(40):
+        vecs[i] = [rng.gauss(0, 1) for _ in range(DIM)]
+    # planted near-duplicates: tiny perturbations of vectors 0..2
+    for j, src in enumerate((0, 1, 2)):
+        vecs[100 + j] = [x + rng.gauss(0, 0.01) for x in vecs[src]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    return df, vecs
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    df, vecs = vectors
+    got = similarity.brute_force_topk(
+        df, k=3, query_filter=F.col("vec_id") < 5
+    ).collect()
+    by_query: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # float32 storage: compute ground truth on the float32-rounded values
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    vecs32 = {i: [f32(x) for x in v] for i, v in vecs.items()}
+    for q in range(5):
+        scores = sorted(
+            ((round(_cos(vecs32[q], vecs32[o]), 9), -o) for o in vecs32 if o != q),
+            reverse=True,
+        )
+        want = [-negid for _, negid in scores[:3]]
+        assert by_query[q] == want, (q, by_query[q], want)
+
+
+def test_topk_planted_neighbor_first(spark, vectors):
+    df, _ = vectors
+    got = similarity.brute_force_topk(df, k=1, query_filter=F.col("vec_id") < 3).collect()
+    top = {r["query_id"]: r["neighbor_id"] for r in got}
+    assert top == {0: 100, 1: 101, 2: 102}
+
+
+def test_lsh_neardup_recalls_planted(spark, vectors):
+    df, _ = vectors
+    got = {
+        (r["id1"], r["id2"])
+        for r in similarity.lsh_neardup_pairs(df, threshold=0.99, planes=8).collect()
+    }
+    # cosine ≈ 0.9999 pairs collide in all 8 sign bits with near-certainty
+    assert {(0, 100), (1, 101), (2, 102)} <= got
+    # and nothing unrelated sneaks past the exact-cosine verification
+    assert got == {(0, 100), (1, 101), (2, 102)}
+
+
+def test_bruteforce_neardup_equals_lsh_verified(spark, vectors):
+    df, _ = vectors
+    bf = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.brute_force_neardup_pairs(df, threshold=0.99).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.lsh_neardup_pairs(df, threshold=0.99, planes=8).collect()
+    }
+    assert lsh <= bf and len(bf) == 3

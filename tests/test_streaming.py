@@ -1,0 +1,96 @@
+"""Streaming extension tests: file-source stream → windowed agg and the
+foreachBatch incremental snapshot (availableNow trigger, real files)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from topn_clashroyal_etl_sql_snapshot_spark import streaming
+from topn_clashroyal_etl_sql_snapshot_spark.plans import pipeline
+from topn_clashroyal_etl_sql_snapshot_spark.sources.schemas import (
+    CARD_METADATA_SCHEMA,
+    LEADERBOARD_SCHEMA,
+    OVERRIDES_SCHEMA,
+)
+
+from cr_fixtures import CATALOG_ROWS, generate_fixture
+
+
+def _write_landing(tmpdir, battles, n_files=3):
+    per = max(1, len(battles) // n_files)
+    for i in range(0, len(battles), per):
+        with open(f"{tmpdir}/chunk{i}.jsonl", "w") as f:
+            for b in battles[i : i + per]:
+                f.write(json.dumps(b) + "\n")
+
+
+@pytest.fixture(scope="module")
+def landing(tmp_path_factory):
+    leaderboard, battles, overrides = generate_fixture()
+    d = tmp_path_factory.mktemp("landing")
+    _write_landing(str(d), battles)
+    return str(d), leaderboard, battles, overrides
+
+
+def test_windowed_match_counts(spark, landing):
+    landing_dir, _, battles, _ = landing
+    stream = streaming.stream_battles(spark, landing_dir)
+    assert stream.isStreaming
+    agg = streaming.windowed_match_counts(stream, window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("match_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from match_counts").collect()
+    assert rows, "windowed aggregate produced no rows"
+    total = sum(r["battles"] for r in rows)
+    parseable = [b for b in battles if b.get("battleTime") and "T" in str(b["battleTime"])]
+    assert total == len(parseable)
+    assert {r["mode_id"] for r in rows} <= {72000006, 72000464, 99999999}
+
+
+def test_incremental_snapshot_foreachbatch(spark, landing, tmp_path):
+    landing_dir, leaderboard, battles, overrides = landing
+    bronze = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "warehouse")
+
+    lb_df = spark.createDataFrame(leaderboard, LEADERBOARD_SCHEMA)
+    cat_df = spark.createDataFrame(CATALOG_ROWS, CARD_METADATA_SCHEMA)
+    ov_df = spark.createDataFrame(overrides, OVERRIDES_SCHEMA)
+
+    calls = []
+
+    def refresh(sess, bronze_dir):
+        bronze_df = sess.read.schema(
+            streaming.stream_battles(sess, landing_dir).schema
+        ).parquet(bronze_dir)
+        result = pipeline.build_snapshot(
+            sess, bronze_df, lb_df, cat_df, ov_df, top_n=5, collect_counters=False
+        )
+        result.tables["meta_deck_types"].write.mode("overwrite").parquet(
+            f"{out}/meta_deck_types"
+        )
+        result.unpersist()
+        calls.append(bronze_dir)
+
+    stream = streaming.stream_battles(spark, landing_dir)
+    q = streaming.incremental_snapshot_query(stream, bronze, refresh, ckpt).start()
+    q.awaitTermination(240)
+
+    assert calls, "foreachBatch refresh never ran"
+    meta = spark.read.parquet(f"{out}/meta_deck_types").collect()
+    assert meta and all(r["wins"] <= r["uses"] for r in meta)
+    # restart with no new files → no further refreshes (checkpoint works)
+    n = len(calls)
+    q2 = streaming.incremental_snapshot_query(
+        streaming.stream_battles(spark, landing_dir), bronze, refresh, ckpt
+    ).start()
+    q2.awaitTermination(120)
+    assert len(calls) == n

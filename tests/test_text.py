@@ -1,0 +1,84 @@
+"""Unit tests for the text-analysis expression library."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("v")).first()["v"]
+
+
+def test_tokens_and_counts(spark):
+    assert _one(spark, "Hello, World! 42", F.struct(tx.tokens(F.col("text")))) is not None
+    toks = _one(spark, "  Hello, World! 42\nnew-line ", tx.tokens(F.col("text")))
+    assert toks == ["hello", "world", "42", "new", "line"]
+    assert _one(spark, "a b c", tx.token_count(F.col("text"))) == 3
+    assert _one(spark, "", tx.token_count(F.col("text"))) == 0
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(["a", "b", "c", "d"],)], "toks array<string>")
+    got = df.select(tx.shingles(F.col("toks"), 3).alias("s")).first()["s"]
+    assert got == ["a b c", "b c d"]
+    short = spark.createDataFrame([(["a", "b"],)], "toks array<string>")
+    assert short.select(tx.shingles(F.col("toks"), 3).alias("s")).first()["s"] == []
+
+
+def test_shingles_distinct(spark):
+    df = spark.createDataFrame([(["x", "x", "x", "x"],)], "toks array<string>")
+    got = df.select(tx.shingles(F.col("toks"), 3).alias("s")).first()["s"]
+    assert got == ["x x x"]
+
+
+def test_punct_and_stopword_ratio(spark):
+    assert _one(spark, "ab!!", tx.punct_ratio(F.col("text"))) == 0.5
+    # "the cat and dog": 2 of 4 tokens are stopwords
+    assert _one(spark, "the cat and dog", tx.stopword_ratio(F.col("text"))) == 0.5
+
+
+def test_lang_id_markers(spark):
+    cases = {
+        "the cat and the dog is here": "en",
+        "el gato los perros una casa": "es",
+        "le chat les chiens une maison est": "fr",
+        "der hund die katze und nicht ist": "de",
+        "xyzzy plugh foobar": "und",
+    }
+    for text, want in cases.items():
+        assert _one(spark, text, tx.lang_id(F.col("text"))) == want, text
+
+
+def test_lang_id_cjk(spark):
+    assert _one(spark, "你好 world", tx.lang_id(F.col("text"))) == "zh"
+
+
+def test_quality_score_range(spark):
+    docs = [
+        "word " * 150,            # long clean text
+        "a",                      # tiny
+        "!!!! ???? ;;;; ####",    # pure punctuation
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    vals = [r[0] for r in df.select(tx.quality_score(F.col("text"))).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert vals[0] > vals[2]  # clean text beats punctuation soup
+
+
+def test_content_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello, World!",), ("hello  world ",), ("hello world",)], "text string"
+    )
+    fps = [r[0] for r in df.select(tx.content_fingerprint(F.col("text"))).collect()]
+    # punctuation maps to spaces: "Hello, World!" ≡ "hello  world "
+    assert fps[0] == fps[1]
+    # but whitespace multiplicity is preserved (fingerprint is over the
+    # normalized string, not the token join)
+    assert fps[0] != fps[2]
+
+    df2 = spark.createDataFrame([("abc def",), ("ABC DEF",)], "text string")
+    fps2 = [r[0] for r in df2.select(tx.content_fingerprint(F.col("text"))).collect()]
+    assert fps2[0] == fps2[1]

@@ -1,3 +1,3 @@
-from . import deck
+from . import deck, dedup, multimodal, similarity
 
-__all__ = ["deck"]
+__all__ = ["deck", "dedup", "multimodal", "similarity"]

@@ -1,0 +1,340 @@
+"""Deduplication operator family for large-scale corpus pipelines.
+
+Generalizes the reference's content-hash dedup (match_hash + seen-set,
+``scripts/etl_snapshot_topn.py:257-261`` / ``src/clashdb/hash_utils.py``)
+to the operators an LLM-data pipeline needs:
+
+- **exact**        hash-groupBy on a content fingerprint
+- **jaccard**      word-shingle Jaccard via an inverted-index self-join
+                   (the exact ground truth; O(postings²) within a shingle)
+- **MinHash+LSH**  k seeded min-hashes → b bands → bucket join: candidate
+                   generation without the quadratic join
+- **SimHash**      63+1-bit sign-aggregate fingerprint + pigeonhole chunk
+                   join for hamming-distance candidates
+
+Scale design: every step is per-row column algebra or a key-partitioned
+join — no driver-side state, no Python UDFs. The LSH/simhash candidate
+joins shuffle on band/chunk keys; hot buckets (boilerplate shingles) are
+the skew risk, so the inverted-index paths drop shingles whose document
+frequency exceeds ``max_df`` — boilerplate contributes candidates
+quadratically while carrying no dedup signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups by normalized-content fingerprint:
+    (fingerprint, copies, keep_id = min id)."""
+    return (
+        docs.select(
+            tx.content_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("copies") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per exact content group (deterministic winner,
+    unlike the reference's scan-order first-seen — SURVEY.md §1.4.7)."""
+    fp = tx.content_fingerprint(F.col(text_col)).alias("_fp")
+    w_min = (
+        docs.select(fp, F.col(id_col).alias("_keep"))
+        .groupBy("_fp")
+        .agg(F.min("_keep").alias("_keep"))
+    )
+    return (
+        docs.withColumn("_fp", tx.content_fingerprint(F.col(text_col)))
+        .join(w_min, "_fp", "inner")
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle-Jaccard (exact) via inverted index
+# ---------------------------------------------------------------------------
+
+def shingle_sets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) postings — distinct word n-grams per document.
+
+    Plan: posexplode tokens → window ``lead`` per document → concat →
+    distinct. Everything stays in whole-stage codegen; the equivalent
+    per-row array formulation (``tx.shingles``) goes through interpreted
+    higher-order functions and measured ~20× slower on wide corpora.
+    The window's doc-id shuffle doubles as the distinct's partitioning.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tx.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    return (
+        toks.select("id", F.concat_ws(" ", *leads).alias("sh"), leads[-1].alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("id", "sh")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    Plan: postings → (optional) drop shingles with document frequency >
+    max_df (boilerplate: quadratic candidate blowup, no signal) →
+    self-join on shingle (id1 < id2) → intersection counts → join per-doc
+    set sizes → jaccard = |∩| / (|A|+|B|-|∩|). Integer counts + one double
+    division — oracle-exact across engines.
+    """
+    # Hash shingles to 64-bit keys before the join: the shuffle ships
+    # longs instead of strings (collision odds ~n²/2⁶⁴ — immaterial), and
+    # persist the postings: three consumers (df-cap, sizes, both join
+    # sides) would otherwise re-run the tokenize/explode lineage.
+    postings = shingle_sets(docs, text_col, id_col, n).select(
+        "id", F.xxhash64("sh").alias("sh")
+    )
+    postings.persist()
+    if max_df is not None:
+        df_counts = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        postings = (
+            postings.join(df_counts.filter(F.col("_df") <= max_df), "sh", "left_semi")
+        )
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = postings.select(F.col("id").alias("id1"), "sh")
+    b = postings.select(F.col("id").alias("id2"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id1", "n_sh": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "n_sh": "n2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 128,
+) -> DataFrame:
+    """(id, sig: array<long>[k]) — sig[i] = min over shingles of
+    xxhash64(i, shingle).
+
+    Plan: explode postings → k seeded hashes per posting → groupBy(id)
+    with k MIN aggregates → assemble the array. All codegen'd; map-side
+    partial MINs mean the shuffle carries only k longs per (doc,
+    partition). (A per-row nested-``transform`` formulation is quadratic
+    in practice: interpreted higher-order functions re-evaluate the
+    shingle expression once per outer element — measured 128× slower.)
+
+    Docs with no shingles (< n tokens) produce no postings and are
+    excluded, matching the Jaccard path's behavior.
+    """
+    postings = shingle_sets(docs, text_col, id_col, n)
+    mins = postings.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"_m{i}") for i in range(k)]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, hash each band, self-join per (band, hash).
+
+    A pair collides in some band with probability 1-(1-j^r)^b — with
+    b=32, r=4 the S-curve crosses ~0.5 at j≈0.42. One shuffle keyed by
+    (band, band_hash); high-cardinality hashes distribute uniformly.
+    """
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        bidx,
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"), bidx * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        ),
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id1"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id2"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 128,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidates via LSH, then estimated Jaccard from signature agreement
+    (fraction of equal min-hashes), thresholded. Returns
+    (id1, id2, est_jaccard)."""
+    sigs = minhash_signatures(docs, text_col, id_col, n, k)
+    sigs.persist()  # consumed three times: banding + both est-join sides
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    s1 = sigs.withColumnsRenamed({"id": "id1", "sig": "sig1"})
+    s2 = sigs.withColumnsRenamed({"id": "id2", "sig": "sig2"})
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(k))
+    return (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+# signed-long bit values; bit 63 is the sign bit
+_BIT_VALUES = [(1 << i) if i < 63 else -(1 << 63) for i in range(SIMHASH_BITS)]
+
+
+def simhash(tokens_col: Column) -> Column:
+    """64-bit SimHash: per bit, sum ±1 over token hashes; bit = sign.
+
+    Pure per-row fold (no explode/shuffle): aggregate an array<int> of 64
+    counters across tokens, then OR the positive bits together.
+    """
+    masks = F.array(*[F.lit(v).cast("long") for v in _BIT_VALUES])
+
+    def contrib(t: Column) -> Column:
+        # bit test via mask (shift functions need literal shift amounts)
+        h = F.xxhash64(t)
+        return F.transform(
+            masks,
+            lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    sums = F.aggregate(
+        tokens_col,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, t: F.zip_with(acc, contrib(t), lambda a, b: a + b),
+    )
+    bit_vals = F.array(*[F.lit(v).cast("long") for v in _BIT_VALUES])
+    picked = F.zip_with(
+        sums, bit_vals, lambda s, v: F.when(s > 0, v).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(
+        picked, F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v)
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"), simhash(tx.tokens(F.col(text_col))).alias("sh64")
+    )
+
+
+def simhash_candidate_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Hamming-≤-k candidates by pigeonhole: split 64 bits into ``chunks``
+    pieces; any pair within hamming ≤ chunks-1 shares ≥1 exact chunk.
+    Join per (chunk_idx, chunk_value), verify with bit_count(xor).
+    Returns (id1, id2, hamming)."""
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    pieces = fingerprints.select(
+        "id",
+        "sh64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sh64"), j * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for j in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh64", "c.chunk", "c.val")
+    a = pieces.select(F.col("id").alias("id1"), F.col("sh64").alias("h1"), "chunk", "val")
+    b = pieces.select(F.col("id").alias("id2"), F.col("sh64").alias("h2"), "chunk", "val")
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,150 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed through Arrow-batched Pandas UDFs.
+
+The Spark-side contract is fully real — schemas, partition-preserving
+``mapInPandas`` plumbing, batch shapes, deterministic fake features — but
+the actual media decoding is STUBBED: the image/audio codec libraries are
+not available in this environment. Each decode function documents its
+production body and raises ``NotImplementedError`` unless
+``deterministic_fake=True`` (the default used in tests), which derives
+features from the raw bytes so the pipeline is testable end-to-end.
+
+Scale notes: binary payloads ride the columnar Arrow path (no per-row
+pickling); ``mapInPandas`` keeps batches bounded via
+``spark.sql.execution.arrow.maxRecordsPerBatch``; feature extraction is
+embarrassingly parallel — no shuffle at all until a downstream groupBy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata for an opaque media blob
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),   # images/video
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),  # audio/video
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sha1", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature vector derived from content bytes."""
+    h = hashlib.sha1(payload or b"").digest()
+    return [h[i] / 255.0 for i in range(dim)]
+
+
+def extract_image_features(
+    media: DataFrame, deterministic_fake: bool = True, dim: int = 8
+) -> DataFrame:
+    """payload → (sha1, n_bytes, feature[dim]) via ``mapInPandas``.
+
+    Production body (requires PIL/torchvision, not in this container)::
+
+        img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+        img = img.resize((224, 224))
+        feature = model(np.asarray(img))          # or color histogram
+
+    The stub derives a deterministic fake feature from the bytes so the
+    plumbing (schema, batching, downstream joins) runs for real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/libvips — not available here"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sha1": [
+                        hashlib.sha1(p or b"").hexdigest() for p in payloads
+                    ],
+                    "n_bytes": [len(p or b"") for p in payloads],
+                    "feature": [_fake_feature(p, dim) for p in payloads],
+                }
+            )
+
+    img = media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    )
+    return img.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 10, deterministic_fake: bool = True
+) -> DataFrame:
+    """video payload → rows of sampled frames (one row per frame).
+
+    Production body (requires pyav/ffmpeg)::
+
+        container = av.open(io.BytesIO(payload))
+        for i, frame in enumerate(container.decode(video=0)):
+            if i % every_n == 0: yield frame.to_image().tobytes()
+
+    The stub slices the payload into ``every_n`` pseudo-frames so the
+    fan-out shape (1 row → N rows) is exercised for real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real video decode requires pyav/ffmpeg — not available here"
+                )
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = payload or b""
+                step = max(1, len(p) // every_n)
+                for idx, off in enumerate(range(0, len(p), step)):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_payload"].append(p[off : off + step])
+            yield pd.DataFrame(out)
+
+    vid = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    return vid.mapInPandas(run, FRAME_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-JVM metadata rollup — no UDF: payload sizes/counts by kind."""
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max(F.length("payload")).alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- **brute force** — exact cosine top-k: queries × corpus join with a
+  per-pair fold. Correctness baseline and the right answer when the
+  query set is small (broadcast the queries, one pass over the corpus).
+- **random-hyperplane LSH** — sign-bit sketches bucket the corpus; only
+  bucket-colliding (or near-bucket) pairs get exact scoring. The scale
+  path: candidate generation is a key join instead of a cross join.
+
+Embedding near-dup dedup reuses the same machinery with a threshold
+instead of top-k.
+
+Determinism: hyperplanes are derived from ``xxhash64(plane, dim)`` —
+no RNG state, same sketch on every executor/run (Date.now/seeded-numpy
+style initialization would break re-runs and the oracle comparisons).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as vx
+
+
+def _with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", vx.norm(F.col(vec_col)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    Queries (a small set) are broadcast against the corpus — one scan, no
+    shuffle of the corpus side; ranking is a per-query window. Returns
+    (query_id, neighbor_id, cosine, rank). Rank ties (at 9-decimal cosine
+    granularity) break by neighbor id for cross-engine determinism.
+    """
+    corpus = _with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v2"),
+        F.col("_norm").alias("_n2"),
+    )
+    q = embeddings
+    if query_ids is not None:
+        q = q.filter(F.col(id_col).isin(query_ids))
+    if query_filter is not None:
+        q = q.filter(query_filter)
+    queries = _with_norm(q, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_v1"),
+        F.col("_norm").alias("_n1"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                vx.cosine_prenormed(
+                    vx.dot(F.col("_v1"), F.col("_v2")), F.col("_n1"), F.col("_n2")
+                ),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_sketch(vec_col, planes: int = 16):
+    """Sign-bit sketch: bit p = (v · h_p > 0), hyperplane component
+    h_p[d] derived from xxhash64(p, d) mapped to [-1, 1]. Returns a long
+    bucket id. Deterministic, no stored model."""
+    def plane_dot(p):
+        # fold over dims: acc + v[d] * hash_component(p, d)
+        idx = F.sequence(F.lit(1), F.size(vec_col))
+        return F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.element_at(vec_col, d).cast("double")
+            * (
+                (F.xxhash64(p, d).cast("double") / F.lit(float(1 << 63)))
+            ),
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        lambda p: F.when(plane_dot(p) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.array(*[F.lit(1 << i).cast("long") for i in range(planes)]),
+            lambda b, v: b * v,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: bucket by hyperplane sketch, score
+    exact cosine only within buckets. Recall: P(same bucket) =
+    (1 - θ/π)^planes for angle θ — pair with multiple sketch rotations if
+    higher recall is needed. Returns (id1, id2, cosine)."""
+    sk = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
+    ).withColumn("n", vx.norm(F.col("v")))
+    a = sk.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1"), "bucket")
+    b = sk.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "cosine",
+            F.round(
+                vx.cosine_prenormed(vx.dot(F.col("v1"), F.col("v2")), F.col("n1"), F.col("n2")),
+                9,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+        .distinct()
+    )
+
+
+def brute_force_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup (ground truth / small corpora).
+    O(n²) — at scale use ``lsh_neardup_pairs``."""
+    sk = _with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
+    )
+    a = sk.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1"))
+    b = sk.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "cosine",
+            F.round(
+                vx.cosine_prenormed(vx.dot(F.col("v1"), F.col("v2")), F.col("n1"), F.col("n2")),
+                9,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

@@ -1,0 +1,314 @@
+"""LLM-data-pipeline query surface: dedup, text analysis, similarity
+search over the ``documents``/``embeddings`` tables — registered for the
+driver with DuckDB oracles wherever the operator is SQL-expressible.
+
+Hash-based operators (MinHash-LSH, SimHash) are engine-specific
+(xxhash64 seeds) and cannot be oracled in SQL — they register rows-only
+here and are verified in pytest against exact-Jaccard ground truth
+(tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..operators import dedup, similarity
+from ..sources.readers import read_testdata
+from .testdata_queries import register
+
+# Shared DuckDB tokenization fragment — must mirror functions/text.py
+# (same regex class, same empty-token filter).
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(regexp_replace(text, "
+    "'[^a-zA-Z0-9 ]', ' ', 'g')), '\\s+'), x -> x <> '')"
+)
+
+_NORM_SQL = "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS docs,
+           SUM(len({_TOKS_SQL})) AS total_tokens,
+           SUM(length(text)) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token/char accounting per language label — the basic corpus-stats
+    scan (single pass, integer sums)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(tx.token_count(F.col("text"))).alias("total_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MARKER_SQL = {
+    "en": "('the','and','of','is')",
+    "es": "('el','los','las','una','es')",
+    "fr": "('le','les','des','une','est')",
+    "de": "('der','die','und','nicht','ist')",
+}
+
+@register(
+    "text_language_id",
+    f"""
+    WITH c AS (
+      SELECT doc_id, lang, text,
+             len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['en']})) AS c_en,
+             len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['es']})) AS c_es,
+             len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['fr']})) AS c_fr,
+             len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['de']})) AS c_de
+      FROM documents
+    ), p AS (
+      SELECT lang,
+             CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                  WHEN greatest(c_en, c_es, c_fr, c_de) <= 0 THEN 'und'
+                  WHEN c_en = greatest(c_en, c_es, c_fr, c_de) THEN 'en'
+                  WHEN c_es = greatest(c_en, c_es, c_fr, c_de) THEN 'es'
+                  WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) THEN 'fr'
+                  ELSE 'de' END AS predicted_lang
+      FROM c
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n
+    FROM p
+    GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """Heuristic language ID (marker-token argmax + CJK check) crossed
+    against the label — the confusion-matrix scan."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted_lang", tx.lang_id(F.col("text")))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+_QUALITY_SQL = f"""
+      round(
+        0.4 * least(CAST(len({_TOKS_SQL}) AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * (CASE WHEN CAST(list_sum(list_transform({_TOKS_SQL}, x -> length(x))) AS DOUBLE)
+                           / NULLIF(len({_TOKS_SQL}), 0) BETWEEN 2.0 AND 12.0
+                      THEN 1.0 ELSE 0.5 END)
+        + 0.3 * (1.0 - least(coalesce(
+                CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                    / NULLIF(length(text), 0), 0.0) * 2.0, 1.0)),
+      6)
+"""
+
+@register(
+    "text_quality_by_source",
+    f"""
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM(CAST({_QUALITY_SQL} AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality,
+           MIN({_QUALITY_SQL}) AS min_quality,
+           MAX({_QUALITY_SQL}) AS max_quality
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_quality_by_source(spark, sf_dir):
+    """Quality-score rollup per source (decimal-exact sum so the float
+    aggregate is order-independent)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    q = tx.quality_score(F.col("text"))
+    return (
+        docs.withColumn("q", q)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("q").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
+            F.min("q").alias("min_quality"),
+            F.max("q").alias("max_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_summary",
+    f"""
+    SELECT COUNT(*) AS total_docs,
+           COUNT(DISTINCT md5({_NORM_SQL})) AS unique_docs
+    FROM documents
+    """,
+)
+def dedup_exact_summary(spark, sf_dir):
+    """Exact-dedup accounting: total vs distinct normalized fingerprints."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct(tx.content_fingerprint(F.col("text"))).alias("unique_docs"),
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           COUNT(*) AS copies,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY fingerprint
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact duplicate groups (hash-groupBy; D2 generalized)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs).orderBy("fingerprint")
+
+
+@register(
+    "dedup_trigram_jaccard",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM base, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+      WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+    WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5
+    ORDER BY id1, id2
+    """,
+)
+def dedup_trigram_jaccard(spark, sf_dir):
+    """Exact word-trigram Jaccard near-dup pairs via the inverted-index
+    self-join — the scalable ground-truth dedup plan."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, n=3, threshold=0.5).orderBy("id1", "id2")
+
+
+@register("dedup_minhash_lsh", None)  # hash-seeded: rows-only for the driver
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(128) + LSH(32×4) near-dup pairs with estimated Jaccard —
+    verified against exact Jaccard in tests/test_dedup.py."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id1", "id2")
+
+
+@register("dedup_simhash", None)  # hash-seeded: rows-only for the driver
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 hamming-≤3 candidate pairs via pigeonhole chunk join."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    fps = dedup.simhash_fingerprints(docs)
+    return dedup.simhash_candidate_pairs(fps, max_hamming=3).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_VEC_NORM_SQL = (
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+@register(
+    "embedding_ann_topk",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {_VEC_NORM_SQL} AS nrm FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(q.embedding)),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / NULLIF(q.nrm * e.nrm, 0.0), 9) AS cosine
+      FROM n q JOIN n e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors vec_id < 8 — the exact
+    ANN baseline (broadcast queries × one corpus scan)."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, k=5, query_filter=F.col("vec_id") < 8
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {_VEC_NORM_SQL} AS nrm FROM embeddings
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(
+             list_sum(list_transform(generate_series(1, len(a.embedding)),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / NULLIF(a.nrm * b.nrm, 0.0), 9) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(
+             list_sum(list_transform(generate_series(1, len(a.embedding)),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / NULLIF(a.nrm * b.nrm, 0.0), 9) >= 0.45
+    ORDER BY id1, id2
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (threshold tuned so the
+    synthetic corpus yields a non-empty, well-separated set)."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return similarity.brute_force_neardup_pairs(emb, threshold=0.45).orderBy(
+        "id1", "id2"
+    )
+
+
+@register("embedding_lsh_neardup", None)  # hash-seeded buckets: rows-only
+def embedding_lsh_neardup(spark, sf_dir):
+    """Hyperplane-LSH bucketed near-dup scan — the 100 TB path (bucket
+    join instead of cross join); recall/threshold behavior verified in
+    tests/test_similarity.py."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return similarity.lsh_neardup_pairs(emb, threshold=0.45, planes=8).orderBy(
+        "id1", "id2"
+    )
