@@ -19,6 +19,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from topn_clashroyal_etl_sql_snapshot_spark.plans import (  # noqa: E402
+    domain_queries,  # noqa: F401 — registers the cr_* pipeline-parity queries
     llm_queries,  # noqa: F401 — registers the LLM-pipeline queries
     testdata_queries,
 )

@@ -29,6 +29,7 @@ def main() -> None:
 
     from topn_clashroyal_etl_sql_snapshot_spark.session import get_spark
     from topn_clashroyal_etl_sql_snapshot_spark.plans import (  # noqa: F401
+        domain_queries,
         llm_queries,
         testdata_queries,
     )
@@ -41,8 +42,14 @@ def main() -> None:
     # variants (kept registered for the sf0.01 correctness gate) are
     # excluded from timing: their role is verifying the sub-quadratic
     # paths, not being the path.
-    quadratic = {"embedding_neardup_pairs"}
-    qs = {n: f for n, f in qs.items() if n not in quadratic}
+    # cr_* run on a fixed-size domain fixture (sf-independent pipeline
+    # parity checks) — timing them against sf would be meaningless.
+    excluded = {"embedding_neardup_pairs"}
+    qs = {
+        n: f
+        for n, f in qs.items()
+        if n not in excluded and not n.startswith("cr_")
+    }
 
     # Warm the JVM/codegen path once so per-query timings measure the
     # queries, not first-call JIT + parquet footer reads.

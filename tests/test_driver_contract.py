@@ -46,7 +46,11 @@ def _norm(v):
 
 
 def _rows(rows):
-    return sorted(tuple(_norm(v) for v in r) for r in rows)
+    # null-safe sort key (CUBE emits None group keys)
+    return sorted(
+        (tuple(_norm(v) for v in r) for r in rows),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
 
 
 ALL = sorted(spark_entry.queries().keys())

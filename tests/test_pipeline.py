@@ -13,7 +13,7 @@ from topn_clashroyal_etl_sql_snapshot_spark.sources.schemas import (
     OVERRIDES_SCHEMA,
 )
 
-from cr_fixtures import CATALOG_ROWS, generate_fixture, oracle_etl
+from topn_clashroyal_etl_sql_snapshot_spark.testing.cr_synthetic import CATALOG_ROWS, generate_fixture, oracle_etl
 
 TOP_N = 5
 

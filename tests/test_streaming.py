@@ -15,7 +15,7 @@ from topn_clashroyal_etl_sql_snapshot_spark.sources.schemas import (
     OVERRIDES_SCHEMA,
 )
 
-from cr_fixtures import CATALOG_ROWS, generate_fixture
+from topn_clashroyal_etl_sql_snapshot_spark.testing.cr_synthetic import CATALOG_ROWS, generate_fixture
 
 
 def _write_landing(tmpdir, battles, n_files=3):

@@ -298,9 +298,32 @@ def simhash(tokens_col: Column) -> Column:
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("id"), simhash(tx.tokens(F.col(text_col))).alias("sh64")
+    """(id, sh64) via explode + 64 conditional-SUM aggregates.
+
+    Same fingerprint as :func:`simhash` (per-occurrence ±1 sums), but the
+    whole plan is codegen'd: one xxhash64 per token, 64 compiled CASE
+    sums with map-side partial aggregation. The per-row ``simhash``
+    expression stays for composition inside other column expressions.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tx.tokens(F.col(text_col))).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(v).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"_s{i}")
+            for i, v in enumerate(_BIT_VALUES)
+        ]
     )
+    fingerprint = None
+    for i, v in enumerate(_BIT_VALUES):
+        bit = F.when(F.col(f"_s{i}") > 0, F.lit(v).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
+    return sums.select("id", fingerprint.alias("sh64"))
 
 
 def simhash_candidate_pairs(

@@ -1,0 +1,248 @@
+"""ClashRoyale-domain query surface for the driver: the reference's own
+analysis queries (F1-F7) and warehouse tables, driven END-TO-END through
+the Spark snapshot pipeline.
+
+Each cr_* query runs ``plans.pipeline.build_snapshot`` over the committed
+raw fixtures (``fixtures/battles.jsonl`` etc. — deterministic synthetic
+data, seed 42) and queries the resulting tables. Its DuckDB oracle reads
+``fixtures/warehouse/*.parquet`` — tables precomputed by the PURE-PYTHON
+oracle ETL (``testing/cr_synthetic.oracle_etl``), an independent
+re-derivation of the reference semantics sharing no code with the
+pipeline. A hash match therefore verifies the entire dataflow: filter →
+match-hash dedup → deck extraction → SHA1 identity → classification →
+override → unpivot → rollups.
+
+These queries are sf-independent (the fixture is fixed-size); ``sf_dir``
+is accepted and ignored. The pipeline result is cached per SparkSession
+so the 9 queries pay the build once.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import readers
+from . import pipeline as pl
+from . import queries as q
+from .testdata_queries import register
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+FIXTURE_DIR = os.path.join(_REPO, "fixtures")
+_WH = os.path.join(FIXTURE_DIR, "warehouse")
+TOP_N = 8  # matches tools/make_fixtures.py
+
+_CACHE: dict[int, dict[str, DataFrame]] = {}
+
+
+def snapshot_tables(spark: SparkSession) -> dict[str, DataFrame]:
+    key = id(spark)
+    if key not in _CACHE:
+        result = pl.build_snapshot(
+            spark,
+            battles=readers.read_battles_json(
+                spark, os.path.join(FIXTURE_DIR, "battles.jsonl")
+            ),
+            leaderboard=readers.read_leaderboard_json(
+                spark, os.path.join(FIXTURE_DIR, "leaderboard.jsonl")
+            ),
+            catalog=readers.read_card_catalog(
+                spark, os.path.join(FIXTURE_DIR, "card_catalog.json")
+            ),
+            overrides=readers.read_overrides(
+                spark, os.path.join(FIXTURE_DIR, "overrides.parquet")
+            ),
+            top_n=TOP_N,
+            collect_counters=False,
+        )
+        _CACHE[key] = result.tables
+    return _CACHE[key]
+
+
+def _wh(table: str) -> str:
+    return f"read_parquet('{os.path.join(_WH, table)}.parquet')"
+
+
+# --- direct table parity (strongest checks) --------------------------------
+
+@register(
+    "cr_meta_deck_types",
+    f"SELECT deck_type, uses, wins FROM {_wh('meta_deck_types')} ORDER BY deck_type",
+)
+def cr_meta_deck_types(spark, sf_dir):
+    """E1 rollup, full-table parity vs the independent Python oracle ETL."""
+    return snapshot_tables(spark)["meta_deck_types"].orderBy("deck_type")
+
+
+@register(
+    "cr_meta_type_matchups",
+    f"""SELECT deck_type, opp_deck_type, uses, wins
+        FROM {_wh('meta_type_matchups')} ORDER BY deck_type, opp_deck_type""",
+)
+def cr_meta_type_matchups(spark, sf_dir):
+    """E6 directional matchup matrix (double-insert + mirrors), full parity."""
+    return snapshot_tables(spark)["meta_type_matchups"].orderBy(
+        "deck_type", "opp_deck_type"
+    )
+
+
+@register(
+    "cr_player_decks",
+    f"""SELECT player_tag, deck_hash, uses, wins
+        FROM {_wh('player_decks')} ORDER BY player_tag, deck_hash""",
+)
+def cr_player_decks(spark, sf_dir):
+    """E4 TopN-gated player fact, full parity (exercises the semi join)."""
+    return snapshot_tables(spark)["player_decks"].orderBy("player_tag", "deck_hash")
+
+
+@register(
+    "cr_player_type_cards",
+    f"""SELECT player_tag, deck_type, card_id, card_variant, uses, wins
+        FROM {_wh('player_type_cards')}
+        ORDER BY player_tag, deck_type, card_id, card_variant""",
+)
+def cr_player_type_cards(spark, sf_dir):
+    """E5 derived sum-not-copy rollup, full parity (the trickiest E-op)."""
+    return snapshot_tables(spark)["player_type_cards"].orderBy(
+        "player_tag", "deck_type", "card_id", "card_variant"
+    )
+
+
+@register(
+    "cr_deck_cards",
+    f"""SELECT deck_hash, card_id, card_variant, slot
+        FROM {_wh('deck_cards')} ORDER BY deck_hash, slot""",
+)
+def cr_deck_cards(spark, sf_dir):
+    """Deck composition bridge incl. SHA1 deck identity and slot order
+    under the deterministic first-seen rule."""
+    return snapshot_tables(spark)["deck_cards"].orderBy("deck_hash", "slot")
+
+
+# --- the reference's analysis queries (F1-F7) ------------------------------
+
+@register(
+    "cr_f1_top_cards",
+    f"""
+    SELECT c.card_name, COUNT(*) AS appearances
+    FROM {_wh('deck_cards')} dc JOIN {_wh('cards')} c ON c.card_id = dc.card_id
+    GROUP BY c.card_name
+    ORDER BY appearances DESC, c.card_name
+    LIMIT 50
+    """,
+)
+def cr_f1_top_cards(spark, sf_dir):
+    """F1 (queries/top_cards_overall.sql) on pipeline output."""
+    t = snapshot_tables(spark)
+    return q.top_cards_overall(t["deck_cards"], t["cards"])
+
+
+@register(
+    "cr_f2_top_deck_types",
+    f"""
+    SELECT d.deck_type,
+           SUM(pd.uses) AS uses,
+           SUM(pd.wins) AS wins,
+           ROUND(100.0 * SUM(pd.wins) / NULLIF(SUM(pd.uses), 0), 2) AS win_rate
+    FROM {_wh('player_decks')} pd JOIN {_wh('decks')} d ON d.deck_hash = pd.deck_hash
+    GROUP BY d.deck_type
+    ORDER BY uses DESC, d.deck_type
+    LIMIT 30
+    """,
+)
+def cr_f2_top_deck_types(spark, sf_dir):
+    """F2 (queries/top_deck_types.sql, counter grain) on pipeline output."""
+    t = snapshot_tables(spark)
+    return q.top_deck_types(t["player_decks"], t["decks"])
+
+
+@register(
+    "cr_f3_player_summary",
+    f"""
+    SELECT p.player_tag, p.player_name, p.trophies,
+           COUNT(pd.deck_hash) AS decks_seen
+    FROM {_wh('player')} p
+    LEFT JOIN {_wh('player_decks')} pd ON pd.player_tag = p.player_tag
+    GROUP BY p.player_tag, p.player_name, p.trophies
+    ORDER BY p.trophies DESC, p.player_tag
+    LIMIT 50
+    """,
+)
+def cr_f3_player_summary(spark, sf_dir):
+    """F3 (queries/player_summary.sql): LEFT JOIN + COUNT(col) non-null."""
+    t = snapshot_tables(spark)
+    return q.player_summary(t["player"], t["player_decks"])
+
+
+@register(
+    "cr_f4_top_decks",
+    f"""
+    SELECT d.deck_hash, d.deck_type,
+           SUM(pd.uses) AS uses,
+           SUM(pd.wins) AS wins,
+           ROUND(100.0 * SUM(pd.wins) / NULLIF(SUM(pd.uses), 0), 2) AS win_rate
+    FROM {_wh('player_decks')} pd JOIN {_wh('decks')} d ON d.deck_hash = pd.deck_hash
+    GROUP BY d.deck_hash, d.deck_type
+    ORDER BY uses DESC, d.deck_hash
+    LIMIT 50
+    """,
+)
+def cr_f4_top_decks(spark, sf_dir):
+    """F4 (queries/top_decks.sql, counter grain)."""
+    t = snapshot_tables(spark)
+    return q.top_decks(t["player_decks"], t["decks"])
+
+
+@register(
+    "cr_f5_matchup_winrates",
+    f"""
+    SELECT deck_type, opp_deck_type, uses, wins,
+           CAST(wins AS DOUBLE) / NULLIF(uses, 0) AS winrate
+    FROM {_wh('meta_type_matchups')}
+    ORDER BY uses DESC, deck_type, opp_deck_type
+    LIMIT 20
+    """,
+)
+def cr_f5_matchup_winrates(spark, sf_dir):
+    """F5 (scripts/etl_snapshot_topn.py:535-536)."""
+    t = snapshot_tables(spark)
+    return q.matchup_winrates(t["meta_type_matchups"])
+
+
+@register(
+    "cr_f6_best_decks",
+    f"""
+    SELECT deck_hash,
+           SUM(uses) AS uses,
+           SUM(wins) AS wins,
+           CAST(SUM(wins) AS DOUBLE) / NULLIF(SUM(uses), 0) AS winrate
+    FROM {_wh('player_decks')}
+    GROUP BY deck_hash
+    HAVING SUM(uses) >= 5
+    ORDER BY winrate DESC, uses DESC, deck_hash
+    LIMIT 10
+    """,
+)
+def cr_f6_best_decks(spark, sf_dir):
+    """F6 (scripts:537-538): winrate ranking with support threshold."""
+    t = snapshot_tables(spark)
+    return q.best_decks_by_winrate(t["player_decks"], min_uses=5)
+
+
+@register(
+    "cr_f7_deck_integrity",
+    f"""
+    SELECT deck_hash, COUNT(*) AS n_cards
+    FROM {_wh('deck_cards')}
+    GROUP BY deck_hash
+    HAVING COUNT(*) <> 8
+    ORDER BY deck_hash
+    LIMIT 20
+    """,
+)
+def cr_f7_deck_integrity(spark, sf_dir):
+    """F7/G1 (scripts:533): must be empty — every deck has 8 cards."""
+    t = snapshot_tables(spark)
+    return q.deck_integrity_violations(t["deck_cards"])

@@ -520,3 +520,99 @@ def events_props_json(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "cube_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def cube_returnflag_status(spark, sf_dir):
+    """CUBE grouping sets — an idiomatic-Spark extension beyond the
+    reference surface (SURVEY.md §2.H lists grouping sets as absent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "except_parts_never_shipped",
+    """
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS p_partkey FROM lineitem
+    ORDER BY p_partkey
+    """,
+)
+def except_parts_never_shipped(spark, sf_dir):
+    """EXCEPT (set difference) — §2.H extension; ≡ the anti-join FK-orphan
+    shape expressed as a set operation."""
+    part, li = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    return (
+        part.select("p_partkey")
+        .subtract(li.select(F.col("l_partkey").alias("p_partkey")))
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "intersect_active_customers",
+    """
+    SELECT c_custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+)
+def intersect_active_customers(spark, sf_dir):
+    """INTERSECT — §2.H extension; ≡ the semi-join shape as a set op."""
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        cust.select("c_custkey")
+        .intersect(orders.select(F.col("o_custkey").alias("c_custkey")))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "events_rolling_sum",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_value
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def events_rolling_sum(spark, sf_dir):
+    """Rolling window aggregate over the event stream (decimal-exact sum;
+    ts ties broken by event_id for cross-engine determinism)."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias(
+            "rolling_value"
+        ),
+    ).orderBy("user_id", "event_id")
