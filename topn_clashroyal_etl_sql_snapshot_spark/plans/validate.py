@@ -100,7 +100,9 @@ def check_topn_meta_bound(
 def check_player_count(player: DataFrame, expected_top_n: int) -> CheckResult:
     """G6: player row count == --top-n (validate_snapshot.py:195-206)."""
     n = player.count()
-    return CheckResult("player_count", n == expected_top_n, f"{n} != {expected_top_n}")
+    return CheckResult(
+        "player_count", n == expected_top_n, f"got {n}, expected {expected_top_n}"
+    )
 
 
 def check_fk_orphans(tables: dict[str, DataFrame]) -> list[CheckResult]:
