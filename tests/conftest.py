@@ -21,7 +21,11 @@ def spark():
         app_name="tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # static conf — must be set at session build (bucketing tests)
+            "spark.sql.warehouse.dir": "/tmp/spark-test-warehouse",
+        },
     )
     yield spark
     spark.stop()

@@ -82,3 +82,31 @@ def test_content_fingerprint_normalization(spark):
     df2 = spark.createDataFrame([("abc def",), ("ABC DEF",)], "text string")
     fps2 = [r[0] for r in df2.select(tx.content_fingerprint(F.col("text"))).collect()]
     assert fps2[0] == fps2[1]
+
+
+def test_lang_id_table_matches_expression(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.textstats import lang_id_table
+
+    texts = [
+        "the cat and the dog is here",
+        "el gato los perros una casa",
+        "le chat les chiens une maison est",
+        "der hund die katze und nicht ist",
+        "xyzzy plugh foobar",
+        "你好 world",
+        "",
+        "the el le der",  # tie across all four → en by LANG_ORDER
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rel = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in lang_id_table(df).collect()
+    }
+    expr = {
+        r["doc_id"]: r["p"]
+        for r in df.select("doc_id", tx.lang_id(F.col("text")).alias("p")).collect()
+    }
+    assert rel == expr
+    assert rel[7] == "en"

@@ -93,10 +93,13 @@ _MARKER_SQL = {
 )
 def text_language_id(spark, sf_dir):
     """Heuristic language ID (marker-token argmax + CJK check) crossed
-    against the label — the confusion-matrix scan."""
+    against the label — the confusion-matrix scan. Uses the relational
+    (explode + codegen) form; identical semantics to ``tx.lang_id``."""
+    from ..operators.textstats import lang_id_table
+
     docs = read_testdata(spark, sf_dir, "documents")
     return (
-        docs.withColumn("predicted_lang", tx.lang_id(F.col("text")))
+        lang_id_table(docs)
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "predicted_lang")

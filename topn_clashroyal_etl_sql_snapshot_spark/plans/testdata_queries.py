@@ -616,3 +616,43 @@ def events_rolling_sum(spark, sf_dir):
             "rolling_value"
         ),
     ).orderBy("user_id", "event_id")
+
+
+@register("approx_distinct_sketch", None)  # HLL estimates are engine-specific
+def approx_distinct_sketch(spark, sf_dir):
+    """Cardinality sketches (HyperLogLog++) next to exact counts — the
+    100 TB answer to COUNT(DISTINCT) (SURVEY.md §7 step 7). Rows-only for
+    the driver (estimates differ by engine); the relative-error bound is
+    asserted in tests/test_sketches.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@register(
+    "percentile_order_prices",
+    """
+    SELECT o_orderpriority,
+           CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def percentile_order_prices(spark, sf_dir):
+    """Exact continuous percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont` — both linear interpolation on sorted values)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
