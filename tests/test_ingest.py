@@ -1,0 +1,44 @@
+"""Ingest landing-zone tests with an injected fetcher (no network)."""
+
+from __future__ import annotations
+
+import json
+
+from topn_clashroyal_etl_sql_snapshot_spark.sources import ingest, readers
+
+
+def _fake_fetch(path: str):
+    if "pathoflegend/players" in path:
+        return {"items": [{"tag": "#AAA", "name": "a", "rank": 1, "eloRating": 2000},
+                          {"tag": "bbb", "name": "b", "rank": 2, "eloRating": 1999}]}
+    if "/battlelog" in path:
+        tag = path.split("/players/")[1].split("/")[0].replace("%23", "#")
+        return [  # bare-list variant (battles.py:27-40 handles both)
+            {"battleTime": "20260109T181530.000Z", "type": "pathOfLegend",
+             "gameMode": {"id": 72000006, "name": "Ladder"},
+             "team": [{"tag": tag, "crowns": 1, "cards": []}],
+             "opponent": [{"tag": "#OPP", "crowns": 0, "cards": []}]}
+        ]
+    raise AssertionError(path)
+
+
+def test_fetch_leaderboard_and_battlelogs(tmp_path, spark):
+    out = str(tmp_path)
+    lb_path = ingest.fetch_leaderboard(out, limit=2, fetch_fn=_fake_fetch)
+    rows = [json.loads(l) for l in open(lb_path)]
+    assert [r["tag"] for r in rows] == ["#AAA", "bbb"]
+
+    paths = ingest.fetch_battlelogs(["#AAA", "bbb"], out, fetch_fn=_fake_fetch)
+    assert sorted(p.split("/")[-1] for p in paths) == ["AAA.jsonl", "BBB.jsonl"]
+
+    # the landing zone is directly scannable by the Spark reader
+    df = readers.read_battles_json(spark, f"{out}/battles/*.jsonl")
+    assert df.count() == 2
+    assert df.select("gameMode.id").distinct().first()[0] == 72000006
+
+
+def test_unwrap_and_tag_normalization():
+    assert ingest._unwrap_items([1, 2]) == [1, 2]
+    assert ingest._unwrap_items({"items": [3]}) == [3]
+    assert ingest._unwrap_items({"nope": 1}) == []
+    assert ingest.normalize_tag_str(" abc ") == "#ABC"

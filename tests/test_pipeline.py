@@ -125,3 +125,10 @@ def test_validation_suite_green(snapshot):
     checks = validate.run_all(result.tables, expected_top_n=TOP_N)
     failures = [c for c in checks if not c.passed]
     assert not failures, failures
+
+
+def test_catalog_smoke(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.plans.validate import check_catalog_smoke
+
+    c = check_catalog_smoke(spark)
+    assert c.passed, c

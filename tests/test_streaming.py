@@ -94,3 +94,30 @@ def test_incremental_snapshot_foreachbatch(spark, landing, tmp_path):
     ).start()
     q2.awaitTermination(120)
     assert len(calls) == n
+
+
+def test_streaming_dedup_matches(spark, landing):
+    landing_dir, _, battles, _ = landing
+    stream = streaming.stream_battles(spark, landing_dir)
+    deduped = streaming.streaming_dedup_matches(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select match_hash from dedup_stream").collect()
+    hashes = [r["match_hash"] for r in rows]
+    # exact-duplicate battlelog entries collapse to one row per match
+    assert len(hashes) == len(set(hashes))
+    from topn_clashroyal_etl_sql_snapshot_spark.testing.cr_synthetic import py_match_hash
+
+    parseable = {
+        py_match_hash(b)
+        for b in battles
+        if b.get("battleTime") and "T" in str(b["battleTime"])
+    }
+    assert set(hashes) <= parseable
+    assert len(hashes) >= len(parseable) - 10  # edge battles lack timestamps

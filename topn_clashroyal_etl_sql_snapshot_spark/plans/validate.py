@@ -130,6 +130,15 @@ def check_fk_orphans(tables: dict[str, DataFrame]) -> list[CheckResult]:
     return out
 
 
+def check_catalog_smoke(spark) -> CheckResult:
+    """G7 (scripts/test_sql.py:39-77): engine answers SELECT 1 and the
+    session catalog is reachable — the Spark twin of the reference's
+    information_schema smoke test."""
+    one = spark.sql("SELECT 1 AS one").first()["one"]
+    dbs = spark.catalog.listDatabases()
+    return CheckResult("catalog_smoke", one == 1 and len(dbs) > 0, f"{len(dbs)} database(s)")
+
+
 def run_all(tables: dict[str, DataFrame], expected_top_n: int | None = None) -> list[CheckResult]:
     results: list[CheckResult] = []
     results.append(check_deck_cards_integrity(tables["deck_cards"]))

@@ -67,6 +67,33 @@ def windowed_match_counts(
     )
 
 
+def streaming_dedup_matches(battles: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch D2 dedup: match-hash dedup with
+    watermark-bounded state (``dropDuplicatesWithinWatermark``) — the
+    same ``seen_matches`` semantics the reference keeps in a Python set
+    (scripts/etl_snapshot_topn.py:257-261), with state that expires
+    instead of growing forever."""
+    from ..functions import exprs
+
+    return (
+        battles.withColumn("event_time", parse_battle_time(F.col("battleTime")))
+        .filter(F.col("event_time").isNotNull())
+        .withWatermark("event_time", watermark)
+        .withColumn(
+            "match_hash",
+            exprs.match_hash(
+                F.col("battleTime"),
+                F.col("gameMode.id"),
+                F.col("gameMode.name"),
+                F.col("type"),
+                F.col("team"),
+                F.col("opponent"),
+            ),
+        )
+        .dropDuplicatesWithinWatermark(["match_hash"])
+    )
+
+
 def incremental_snapshot_query(
     battles_stream: DataFrame,
     bronze_dir: str,
