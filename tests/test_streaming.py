@@ -121,3 +121,51 @@ def test_streaming_dedup_matches(spark, landing):
     }
     assert set(hashes) <= parseable
     assert len(hashes) >= len(parseable) - 10  # edge battles lack timestamps
+
+
+def test_stateful_running_player_stats(spark, landing):
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming import stateful
+
+    landing_dir, _, battles, _ = landing
+    stream = streaming.stream_battles(spark, landing_dir)
+    running = stateful.running_player_stats(stateful.participants_stream(stream))
+    q = (
+        running.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    # last emitted row per player = final running totals; with multiple
+    # micro-batches a player may appear several times — take max uses
+    rows = spark.sql(
+        "select player_tag, max(uses) uses, max(wins) wins"
+        " from running_stats group by player_tag"
+    ).collect()
+    got = {r["player_tag"]: (r["uses"], r["wins"]) for r in rows}
+
+    # batch truth: both sides of every ranked battle, NOT deduped (the
+    # stateful op consumes the raw stream)
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0])
+    for b in battles:
+        team, opp = b.get("team") or [], b.get("opponent") or []
+        if len(team) != 1 or len(opp) != 1:
+            continue
+        if (b.get("gameMode") or {}).get("id") not in (72000006, 72000464):
+            continue
+        tt = (team[0].get("tag") or "").strip().upper()
+        ot = (opp[0].get("tag") or "").strip().upper()
+        tt = tt if tt.startswith("#") or not tt else "#" + tt
+        ot = ot if ot.startswith("#") or not ot else "#" + ot
+        tc, oc = int(team[0].get("crowns") or 0), int(opp[0].get("crowns") or 0)
+        if tt:
+            want[tt][0] += 1
+            want[tt][1] += 1 if tc > oc else 0
+        if ot:
+            want[ot][0] += 1
+            want[ot][1] += 1 if oc > tc else 0
+
+    assert got == {k: tuple(v) for k, v in want.items()}
