@@ -1,12 +1,24 @@
 """Driver-mimic test: run every queries() entry at sf0.01 with Spark AND
 its oracle_sql with DuckDB, compare row count, column names, and
-order-insensitive values — the same bar CORRECTNESS_r{N}.json applies."""
+order-insensitive values — the same bar CORRECTNESS_r{N}.json applies.
+
+The comparison goes THROUGH PANDAS on both sides (``toPandas()`` /
+``duckdb .df()``) with type-strict value normalization, because that is
+where the driver's hash diverges: DuckDB returns ``SUM(int)`` as HUGEINT,
+which pandas renders as float64 (``1008.0``), while Spark returns BIGINT
+(``1008``).  Python's ``==`` coerces those equal; the driver's value hash
+does not.  ``_norm`` therefore tags every value with its numeric kind so
+an int/float divergence fails here before it fails in the driver.
+"""
 
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import importlib.util
@@ -38,19 +50,38 @@ def duck():
 
 
 def _norm(v):
-    # exact compare, including float bit-equality (NaN normalized) — the
-    # driver's value hash is assumed exact, so ours must be too
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return v
+    """Type-strict normalization: ints and floats never compare equal,
+    NaN is stable, containers normalize recursively."""
+    if v is None or v is pd.NaT:
+        return ("null",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return ("f", "NaN" if math.isnan(f) else f)
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, Decimal):
+        # a Decimal on either side is a dtype the driver would render
+        # differently from DOUBLE — keep it distinct from float
+        return ("dec", str(v))
+    if isinstance(v, np.ndarray):
+        return ("a", tuple(_norm(x) for x in v.tolist()))
+    if isinstance(v, (list, tuple)):
+        return ("a", tuple(_norm(x) for x in v))
+    if isinstance(v, pd.Timestamp):
+        return ("t", v.isoformat())
+    if isinstance(v, str):
+        return ("s", v)
+    return (type(v).__name__, str(v))
 
 
-def _rows(rows):
-    # null-safe sort key (CUBE emits None group keys)
-    return sorted(
-        (tuple(_norm(v) for v in r) for r in rows),
-        key=lambda t: tuple((v is None, str(v)) for v in t),
-    )
+def _rows(pdf: pd.DataFrame):
+    rows = [
+        tuple(_norm(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=repr)
 
 
 ALL = sorted(spark_entry.queries().keys())
@@ -61,16 +92,23 @@ def test_query_matches_oracle(spark, duck, name):
     oracle = spark_entry.oracle_sql().get(name)
     fn = spark_entry.queries()[name]
     sdf = fn(spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
     if oracle is None:
-        assert len(srows) >= 0  # rows-only check
+        assert len(spdf) >= 0  # rows-only check
         return
-    drel = duck.execute(oracle)
-    dcols = [d[0] for d in drel.description]
-    drows = drel.fetchall()
-    assert sdf.columns == dcols, f"{name}: column mismatch {sdf.columns} vs {dcols}"
-    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
-    assert _rows(srows) == _rows(drows), f"{name}: value mismatch"
+    dpdf = duck.execute(oracle).df()
+    assert sorted(spdf.columns) == sorted(dpdf.columns), (
+        f"{name}: column mismatch {sorted(spdf.columns)} vs {sorted(dpdf.columns)}"
+    )
+    cols = sorted(spdf.columns)  # driver sorts columns by name before hashing
+    spdf, dpdf = spdf[cols], dpdf[cols]
+    assert len(spdf) == len(dpdf), f"{name}: row count {len(spdf)} vs {len(dpdf)}"
+    srows, drows = _rows(spdf), _rows(dpdf)
+    mism = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b][:3]
+    assert srows == drows, (
+        f"{name}: value mismatch at sorted rows {mism}; "
+        f"spark={[srows[i] for i in mism]} oracle={[drows[i] for i in mism]}"
+    )
 
 
 def test_entry_smoke(spark):

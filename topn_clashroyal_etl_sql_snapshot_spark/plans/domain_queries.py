@@ -143,8 +143,8 @@ def cr_f1_top_cards(spark, sf_dir):
     "cr_f2_top_deck_types",
     f"""
     SELECT d.deck_type,
-           SUM(pd.uses) AS uses,
-           SUM(pd.wins) AS wins,
+           CAST(SUM(pd.uses) AS BIGINT) AS uses,
+           CAST(SUM(pd.wins) AS BIGINT) AS wins,
            ROUND(100.0 * SUM(pd.wins) / NULLIF(SUM(pd.uses), 0), 2) AS win_rate
     FROM {_wh('player_decks')} pd JOIN {_wh('decks')} d ON d.deck_hash = pd.deck_hash
     GROUP BY d.deck_type
@@ -180,8 +180,8 @@ def cr_f3_player_summary(spark, sf_dir):
     "cr_f4_top_decks",
     f"""
     SELECT d.deck_hash, d.deck_type,
-           SUM(pd.uses) AS uses,
-           SUM(pd.wins) AS wins,
+           CAST(SUM(pd.uses) AS BIGINT) AS uses,
+           CAST(SUM(pd.wins) AS BIGINT) AS wins,
            ROUND(100.0 * SUM(pd.wins) / NULLIF(SUM(pd.uses), 0), 2) AS win_rate
     FROM {_wh('player_decks')} pd JOIN {_wh('decks')} d ON d.deck_hash = pd.deck_hash
     GROUP BY d.deck_hash, d.deck_type
@@ -215,8 +215,8 @@ def cr_f5_matchup_winrates(spark, sf_dir):
     "cr_f6_best_decks",
     f"""
     SELECT deck_hash,
-           SUM(uses) AS uses,
-           SUM(wins) AS wins,
+           CAST(SUM(uses) AS BIGINT) AS uses,
+           CAST(SUM(wins) AS BIGINT) AS wins,
            CAST(SUM(wins) AS DOUBLE) / NULLIF(SUM(uses), 0) AS winrate
     FROM {_wh('player_decks')}
     GROUP BY deck_hash

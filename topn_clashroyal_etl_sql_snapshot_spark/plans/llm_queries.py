@@ -36,8 +36,8 @@ _NORM_SQL = "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))"
     f"""
     SELECT lang,
            COUNT(*) AS docs,
-           SUM(len({_TOKS_SQL})) AS total_tokens,
-           SUM(length(text)) AS total_chars
+           CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     ORDER BY lang

@@ -106,7 +106,8 @@ def f1_top_parts_overall(spark, sf_dir):
     """
     SELECT o_orderpriority,
            COUNT(*) AS uses,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS wins,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS wins,
            ROUND(100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
                  / NULLIF(COUNT(*), 0), 2) AS win_rate
     FROM orders
@@ -163,7 +164,8 @@ def f3_customer_summary(spark, sf_dir):
     """
     SELECT p_brand, l_returnflag,
            COUNT(*) AS uses,
-           SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS wins,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS wins,
            ROUND(100.0 * SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
                  / NULLIF(COUNT(*), 0), 2) AS win_rate
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -197,7 +199,8 @@ def f4_top_brand_flags(spark, sf_dir):
     """
     SELECT event_type,
            COUNT(*) AS uses,
-           SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS wins,
+           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+                AS BIGINT) AS wins,
            CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE)
                / NULLIF(COUNT(*), 0) AS winrate
     FROM events
@@ -230,7 +233,8 @@ def f5_event_type_rates(spark, sf_dir):
     """
     SELECT l_partkey,
            COUNT(*) AS uses,
-           SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS wins,
+           CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS wins,
            CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
                / NULLIF(COUNT(*), 0) AS winrate
     FROM lineitem
@@ -501,7 +505,8 @@ def events_hourly_rollup(spark, sf_dir):
     "events_props_json",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
