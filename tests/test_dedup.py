@@ -103,6 +103,23 @@ def test_minhash_lsh_finds_planted_pairs(spark, corpus):
     assert pairs[(1, 101)] == 1.0
 
 
+def test_verified_pair_plans_equal_exact(spark, corpus):
+    """The two candidate-generation strategies (MinHash-LSH, SimHash
+    pigeonhole) post-verified by true Jaccard must reproduce the exact
+    inverted-index result whenever candidate recall is full."""
+    df, _, truth = corpus
+    want = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(df, threshold=0.5).collect()
+    }
+    for fn in (dedup.minhash_lsh_verified_pairs, dedup.simhash_verified_pairs):
+        got = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in fn(df, threshold=0.5).collect()
+        }
+        assert got == want, (fn.__name__, set(got) ^ set(want))
+
+
 def test_simhash_candidates(spark, corpus):
     df, _, truth = corpus
     fps = dedup.simhash_fingerprints(df)

@@ -91,3 +91,21 @@ def test_bruteforce_neardup_equals_lsh_verified(spark, vectors):
         for r in similarity.lsh_neardup_pairs(df, threshold=0.99, planes=8).collect()
     }
     assert lsh <= bf and len(bf) == 3
+
+
+def test_multirotation_lsh_full_recall_low_threshold(spark, vectors):
+    """Multi-rotation LSH at a permissive threshold (the adversarial
+    regime for sign-bit sketches) still reproduces brute force exactly,
+    cosine values included (same fixed-order dot fold)."""
+    df, _ = vectors
+    bf = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.brute_force_neardup_pairs(df, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.lsh_neardup_pairs(
+            df, threshold=0.5, planes=3, rotations=16
+        ).collect()
+    }
+    assert lsh == bf and len(bf) >= 3

@@ -2,15 +2,33 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from topn_clashroyal_etl_sql_snapshot_spark.plans import testdata_queries
+from topn_clashroyal_etl_sql_snapshot_spark.sources.readers import read_testdata
 
 
-def test_approx_distinct_within_bound(spark):
-    row = testdata_queries.queries()["approx_distinct_sketch"](
-        spark, "/root/testdata/sf0.01"
+def test_approx_distinct_within_tight_bound(spark):
+    """The raw estimates (not exposed by the driver query) stay within
+    3× the requested rsd — tighter than the query's 10% contract."""
+    li = read_testdata(spark, "/root/testdata/sf0.01", "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
     ).first()
     for exact, approx in (
         (row["exact_parts"], row["approx_parts"]),
         (row["exact_orders"], row["approx_orders"]),
     ):
-        assert abs(approx - exact) / exact < 0.1, (exact, approx)
+        assert abs(approx - exact) / exact < 0.06, (exact, approx)
+
+
+def test_sketch_query_reports_within_bound(spark):
+    row = testdata_queries.queries()["approx_distinct_sketch"](
+        spark, "/root/testdata/sf0.01"
+    ).first()
+    assert row["parts_within_bound"] is True
+    assert row["orders_within_bound"] is True
+    assert row["exact_parts"] > 0 and row["exact_orders"] > 0

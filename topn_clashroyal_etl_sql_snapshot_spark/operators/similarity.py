@@ -79,6 +79,63 @@ def brute_force_topk(
     )
 
 
+def hyperplane_sketches(
+    embeddings: DataFrame,
+    planes: int = 16,
+    rotations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, rot, bucket) sign-bit sketches for ``rotations`` independent
+    hyperplane sets — multi-rotation LSH ORs recall across rotations:
+    a pair at angle θ collides in ≥1 rotation with probability
+    1 - (1 - (1-θ/π)^planes)^rotations.
+
+    Plan (all codegen, no higher-order functions): posexplode dims →
+    one conditional SUM per global plane q (coefficient
+    xxhash64(q, dim)/2⁶³ ∈ [-1,1), deterministic, no stored model) →
+    sign bits → one long bucket per rotation. Per-term products are
+    rounded to DECIMAL(30,12) before summing so the plane dot is exact
+    and order-independent — a raw double SUM would make the sign of
+    near-zero dots depend on partitioning, breaking replay determinism.
+    """
+    total = planes * rotations
+    dims = embeddings.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x")
+    )
+    def term(q):
+        coef = F.xxhash64(F.lit(q), F.col("d")).cast("double") / F.lit(float(1 << 63))
+        return F.round(F.col("x").cast("double") * coef, 12).cast("decimal(30,12)")
+
+    sums = dims.groupBy("id").agg(
+        *[F.sum(term(q)).alias(f"_p{q}") for q in range(total)]
+    )
+
+    def bucket(r):
+        out = None
+        for p in range(planes):
+            bit = (
+                F.when(F.col(f"_p{r * planes + p}") > 0, F.lit(1 << p).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            out = bit if out is None else out.bitwiseOR(bit)
+        return out
+
+    return sums.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("rot"), bucket(r).alias("bucket")
+                    )
+                    for r in range(rotations)
+                ]
+            )
+        ).alias("rb"),
+    ).select("id", F.col("rb.rot").alias("rot"), F.col("rb.bucket").alias("bucket"))
+
+
 def hyperplane_sketch(vec_col, planes: int = 16):
     """Sign-bit sketch: bit p = (v · h_p > 0), hyperplane component
     h_p[d] derived from xxhash64(p, d) mapped to [-1, 1]. Returns a long
@@ -117,23 +174,42 @@ def lsh_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     planes: int = 16,
+    rotations: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: bucket by hyperplane sketch, score
-    exact cosine only within buckets. Recall: P(same bucket) =
-    (1 - θ/π)^planes for angle θ — pair with multiple sketch rotations if
-    higher recall is needed. Returns (id1, id2, cosine)."""
-    sk = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
-    ).withColumn("n", vx.norm(F.col("v")))
-    a = sk.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1"), "bucket")
-    b = sk.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2"), "bucket")
-    return (
-        a.join(b, "bucket")
+    """Embedding near-duplicate pairs, LSH-bucketed: candidates are pairs
+    sharing a (rotation, bucket) key; only candidates get exact cosine
+    scoring (same fixed-order fold as the brute-force path, so verified
+    cosines match it bit-for-bit). Returns (id1, id2, cosine).
+
+    Plan shape: sketch (one scan) → self-join on (rot, bucket) → distinct
+    pair ids → join vectors back → fold. No CartesianProduct node; the
+    candidate join shuffles on high-cardinality bucket keys.
+
+    Recall/efficiency knobs: a pair at angle θ is a candidate with
+    probability 1-(1-(1-θ/π)^planes)^rotations. At production near-dup
+    thresholds (cosine ≥ 0.9, θ ≤ 26°) a handful of rotations of 16
+    planes reach ~certain recall while pruning almost everything. At
+    permissive thresholds (≤ 0.5, θ ≈ 60°) sign-bit LSH degenerates —
+    few planes + many rotations still reach full recall, but candidates
+    approach all-pairs; that regime is inherent to the similarity level,
+    not the plan."""
+    sk = hyperplane_sketches(embeddings, planes, rotations, id_col, vec_col)
+    a = sk.select(F.col("id").alias("id1"), "rot", "bucket")
+    b = sk.select(F.col("id").alias("id2"), "rot", "bucket")
+    cands = (
+        a.join(b, ["rot", "bucket"])
         .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    vecs = _with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
+    )
+    return (
+        cands.join(vecs.withColumnsRenamed({"id": "id1", "v": "v1", "n": "n1"}), "id1")
+        .join(vecs.withColumnsRenamed({"id": "id2", "v": "v2", "n": "n2"}), "id2")
         .withColumn(
             "cosine",
             F.round(
@@ -143,7 +219,6 @@ def lsh_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
-        .distinct()
     )
 
 

