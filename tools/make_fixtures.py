@@ -31,6 +31,8 @@ from topn_clashroyal_etl_sql_snapshot_spark.testing.cr_synthetic import (  # noq
     CATALOG_ROWS,
     generate_fixture,
     oracle_etl,
+    py_library_summary,
+    py_normalize_battles,
 )
 
 FIXTURES = REPO / "fixtures"
@@ -109,6 +111,39 @@ def main() -> None:
     counters("meta_type_cards", ["deck_type", "card_id", "card_variant"])
     counters("player_type_cards", ["player_tag", "deck_type", "card_id", "card_variant"])
     counters("meta_type_matchups", ["deck_type", "opp_deck_type"])
+
+    # library path (B2 normalize + E8 summary) — card lists flattened to
+    # '|'-joined strings so the cross-engine hash compare stays scalar
+    normalized = py_normalize_battles(battles)
+    write(
+        "library_normalized",
+        pd.DataFrame(
+            [
+                {
+                    "battle_time": r["battle_time"],
+                    "result": r["result"],
+                    "mode_name": r["mode_name"],
+                    "my_cards_str": "|".join(r["my_cards"]),
+                    "opp_cards_str": "|".join(r["opp_cards"]),
+                }
+                for r in normalized
+            ]
+        ),
+    )
+    write(
+        "library_summary",
+        pd.DataFrame(py_library_summary(normalized)).astype(
+            {"games": "int64", "wins": "int64", "losses": "int64", "draws": "int64"}
+        ),
+    )
+
+    # E7 scan counters
+    write(
+        "counters",
+        pd.DataFrame(
+            sorted(o["counters"].items()), columns=["counter", "value"]
+        ).astype({"value": "int64"}),
+    )
 
     print(f"wrote fixtures to {FIXTURES} (deduped_matches={o['deduped_matches']})")
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources import readers
 from . import pipeline as pl
@@ -246,3 +247,170 @@ def cr_f7_deck_integrity(spark, sf_dir):
     """F7/G1 (scripts:533): must be empty — every deck has 8 cards."""
     t = snapshot_tables(spark)
     return q.deck_integrity_violations(t["deck_cards"])
+
+
+# --- library path (B2/E8), E7 counters, G validation suite -----------------
+
+def _battles(spark):
+    return readers.read_battles_json(
+        spark, os.path.join(FIXTURE_DIR, "battles.jsonl")
+    )
+
+
+def _catalog(spark):
+    return readers.read_card_catalog(
+        spark, os.path.join(FIXTURE_DIR, "card_catalog.json")
+    )
+
+
+@register(
+    "cr_b2_normalized",
+    f"""
+    SELECT battle_time, result, mode_name, my_cards_str, opp_cards_str
+    FROM {_wh('library_normalized')}
+    ORDER BY battle_time, my_cards_str, opp_cards_str
+    """,
+)
+def cr_b2_normalized(spark, sf_dir):
+    """B2 library-path normalization (battle_filters.py:52-97): ranked
+    filter + projection, duplicates kept (this path never dedups). Card
+    lists flatten to '|'-joined strings for the scalar hash compare;
+    oracle = the committed golden parquet from the pure-Python
+    re-derivation (testing/cr_synthetic.py_normalize_battles)."""
+    from . import library
+
+    norm = library.normalize_battles(_battles(spark))
+    return norm.select(
+        "battle_time",
+        "result",
+        "mode_name",
+        F.concat_ws("|", "my_cards").alias("my_cards_str"),
+        F.concat_ws("|", "opp_cards").alias("opp_cards_str"),
+    ).orderBy("battle_time", "my_cards_str", "opp_cards_str")
+
+
+@register(
+    "cr_e8_library_summary",
+    f"""
+    SELECT side, deck_type, games, wins, losses, draws, win_rate
+    FROM {_wh('library_summary')}
+    ORDER BY side, deck_type
+    """,
+)
+def cr_e8_library_summary(spark, sf_dir):
+    """E8 library summary (deck_type.py:192-274): per-archetype
+    games/wins/losses/draws/win_rate for my side AND the opponent side
+    with perspective flipped; 8-card sides only. Oracle = golden parquet
+    from the independent Python re-derivation."""
+    from . import library
+
+    norm = library.normalize_battles(_battles(spark))
+    mine, opp = library.summarize_deck_types(norm, _catalog(spark))
+
+    def side(df, label):
+        return df.select(
+            F.lit(label).alias("side"),
+            F.col("type").alias("deck_type"),
+            "games",
+            "wins",
+            "losses",
+            "draws",
+            "win_rate",
+        )
+
+    return side(mine, "mine").unionAll(side(opp, "opponent")).orderBy(
+        "side", "deck_type"
+    )
+
+
+@register(
+    "cr_e7_scan_counters",
+    f"SELECT counter, value FROM {_wh('counters')} ORDER BY counter",
+)
+def cr_e7_scan_counters(spark, sf_dir):
+    """E7 scan counters (scripts:249,261) as a relational report:
+    entries scanned / ranked kept / matches after dedup / battles
+    surviving validation. Oracle = counts recorded by the Python oracle
+    ETL over the same fixtures."""
+    return pl.scan_counters_report(_battles(spark), _catalog(spark)).orderBy(
+        "counter"
+    )
+
+
+_G_SQL_CHECKS = [
+    (
+        "deck_cards_8_rows",
+        f"""(SELECT COUNT(*) FROM (SELECT deck_hash FROM {_wh('deck_cards')}
+             GROUP BY deck_hash HAVING COUNT(*) <> 8) t)""",
+    ),
+    *[
+        (
+            f"wins_uses_sanity:{t}",
+            f"(SELECT COUNT(*) FROM {_wh(t)} WHERE wins > uses OR wins < 0 OR uses < 0)",
+        )
+        for t in (
+            "player_decks",
+            "meta_deck_types",
+            "meta_type_deck_ids",
+            "meta_type_cards",
+            "player_type_cards",
+            "meta_type_matchups",
+        )
+    ],
+    (
+        "non_empty_meta",
+        f"(SELECT CASE WHEN COUNT(*) > 0 THEN 0 ELSE 1 END FROM {_wh('meta_deck_types')})",
+    ),
+    (
+        "unknown_ratio",
+        f"""(SELECT CASE WHEN COALESCE(SUM(CASE WHEN lower(deck_type) = 'unknown'
+             THEN uses END), 0) * 10 <= COALESCE(SUM(uses), 0) * 3
+             THEN 0 ELSE 1 END FROM {_wh('meta_deck_types')})""",
+    ),
+    (
+        "topn_meta_bound",
+        f"""(SELECT CASE WHEN t.s <= m.s AND m.s <= 2 * t.s THEN 0 ELSE 1 END
+             FROM (SELECT COALESCE(SUM(uses), 0) AS s FROM {_wh('player_decks')}) t,
+                  (SELECT COALESCE(SUM(uses), 0) AS s FROM {_wh('meta_deck_types')}) m)""",
+    ),
+    (
+        "player_count",
+        f"(SELECT CASE WHEN COUNT(*) = {TOP_N} THEN 0 ELSE 1 END FROM {_wh('player')})",
+    ),
+    *[
+        (
+            f"fk:{child}.{ck}->{parent}.{pk}",
+            f"""(SELECT COUNT(*) FROM {_wh(child)} c WHERE NOT EXISTS
+                 (SELECT 1 FROM {_wh(parent)} p WHERE p.{pk} = c.{ck}))""",
+        )
+        for child, ck, parent, pk in [
+            ("deck_cards", "deck_hash", "decks", "deck_hash"),
+            ("player_decks", "deck_hash", "decks", "deck_hash"),
+            ("player_decks", "player_tag", "player", "player_tag"),
+            ("decks", "deck_type", "deck_types", "deck_type"),
+            ("meta_type_deck_ids", "deck_hash", "decks", "deck_hash"),
+        ]
+    ],
+]
+
+_G_VALIDATION_SQL = (
+    "WITH checks(check_name, violations) AS ("
+    + " UNION ALL ".join(f"SELECT '{n}', {sql}" for n, sql in _G_SQL_CHECKS)
+    + """)
+    SELECT check_name, CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS passed
+    FROM checks ORDER BY check_name"""
+)
+
+
+@register("cr_g_validation", _G_VALIDATION_SQL)
+def cr_g_validation(spark, sf_dir):
+    """G1-G6 + FK integrity (validate_snapshot.py:49-206) as one
+    relational result set over the live pipeline output — each check is
+    a small aggregate; the oracle recomputes every check in SQL against
+    the independent oracle ETL's warehouse."""
+    from . import validate
+
+    return validate.validation_report(
+        snapshot_tables(spark), expected_top_n=TOP_N
+    ).orderBy("check_name")

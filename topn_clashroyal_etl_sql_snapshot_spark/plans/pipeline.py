@@ -95,6 +95,90 @@ def top_players_df(leaderboard: DataFrame, top_n: int) -> DataFrame:
     )
 
 
+def ranked_battles(battles: DataFrame) -> DataFrame:
+    """B1 ranked-1v1 filter."""
+    return battles.filter(
+        exprs.is_ranked_1v1(F.col("team"), F.col("opponent"), F.col("gameMode.id"))
+    )
+
+
+def deduped_battles(battles: DataFrame) -> DataFrame:
+    """B9 match hash + D2 dedup.
+
+    Reference keeps the first-in-scan-order copy (scripts:257-261).
+    Spark has no scan order; we make the pick deterministic by ordering
+    copies on their full serialized content. One shuffle on match_hash
+    (high-cardinality content hash → uniform distribution).
+    """
+    hashed = ranked_battles(battles).withColumn(
+        "match_hash",
+        exprs.match_hash(
+            F.col("battleTime"),
+            F.col("gameMode.id"),
+            F.col("gameMode.name"),
+            F.col("type"),
+            F.col("team"),
+            F.col("opponent"),
+        ),
+    )
+    dedup_w = Window.partitionBy("match_hash").orderBy(
+        F.to_json(F.struct("team", "opponent"))
+    )
+    return (
+        hashed.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def extracted_battles(deduped: DataFrame, maps: dict) -> DataFrame:
+    """Structural validation + B6 deck extraction (scripts:263-282):
+    both tags non-empty, both decks valid, else the whole battle is
+    discarded."""
+    return (
+        deduped.select(
+            "match_hash",
+            "battleTime",
+            exprs.normalize_tag(F.col("team")[0]["tag"]).alias("team_tag"),
+            exprs.normalize_tag(F.col("opponent")[0]["tag"]).alias("opp_tag"),
+            F.coalesce(F.col("team")[0]["crowns"], F.lit(0)).alias("team_crowns"),
+            F.coalesce(F.col("opponent")[0]["crowns"], F.lit(0)).alias("opp_crowns"),
+            deck_ops.extract_deck(F.col("team")[0]["cards"], maps["name_by_id"]).alias(
+                "team_obs"
+            ),
+            deck_ops.extract_deck(
+                F.col("opponent")[0]["cards"], maps["name_by_id"]
+            ).alias("opp_obs"),
+        )
+        .filter((F.col("team_tag") != "") & (F.col("opp_tag") != ""))
+        .filter(F.col("team_obs").isNotNull() & F.col("opp_obs").isNotNull())
+    )
+
+
+def scan_counters_report(battles: DataFrame, catalog: DataFrame) -> DataFrame:
+    """E7 scan counters (scripts:249,261 accounting) as a relational
+    (counter, value) report — the driver-checkable twin of the
+    ``SnapshotResult.counters`` dict (which ``build_snapshot`` collects
+    eagerly for CLI logging). ``valid_battles`` additionally counts
+    battles surviving structural/deck validation."""
+    maps = deck_ops.catalog_maps(catalog)
+    ranked = ranked_battles(battles)
+    deduped = deduped_battles(battles)
+    extracted = extracted_battles(deduped, maps)
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("value")).select(
+            F.lit(name).alias("counter"), "value"
+        )
+
+    return (
+        one("scanned_entries", battles)
+        .unionAll(one("ranked_1v1", ranked))
+        .unionAll(one("deduped_matches", deduped))
+        .unionAll(one("valid_battles", extracted))
+    )
+
+
 def build_snapshot(
     spark: SparkSession,
     battles: DataFrame,
@@ -117,62 +201,14 @@ def build_snapshot(
     # E7 counter (scripts:249) — raw battlelog entries scanned
     scanned_entries = battles.count() if collect_counters else -1
 
-    # --- B1 ranked-1v1 filter -------------------------------------------
-    ranked = battles.filter(
-        exprs.is_ranked_1v1(F.col("team"), F.col("opponent"), F.col("gameMode.id"))
-    )
-
-    # --- B9 match hash + D2 dedup ---------------------------------------
-    # Reference keeps the first-in-scan-order copy (scripts:257-261).
-    # Spark has no scan order; we make the pick deterministic by ordering
-    # copies on their full serialized content. One shuffle on match_hash
-    # (high-cardinality content hash → uniform distribution).
-    hashed = ranked.withColumn(
-        "match_hash",
-        exprs.match_hash(
-            F.col("battleTime"),
-            F.col("gameMode.id"),
-            F.col("gameMode.name"),
-            F.col("type"),
-            F.col("team"),
-            F.col("opponent"),
-        ),
-    )
-    dedup_w = Window.partitionBy("match_hash").orderBy(
-        F.to_json(F.struct("team", "opponent"))
-    )
-    deduped = (
-        hashed.withColumn("_rn", F.row_number().over(dedup_w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    deduped = deduped_battles(battles)
 
     # E7 counter (scripts:261) — counted BEFORE structural/deck validation,
     # matching the reference's accounting (dedup happens at scripts:257-261,
     # battles can still be discarded later at :279-282).
     deduped_matches = deduped.count() if collect_counters else -1
 
-    # --- structural validation + B6 deck extraction ---------------------
-    # (scripts:263-282): both tags non-empty, both decks valid, else the
-    # whole battle is discarded.
-    extracted = (
-        deduped.select(
-            "match_hash",
-            "battleTime",
-            exprs.normalize_tag(F.col("team")[0]["tag"]).alias("team_tag"),
-            exprs.normalize_tag(F.col("opponent")[0]["tag"]).alias("opp_tag"),
-            F.coalesce(F.col("team")[0]["crowns"], F.lit(0)).alias("team_crowns"),
-            F.coalesce(F.col("opponent")[0]["crowns"], F.lit(0)).alias("opp_crowns"),
-            deck_ops.extract_deck(F.col("team")[0]["cards"], maps["name_by_id"]).alias(
-                "team_obs"
-            ),
-            deck_ops.extract_deck(
-                F.col("opponent")[0]["cards"], maps["name_by_id"]
-            ).alias("opp_obs"),
-        )
-        .filter((F.col("team_tag") != "") & (F.col("opp_tag") != ""))
-        .filter(F.col("team_obs").isNotNull() & F.col("opp_obs").isNotNull())
-    )
+    extracted = extracted_battles(deduped, maps)
 
     # --- B8 hash + C1-C3 classify (override beats classifier) -----------
     def _names(obs_col: str):

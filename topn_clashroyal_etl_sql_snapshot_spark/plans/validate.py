@@ -109,15 +109,8 @@ def check_fk_orphans(tables: dict[str, DataFrame]) -> list[CheckResult]:
     """FK integrity as anti-joins (schema.sql FKs: deck_cards→decks/cards,
     player_decks→player/decks, decks→deck_types). No DDL in Spark → an
     orphan count per FK edge."""
-    edges = [
-        ("deck_cards", "deck_hash", "decks", "deck_hash"),
-        ("player_decks", "deck_hash", "decks", "deck_hash"),
-        ("player_decks", "player_tag", "player", "player_tag"),
-        ("decks", "deck_type", "deck_types", "deck_type"),
-        ("meta_type_deck_ids", "deck_hash", "decks", "deck_hash"),
-    ]
     out = []
-    for child, ck, parent, pk in edges:
+    for child, ck, parent, pk in FK_EDGES:
         c, p = tables.get(child), tables.get(parent)
         if c is None or p is None:
             continue
@@ -137,6 +130,134 @@ def check_catalog_smoke(spark) -> CheckResult:
     one = spark.sql("SELECT 1 AS one").first()["one"]
     dbs = spark.catalog.listDatabases()
     return CheckResult("catalog_smoke", one == 1 and len(dbs) > 0, f"{len(dbs)} database(s)")
+
+
+FK_EDGES = [
+    ("deck_cards", "deck_hash", "decks", "deck_hash"),
+    ("player_decks", "deck_hash", "decks", "deck_hash"),
+    ("player_decks", "player_tag", "player", "player_tag"),
+    ("decks", "deck_type", "deck_types", "deck_type"),
+    ("meta_type_deck_ids", "deck_hash", "decks", "deck_hash"),
+]
+
+
+def validation_report(
+    tables: dict[str, DataFrame], expected_top_n: int | None = None
+) -> DataFrame:
+    """The G1-G6 suite as ONE relational result set:
+    (check_name, violations, passed) — the driver-checkable twin of
+    :func:`run_all` (which collects per-check counts for CLI reporting).
+    Every check is a small aggregate; the union is a single distributed
+    plan with no driver-side logic. Ratio thresholds use integer
+    arithmetic (unknown×10 ≤ 3×total) so the comparison is exact on any
+    engine."""
+    def labeled(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"), F.col("violations").cast("long")
+        )
+
+    mdt = tables["meta_deck_types"]
+    out = [
+        labeled(
+            "deck_cards_8_rows",
+            tables["deck_cards"]
+            .groupBy("deck_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") != 8)
+            .agg(F.count(F.lit(1)).alias("violations")),
+        )
+    ]
+    for name in STATS_TABLES:
+        df = tables.get(name)
+        if df is None:
+            continue
+        out.append(
+            labeled(
+                f"wins_uses_sanity:{name}",
+                df.filter(
+                    (F.col("wins") > F.col("uses"))
+                    | (F.col("wins") < 0)
+                    | (F.col("uses") < 0)
+                ).agg(F.count(F.lit(1)).alias("violations")),
+            )
+        )
+    out.append(
+        labeled(
+            "non_empty_meta",
+            mdt.agg(
+                F.when(F.count(F.lit(1)) > 0, F.lit(0))
+                .otherwise(F.lit(1))
+                .alias("violations")
+            ),
+        )
+    )
+    out.append(
+        labeled(
+            "unknown_ratio",
+            mdt.agg(
+                F.when(
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.lower(F.col("deck_type")) == "unknown",
+                                F.col("uses"),
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                    * 10
+                    <= F.coalesce(F.sum("uses"), F.lit(0)) * 3,
+                    F.lit(0),
+                )
+                .otherwise(F.lit(1))
+                .alias("violations")
+            ),
+        )
+    )
+    topn_sum = tables["player_decks"].agg(
+        F.coalesce(F.sum("uses"), F.lit(0)).alias("_t")
+    )
+    meta_sum = mdt.agg(F.coalesce(F.sum("uses"), F.lit(0)).alias("_m"))
+    out.append(
+        labeled(
+            "topn_meta_bound",
+            topn_sum.crossJoin(meta_sum).select(
+                F.when(
+                    (F.col("_t") <= F.col("_m")) & (F.col("_m") <= 2 * F.col("_t")),
+                    F.lit(0),
+                )
+                .otherwise(F.lit(1))
+                .alias("violations")
+            ),
+        )
+    )
+    if expected_top_n is not None:
+        out.append(
+            labeled(
+                "player_count",
+                tables["player"].agg(
+                    F.when(F.count(F.lit(1)) == expected_top_n, F.lit(0))
+                    .otherwise(F.lit(1))
+                    .alias("violations")
+                ),
+            )
+        )
+    for child, ck, parent, pk in FK_EDGES:
+        c, p = tables.get(child), tables.get(parent)
+        if c is None or p is None:
+            continue
+        out.append(
+            labeled(
+                f"fk:{child}.{ck}->{parent}.{pk}",
+                c.join(
+                    p.select(F.col(pk).alias(ck)).distinct(), ck, "left_anti"
+                ).agg(F.count(F.lit(1)).alias("violations")),
+            )
+        )
+    report = out[0]
+    for df in out[1:]:
+        report = report.unionAll(df)
+    return report.withColumn("passed", F.col("violations") == 0)
 
 
 def run_all(tables: dict[str, DataFrame], expected_top_n: int | None = None) -> list[CheckResult]:

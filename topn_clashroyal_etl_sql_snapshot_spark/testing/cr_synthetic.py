@@ -270,6 +270,84 @@ def py_classify(names: list[str]) -> str:
     return "Hybrid"
 
 
+def py_normalize_battles(battles: list[dict]) -> list[dict]:
+    """B2 oracle (battle_filters.py:52-97): ranked-1v1 filter + projection
+    to {battle_time, result, my_cards, opp_cards, mode_name}. Card lists
+    keep only non-empty trimmed names; no catalog resolution, no 8-card
+    cut on this path."""
+
+    def names(side):
+        out = []
+        for c in (side[0].get("cards") or []):
+            n = (c.get("name") or "").strip()
+            if n:
+                out.append(n)
+        return out
+
+    rows = []
+    for b in battles:
+        if not isinstance(b, dict):
+            continue
+        team, opp = b.get("team"), b.get("opponent")
+        if not isinstance(team, list) or not isinstance(opp, list):
+            continue
+        if len(team) != 1 or len(opp) != 1:
+            continue
+        if (b.get("gameMode") or {}).get("id") not in RANKED_MODES:
+            continue
+        tc = int(team[0].get("crowns") or 0)
+        oc = int(opp[0].get("crowns") or 0)
+        result = "win" if tc > oc else ("loss" if tc < oc else "draw")
+        gm = b.get("gameMode") or {}
+        mode_name = gm.get("name") or b.get("type") or ""
+        rows.append(
+            {
+                "battle_time": b.get("battleTime"),
+                "result": result,
+                "my_cards": names(team),
+                "opp_cards": names(opp),
+                "mode_name": mode_name,
+            }
+        )
+    return rows
+
+
+def py_library_summary(normalized: list[dict]) -> list[dict]:
+    """E8 oracle (deck_type.py:192-274): per-archetype
+    {games, wins, losses, draws, win_rate} for both perspectives; a side
+    is skipped when its (name-filtered) card list is not exactly 8."""
+    acc: dict[tuple[str, str], list[int]] = defaultdict(lambda: [0, 0, 0, 0])
+    for r in normalized:
+        for side, cards_key, win_res, loss_res in (
+            ("mine", "my_cards", "win", "loss"),
+            ("opponent", "opp_cards", "loss", "win"),
+        ):
+            cards = r[cards_key]
+            if len(cards) != 8:
+                continue
+            dt = py_classify(cards)
+            a = acc[(side, dt)]
+            a[0] += 1
+            if r["result"] == win_res:
+                a[1] += 1
+            elif r["result"] == loss_res:
+                a[2] += 1
+            else:
+                a[3] += 1
+    return [
+        {
+            "side": side,
+            "deck_type": dt,
+            "games": g,
+            "wins": w,
+            "losses": l,
+            "draws": d,
+            "win_rate": (w / g) if g else 0.0,
+        }
+        for (side, dt), (g, w, l, d) in sorted(acc.items())
+    ]
+
+
 def oracle_etl(leaderboard, battles, overrides, top_n):
     """Accumulator ETL per the reference dataflow. Battles are processed in
     (battleTime, match_hash) order with team side before opponent — the
@@ -326,6 +404,7 @@ def oracle_etl(leaderboard, battles, overrides, top_n):
     meta_type_cards = defaultdict(lambda: [0, 0])
     matchups = defaultdict(lambda: [0, 0])
 
+    valid_battles = 0
     for mh, b in deduped:
         team_p, opp_p = b["team"][0], b["opponent"][0]
         team_tag, opp_tag = py_normalize_tag(team_p.get("tag")), py_normalize_tag(opp_p.get("tag"))
@@ -335,6 +414,7 @@ def oracle_etl(leaderboard, battles, overrides, top_n):
         oc = py_extract_8(opp_p)
         if tc is None or oc is None:
             continue
+        valid_battles += 1
         tdh = py_deck_hash_from_cards(team_p["cards"])
         odh = py_deck_hash_from_cards(opp_p["cards"])
         tdt = ov.get(tdh) or py_classify([n for _, n, _, _ in tc if n])
@@ -389,4 +469,11 @@ def oracle_etl(leaderboard, battles, overrides, top_n):
         "player_type_cards": dict(player_type_cards),
         "meta_type_matchups": dict(matchups),
         "deduped_matches": len(deduped),
+        # E7 scan counters (scripts/etl_snapshot_topn.py:249,261 accounting)
+        "counters": {
+            "scanned_entries": len(battles),
+            "ranked_1v1": len(ranked),
+            "deduped_matches": len(deduped),
+            "valid_battles": valid_battles,
+        },
     }
