@@ -111,6 +111,30 @@ def test_rollups_match_oracle(snapshot, table, keys):
     assert got == want, f"{table}: {len(got)} vs {len(want)} rows"
 
 
+def test_player_battles_fact(snapshot):
+    """Boolean-grain fact matches the oracle row-for-row, and
+    player_decks is exactly its groupBy(count, sum(win)) rollup."""
+    from pyspark.sql import functions as F
+
+    result, oracle = snapshot
+    cols = ["match_hash", "battle_time", "side", "player_tag", "deck_hash", "win"]
+    got = _rows(result.tables["player_battles"], cols)
+    want = sorted(tuple(r[c] for c in cols) for r in oracle["player_battles"])
+    assert got == want
+
+    rolled = (
+        result.tables["player_battles"]
+        .groupBy("player_tag", "deck_hash")
+        .agg(
+            F.count(F.lit(1)).alias("uses"),
+            F.sum(F.col("win").cast("long")).alias("wins"),
+        )
+    )
+    assert _rows(rolled, ["player_tag", "deck_hash", "uses", "wins"]) == _rows(
+        result.tables["player_decks"], ["player_tag", "deck_hash", "uses", "wins"]
+    )
+
+
 def test_matchup_double_insert_invariant(snapshot):
     # SUM(matchups.uses) == 2 × battles surviving extraction (FIXTURES.md §2)
     result, oracle = snapshot

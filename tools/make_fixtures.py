@@ -105,6 +105,15 @@ def main() -> None:
         )
         write(name, df)
 
+    write(
+        "player_battles",
+        pd.DataFrame(
+            sorted(
+                o["player_battles"],
+                key=lambda r: (r["match_hash"], r["side"]),
+            )
+        ).astype({"side": "int32", "win": "bool"}),
+    )
     counters("player_decks", ["player_tag", "deck_hash"])
     counters("meta_deck_types", ["deck_type"])
     counters("meta_type_deck_ids", ["deck_type", "deck_hash"])

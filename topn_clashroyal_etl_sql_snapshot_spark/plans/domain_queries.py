@@ -122,6 +122,17 @@ def cr_deck_cards(spark, sf_dir):
     return snapshot_tables(spark)["deck_cards"].orderBy("deck_hash", "slot")
 
 
+@register(
+    "cr_player_battles",
+    f"""SELECT match_hash, battle_time, side, player_tag, deck_hash, win
+        FROM {_wh('player_battles')} ORDER BY match_hash, side""",
+)
+def cr_player_battles(spark, sf_dir):
+    """Per-battle boolean-grain fact (the grain queries/top_deck_types.sql
+    & top_decks.sql assume), full-table parity vs the Python oracle."""
+    return snapshot_tables(spark)["player_battles"].orderBy("match_hash", "side")
+
+
 # --- the reference's analysis queries (F1-F7) ------------------------------
 
 @register(
@@ -247,6 +258,49 @@ def cr_f7_deck_integrity(spark, sf_dir):
     """F7/G1 (scripts:533): must be empty — every deck has 8 cards."""
     t = snapshot_tables(spark)
     return q.deck_integrity_violations(t["deck_cards"])
+
+
+@register(
+    "cr_f2_top_deck_types_legacy",
+    f"""
+    SELECT d.deck_type,
+           COUNT(*) AS uses,
+           CAST(SUM(CASE WHEN pb.win THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+           ROUND(100.0 * SUM(CASE WHEN pb.win THEN 1 ELSE 0 END)
+                 / NULLIF(COUNT(*), 0), 2) AS win_rate
+    FROM {_wh('player_battles')} pb
+    JOIN {_wh('decks')} d ON d.deck_hash = pb.deck_hash
+    GROUP BY 1
+    ORDER BY uses DESC, d.deck_type
+    LIMIT 30
+    """,
+)
+def cr_f2_top_deck_types_legacy(spark, sf_dir):
+    """queries/top_deck_types.sql:1-10 AS WRITTEN (boolean pd.win grain)
+    over the player_battles fact."""
+    t = snapshot_tables(spark)
+    return q.top_deck_types_legacy(t["player_battles"], t["decks"])
+
+
+@register(
+    "cr_f4_top_decks_legacy",
+    f"""
+    SELECT d.deck_hash, d.deck_type,
+           COUNT(*) AS uses,
+           CAST(SUM(CASE WHEN pb.win THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+           ROUND(100.0 * SUM(CASE WHEN pb.win THEN 1 ELSE 0 END)
+                 / NULLIF(COUNT(*), 0), 2) AS win_rate
+    FROM {_wh('player_battles')} pb
+    JOIN {_wh('decks')} d ON d.deck_hash = pb.deck_hash
+    GROUP BY 1, 2
+    ORDER BY uses DESC, d.deck_hash
+    LIMIT 50
+    """,
+)
+def cr_f4_top_decks_legacy(spark, sf_dir):
+    """queries/top_decks.sql:1-11 AS WRITTEN over the player_battles fact."""
+    t = snapshot_tables(spark)
+    return q.top_decks_legacy(t["player_battles"], t["decks"])
 
 
 # --- library path (B2/E8), E7 counters, G validation suite -----------------

@@ -44,6 +44,7 @@ SNAPSHOT_TABLES = (
     "cards",
     "decks",
     "deck_cards",
+    "player_battles",
     "player_decks",
     "meta_deck_types",
     "meta_type_deck_ids",
@@ -361,12 +362,26 @@ def build_snapshot(
 
     # E4: player facts gated to TopN tags (D5 semi join, scripts:332-335).
     # player is ≤ top_n rows → broadcast semi join, no shuffle on the fact.
-    player_decks = (
-        participants.join(
-            F.broadcast(player.select("player_tag")), "player_tag", "left_semi"
-        )
-        .groupBy("player_tag", "deck_hash")
-        .agg(*_uses_wins())
+    topn_participants = participants.join(
+        F.broadcast(player.select("player_tag")), "player_tag", "left_semi"
+    )
+
+    # Per-battle boolean-grain fact honoring queries/top_deck_types.sql
+    # and top_decks.sql as literally written (``pd.win``) — the legacy
+    # grain the repo's own SQL expects; ``player_decks`` is exactly
+    # groupBy(player_tag, deck_hash){count, sum(win)} over this fact
+    # (invariant tested in tests/test_pipeline.py).
+    player_battles = topn_participants.select(
+        "match_hash",
+        F.col("battleTime").alias("battle_time"),
+        "side",
+        "player_tag",
+        "deck_hash",
+        F.col("won").alias("win"),
+    )
+
+    player_decks = topn_participants.groupBy("player_tag", "deck_hash").agg(
+        *_uses_wins()
     )
 
     # E5: derived rollup — each card of the deck inherits the deck's
@@ -407,6 +422,7 @@ def build_snapshot(
         "cards": cards,
         "decks": decks,
         "deck_cards": deck_cards,
+        "player_battles": player_battles,
         "player_decks": player_decks,
         "meta_deck_types": meta_deck_types,
         "meta_type_deck_ids": meta_type_deck_ids,

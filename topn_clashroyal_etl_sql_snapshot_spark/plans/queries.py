@@ -2,10 +2,13 @@
 DataFrame functions over the warehouse tables.
 
 The legacy ``queries/top_deck_types.sql`` / ``top_decks.sql`` reference a
-boolean ``pd.win`` column that doesn't exist in the current schema
-(player_decks is counter-grain: uses/wins — db/schema.sql:63-73); the
-ETL's own "quick checks" (scripts/etl_snapshot_topn.py:530-538) show the
-counter-grain forms implemented here (SURVEY.md §2.F note).
+boolean ``pd.win`` column — a per-battle grain the reference's current
+counter-grain ``player_decks`` (db/schema.sql:63-73) no longer carries;
+the ETL's own "quick checks" (scripts/etl_snapshot_topn.py:530-538) show
+the counter-grain forms. This engine serves BOTH: the counter-grain
+forms below run against ``player_decks``, and the ``*_legacy`` forms run
+the repo's SQL as literally written against the ``player_battles``
+boolean-grain fact (plans/pipeline.py).
 
 Every aggregate is aliased so the names line up with the DuckDB oracle SQL
 in ``__spark_entry__.py``.
@@ -43,6 +46,48 @@ def top_deck_types(player_decks: DataFrame, decks: DataFrame, limit: int = 30) -
             F.round(100.0 * F.col("wins") / F.nullif(F.col("uses"), F.lit(0)), 2),
         )
         .orderBy(F.desc("uses"), "deck_type")
+        .limit(limit)
+    )
+
+
+def _legacy_rate_agg(grouped) -> DataFrame:
+    """COUNT(*) / SUM(CASE WHEN win...) / ROUND(rate, 2) — the exact
+    aggregate block of queries/top_deck_types.sql & top_decks.sql."""
+    wins = F.sum(F.when(F.col("win"), 1).otherwise(0))
+    return grouped.agg(
+        F.count(F.lit(1)).alias("uses"),
+        wins.alias("wins"),
+        F.round(100.0 * wins / F.nullif(F.count(F.lit(1)), F.lit(0)), 2).alias(
+            "win_rate"
+        ),
+    )
+
+
+def top_deck_types_legacy(
+    player_battles: DataFrame, decks: DataFrame, limit: int = 30
+) -> DataFrame:
+    """F2 as literally written (queries/top_deck_types.sql:1-10): the
+    boolean ``pd.win`` grain. ``decks`` is a small dim → broadcast."""
+    return (
+        _legacy_rate_agg(
+            player_battles.join(F.broadcast(decks), "deck_hash").groupBy("deck_type")
+        )
+        .orderBy(F.desc("uses"), "deck_type")
+        .limit(limit)
+    )
+
+
+def top_decks_legacy(
+    player_battles: DataFrame, decks: DataFrame, limit: int = 50
+) -> DataFrame:
+    """F4 as literally written (queries/top_decks.sql:1-11)."""
+    return (
+        _legacy_rate_agg(
+            player_battles.join(F.broadcast(decks), "deck_hash").groupBy(
+                "deck_hash", "deck_type"
+            )
+        )
+        .orderBy(F.desc("uses"), "deck_hash")
         .limit(limit)
     )
 

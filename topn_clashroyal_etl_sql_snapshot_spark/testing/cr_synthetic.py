@@ -398,6 +398,7 @@ def oracle_etl(leaderboard, battles, overrides, top_n):
     cards_dim: dict[int, str] = {}
     deck_type_of: dict[str, str] = {}
     deck_cards_of: dict[str, list] = {}
+    player_battles: list[dict] = []
     player_decks = defaultdict(lambda: [0, 0])
     meta_deck_types = defaultdict(lambda: [0, 0])
     meta_type_deck_ids = defaultdict(lambda: [0, 0])
@@ -428,9 +429,11 @@ def oracle_etl(leaderboard, battles, overrides, top_n):
         matchups[(odt, tdt)][0] += 1
         matchups[(odt, tdt)][1] += 1 if owon else 0
 
-        for tag, dh, dt, obs, won in (
-            (team_tag, tdh, tdt, tc, twon),
-            (opp_tag, odh, odt, oc, owon),
+        for side, (tag, dh, dt, obs, won) in enumerate(
+            (
+                (team_tag, tdh, tdt, tc, twon),
+                (opp_tag, odh, odt, oc, owon),
+            )
         ):
             if dh not in deck_type_of:
                 deck_type_of[dh] = dt
@@ -446,6 +449,16 @@ def oracle_etl(leaderboard, battles, overrides, top_n):
                 meta_type_cards[(dt, cid, var)][0] += 1
                 meta_type_cards[(dt, cid, var)][1] += 1 if won else 0
             if tag in top_tags:
+                player_battles.append(
+                    {
+                        "match_hash": mh,
+                        "battle_time": b.get("battleTime") or "",
+                        "side": side,
+                        "player_tag": tag,
+                        "deck_hash": dh,
+                        "win": bool(won),
+                    }
+                )
                 player_decks[(tag, dh)][0] += 1
                 player_decks[(tag, dh)][1] += 1 if won else 0
 
@@ -462,6 +475,7 @@ def oracle_etl(leaderboard, battles, overrides, top_n):
         "cards": cards_dim,
         "decks": deck_type_of,
         "deck_cards": deck_cards_of,
+        "player_battles": player_battles,
         "player_decks": dict(player_decks),
         "meta_deck_types": dict(meta_deck_types),
         "meta_type_deck_ids": dict(meta_type_deck_ids),
