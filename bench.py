@@ -15,6 +15,8 @@ import sys
 import time
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
@@ -38,12 +40,15 @@ def main() -> None:
 
     qs = testdata_queries.queries()
 
-    # Headline = the scalable plans. The O(n²) exact ground-truth
-    # variants (kept registered for the sf0.01 correctness gate) are
-    # excluded from timing: their role is verifying the sub-quadratic
-    # paths, not being the path.
+    # Headline = the scalable plans. embedding_neardup_pairs is excluded
+    # from timing: at its permissive 0.45-cosine threshold (θ≈60°, the
+    # regime this corpus's pairs live in) ANY candidate generator
+    # degenerates toward all-pairs — that cost is inherent to the
+    # similarity level, not the plan; embedding_lsh_neardup (strict
+    # threshold) times the pruning regime instead.
     # cr_* run on a fixed-size domain fixture (sf-independent pipeline
-    # parity checks) — timing them against sf would be meaningless.
+    # parity checks) — timing them against sf would be meaningless; the
+    # pipeline's scaling behavior is measured by cr_pipeline below.
     excluded = {"embedding_neardup_pairs"}
     qs = {
         n: f
@@ -60,6 +65,52 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    # Domain snapshot pipeline at sf-proportional battle volume: the
+    # fixed-size fixture verifies correctness; THIS measures how the
+    # one-pass participant core + 12-table fan-out behaves as data
+    # grows (≈400k raw battlelog entries per sf unit). Synthetic input
+    # generation and driver→JVM conversion happen off the clock; the
+    # timed window is build_snapshot + full materialization of every
+    # warehouse table.
+    from topn_clashroyal_etl_sql_snapshot_spark.plans import pipeline as pl
+    from topn_clashroyal_etl_sql_snapshot_spark.sources.schemas import (
+        BATTLE_SCHEMA,
+        CARD_METADATA_SCHEMA,
+        LEADERBOARD_SCHEMA,
+        OVERRIDES_SCHEMA,
+    )
+    from topn_clashroyal_etl_sql_snapshot_spark.testing.cr_synthetic import (
+        CATALOG_ROWS,
+        generate_fixture,
+    )
+
+    n_battles = max(400, int(400_000 * max(sf, 0.0)))
+    n_players = 100
+    leaderboard, battles, overrides = generate_fixture(
+        seed=42, n_players=n_players, n_battles=n_battles
+    )
+    bdf = spark.createDataFrame(battles, BATTLE_SCHEMA)
+    ldf = spark.createDataFrame(leaderboard, LEADERBOARD_SCHEMA)
+    cdf = spark.createDataFrame(CATALOG_ROWS, CARD_METADATA_SCHEMA)
+    odf = spark.createDataFrame(overrides, OVERRIDES_SCHEMA)
+
+    t0 = time.perf_counter()
+    result = pl.build_snapshot(
+        spark, bdf, ldf, cdf, odf, top_n=50, collect_counters=False
+    )
+    # One action materializing every table: a union of per-table counts
+    # still executes each rollup's full shuffle but avoids paying 12×
+    # per-job scheduling overhead (which would swamp the signal at
+    # small sf).
+    from functools import reduce
+
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("n")) for df in result.tables.values()
+    ]
+    reduce(lambda a, b: a.unionAll(b), counts).collect()
+    timings["cr_pipeline"] = round(time.perf_counter() - t0, 4)
+    result.unpersist()
 
     total = round(sum(timings.values()), 4)
     print(

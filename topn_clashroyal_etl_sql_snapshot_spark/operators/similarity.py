@@ -91,49 +91,61 @@ def hyperplane_sketches(
     a pair at angle θ collides in ≥1 rotation with probability
     1 - (1 - (1-θ/π)^planes)^rotations.
 
-    Plan (all codegen, no higher-order functions): posexplode dims →
-    one conditional SUM per global plane q (coefficient
-    xxhash64(q, dim)/2⁶³ ∈ [-1,1), deterministic, no stored model) →
-    sign bits → one long bucket per rotation. Per-term products are
-    rounded to DECIMAL(30,12) before summing so the plane dot is exact
-    and order-independent — a raw double SUM would make the sign of
-    near-zero dots depend on partitioning, breaking replay determinism.
+    Plan (all narrow codegen expressions, no higher-order functions):
+    posexplode dims → explode the global plane index q → per-term
+    contribution round(x · coef(q, d) · 2⁴⁰) as LONG, where
+    coef(q, d) = xxhash64(q, d)/2⁶³ ∈ [-1,1) (deterministic, no stored
+    model) → partial-aggregated SUM per (id, q) → broadcast-join the
+    tiny q table (rotation + bit value, precomputed driver-side since
+    ANSI shift amounts must be literals) → one bucket long per (id,
+    rotation). A 64-wide-aggregate formulation of the same math falls
+    out of whole-stage codegen and measured ~4× slower; a coefficient-
+    table broadcast join was slower still.
+
+    Integer-scaled terms make the plane dot exact and order-independent
+    — a raw double SUM would make the sign of near-zero dots depend on
+    partitioning, breaking replay determinism. Headroom: |x|·2⁴⁰ per
+    term keeps sums < 2⁶³ up to ~10⁵ dims at |x| ≤ 100.
     """
     total = planes * rotations
-    dims = embeddings.select(
+    spark = embeddings.sparkSession
+    qtable = spark.createDataFrame(
+        [(q, q // planes, 1 << (q % planes)) for q in range(total)],
+        "q int, rot int, bitval long",
+    )
+    # The sketch is CPU-bound (total hashes per input row), but parquet
+    # splits are byte-sized — a small vector table arrives as one split
+    # and would serialize the whole explode+aggregate into one task.
+    # Explicit repartition (AQE does not coalesce a fixed-N repartition)
+    # spreads the work; the pre-explode shuffle ships only the vectors.
+    nparts = max(
+        embeddings.sparkSession.sparkContext.defaultParallelism,
+        embeddings.rdd.getNumPartitions(),
+    )
+    dims = embeddings.repartition(nparts, F.col(id_col)).select(
         F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x")
     )
-    def term(q):
-        coef = F.xxhash64(F.lit(q), F.col("d")).cast("double") / F.lit(float(1 << 63))
-        return F.round(F.col("x").cast("double") * coef, 12).cast("decimal(30,12)")
-
-    sums = dims.groupBy("id").agg(
-        *[F.sum(term(q)).alias(f"_p{q}") for q in range(total)]
-    )
-
-    def bucket(r):
-        out = None
-        for p in range(planes):
-            bit = (
-                F.when(F.col(f"_p{r * planes + p}") > 0, F.lit(1 << p).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-            )
-            out = bit if out is None else out.bitwiseOR(bit)
-        return out
-
-    return sums.select(
+    coef = F.xxhash64(F.col("q"), F.col("d")).cast("double") / F.lit(float(1 << 63))
+    terms = dims.select(
+        "id", "d", "x", F.explode(F.sequence(F.lit(0), F.lit(total - 1))).alias("q")
+    ).select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("int").alias("rot"), bucket(r).alias("bucket")
-                    )
-                    for r in range(rotations)
-                ]
-            )
-        ).alias("rb"),
-    ).select("id", F.col("rb.rot").alias("rot"), F.col("rb.bucket").alias("bucket"))
+        "q",
+        F.round(F.col("x").cast("double") * coef * F.lit(float(1 << 40)))
+        .cast("long")
+        .alias("t"),
+    )
+    psums = terms.groupBy("id", "q").agg(F.sum("t").alias("s"))
+    return (
+        psums.join(F.broadcast(qtable), "q")
+        .groupBy("id", "rot")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.col("bitval")).otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+        .select("id", "rot", "bucket")
+    )
 
 
 def hyperplane_sketch(vec_col, planes: int = 16):
@@ -195,7 +207,14 @@ def lsh_neardup_pairs(
     few planes + many rotations still reach full recall, but candidates
     approach all-pairs; that regime is inherent to the similarity level,
     not the plan."""
+    # Materialize the sketches EAGERLY: both self-join sides consume
+    # them, and the 64-aggregate sketch tree is expensive for Catalyst —
+    # an eager local checkpoint truncates the lineage so the downstream
+    # join/verify plan optimizes over a small LogicalRDD instead of two
+    # copies of the sketch plan. (Blocks release on GC — see
+    # dedup.hashed_postings.)
     sk = hyperplane_sketches(embeddings, planes, rotations, id_col, vec_col)
+    sk = sk.localCheckpoint(eager=True)
     a = sk.select(F.col("id").alias("id1"), "rot", "bucket")
     b = sk.select(F.col("id").alias("id2"), "rot", "bucket")
     cands = (

@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # wide-aggregate plans (64-column sketch/fingerprint sums) drop
+        # out of whole-stage codegen at the default 100-field cap
+        .config("spark.sql.codegen.maxFields", "300")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
