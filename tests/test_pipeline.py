@@ -111,6 +111,22 @@ def test_rollups_match_oracle(snapshot, table, keys):
     assert got == want, f"{table}: {len(got)} vs {len(want)} rows"
 
 
+def test_top_players_edge_semantics(spark):
+    """Reference edge behavior (scripts:203-216): the positional top_n
+    cut applies to RAW rows before tag validation (a bad row inside the
+    cut shrinks the dim, not pulls a replacement), and rank 0 is falsy
+    (→ positional fallback, like Python's ``rank or i``)."""
+    rows = [
+        ("#A", "a", 0, None, 10),   # rank 0 → rank_global = position 1
+        ("", "b", 2, None, 9),      # empty tag INSIDE the cut → dropped
+        ("#C", "c", 3, None, 8),
+        ("#D", "d", 4, None, 7),    # outside top_n=3 → cut
+    ]
+    df = spark.createDataFrame(rows, LEADERBOARD_SCHEMA)
+    got = pipeline.top_players_df(df, top_n=3).orderBy("rank_global").collect()
+    assert [(r.player_tag, r.rank_global) for r in got] == [("#A", 1), ("#C", 3)]
+
+
 def test_player_battles_fact(snapshot):
     """Boolean-grain fact matches the oracle row-for-row, and
     player_decks is exactly its groupBy(count, sum(win)) rollup."""

@@ -63,7 +63,18 @@ def salted_join(
     """Equi-join where ``fact[on]`` is skewed and ``dim`` can't be
     broadcast: salt the fact side, replicate each dim row ``buckets``
     times, join on (key, salt). The hot key's rows spread over
-    ``buckets`` tasks at the cost of a ``buckets``× dim shuffle."""
+    ``buckets`` tasks at the cost of a ``buckets``× dim shuffle.
+
+    Only fact-preserving join types are correct under dim replication —
+    with ``right``/``full``, an unmatched dim row would survive once per
+    salt replica (``buckets``× duplicates), so those are rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports fact-preserving join types only, got {how!r}: "
+            "dim rows are replicated per salt, so right/full joins would emit "
+            "unmatched dim rows once per replica"
+        )
     f = with_salt(fact, buckets, [on] + [c for c in fact.columns if c != on])
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<bigint>"))

@@ -34,11 +34,18 @@ FIXTURE_DIR = os.path.join(_REPO, "fixtures")
 _WH = os.path.join(FIXTURE_DIR, "warehouse")
 TOP_N = 8  # matches tools/make_fixtures.py
 
-_CACHE: dict[int, dict[str, DataFrame]] = {}
+# Keyed on the live session OBJECT (weakly): an id()-keyed dict could
+# hand a new session cached DataFrames bound to a stopped SparkContext
+# if the old session was garbage collected and its id() reused.
+import weakref
+
+_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def snapshot_tables(spark: SparkSession) -> dict[str, DataFrame]:
-    key = id(spark)
+    key = spark
     if key not in _CACHE:
         result = pl.build_snapshot(
             spark,

@@ -76,22 +76,30 @@ def _uses_wins():
 def top_players_df(leaderboard: DataFrame, top_n: int) -> DataFrame:
     """Leaderboard → player dim (scripts/etl_snapshot_topn.py:203-216).
 
-    ``rank_global = int(rank or i)`` with i = 1-based scan position; the
-    API returns rank order, so position ≡ rank ordering. The window is a
-    single partition — fine: the leaderboard is one API page (≤1000 rows)
-    by construction; this never sees table-scale data.
+    Mirrors the reference's two edge behaviors exactly: the positional
+    top_n cut applies to the RAW rows first (``raw[: args.top_n]``), so
+    an empty-tag row inside the cut shrinks the player dim rather than
+    pulling in a replacement; and ``rank_global = int(rank or i)``
+    treats rank 0 as falsy (Python ``or``), falling back to 1-based
+    position. The API returns rank order, so position ≡ rank ordering
+    (Spark has no scan order to lean on). The window is a single
+    partition — fine: the leaderboard is one API page (≤1000 rows) by
+    construction; this never sees table-scale data.
     """
     w = Window.orderBy(F.col("rank").asc_nulls_last(), F.col("tag"))
     return (
-        leaderboard.withColumn("player_tag", exprs.normalize_tag(F.col("tag")))
-        .filter(F.col("player_tag") != "")
-        .withColumn("_pos", F.row_number().over(w))
+        leaderboard.withColumn("_pos", F.row_number().over(w))
         .filter(F.col("_pos") <= top_n)
+        .withColumn("player_tag", exprs.normalize_tag(F.col("tag")))
+        .filter(F.col("player_tag") != "")
         .select(
             "player_tag",
             F.trim(F.coalesce(F.col("name"), F.lit(""))).alias("player_name"),
             exprs.ladder_value(F.col("trophies"), F.col("eloRating")).alias("trophies"),
-            F.coalesce(F.col("rank"), F.col("_pos")).cast("int").alias("rank_global"),
+            F.when(F.col("rank").isNotNull() & (F.col("rank") != 0), F.col("rank"))
+            .otherwise(F.col("_pos"))
+            .cast("int")
+            .alias("rank_global"),
         )
     )
 

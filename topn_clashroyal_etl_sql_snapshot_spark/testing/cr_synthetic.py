@@ -354,8 +354,10 @@ def oracle_etl(leaderboard, battles, overrides, top_n):
     same deterministic first-seen order the Spark pipeline uses."""
     ov = {r["deck_hash"]: r["deck_type"] for r in overrides}
 
+    # Positional cut FIRST, then empty-tag skip — the reference slices
+    # the raw API rows before validating tags (scripts:203-216).
     players = []
-    for i, p in enumerate(leaderboard, start=1):
+    for i, p in enumerate(leaderboard[:top_n], start=1):
         tag = py_normalize_tag(p.get("tag"))
         if not tag:
             continue
@@ -371,7 +373,6 @@ def oracle_etl(leaderboard, battles, overrides, top_n):
                 "rank_global": int(p.get("rank") or i),
             }
         )
-    players = players[:top_n]
     top_tags = {p["player_tag"] for p in players}
 
     def is_ranked(b):
