@@ -63,3 +63,66 @@ def test_media_stats_no_udf(spark, media):
 def test_stub_raises_without_fake(spark, media):
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         mm.extract_image_features(media, deterministic_fake=False).collect()
+
+
+# --- real header parsing (no codec libs) -----------------------------------
+
+# a GENUINE 1×1 transparent PNG (full valid file, not a synthetic header)
+REAL_PNG_1x1 = __import__("base64").b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhf"
+    "DwAChwGA60e6kgAAAABJRU5ErkJggg=="
+)
+
+
+def _minimal_jpeg(width: int, height: int) -> bytes:
+    """A structurally valid JPEG prefix: SOI, APP0 (JFIF), SOF0."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_parse_image_header_formats():
+    import struct
+
+    assert mm.parse_image_header(REAL_PNG_1x1) == ("png", 1, 1)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    assert mm.parse_image_header(gif) == ("gif", 320, 200)
+    assert mm.parse_image_header(_minimal_jpeg(640, 480)) == ("jpeg", 640, 480)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 12, -34) + b"\x00" * 8
+    assert mm.parse_image_header(bmp) == ("bmp", 12, 34)  # top-down DIB
+    # corrupt / unknown / empty → None, never an exception
+    assert mm.parse_image_header(b"\x89PNG-fake-bytes") is None
+    assert mm.parse_image_header(b"\xff\xd8\x00\x00") is None
+    assert mm.parse_image_header(b"") is None
+    assert mm.parse_image_header(None) is None
+
+
+def test_image_dimensions_operator(spark):
+    rows = [
+        (10, "image", "image/png", REAL_PNG_1x1, None, None, None),
+        (11, "image", "image/gif",
+         b"GIF87a" + __import__("struct").pack("<HH", 7, 9) + b"\x00" * 6,
+         None, None, None),
+        (12, "image", "image/jpeg", _minimal_jpeg(33, 44), None, None, None),
+        (13, "image", "image/png", b"not-an-image", None, None, None),
+        (14, "video", "video/mp4", b"whatever", None, None, None),  # filtered out
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["format"], r["width"], r["height"])
+        for r in mm.image_dimensions(df).collect()
+    }
+    assert got == {
+        10: ("png", 1, 1),
+        11: ("gif", 7, 9),
+        12: ("jpeg", 33, 44),
+        13: (None, None, None),
+    }

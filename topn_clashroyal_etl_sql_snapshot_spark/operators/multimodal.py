@@ -2,8 +2,10 @@
 columns with typed metadata, processed through Arrow-batched Pandas UDFs.
 
 The Spark-side contract is fully real — schemas, partition-preserving
-``mapInPandas`` plumbing, batch shapes, deterministic fake features — but
-the actual media decoding is STUBBED: the image/audio codec libraries are
+``mapInPandas`` plumbing, batch shapes, deterministic fake features — and
+image HEADER decoding (PNG/GIF/JPEG/BMP width·height, pure struct byte
+parsing — no codec libraries) is REAL via :func:`image_dimensions`.
+Pixel-level decoding is STUBBED: the image/audio codec libraries are
 not available in this environment. Each decode function documents its
 production body and raises ``NotImplementedError`` unless
 ``deterministic_fake=True`` (the default used in tests), which derives
@@ -18,6 +20,7 @@ embarrassingly parallel — no shuffle at all until a downstream groupBy.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -55,6 +58,96 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_payload", T.BinaryType(), True),
     ]
 )
+
+
+IMAGE_DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+# JPEG start-of-frame markers that carry dimensions (SOF0-SOF15 minus
+# DHT/DAC/RST-family C4, C8, CC)
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
+}
+
+
+def parse_image_header(payload: bytes | None) -> tuple[str, int, int] | None:
+    """(format, width, height) from real container headers — pure struct
+    parsing, no codec libraries:
+
+    - PNG: 8-byte signature, then the IHDR chunk (width/height u32 BE at
+      offsets 16/20).
+    - GIF: 'GIF87a'/'GIF89a', then the logical screen descriptor
+      (width/height u16 LE).
+    - JPEG: walk the marker stream from SOI to the first SOF marker;
+      its payload is [precision u8, height u16 BE, width u16 BE].
+    - BMP: 'BM', BITMAPINFOHEADER width/height i32 LE at offset 18/22.
+
+    Returns None for unknown/truncated payloads (callers keep the row
+    with null dims — corrupt media must not kill a 100 TB scan).
+    """
+    if not payload:
+        return None
+    p = payload
+    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24 and p[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", p[16:24])
+        return ("png", w, h)
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        w, h = struct.unpack("<HH", p[6:10])
+        return ("gif", w, h)
+    if p[:2] == b"BM" and len(p) >= 26:
+        w, h = struct.unpack("<ii", p[18:26])
+        return ("bmp", w, abs(h))  # negative height = top-down DIB
+    if p[:2] == b"\xff\xd8":
+        off = 2
+        while off + 4 <= len(p):
+            if p[off] != 0xFF:
+                return None  # marker desync — corrupt stream
+            marker = p[off + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                off += 2  # standalone markers carry no length
+                continue
+            if off + 4 > len(p):
+                return None
+            seg_len = struct.unpack(">H", p[off + 2 : off + 4])[0]
+            if marker in _JPEG_SOF:
+                if off + 9 > len(p):
+                    return None
+                h, w = struct.unpack(">HH", p[off + 5 : off + 9])
+                return ("jpeg", w, h)
+            off += 2 + seg_len
+        return None
+    return None
+
+
+def image_dimensions(media: DataFrame) -> DataFrame:
+    """payload → (format, width, height) by REAL header parsing (see
+    :func:`parse_image_header`) over Arrow-batched ``mapInPandas`` —
+    the decode path that needs no codec libraries."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [t[0] if t else None for t in parsed],
+                    "width": pd.array(
+                        [t[1] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [t[2] if t else None for t in parsed], dtype="Int32"
+                    ),
+                }
+            )
+
+    img = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return img.mapInPandas(run, IMAGE_DIM_SCHEMA)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
