@@ -1,0 +1,108 @@
+"""Physical-plan assertions (SURVEY.md §4 "Physical plan expectations"):
+the snapshot pipeline must stay entirely JVM-side (no BatchEvalPython /
+ArrowEvalPython nodes anywhere) and the small dims — overrides on both
+sides, the TopN player gate — must come in as broadcast joins, not
+shuffles. Catching a regression here is cheaper than finding it as a
+10× slowdown at 100 TB."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from topn_clashroyal_etl_sql_snapshot_spark.plans import pipeline
+from topn_clashroyal_etl_sql_snapshot_spark.sources.schemas import (
+    BATTLE_SCHEMA,
+    CARD_METADATA_SCHEMA,
+    LEADERBOARD_SCHEMA,
+    OVERRIDES_SCHEMA,
+)
+from topn_clashroyal_etl_sql_snapshot_spark.testing.cr_synthetic import (
+    CATALOG_ROWS,
+    generate_fixture,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def snapshot(spark):
+    leaderboard, battles, overrides = generate_fixture()
+    result = pipeline.build_snapshot(
+        spark,
+        battles=spark.createDataFrame(battles, BATTLE_SCHEMA),
+        leaderboard=spark.createDataFrame(leaderboard, LEADERBOARD_SCHEMA),
+        catalog=spark.createDataFrame(CATALOG_ROWS, CARD_METADATA_SCHEMA),
+        overrides=spark.createDataFrame(overrides, OVERRIDES_SCHEMA),
+        top_n=5,
+        collect_counters=False,
+    )
+    yield result
+    result.unpersist()
+
+
+def test_no_python_eval_anywhere(snapshot):
+    """Zero Python UDF nodes in any warehouse table's plan — the whole
+    ETL is built-in column algebra (whole-stage-codegen eligible)."""
+    for name, df in snapshot.tables.items():
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, f"{name}: Python UDF in plan"
+        assert "ArrowEvalPython" not in plan, f"{name}: Arrow UDF in plan"
+        assert "mapInPandas" not in plan, f"{name}: pandas map in plan"
+
+
+def test_dim_joins_broadcast(snapshot):
+    """The override applications (team + opp side) and the TopN player
+    gate are BroadcastHashJoins; no SortMergeJoin sneaks into the core."""
+    plan = _plan(snapshot.tables["player_decks"])
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # overrides ×2 upstream...
+    # the TopN semi gate is also a broadcast
+    assert "SortMergeJoin" not in plan, "dim join fell back to shuffle join"
+
+
+def test_matchups_no_join_at_all(snapshot):
+    """E6 derives from the battle grain before the unpivot — it needs
+    the override broadcasts but no fact-to-fact join."""
+    plan = _plan(snapshot.tables["meta_type_matchups"])
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_participants_single_shuffle_lineage(snapshot):
+    """The persisted participant core contains exactly ONE shuffle
+    Exchange — the match-hash dedup window — between the scan and the
+    unpivot (content-hash keys: uniform distribution, no skew). The
+    override dims enter via BroadcastExchange, which moves no fact
+    data."""
+    import re
+
+    plan = _plan(snapshot.participants)
+    shuffles = re.findall(r"[+:]- Exchange", plan)
+    assert len(shuffles) == 1, f"expected 1 shuffle in participant core:\n{plan}"
+
+
+def test_scan_counters_report_is_relational(spark):
+    """E7 counters: no Python nodes, one row per counter."""
+    leaderboard, battles, overrides = generate_fixture()
+    rep = pipeline.scan_counters_report(
+        spark.createDataFrame(battles, BATTLE_SCHEMA),
+        spark.createDataFrame(CATALOG_ROWS, CARD_METADATA_SCHEMA),
+    )
+    assert "BatchEvalPython" not in _plan(rep)
+    rows = {r["counter"]: r["value"] for r in rep.collect()}
+    assert set(rows) == {
+        "scanned_entries",
+        "ranked_1v1",
+        "deduped_matches",
+        "valid_battles",
+    }
+    assert rows["scanned_entries"] >= rows["ranked_1v1"] >= rows["deduped_matches"]
