@@ -27,6 +27,20 @@ from pyspark.sql import functions as F
 
 from ..functions import text as tx
 
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """CPU-parallelism guard. Tokenize/shingle/hash work is CPU-bound
+    per row, but parquet splits are byte-sized — a small corpus arrives
+    as one split and the whole normalize/explode stage would run in ONE
+    task (measured 3× slower than spread at sf0.1). Repartition by doc
+    id only when the input has fewer partitions than cores; at real
+    scale (input splits ≥ cores) this is a no-op, so no 100 TB corpus
+    pays an extra full-shuffle."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return docs
+    return docs.repartition(sc.defaultParallelism, F.col(id_col))
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -35,7 +49,7 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     """Duplicate groups by normalized-content fingerprint:
     (fingerprint, copies, keep_id = min id)."""
     return (
-        docs.select(
+        _spread(docs, id_col).select(
             tx.content_fingerprint(F.col(text_col)).alias("fingerprint"),
             F.col(id_col),
         )
@@ -52,6 +66,7 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Keep the min-id row per exact content group (deterministic winner,
     unlike the reference's scan-order first-seen — SURVEY.md §1.4.7)."""
     fp = tx.content_fingerprint(F.col(text_col)).alias("_fp")
+    docs = _spread(docs, id_col)
     w_min = (
         docs.select(fp, F.col(id_col).alias("_keep"))
         .groupBy("_fp")
@@ -82,7 +97,7 @@ def shingle_sets(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
+    toks = _spread(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(tx.tokens(F.col(text_col))).alias("pos", "tok"),
     )
@@ -383,7 +398,7 @@ def simhash_fingerprints(
     sums with map-side partial aggregation. The per-row ``simhash``
     expression stays for composition inside other column expressions.
     """
-    toks = docs.select(
+    toks = _spread(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(tx.tokens(F.col(text_col))).alias("tok"),
     ).select("id", F.xxhash64("tok").alias("h"))
