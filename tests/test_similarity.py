@@ -93,6 +93,35 @@ def test_bruteforce_neardup_equals_lsh_verified(spark, vectors):
     assert lsh <= bf and len(bf) == 3
 
 
+def test_ivf_topk_prunes_and_recalls_on_clustered_data(spark):
+    """IVF-flat with nprobe ≪ n_centroids reproduces brute force exactly
+    when the corpus HAS cluster structure (the regime IVF is for; the
+    synthetic testdata embeddings are isotropic, where no partitioning
+    scheme can prune — that's why the registered driver query stays on
+    the exact path)."""
+    rng = random.Random(3)
+    centers = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(6)]
+    rows = []
+    for i in range(240):
+        c = centers[i % 6]
+        rows.append((i, [float(x + rng.gauss(0, 0.05)) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    bf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.brute_force_topk(
+            df, k=3, query_filter=F.col("vec_id") < 12
+        ).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.ivf_topk(
+            df, k=3, n_centroids=12, nprobe=3, query_filter=F.col("vec_id") < 12
+        ).collect()
+    }
+    assert ivf == bf
+
+
 def test_multirotation_lsh_full_recall_low_threshold(spark, vectors):
     """Multi-rotation LSH at a permissive threshold (the adversarial
     regime for sign-bit sketches) still reproduces brute force exactly,

@@ -29,6 +29,17 @@ def _with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", vx.norm(F.col(vec_col)))
 
 
+def _spread_vectors(df: DataFrame, key: str = "vec_id") -> DataFrame:
+    """CPU-parallelism guard (same rationale as dedup._spread): sketch /
+    assignment work is CPU-bound per row, but a small vector table
+    arrives as one byte-sized parquet split and would serialize into a
+    single task. No-op whenever input splits ≥ cores."""
+    sc = df.sparkSession.sparkContext
+    if key not in df.columns or df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism, F.col(key))
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int] | None = None,
@@ -113,16 +124,7 @@ def hyperplane_sketches(
         [(q, q // planes, 1 << (q % planes)) for q in range(total)],
         "q int, rot int, bitval long",
     )
-    # The sketch is CPU-bound (total hashes per input row), but parquet
-    # splits are byte-sized — a small vector table arrives as one split
-    # and would serialize the whole explode+aggregate into one task.
-    # Explicit repartition (AQE does not coalesce a fixed-N repartition)
-    # spreads the work; the pre-explode shuffle ships only the vectors.
-    nparts = max(
-        embeddings.sparkSession.sparkContext.defaultParallelism,
-        embeddings.rdd.getNumPartitions(),
-    )
-    dims = embeddings.repartition(nparts, F.col(id_col)).select(
+    dims = _spread_vectors(embeddings, id_col).select(
         F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x")
     )
     coef = F.xxhash64(F.col("q"), F.col("d")).cast("double") / F.lit(float(1 << 63))
@@ -238,6 +240,148 @@ def lsh_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """Deterministic IVF pivots: the ``n_centroids`` corpus vectors with
+    the smallest ``xxhash64(id)`` — k-means-init-style sampling with no
+    RNG state, so every executor/run/replay picks identical pivots.
+    ``orderBy().limit(n)`` compiles to TakeOrderedAndProject (per-
+    partition top-n, no global sort shuffle). Returns driver-side
+    [(centroid_idx, vector, norm)] — deliberately tiny (a few KB), the
+    same justified-smallness as the card-catalog map literal."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    out = []
+    for i, r in enumerate(rows):
+        vec = [float(x) for x in r["v"]]
+        nrm = sum(x * x for x in vec) ** 0.5
+        out.append((i, vec, nrm))
+    return out
+
+
+def _nearest_centroids(
+    vecs: DataFrame, centroids, n_keep: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cidx) — each vector's ``n_keep`` nearest centroids by cosine.
+
+    Centroid components are LITERALS (array-of-arrays) so the per-row
+    dot is narrow codegen over an exploded (id, d, x, cidx) stream —
+    no join, no HOFs; integer-scaled terms keep the argmax replay-
+    deterministic. Ties break toward the lower centroid index."""
+    cmat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec, _ in centroids]
+    )
+    cnorms = F.array(*[F.lit(float(nrm)) for _, _, nrm in centroids])
+    dims = _spread_vectors(vecs, id_col).select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x")
+    )
+    terms = dims.select(
+        "id",
+        "d",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(len(centroids) - 1))).alias("cidx"),
+    ).select(
+        "id",
+        "cidx",
+        F.round(
+            F.col("x").cast("double")
+            * F.element_at(cmat, F.col("cidx") + 1)[F.col("d")]
+            * F.lit(float(1 << 40))
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    scored = (
+        terms.groupBy("id", "cidx")
+        .agg(F.sum("t").alias("dot_scaled"))
+        .withColumn(
+            "cos",
+            F.col("dot_scaled").cast("double")
+            / F.element_at(cnorms, F.col("cidx") + 1),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.col("cidx"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_keep)
+        .select("id", "cidx")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+) -> DataFrame:
+    """IVF-flat ANN top-k — the bucketed path for LARGE query sets,
+    where broadcasting the queries (``brute_force_topk``) stops scaling:
+
+    1. pivots: deterministic hash-sampled centroids (no model state);
+    2. corpus vectors partition into their nearest centroid's list;
+    3. each query probes its ``nprobe`` nearest centroids; only those
+       lists are scored — a (bucket)-keyed join, never query×corpus;
+    4. exact cosine (same fixed-order fold as brute force) + per-query
+       window rank.
+
+    Recall is the nprobe/n_centroids knob: queries whose true neighbors
+    live across an unprobed boundary miss them — tune for the workload
+    (the registered driver query is tuned to full recall at test scale,
+    making the exact oracle applicable). Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    corpus_assign = _nearest_centroids(embeddings, cents, 1, id_col, vec_col)
+    q = embeddings if query_filter is None else embeddings.filter(query_filter)
+    query_probe = _nearest_centroids(q, cents, nprobe, id_col, vec_col)
+
+    cand = (
+        query_probe.withColumnRenamed("id", "query_id")
+        .join(corpus_assign.withColumnRenamed("id", "neighbor_id"), "cidx")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = _with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
+    )
+    scored = (
+        cand.join(
+            vecs.withColumnsRenamed({"id": "query_id", "v": "v1", "n": "n1"}),
+            "query_id",
+        )
+        .join(
+            vecs.withColumnsRenamed({"id": "neighbor_id", "v": "v2", "n": "n2"}),
+            "neighbor_id",
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                vx.cosine_prenormed(
+                    vx.dot(F.col("v1"), F.col("v2")), F.col("n1"), F.col("n2")
+                ),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
