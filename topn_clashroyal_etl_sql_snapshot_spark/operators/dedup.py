@@ -425,9 +425,15 @@ def simhash_candidate_pairs(
     """Hamming-≤-k candidates by pigeonhole: split 64 bits into ``chunks``
     pieces; any pair within hamming ≤ chunks-1 shares ≥1 exact chunk.
     Join per (chunk_idx, chunk_value), verify with bit_count(xor).
-    Returns (id1, id2, hamming)."""
-    width = SIMHASH_BITS // chunks
-    mask = (1 << width) - 1
+    Returns (id1, id2, hamming).
+
+    Bits distribute as evenly as possible (64 need not divide by
+    ``chunks``), so e.g. chunks=6 gives 11/11/11/11/10/10-bit pieces —
+    wider pieces mean colder buckets (fewer spurious candidates) at the
+    cost of a lower guaranteed hamming radius (chunks-1)."""
+    base, extra = divmod(SIMHASH_BITS, chunks)
+    widths = [base + (1 if j < extra else 0) for j in range(chunks)]
+    offsets = [sum(widths[:j]) for j in range(chunks)]
     pieces = fingerprints.select(
         "id",
         "sh64",
@@ -436,8 +442,8 @@ def simhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sh64"), j * width)
-                        .bitwiseAND(F.lit(mask))
+                        F.shiftrightunsigned(F.col("sh64"), offsets[j])
+                        .bitwiseAND(F.lit((1 << widths[j]) - 1))
                         .alias("val"),
                     )
                     for j in range(chunks)
