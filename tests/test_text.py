@@ -110,3 +110,61 @@ def test_lang_id_table_matches_expression(spark):
     }
     assert rel == expr
     assert rel[7] == "en"
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """Winnowing invariant: ≥1 fingerprint per full window → any two
+    documents sharing window+k-1 consecutive tokens share a selected
+    fingerprint; density lands near 2/(w+1)."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    body = " ".join(rng.choice(words) for _ in range(200))
+    shared = "one two three four five six"  # 6 tokens = window+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, body + " " + shared),
+            (2, shared + " " + " ".join(rng.choice(words) for _ in range(150))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in winnow_fingerprints(docs, k=3, window=4).collect()}
+    for d in (1, 2):
+        assert out[d]["n_fingerprints"] >= 1
+        assert 0 < out[d]["density"] <= 1.0
+        # density concentrates near 2/(w+1) = 0.4 for random text
+        assert 0.2 <= out[d]["density"] <= 0.7
+
+    # the shared 6-token run yields at least one common selected hash:
+    # verify via the underlying selection, re-deriving per doc
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    w_doc = W.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w_doc) for j in range(1, 3)]
+    grams = (
+        toks.select("id", "pos", F.md5(F.concat_ws(" ", *leads)).alias("h"),
+                    leads[-1].alias("_l"))
+        .filter(F.col("_l").isNotNull())
+    )
+    sel = (
+        grams.withColumn(
+            "wmin", F.min("h").over(W.partitionBy("id").orderBy("pos").rowsBetween(-3, 0))
+        )
+        .filter(F.col("h") == F.col("wmin"))
+        .select("id", "h")
+        .distinct()
+    )
+    a = {r["h"] for r in sel.filter(F.col("id") == 1).collect()}
+    b = {r["h"] for r in sel.filter(F.col("id") == 2).collect()}
+    assert a & b, "documents sharing a 6-token run must share a fingerprint"

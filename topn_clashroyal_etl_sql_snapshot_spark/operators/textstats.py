@@ -67,3 +67,67 @@ def token_stats(
         )
         .orderBy(group_col)
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS scheme): hash every token k-gram IN ORDER, slide a window
+    of ``window`` consecutive hashes, select each window's minimum —
+    the guarantee is ≥1 selected fingerprint per window, so any match
+    of ``window + k - 1`` consecutive tokens between two documents
+    shares a fingerprint, at an expected density of ~2/(window+1).
+
+    Variant notes (deterministic, cross-engine): the k-gram hash is the
+    md5 HEX STRING and the window minimum is lexicographic — string
+    comparison behaves identically in Spark and any SQL oracle, whereas
+    engine-specific 64-bit hashes (xxhash64) cannot be re-computed by
+    DuckDB. The trailing window includes the partial windows at the
+    head of the document (simpler than MOSS's full-windows-only rule;
+    strictly more fingerprints, same guarantee).
+
+    Returns (doc_id, n_kgrams, n_fingerprints, density) — the corpus
+    fingerprint-density profile. Plan: one explode + two window passes
+    over (doc, pos) + one aggregate; all codegen, shuffles once on doc
+    id (reused by both windows and the aggregate).
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import _spread
+
+    toks = _spread(docs, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tx.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w_doc = W.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w_doc) for j in range(1, k)]
+    grams = (
+        toks.select(
+            "id",
+            "pos",
+            F.md5(F.concat_ws(" ", *leads)).alias("h"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("id", "pos", "h")
+    )
+    w_slide = W.partitionBy("id").orderBy("pos").rowsBetween(-(window - 1), 0)
+    marked = grams.withColumn("wmin", F.min("h").over(w_slide))
+    return (
+        marked.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_kgrams"),
+            F.countDistinct(
+                F.when(F.col("h") == F.col("wmin"), F.col("h"))
+            ).alias("n_fingerprints"),
+        )
+        .withColumn(
+            "density",
+            F.col("n_fingerprints").cast("double") / F.col("n_kgrams"),
+        )
+    )

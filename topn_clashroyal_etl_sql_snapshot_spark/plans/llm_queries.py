@@ -149,6 +149,45 @@ def text_quality_by_source(spark, sf_dir):
     )
 
 
+@register(
+    "text_winnow_fingerprints",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+      FROM base, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+      WHERE len(toks) >= 3
+    ),
+    w AS (
+      SELECT doc_id, h,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+      FROM g
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_kgrams,
+           COUNT(DISTINCT CASE WHEN h = wmin THEN h END) AS n_fingerprints,
+           CAST(COUNT(DISTINCT CASE WHEN h = wmin THEN h END) AS DOUBLE)
+               / COUNT(*) AS density
+    FROM w
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash document fingerprints: trigram
+    md5s, window-4 lexicographic minima — guarantees a shared
+    fingerprint for any 6-token overlap between documents. Density
+    ≈ 2/(w+1); the oracle recomputes the identical scheme in SQL."""
+    from ..operators.textstats import winnow_fingerprints
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=3, window=4).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
