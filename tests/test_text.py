@@ -168,3 +168,13 @@ def test_winnow_fingerprint_guarantee(spark):
     a = {r["h"] for r in sel.filter(F.col("id") == 1).collect()}
     b = {r["h"] for r in sel.filter(F.col("id") == 2).collect()}
     assert a & b, "documents sharing a 6-token run must share a fingerprint"
+
+
+def test_bpe_pretokens_gpt2_style(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.functions.text import bpe_pretokens
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("It's 2026, naïve test-case!",)], "text string")
+    toks = df.select(bpe_pretokens(F.col("text")).alias("t")).first()["t"]
+    # contraction split, leading-space attachment, digit/punct runs
+    assert toks == ["It", "'s", " 2026", ",", " naïve", " test", "-", "case", "!"]

@@ -54,6 +54,32 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer pattern (public: openai/gpt-2 encoder.py),
+# restricted to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): contraction suffixes, letter runs, digit
+# runs, punctuation runs, residual whitespace. This is the "BPE-ish"
+# accounting unit — the merge step itself is model-specific, but token
+# COUNTS at this granularity track BPE vocab counts closely enough for
+# corpus budgeting.
+BPE_PRETOKEN_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+"
+    "| ?\\p{N}+"
+    "| ?[^\\s\\p{L}\\p{N}]+"
+    "|\\s+"
+)
+
+
+def bpe_pretokens(col: Column) -> Column:
+    """BPE-style pre-tokens of the RAW text (case/punctuation kept —
+    unlike :func:`tokens`, which normalizes first)."""
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+
+
+def bpe_pretoken_count(col: Column) -> Column:
+    return F.size(bpe_pretokens(col))
+
+
 def shingles(tokens_col: Column, n: int = 3) -> Column:
     """Distinct word n-grams (space-joined) — the MinHash/Jaccard unit.
 

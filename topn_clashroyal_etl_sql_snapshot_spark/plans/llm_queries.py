@@ -58,6 +58,45 @@ def text_token_stats(spark, sf_dir):
     )
 
 
+# the pattern contains a literal single quote (contraction branch) —
+# double it for the SQL string literal
+_BPE_SQL_PATTERN = tx.BPE_PRETOKEN_PATTERN.replace("'", "''")
+
+
+@register(
+    "text_bpe_token_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(len(regexp_extract_all(text,
+               '{_BPE_SQL_PATTERN}'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+               '{_BPE_SQL_PATTERN}'))) AS DOUBLE)
+               / COUNT(*) AS avg_bpe_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_bpe_token_stats(spark, sf_dir):
+    """BPE-style token accounting per language (GPT-2 pre-tokenizer
+    granularity, raw text) — the corpus-budgeting counterpart to the
+    whitespace-token stats; the pattern is restricted to regex
+    constructs with identical Java/RE2 semantics so the DuckDB oracle
+    counts the same tokens."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    n = tx.bpe_pretoken_count(F.col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(n).alias("total_bpe_tokens"),
+            (F.sum(n).cast("double") / F.count(F.lit(1))).alias("avg_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 _MARKER_SQL = {
     "en": "('the','and','of','is')",
     "es": "('el','los','las','una','es')",
