@@ -664,6 +664,43 @@ def approx_distinct_sketch(spark, sf_dir):
 
 
 @register(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(MAX(epoch_ms(ts)) - MIN(epoch_ms(ts)) AS BIGINT) AS duration_ms
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) over the event
+    stream — the user-activity shaping step of a training-data
+    pipeline. One shuffle on user_id serves both window passes and the
+    per-session rollup; millisecond timestamps compare identically in
+    Spark (unix_millis) and DuckDB (epoch_ms)."""
+    from ..operators.sessionize import session_stats
+
+    events = _t(spark, sf_dir, "events")
+    return session_stats(events, gap_ms=1_800_000).orderBy("user_id", "session_id")
+
+
+@register(
     "percentile_order_prices",
     """
     SELECT o_orderpriority,
