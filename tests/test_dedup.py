@@ -137,3 +137,16 @@ def test_simhash_candidates(spark, corpus):
     small = {p for p, h in got.items() if h <= 3}
     unrelated = {p for p in small if truth.get(p, 0.0) < 0.3}
     assert not unrelated, unrelated
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """Chain a-b-c collapses to one component under min-label
+    propagation (takes 2 rounds: c learns a's label through b); an
+    isolated pair keeps its own min; keep = id == component."""
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 12), (20, 21)], "id1 long, id2 long"
+    )
+    comp = {
+        r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {5: 5, 9: 5, 12: 5, 20: 20, 21: 20}

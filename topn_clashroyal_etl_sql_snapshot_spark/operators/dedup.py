@@ -462,6 +462,60 @@ def simhash_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list — the KEEP/DROP
+    step of corpus dedup: every document in a component is a duplicate
+    of the component's minimum id (the canonical keeper).
+
+    Min-label propagation: each node repeatedly adopts the smallest
+    label among itself and its neighbors, converging in O(component
+    diameter) rounds — near-dup clusters are tight (diameter ≤ a few),
+    so 2-3 rounds in practice; ``max_iter`` bounds pathological chains.
+    This is a driver-side loop of DataFrame jobs (the documented
+    exception for iterative algorithms): each round is one join + one
+    aggregate, labels are eagerly checkpointed so round N+1's plan
+    doesn't re-derive rounds 1..N. Returns (id, component)."""
+    edges = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    und = (
+        edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        und.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            und.join(
+                labels.withColumnsRenamed({"id": "b", "comp": "nc"}), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nc").alias("nbr_min"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+            ).alias("comp"),
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            labels.join(new_labels.withColumnsRenamed({"comp": "nc"}), "id")
+            .filter(F.col("comp") != F.col("nc"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_verified_pairs(
     docs: DataFrame,
     text_col: str = "text",

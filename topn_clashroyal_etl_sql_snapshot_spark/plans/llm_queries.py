@@ -324,6 +324,65 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_verified_pairs(docs, threshold=0.5).orderBy("id1", "id2")
 
 
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM base, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+      WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5
+    ),
+    und AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM und)
+    SELECT n.id AS doc_id,
+           LEAST(n.id, MIN(r.b)) AS component,
+           n.id = LEAST(n.id, MIN(r.b)) AS keep
+    FROM nodes n JOIN reach r ON r.a = n.id
+    GROUP BY n.id
+    ORDER BY doc_id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Connected components over the exact near-dup pairs (trigram
+    Jaccard ≥ 0.5): the KEEP/DROP decision of corpus dedup — every
+    member of a component duplicates the component's minimum doc_id.
+    Spark side: min-label propagation (O(diameter) rounds of join+agg);
+    oracle: transitive closure via a recursive CTE."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    return (
+        comp.select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("component"),
+            (F.col("id") == F.col("comp")).alias("keep"),
+        ).orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
