@@ -383,6 +383,115 @@ def dedup_components(spark, sf_dir):
     )
 
 
+_LANG_PRED_SQL = f"""
+      CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+           WHEN greatest(
+               len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['en']})),
+               len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['es']})),
+               len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['fr']})),
+               len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['de']}))) <= 0
+           THEN 'und' ELSE 'known' END
+"""
+
+
+@register(
+    "curation_funnel",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM base, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+      WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5
+    ),
+    und_e AS (
+      SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und_e
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und_e u ON r.b = u.a
+    ),
+    dropped AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(LEAST(a, b)) < a
+    ),
+    scored AS (
+      SELECT doc_id,
+             ({_LANG_PRED_SQL}) <> 'und' AS lang_ok,
+             {_QUALITY_SQL} >= 0.5 AS quality_ok,
+             doc_id NOT IN (SELECT doc_id FROM dropped) AS dedup_ok
+      FROM documents
+    )
+    SELECT stage, docs FROM (
+      SELECT '0_all' AS stage, COUNT(*) AS docs, 0 AS ord FROM scored
+      UNION ALL
+      SELECT '1_lang', COUNT(*), 1 FROM scored WHERE lang_ok
+      UNION ALL
+      SELECT '2_quality', COUNT(*), 2 FROM scored WHERE lang_ok AND quality_ok
+      UNION ALL
+      SELECT '3_dedup', COUNT(*), 3 FROM scored
+      WHERE lang_ok AND quality_ok AND dedup_ok
+    ) t ORDER BY ord
+    """,
+)
+def curation_funnel(spark, sf_dir):
+    """The end-to-end training-data curation funnel: how many documents
+    survive each gate — language identified → quality ≥ 0.5 → dedup
+    keeper (not a non-canonical member of a near-dup component). One
+    row per stage with the surviving count; the composition every
+    corpus pipeline runs before tokenization."""
+    from ..operators.textstats import lang_id_table
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    flags = (
+        lang_id_table(docs)
+        .select(
+            "doc_id",
+            (F.col("predicted_lang") != "und").alias("lang_ok"),
+            (tx.quality_score(F.col("text")) >= 0.5).alias("quality_ok"),
+        )
+    )
+    comp = dedup.connected_components(dedup.jaccard_pairs(docs, n=3, threshold=0.5))
+    dropped = comp.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    flags = flags.join(dropped.withColumn("_drop", F.lit(True)), "doc_id", "left")
+    flags = flags.withColumn("dedup_ok", F.col("_drop").isNull()).localCheckpoint(
+        eager=False
+    )
+
+    def stage(name, cond):
+        return flags.filter(cond).agg(F.count(F.lit(1)).alias("docs")).select(
+            F.lit(name).alias("stage"), "docs"
+        )
+
+    return (
+        stage("0_all", F.lit(True))
+        .unionAll(stage("1_lang", F.col("lang_ok")))
+        .unionAll(stage("2_quality", F.col("lang_ok") & F.col("quality_ok")))
+        .unionAll(
+            stage(
+                "3_dedup",
+                F.col("lang_ok") & F.col("quality_ok") & F.col("dedup_ok"),
+            )
+        )
+        .orderBy("stage")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
