@@ -194,16 +194,26 @@ def catalog_maps(catalog: DataFrame) -> dict[str, Column]:
         "id", "name", "elixir", "is_big_tank", "is_bait_piece", "is_bridge_spam_piece"
     ).collect()
 
+    # One `F.expr("map(...)")` per map instead of ~240 `F.lit` Column
+    # objects: the literal tree is built by the JVM SQL parser in a
+    # single py4j round-trip instead of hundreds.
+    def _sql_lit(v) -> str:
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return str(v)
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+
     def _map(pairs) -> Column:
-        items: list[Column] = []
-        for k, v in pairs:
-            if k is None or v is None:
-                continue
-            items.append(F.lit(k))
-            items.append(F.lit(v))
+        items = [
+            f"{_sql_lit(k)}, {_sql_lit(v)}"
+            for k, v in pairs
+            if k is not None and v is not None
+        ]
         if not items:
             return F.map_from_arrays(F.array(), F.array())
-        return F.create_map(*items)
+        return F.expr("map(" + ", ".join(items) + ")")
 
     return {
         "name_by_id": _map((r["id"], r["name"]) for r in rows),
