@@ -469,27 +469,23 @@ def curation_funnel(spark, sf_dir):
         F.col("id").alias("doc_id")
     )
     flags = flags.join(dropped.withColumn("_drop", F.lit(True)), "doc_id", "left")
-    flags = flags.withColumn("dedup_ok", F.col("_drop").isNull()).localCheckpoint(
-        eager=False
-    )
+    flags = flags.withColumn("dedup_ok", F.col("_drop").isNull())
 
-    def stage(name, cond):
-        return flags.filter(cond).agg(F.count(F.lit(1)).alias("docs")).select(
-            F.lit(name).alias("stage"), "docs"
-        )
-
-    return (
-        stage("0_all", F.lit(True))
-        .unionAll(stage("1_lang", F.col("lang_ok")))
-        .unionAll(stage("2_quality", F.col("lang_ok") & F.col("quality_ok")))
-        .unionAll(
-            stage(
-                "3_dedup",
-                F.col("lang_ok") & F.col("quality_ok") & F.col("dedup_ok"),
-            )
-        )
-        .orderBy("stage")
+    # One aggregation pass computes every stage count (map-side partial,
+    # single job) instead of four filtered scans — at corpus scale this
+    # avoids materializing the full flags table just to re-read it 4x.
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("all_docs"),
+        F.count_if(F.col("lang_ok")).alias("lang_docs"),
+        F.count_if(F.col("lang_ok") & F.col("quality_ok")).alias("quality_docs"),
+        F.count_if(
+            F.col("lang_ok") & F.col("quality_ok") & F.col("dedup_ok")
+        ).alias("dedup_docs"),
     )
+    return counts.selectExpr(
+        "stack(4, '0_all', all_docs, '1_lang', lang_docs,"
+        " '2_quality', quality_docs, '3_dedup', dedup_docs) AS (stage, docs)"
+    ).orderBy("stage")
 
 
 # ---------------------------------------------------------------------------
