@@ -96,6 +96,33 @@ def cr_meta_type_matchups(spark, sf_dir):
 
 
 @register(
+    "cr_meta_type_deck_ids",
+    f"""SELECT deck_type, deck_hash, uses, wins
+        FROM {_wh('meta_type_deck_ids')} ORDER BY deck_type, deck_hash""",
+)
+def cr_meta_type_deck_ids(spark, sf_dir):
+    """E2 per-(archetype, deck) rollup (scripts/etl_snapshot_topn.py:
+    324-326), full-table parity vs the independent Python oracle ETL."""
+    return snapshot_tables(spark)["meta_type_deck_ids"].orderBy(
+        "deck_type", "deck_hash"
+    )
+
+
+@register(
+    "cr_meta_type_cards",
+    f"""SELECT deck_type, card_id, card_variant, uses, wins
+        FROM {_wh('meta_type_cards')}
+        ORDER BY deck_type, card_id, card_variant""",
+)
+def cr_meta_type_cards(spark, sf_dir):
+    """E3 per-(archetype, card, variant) rollup — each deck observation
+    fans out ×8 card observations (scripts:328-330); full-table parity."""
+    return snapshot_tables(spark)["meta_type_cards"].orderBy(
+        "deck_type", "card_id", "card_variant"
+    )
+
+
+@register(
     "cr_player_decks",
     f"""SELECT player_tag, deck_hash, uses, wins
         FROM {_wh('player_decks')} ORDER BY player_tag, deck_hash""",
@@ -268,46 +295,60 @@ def cr_f7_deck_integrity(spark, sf_dir):
 
 
 @register(
-    "cr_f2_top_deck_types_legacy",
+    "cr_legacy_grain_rollups",
     f"""
-    SELECT d.deck_type,
-           COUNT(*) AS uses,
-           CAST(SUM(CASE WHEN pb.win THEN 1 ELSE 0 END) AS BIGINT) AS wins,
-           ROUND(100.0 * SUM(CASE WHEN pb.win THEN 1 ELSE 0 END)
-                 / NULLIF(COUNT(*), 0), 2) AS win_rate
-    FROM {_wh('player_battles')} pb
-    JOIN {_wh('decks')} d ON d.deck_hash = pb.deck_hash
-    GROUP BY 1
-    ORDER BY uses DESC, d.deck_type
-    LIMIT 30
+    SELECT * FROM (
+      SELECT 'deck_type' AS grain, CAST(NULL AS VARCHAR) AS deck_hash,
+             d.deck_type,
+             COUNT(*) AS uses,
+             CAST(SUM(CASE WHEN pb.win THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+             ROUND(100.0 * SUM(CASE WHEN pb.win THEN 1 ELSE 0 END)
+                   / NULLIF(COUNT(*), 0), 2) AS win_rate
+      FROM {_wh('player_battles')} pb
+      JOIN {_wh('decks')} d ON d.deck_hash = pb.deck_hash
+      GROUP BY d.deck_type
+      ORDER BY uses DESC, d.deck_type
+      LIMIT 30
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'deck' AS grain, d.deck_hash, d.deck_type,
+             COUNT(*) AS uses,
+             CAST(SUM(CASE WHEN pb.win THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+             ROUND(100.0 * SUM(CASE WHEN pb.win THEN 1 ELSE 0 END)
+                   / NULLIF(COUNT(*), 0), 2) AS win_rate
+      FROM {_wh('player_battles')} pb
+      JOIN {_wh('decks')} d ON d.deck_hash = pb.deck_hash
+      GROUP BY d.deck_hash, d.deck_type
+      ORDER BY uses DESC, d.deck_hash
+      LIMIT 50
+    )
     """,
 )
-def cr_f2_top_deck_types_legacy(spark, sf_dir):
-    """queries/top_deck_types.sql:1-10 AS WRITTEN (boolean pd.win grain)
-    over the player_battles fact."""
+def cr_legacy_grain_rollups(spark, sf_dir):
+    """queries/top_deck_types.sql:1-10 and top_decks.sql:1-11 AS WRITTEN
+    (boolean ``pd.win`` grain) over the ``player_battles`` fact — one
+    result set, tagged by grain, so both legacy forms earn a single
+    driver correctness row (the hash compare is order-insensitive; each
+    arm's LIMIT keeps its own deterministic tie-break)."""
     t = snapshot_tables(spark)
-    return q.top_deck_types_legacy(t["player_battles"], t["decks"])
-
-
-@register(
-    "cr_f4_top_decks_legacy",
-    f"""
-    SELECT d.deck_hash, d.deck_type,
-           COUNT(*) AS uses,
-           CAST(SUM(CASE WHEN pb.win THEN 1 ELSE 0 END) AS BIGINT) AS wins,
-           ROUND(100.0 * SUM(CASE WHEN pb.win THEN 1 ELSE 0 END)
-                 / NULLIF(COUNT(*), 0), 2) AS win_rate
-    FROM {_wh('player_battles')} pb
-    JOIN {_wh('decks')} d ON d.deck_hash = pb.deck_hash
-    GROUP BY 1, 2
-    ORDER BY uses DESC, d.deck_hash
-    LIMIT 50
-    """,
-)
-def cr_f4_top_decks_legacy(spark, sf_dir):
-    """queries/top_decks.sql:1-11 AS WRITTEN over the player_battles fact."""
-    t = snapshot_tables(spark)
-    return q.top_decks_legacy(t["player_battles"], t["decks"])
+    by_type = q.top_deck_types_legacy(t["player_battles"], t["decks"]).select(
+        F.lit("deck_type").alias("grain"),
+        F.lit(None).cast("string").alias("deck_hash"),
+        "deck_type",
+        "uses",
+        "wins",
+        "win_rate",
+    )
+    by_deck = q.top_decks_legacy(t["player_battles"], t["decks"]).select(
+        F.lit("deck").alias("grain"),
+        "deck_hash",
+        "deck_type",
+        "uses",
+        "wins",
+        "win_rate",
+    )
+    return by_type.unionAll(by_deck)
 
 
 # --- library path (B2/E8), E7 counters, G validation suite -----------------

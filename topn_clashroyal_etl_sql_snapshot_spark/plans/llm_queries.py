@@ -31,43 +31,18 @@ _NORM_SQL = "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))"
 # Text analysis
 # ---------------------------------------------------------------------------
 
-@register(
-    "text_token_stats",
-    f"""
-    SELECT lang,
-           COUNT(*) AS docs,
-           CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS total_tokens,
-           CAST(SUM(length(text)) AS BIGINT) AS total_chars
-    FROM documents
-    GROUP BY lang
-    ORDER BY lang
-    """,
-)
-def text_token_stats(spark, sf_dir):
-    """Token/char accounting per language label — the basic corpus-stats
-    scan (single pass, integer sums)."""
-    docs = read_testdata(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum(tx.token_count(F.col("text"))).alias("total_tokens"),
-            F.sum(F.length("text")).alias("total_chars"),
-        )
-        .orderBy("lang")
-    )
-
-
 # the pattern contains a literal single quote (contraction branch) —
 # double it for the SQL string literal
 _BPE_SQL_PATTERN = tx.BPE_PRETOKEN_PATTERN.replace("'", "''")
 
 
 @register(
-    "text_bpe_token_stats",
+    "text_token_stats",
     f"""
     SELECT lang,
            COUNT(*) AS docs,
+           CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            CAST(SUM(len(regexp_extract_all(text,
                '{_BPE_SQL_PATTERN}'))) AS BIGINT) AS total_bpe_tokens,
            CAST(SUM(len(regexp_extract_all(text,
@@ -78,20 +53,22 @@ _BPE_SQL_PATTERN = tx.BPE_PRETOKEN_PATTERN.replace("'", "''")
     ORDER BY lang
     """,
 )
-def text_bpe_token_stats(spark, sf_dir):
-    """BPE-style token accounting per language (GPT-2 pre-tokenizer
-    granularity, raw text) — the corpus-budgeting counterpart to the
-    whitespace-token stats; the pattern is restricted to regex
-    constructs with identical Java/RE2 semantics so the DuckDB oracle
-    counts the same tokens."""
+def text_token_stats(spark, sf_dir):
+    """Token accounting per language label, both granularities in ONE
+    corpus scan: whitespace tokens + chars (the basic corpus stats) and
+    GPT-2-pre-tokenizer BPE-style tokens (the corpus-budgeting count).
+    The BPE pattern is restricted to regex constructs with identical
+    Java/RE2 semantics so the DuckDB oracle counts the same tokens."""
     docs = read_testdata(spark, sf_dir, "documents")
-    n = tx.bpe_pretoken_count(F.col("text"))
+    n_bpe = tx.bpe_pretoken_count(F.col("text"))
     return (
         docs.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("docs"),
-            F.sum(n).alias("total_bpe_tokens"),
-            (F.sum(n).cast("double") / F.count(F.lit(1))).alias("avg_bpe_tokens"),
+            F.sum(tx.token_count(F.col("text"))).alias("total_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(n_bpe).alias("total_bpe_tokens"),
+            (F.sum(n_bpe).cast("double") / F.count(F.lit(1))).alias("avg_bpe_tokens"),
         )
         .orderBy("lang")
     )
@@ -550,20 +527,23 @@ def _exact_cosine_pairs_sql(threshold: float) -> str:
 
 @register("embedding_neardup_pairs", _exact_cosine_pairs_sql(0.45))
 def embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via multi-rotation hyperplane LSH
-    with exact-cosine verification — no CartesianProduct in the plan
-    (the brute-force all-pairs twin is pytest-only ground truth).
+    """Embedding-cosine near-dup pairs at a PERMISSIVE threshold (0.45,
+    θ ≈ 60°) — registered as the exact all-pairs plan, matching the
+    exact oracle BY CONSTRUCTION.
 
-    This corpus's qualifying pairs sit barely above the 0.45 threshold
-    (cosine ≤ 0.52, θ ≈ 60°), the adversarial regime for sign-bit LSH —
-    3 planes × 16 rotations reaches full recall here (empirically, with
-    margin: recall is already full at 12 rotations). At production
-    near-dup thresholds the same plan prunes sharply (see
-    embedding_lsh_neardup)."""
+    Why exact and not LSH here: at θ ≈ 60° sign-bit LSH's per-pair miss
+    probability is ~0.3-0.6% even at 3 planes × 16 rotations, so at a
+    larger driver sf the expected number of missed pairs exceeds 0 and a
+    probabilistic plan would fail the exact oracle deterministically —
+    and at this similarity level ANY candidate generator degenerates
+    toward all-pairs anyway, so exact is also the honest cost model.
+    The scale path for real near-dup thresholds is the LSH-bucketed plan
+    (``embedding_lsh_neardup``, cosine ≥ 0.95); LSH-vs-exact containment
+    at 0.45 stays a pytest check (tests/test_similarity.py)."""
     emb = read_testdata(spark, sf_dir, "embeddings")
-    return similarity.lsh_neardup_pairs(
-        emb, threshold=0.45, planes=3, rotations=16
-    ).orderBy("id1", "id2")
+    return similarity.brute_force_neardup_pairs(emb, threshold=0.45).orderBy(
+        "id1", "id2"
+    )
 
 
 @register("embedding_lsh_neardup", _exact_cosine_pairs_sql(0.95))

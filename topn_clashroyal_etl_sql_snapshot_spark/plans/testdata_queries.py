@@ -75,18 +75,16 @@ _REVENUE_SQL = (
 
 # ---------------------------------------------------------------------------
 # F1-F7 — the reference's analysis-SQL shapes (SURVEY.md §2.F)
+#
+# NOT registered for the driver: each shape's driver-checked twin is the
+# cr_f1..cr_f7 query in plans/domain_queries.py, which runs the SAME
+# query semantics end-to-end through the snapshot pipeline against the
+# independent Python-oracle warehouse — a strictly stronger check. These
+# generic-table forms stay as plan-shape exemplars (broadcast joins,
+# column pruning, partial aggregation — asserted in tests/test_plans.py)
+# so the registry fits the driver's 50-row correctness cap.
 # ---------------------------------------------------------------------------
 
-@register(
-    "f1_top_parts_overall",
-    """
-    SELECT p_name, COUNT(*) AS appearances
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    GROUP BY p_name
-    ORDER BY appearances DESC, p_name
-    LIMIT 50
-    """,
-)
 def f1_top_parts_overall(spark, sf_dir):
     """F1 top_cards_overall shape (queries/top_cards_overall.sql:1-8):
     join to a small dim → groupBy → count → top-K. `part` is the small
@@ -101,21 +99,6 @@ def f1_top_parts_overall(spark, sf_dir):
     )
 
 
-@register(
-    "f2_top_priority_classes",
-    """
-    SELECT o_orderpriority,
-           COUNT(*) AS uses,
-           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-                AS BIGINT) AS wins,
-           ROUND(100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-                 / NULLIF(COUNT(*), 0), 2) AS win_rate
-    FROM orders
-    GROUP BY o_orderpriority
-    ORDER BY uses DESC, o_orderpriority
-    LIMIT 30
-    """,
-)
 def f2_top_priority_classes(spark, sf_dir):
     """F2 top_deck_types shape (queries/top_deck_types.sql): uses/wins/
     win_rate counter aggregation ranked by volume."""
@@ -135,16 +118,6 @@ def f2_top_priority_classes(spark, sf_dir):
     )
 
 
-@register(
-    "f3_customer_summary",
-    """
-    SELECT c_custkey, c_name, c_acctbal, COUNT(o_orderkey) AS orders_seen
-    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
-    GROUP BY c_custkey, c_name, c_acctbal
-    ORDER BY c_acctbal DESC, c_custkey
-    LIMIT 50
-    """,
-)
 def f3_customer_summary(spark, sf_dir):
     """F3 player_summary shape (queries/player_summary.sql): LEFT JOIN +
     COUNT(col) non-null semantics — customers with no orders still appear
@@ -159,21 +132,6 @@ def f3_customer_summary(spark, sf_dir):
     )
 
 
-@register(
-    "f4_top_brand_flags",
-    """
-    SELECT p_brand, l_returnflag,
-           COUNT(*) AS uses,
-           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
-                AS BIGINT) AS wins,
-           ROUND(100.0 * SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
-                 / NULLIF(COUNT(*), 0), 2) AS win_rate
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    GROUP BY p_brand, l_returnflag
-    ORDER BY uses DESC, p_brand, l_returnflag
-    LIMIT 50
-    """,
-)
 def f4_top_brand_flags(spark, sf_dir):
     """F4 top_decks shape (queries/top_decks.sql): two-key groupBy with
     rate ranking."""
@@ -194,21 +152,6 @@ def f4_top_brand_flags(spark, sf_dir):
     )
 
 
-@register(
-    "f5_event_type_rates",
-    """
-    SELECT event_type,
-           COUNT(*) AS uses,
-           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END)
-                AS BIGINT) AS wins,
-           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE)
-               / NULLIF(COUNT(*), 0) AS winrate
-    FROM events
-    GROUP BY event_type
-    ORDER BY uses DESC, event_type
-    LIMIT 20
-    """,
-)
 def f5_event_type_rates(spark, sf_dir):
     """F5 matchup-winrate shape (scripts/etl_snapshot_topn.py:535-536):
     rate projection over an aggregate, ranked by volume."""
@@ -228,22 +171,6 @@ def f5_event_type_rates(spark, sf_dir):
     )
 
 
-@register(
-    "f6_best_parts_having",
-    """
-    SELECT l_partkey,
-           COUNT(*) AS uses,
-           CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
-                AS BIGINT) AS wins,
-           CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
-               / NULLIF(COUNT(*), 0) AS winrate
-    FROM lineitem
-    GROUP BY l_partkey
-    HAVING COUNT(*) >= 5
-    ORDER BY winrate DESC, uses DESC, l_partkey
-    LIMIT 10
-    """,
-)
 def f6_best_parts_having(spark, sf_dir):
     """F6 best-decks-by-winrate shape (scripts:537-538): HAVING support
     threshold ≡ post-aggregation filter, ranked by rate."""
@@ -264,17 +191,6 @@ def f6_best_parts_having(spark, sf_dir):
     )
 
 
-@register(
-    "f7_order_line_counts",
-    """
-    SELECT l_orderkey, COUNT(*) AS n_items
-    FROM lineitem
-    GROUP BY l_orderkey
-    HAVING COUNT(*) >= 6
-    ORDER BY n_items DESC, l_orderkey
-    LIMIT 20
-    """,
-)
 def f7_order_line_counts(spark, sf_dir):
     """F7/G1 integrity shape (scripts:533): grouped HAVING over a count."""
     li = _t(spark, sf_dir, "lineitem")
