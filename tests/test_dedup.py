@@ -150,3 +150,38 @@ def test_connected_components_chain_and_isolated(spark):
         r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()
     }
     assert comp == {5: 5, 9: 5, 12: 5, 20: 20, 21: 20}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter can't finish propagating the min
+    label; returning the partial labels would be a silently-wrong
+    KEEP/DROP decision, so the operator must raise instead."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id1 long, id2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=3)
+    # the same chain converges fine once max_iter covers the diameter
+    comp = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(chain, max_iter=10).collect()
+    }
+    assert comp == {i: 0 for i in range(9)}
+
+
+def test_simhash_bucket_cap_drops_hot_buckets(spark):
+    """max_bucket is the fingerprint-space max_df analog: a (chunk,
+    value) bucket holding more docs than the cap contributes no
+    candidates. 40 identical fingerprints share every chunk → capping
+    below 40 removes all their pairs; uncapped they all pair up."""
+    fps = spark.createDataFrame(
+        [(i, 0x0F0F0F0F0F0F0F0F) for i in range(40)], "id long, sh64 long"
+    )
+    uncapped = dedup.simhash_candidate_pairs(
+        fps, max_hamming=7, chunks=8, max_bucket=None
+    ).count()
+    assert uncapped == 40 * 39 // 2
+    capped = dedup.simhash_candidate_pairs(
+        fps, max_hamming=7, chunks=8, max_bucket=39
+    ).count()
+    assert capped == 0

@@ -84,8 +84,28 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # Shingle-Jaccard (exact) via inverted index
 # ---------------------------------------------------------------------------
 
+def token_stream(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, tok) — one exploded row per token occurrence.
+
+    The shared scan for every tokenization consumer: normalize + regex
+    split happens ONCE here; shingling (``shingle_sets``) and SimHash
+    fingerprints (``simhash_fingerprints``) both accept a precomputed
+    stream so plans composing them (``simhash_verified_pairs``) don't
+    re-read and re-tokenize the corpus per consumer."""
+    return _spread(docs, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tx.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+
+
 def shingle_sets(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingle) postings — distinct word n-grams per document.
 
@@ -94,13 +114,13 @@ def shingle_sets(
     per-row array formulation (``tx.shingles``) goes through interpreted
     higher-order functions and measured ~20× slower on wide corpora.
     The window's doc-id shuffle doubles as the distinct's partitioning.
+    Pass ``toks`` (a ``token_stream`` result) to share one tokenize scan
+    with other consumers.
     """
     from pyspark.sql import Window
 
-    toks = _spread(docs, id_col).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tx.tokens(F.col(text_col))).alias("pos", "tok"),
-    )
+    if toks is None:
+        toks = token_stream(docs, text_col, id_col)
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
     return (
@@ -112,7 +132,11 @@ def shingle_sets(
 
 
 def hashed_postings(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sh: long) postings with shingles hashed to 64-bit keys: the
     shuffle ships longs instead of strings (collision odds ~n²/2⁶⁴ —
@@ -128,7 +152,7 @@ def hashed_postings(
     swap for reliable ``checkpoint()`` or an explicit persist/unpersist
     lifecycle around the consuming action.
     """
-    p = shingle_sets(docs, text_col, id_col, n).select(
+    p = shingle_sets(docs, text_col, id_col, n, toks=toks).select(
         "id", F.xxhash64("sh").alias("sh")
     )
     return p.localCheckpoint(eager=False)
@@ -389,7 +413,10 @@ def simhash(tokens_col: Column) -> Column:
 
 
 def simhash_fingerprints(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sh64) via explode + 64 conditional-SUM aggregates.
 
@@ -397,12 +424,12 @@ def simhash_fingerprints(
     whole plan is codegen'd: one xxhash64 per token, 64 compiled CASE
     sums with map-side partial aggregation. The per-row ``simhash``
     expression stays for composition inside other column expressions.
+    Pass ``toks`` (a ``token_stream`` result) to share one tokenize scan.
     """
-    toks = _spread(docs, id_col).select(
-        F.col(id_col).alias("id"),
-        F.explode(tx.tokens(F.col(text_col))).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
-    sums = toks.groupBy("id").agg(
+    if toks is None:
+        toks = token_stream(docs, text_col, id_col)
+    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
+    sums = hashed.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.col("h").bitwiseAND(F.lit(v).cast("long")) != 0, 1).otherwise(-1)
@@ -420,7 +447,10 @@ def simhash_fingerprints(
 
 
 def simhash_candidate_pairs(
-    fingerprints: DataFrame, max_hamming: int = 3, chunks: int = 4
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Hamming-≤-k candidates by pigeonhole: split 64 bits into ``chunks``
     pieces; any pair within hamming ≤ chunks-1 shares ≥1 exact chunk.
@@ -430,7 +460,21 @@ def simhash_candidate_pairs(
     Bits distribute as evenly as possible (64 need not divide by
     ``chunks``), so e.g. chunks=6 gives 11/11/11/11/10/10-bit pieces —
     wider pieces mean colder buckets (fewer spurious candidates) at the
-    cost of a lower guaranteed hamming radius (chunks-1)."""
+    cost of a lower guaranteed hamming radius (chunks-1).
+
+    Scale guard (the max_df analog for fingerprint space): with w-bit
+    chunks there are only chunks·2^w join keys, so a corpus of n docs
+    drives ~n²/2^w in-bucket candidate volume as n grows — quadratic,
+    plus shuffle skew on whatever chunk values the corpus's token
+    distribution makes common. ``max_bucket`` drops any (chunk, value)
+    bucket holding more docs than the cap before the self-join, bounding
+    candidate volume at chunks·Σ min(bucket, cap)² and the join at
+    linear-in-n work. A dropped bucket can only lose pairs whose ONLY
+    shared chunk is that hot one — pairs at low hamming share several
+    chunks, so recall loss concentrates on the weakest candidates (same
+    contract as ``jaccard_pairs``'s max_df boilerplate cap). Set
+    ``max_bucket=None`` to recover the unconditional pigeonhole
+    guarantee on small corpora."""
     base, extra = divmod(SIMHASH_BITS, chunks)
     widths = [base + (1 if j < extra else 0) for j in range(chunks)]
     offsets = [sum(widths[:j]) for j in range(chunks)]
@@ -451,6 +495,14 @@ def simhash_candidate_pairs(
             )
         ).alias("c"),
     ).select("id", "sh64", "c.chunk", "c.val")
+    if max_bucket is not None:
+        cold = (
+            pieces.groupBy("chunk", "val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("chunk", "val")
+        )
+        pieces = pieces.join(cold, ["chunk", "val"], "left_semi")
     a = pieces.select(F.col("id").alias("id1"), F.col("sh64").alias("h1"), "chunk", "val")
     b = pieces.select(F.col("id").alias("id2"), F.col("sh64").alias("h2"), "chunk", "val")
     return (
@@ -479,7 +531,13 @@ def connected_components(
     This is a driver-side loop of DataFrame jobs (the documented
     exception for iterative algorithms): each round is one join + one
     aggregate, labels are eagerly checkpointed so round N+1's plan
-    doesn't re-derive rounds 1..N. Returns (id, component)."""
+    doesn't re-derive rounds 1..N. Returns (id, component).
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds: partially-propagated labels are WRONG KEEP/DROP
+    decisions (two docs of one component would be kept as distinct
+    canonicals), and silently returning them would poison the dedup
+    downstream. Raise max_iter for graphs with long chains."""
     edges = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
     und = (
         edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -489,6 +547,7 @@ def connected_components(
     labels = (
         und.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             und.join(
@@ -513,6 +572,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); returning partial labels "
+            "would yield wrong KEEP/DROP decisions — raise max_iter"
+        )
     return labels
 
 
@@ -532,9 +597,17 @@ def simhash_verified_pairs(
     hamming ≤ 7 shares an exact 8-bit chunk; token-level near-dup docs
     measure hamming ≤ 5 on this corpus, so recall is full with margin.
     At extreme scale prefer chunks=4 (width-16 chunks, hamming ≤ 3):
-    wider chunks mean colder buckets — the recall/candidate-volume knob.
+    wider chunks mean colder buckets — the recall/candidate-volume knob;
+    either way ``max_bucket`` bounds in-bucket candidate volume when the
+    corpus outgrows the chunk keyspace (see
+    :func:`simhash_candidate_pairs`).
+
+    The fingerprint and shingle-posting scans share ONE tokenize pass
+    (``token_stream``, locally checkpointed): normalize + regex-split is
+    the dominant per-row cost and both consumers need the same tokens.
     Returns (id1, id2, jaccard)."""
-    fps = simhash_fingerprints(docs, text_col, id_col)
+    toks = token_stream(docs, text_col, id_col).localCheckpoint(eager=False)
+    fps = simhash_fingerprints(docs, text_col, id_col, toks=toks)
     cands = simhash_candidate_pairs(fps, max_hamming, chunks)
-    postings = hashed_postings(docs, text_col, id_col, n)
+    postings = hashed_postings(docs, text_col, id_col, n, toks=toks)
     return true_jaccard_for_pairs(cands, postings, threshold)

@@ -10,12 +10,35 @@ here and are verified in pytest against exact-Jaccard ground truth
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
 from ..operators import dedup, similarity
 from ..sources.readers import read_testdata
 from .testdata_queries import register
+
+# Session-scoped cache for the exact trigram-Jaccard pair set: three
+# registered queries consume the SAME relation (dedup_trigram_jaccard
+# returns it; dedup_components and curation_funnel build components from
+# it), and without sharing, each run re-shingles the corpus and re-runs
+# the inverted-index self-join. Keyed weakly on the live SparkSession
+# (same rationale as domain_queries._CACHE: an id()-keyed dict could
+# hand a new session DataFrames bound to a stopped SparkContext), then
+# by sf_dir. The cached plan is lazily local-checkpointed, so the first
+# consumer materializes it and later consumers reuse the blocks.
+_PAIRS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _jaccard_pairs_cached(spark, sf_dir: str):
+    per_session = _PAIRS_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        docs = read_testdata(spark, sf_dir, "documents")
+        per_session[sf_dir] = dedup.jaccard_pairs(
+            docs, n=3, threshold=0.5
+        ).localCheckpoint(eager=False)
+    return per_session[sf_dir]
 
 # Shared DuckDB tokenization fragment — must mirror functions/text.py
 # (same regex class, same empty-token filter).
@@ -277,9 +300,9 @@ _JACCARD_PAIRS_SQL = f"""
 def dedup_trigram_jaccard(spark, sf_dir):
     """Exact word-trigram Jaccard near-dup pairs via the inverted-index
     self-join — the ground-truth dedup plan (df-capped; at 100 TB run
-    the MinHash path instead)."""
-    docs = read_testdata(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, n=3, threshold=0.5).orderBy("id1", "id2")
+    the MinHash path instead). Serves from the session pair cache shared
+    with dedup_components / curation_funnel."""
+    return _jaccard_pairs_cached(spark, sf_dir).orderBy("id1", "id2")
 
 
 @register("dedup_minhash_lsh", _JACCARD_PAIRS_SQL)
@@ -347,10 +370,10 @@ def dedup_components(spark, sf_dir):
     Jaccard ≥ 0.5): the KEEP/DROP decision of corpus dedup — every
     member of a component duplicates the component's minimum doc_id.
     Spark side: min-label propagation (O(diameter) rounds of join+agg);
-    oracle: transitive closure via a recursive CTE."""
-    docs = read_testdata(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.5)
-    comp = dedup.connected_components(pairs)
+    oracle: transitive closure via a recursive CTE. The pair set comes
+    from the session cache shared with dedup_trigram_jaccard /
+    curation_funnel."""
+    comp = dedup.connected_components(_jaccard_pairs_cached(spark, sf_dir))
     return (
         comp.select(
             F.col("id").alias("doc_id"),
@@ -441,7 +464,7 @@ def curation_funnel(spark, sf_dir):
             (tx.quality_score(F.col("text")) >= 0.5).alias("quality_ok"),
         )
     )
-    comp = dedup.connected_components(dedup.jaccard_pairs(docs, n=3, threshold=0.5))
+    comp = dedup.connected_components(_jaccard_pairs_cached(spark, sf_dir))
     dropped = comp.filter(F.col("comp") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )
