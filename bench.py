@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -60,11 +61,26 @@ def main() -> None:
     # queries, not first-call JIT + parquet footer reads.
     next(iter(qs.values()))(spark, sf_dir).collect()
 
+    # The heaviest entries are noise-dominated when timed single-shot
+    # (observed 2-2.6x same-binary swings between rounds) — time those
+    # median-of-3 so cross-round comparisons are judgeable.
+    HEAVY = {"curation_funnel": 3, "cr_pipeline": 3}
+
     timings: dict[str, float] = {}
+    repeats: dict[str, int] = {}
     for name, fn in sorted(qs.items()):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        n = HEAVY.get(name, 1)
+        samples = []
+        for _ in range(n):
+            if name == "curation_funnel":
+                # evict the session-level jaccard-pairs cache so every
+                # repeat measures the full compute, not a cached replay
+                llm_queries._PAIRS_CACHE.pop(spark, None)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+        repeats[name] = n
 
     # Domain snapshot pipeline at sf-proportional battle volume: the
     # fixed-size fixture verifies correctness; THIS measures how the
@@ -95,22 +111,28 @@ def main() -> None:
     cdf = spark.createDataFrame(CATALOG_ROWS, CARD_METADATA_SCHEMA)
     odf = spark.createDataFrame(overrides, OVERRIDES_SCHEMA)
 
-    t0 = time.perf_counter()
-    result = pl.build_snapshot(
-        spark, bdf, ldf, cdf, odf, top_n=50, collect_counters=False
-    )
-    # One action materializing every table: a union of per-table counts
-    # still executes each rollup's full shuffle but avoids paying 12×
-    # per-job scheduling overhead (which would swamp the signal at
-    # small sf).
     from functools import reduce
 
-    counts = [
-        df.agg(F.count(F.lit(1)).alias("n")) for df in result.tables.values()
-    ]
-    reduce(lambda a, b: a.unionAll(b), counts).collect()
-    timings["cr_pipeline"] = round(time.perf_counter() - t0, 4)
-    result.unpersist()
+    def run_pipeline() -> float:
+        t0 = time.perf_counter()
+        result = pl.build_snapshot(
+            spark, bdf, ldf, cdf, odf, top_n=50, collect_counters=False
+        )
+        # One action materializing every table: a union of per-table
+        # counts still executes each rollup's full shuffle but avoids
+        # paying 12x per-job scheduling overhead (which would swamp the
+        # signal at small sf).
+        counts = [
+            df.agg(F.count(F.lit(1)).alias("n")) for df in result.tables.values()
+        ]
+        reduce(lambda a, b: a.unionAll(b), counts).collect()
+        dt = time.perf_counter() - t0
+        result.unpersist()
+        return dt
+
+    samples = [run_pipeline() for _ in range(HEAVY["cr_pipeline"])]
+    timings["cr_pipeline"] = round(statistics.median(samples), 4)
+    repeats["cr_pipeline"] = HEAVY["cr_pipeline"]
 
     total = round(sum(timings.values()), 4)
     print(
@@ -120,6 +142,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "repeats": repeats,
                 "sf": sf,
             }
         )

@@ -104,5 +104,9 @@ def test_scan_counters_report_is_relational(spark):
         "ranked_1v1",
         "deduped_matches",
         "valid_battles",
+        "stream_deduped_matches",
     }
     assert rows["scanned_entries"] >= rows["ranked_1v1"] >= rows["deduped_matches"]
+    # the streaming-visible subset (parseable battleTime) can't exceed
+    # the batch dedup count
+    assert rows["deduped_matches"] >= rows["stream_deduped_matches"]

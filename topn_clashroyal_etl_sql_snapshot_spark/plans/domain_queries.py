@@ -505,6 +505,52 @@ _G_VALIDATION_SQL = (
 )
 
 
+@register(
+    "cr_streaming_dedup",
+    f"""SELECT counter, value FROM {_wh('counters')}
+        WHERE counter = 'stream_deduped_matches'""",
+)
+def cr_streaming_dedup(spark, sf_dir):
+    """Streaming-vs-batch equivalence, driver-visible: run the REAL
+    Structured Streaming dedup twin of D2 (file source over a landing
+    dir → ranked filter → watermarked ``dropDuplicatesWithinWatermark``
+    on match_hash, streaming/incremental.py) with an availableNow
+    trigger into a memory sink, and return the deduped-match count. The
+    oracle is the ``stream_deduped_matches`` counter the PURE-PYTHON
+    oracle ETL computed over the same fixture (matches whose battleTime
+    parses as the watermark event time — malformed-time edge-case
+    battles are exactly the rows the streaming path must drop)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming import incremental
+
+    landing = tempfile.mkdtemp(prefix="cr_stream_landing_")
+    ckpt = tempfile.mkdtemp(prefix="cr_stream_ckpt_")
+    try:
+        shutil.copy(_os.path.join(FIXTURE_DIR, "battles.jsonl"), landing)
+        stream = incremental.stream_battles(spark, landing)
+        deduped = incremental.streaming_dedup_matches(pl.ranked_battles(stream))
+        qname = "mem_" + _os.path.basename(landing)
+        (
+            deduped.select("match_hash")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.table(qname).agg(
+            F.count(F.lit(1)).cast("long").alias("value")
+        ).select(F.lit("stream_deduped_matches").alias("counter"), "value")
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 @register("cr_g_validation", _G_VALIDATION_SQL)
 def cr_g_validation(spark, sf_dir):
     """G1-G6 + FK integrity (validate_snapshot.py:49-206) as one

@@ -169,11 +169,20 @@ def scan_counters_report(battles: DataFrame, catalog: DataFrame) -> DataFrame:
     (counter, value) report — the driver-checkable twin of the
     ``SnapshotResult.counters`` dict (which ``build_snapshot`` collects
     eagerly for CLI logging). ``valid_battles`` additionally counts
-    battles surviving structural/deck validation."""
+    battles surviving structural/deck validation;
+    ``stream_deduped_matches`` counts the deduped matches whose
+    battleTime parses as the streaming watermark event time — the batch
+    statement of what the Structured Streaming dedup twin
+    (streaming/incremental.streaming_dedup_matches) must reproduce."""
+    from ..streaming.incremental import parse_battle_time
+
     maps = deck_ops.catalog_maps(catalog)
     ranked = ranked_battles(battles)
     deduped = deduped_battles(battles)
     extracted = extracted_battles(deduped, maps)
+    stream_visible = deduped.filter(
+        parse_battle_time(F.col("battleTime")).isNotNull()
+    )
 
     def one(name: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("long").alias("value")).select(
@@ -185,6 +194,7 @@ def scan_counters_report(battles: DataFrame, catalog: DataFrame) -> DataFrame:
         .unionAll(one("ranked_1v1", ranked))
         .unionAll(one("deduped_matches", deduped))
         .unionAll(one("valid_battles", extracted))
+        .unionAll(one("stream_deduped_matches", stream_visible))
     )
 
 

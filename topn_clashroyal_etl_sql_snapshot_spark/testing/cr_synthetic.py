@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 import json
 import random
+import re
 from collections import defaultdict
 
 # name, elixir, big_tank, bait, bridge_spam  (synthetic catalog — covers
@@ -187,6 +188,19 @@ def py_variant(lvl) -> str:
     except Exception:
         lvl = 0
     return {1: "evo", 2: "hero"}.get(lvl, "normal")
+
+
+# Mirror of the streaming path's battle-time parse
+# (streaming/incremental.py: try_to_timestamp(battleTime,
+# "yyyyMMdd'T'HHmmss.SSSX")) over the fixture's value space: the
+# well-formed form is 8 digits, 'T', 6 digits, millis, zone. The
+# generator's malformed edge-case times (no 'T') must NOT match —
+# they're exactly the rows the streaming watermark column drops.
+_BATTLE_TS_RE = re.compile(r"\d{8}T\d{6}\.\d{3}(?:Z|[+-]\d{2}(?::?\d{2})?)")
+
+
+def py_battle_time_parses(bt) -> bool:
+    return bool(bt) and _BATTLE_TS_RE.fullmatch(bt) is not None
 
 
 def py_normalize_tag(tag) -> str:
@@ -490,5 +504,11 @@ def oracle_etl(leaderboard, battles, overrides, top_n):
             "ranked_1v1": len(ranked),
             "deduped_matches": len(deduped),
             "valid_battles": valid_battles,
+            # what the STREAMING dedup twin must reproduce: matches whose
+            # battleTime parses as the watermark event time (match_hash
+            # embeds battleTime, so parseability is uniform per hash)
+            "stream_deduped_matches": sum(
+                1 for _, b in deduped if py_battle_time_parses(b.get("battleTime"))
+            ),
         },
     }
