@@ -98,6 +98,9 @@ def test_parse_image_header_formats():
     assert mm.parse_image_header(_minimal_jpeg(640, 480)) == ("jpeg", 640, 480)
     bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 12, -34) + b"\x00" * 8
     assert mm.parse_image_header(bmp) == ("bmp", 12, 34)  # top-down DIB
+    # OS/2 BITMAPCOREHEADER: 12-byte DIB header, u16 width/height
+    os2 = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 640, 350)
+    assert mm.parse_image_header(os2) == ("bmp", 640, 350)
     # corrupt / unknown / empty → None, never an exception
     assert mm.parse_image_header(b"\x89PNG-fake-bytes") is None
     assert mm.parse_image_header(b"\xff\xd8\x00\x00") is None

@@ -127,6 +127,22 @@ def test_top_players_edge_semantics(spark):
     assert [(r.player_tag, r.rank_global) for r in got] == [("#A", 1), ("#C", 3)]
 
 
+def test_top_players_rejects_table_scale_input(spark):
+    """The single-partition ranking window is sized for one API page;
+    anything larger must be refused, not silently serialized."""
+    import pytest
+
+    big = spark.range(20).selectExpr(
+        "concat('#P', id) AS tag",
+        "'n' AS name",
+        "CAST(id AS INT) AS rank",
+        "CAST(NULL AS INT) AS eloRating",
+        "CAST(1000 - id AS INT) AS trophies",
+    )
+    with pytest.raises(ValueError, match="single-partition window"):
+        pipeline.top_players_df(big, top_n=5, max_rows=10)
+
+
 def test_player_battles_fact(snapshot):
     """Boolean-grain fact matches the oracle row-for-row, and
     player_decks is exactly its groupBy(count, sum(win)) rollup."""

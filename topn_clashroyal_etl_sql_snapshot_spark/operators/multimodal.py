@@ -100,9 +100,18 @@ def parse_image_header(payload: bytes | None) -> tuple[str, int, int] | None:
     if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
         w, h = struct.unpack("<HH", p[6:10])
         return ("gif", w, h)
-    if p[:2] == b"BM" and len(p) >= 26:
-        w, h = struct.unpack("<ii", p[18:26])
-        return ("bmp", w, abs(h))  # negative height = top-down DIB
+    if p[:2] == b"BM" and len(p) >= 22:
+        # DIB header size at offset 14 selects the layout: 12 = OS/2
+        # BITMAPCOREHEADER (u16 width/height at 18/20); anything newer
+        # (40 = BITMAPINFOHEADER, 108/124 = V4/V5) uses i32 at 18/22.
+        (dib_size,) = struct.unpack("<I", p[14:18])
+        if dib_size == 12:
+            w, h = struct.unpack("<HH", p[18:22])
+            return ("bmp", w, h)
+        if len(p) >= 26:
+            w, h = struct.unpack("<ii", p[18:26])
+            return ("bmp", w, abs(h))  # negative height = top-down DIB
+        return None
     if p[:2] == b"\xff\xd8":
         off = 2
         while off + 4 <= len(p):

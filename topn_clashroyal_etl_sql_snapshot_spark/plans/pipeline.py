@@ -73,7 +73,12 @@ def _uses_wins():
     ]
 
 
-def top_players_df(leaderboard: DataFrame, top_n: int) -> DataFrame:
+MAX_LEADERBOARD_ROWS = 1000  # one API page — the REST source's hard cap
+
+
+def top_players_df(
+    leaderboard: DataFrame, top_n: int, max_rows: int = MAX_LEADERBOARD_ROWS
+) -> DataFrame:
     """Leaderboard → player dim (scripts/etl_snapshot_topn.py:203-216).
 
     Mirrors the reference's two edge behaviors exactly: the positional
@@ -82,10 +87,22 @@ def top_players_df(leaderboard: DataFrame, top_n: int) -> DataFrame:
     pulling in a replacement; and ``rank_global = int(rank or i)``
     treats rank 0 as falsy (Python ``or``), falling back to 1-based
     position. The API returns rank order, so position ≡ rank ordering
-    (Spark has no scan order to lean on). The window is a single
-    partition — fine: the leaderboard is one API page (≤1000 rows) by
-    construction; this never sees table-scale data.
+    (Spark has no scan order to lean on).
+
+    The ranking window below is a SINGLE partition — sound only because
+    a leaderboard is one API page (≤1000 rows) by construction. That
+    contract is now ENFORCED, not assumed: a table-scale input would
+    silently serialize the whole dataset through one task, so we scan at
+    most max_rows+1 rows (cheap — limit pushes into the scan) and refuse
+    anything larger. Pass a bigger ``max_rows`` deliberately if a future
+    source genuinely pages beyond 1000.
     """
+    if leaderboard.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"leaderboard exceeds {max_rows} rows; top_players_df ranks in a "
+            "single-partition window sized for one API page — raise max_rows "
+            "explicitly if this input is intentional"
+        )
     w = Window.orderBy(F.col("rank").asc_nulls_last(), F.col("tag"))
     return (
         leaderboard.withColumn("_pos", F.row_number().over(w))

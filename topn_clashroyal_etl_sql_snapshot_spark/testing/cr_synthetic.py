@@ -467,7 +467,10 @@ def oracle_etl(leaderboard, battles, overrides, top_n):
                 player_battles.append(
                     {
                         "match_hash": mh,
-                        "battle_time": b.get("battleTime") or "",
+                        # None (not '') when absent — the Spark fact
+                        # carries battleTime through unchanged, so a
+                        # missing source value is NULL on both sides
+                        "battle_time": b.get("battleTime"),
                         "side": side,
                         "player_tag": tag,
                         "deck_hash": dh,
