@@ -84,20 +84,39 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # Shingle-Jaccard (exact) via inverted index
 # ---------------------------------------------------------------------------
 
-def token_stream(
+def token_arrays(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, pos, tok) — one exploded row per token occurrence.
+    """(id, toks: array<string>) — the tokenized corpus, one row per doc.
 
     The shared scan for every tokenization consumer: normalize + regex
     split happens ONCE here; shingling (``shingle_sets``) and SimHash
-    fingerprints (``simhash_fingerprints``) both accept a precomputed
-    stream so plans composing them (``simhash_verified_pairs``) don't
-    re-read and re-tokenize the corpus per consumer."""
+    fingerprints (``simhash_fingerprints``) both accept this frame and
+    explode it themselves, so plans composing them
+    (``simhash_verified_pairs``) don't re-read and re-tokenize the
+    corpus per consumer. Kept as ONE ARRAY ROW PER DOC rather than a
+    pre-exploded (id, pos, tok) stream deliberately: a checkpoint/cache
+    of the exploded form materializes one serialized row per token
+    occurrence (measured 3x slower end-to-end at sf0.1 than arrays),
+    while the array form stores the same strings contiguously and lets
+    each consumer's explode stay inside codegen."""
     return _spread(docs, id_col).select(
         F.col(id_col).alias("id"),
-        F.posexplode(tx.tokens(F.col(text_col))).alias("pos", "tok"),
+        tx.tokens(F.col(text_col)).alias("toks"),
     )
+
+
+def token_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """(id, pos, tok) — one exploded row per token occurrence (derived
+    from ``token_arrays`` so the tokenize itself is shareable)."""
+    if toks is None:
+        toks = token_arrays(docs, text_col, id_col)
+    return toks.select("id", F.posexplode("toks").alias("pos", "tok"))
 
 
 def shingle_sets(
@@ -114,13 +133,12 @@ def shingle_sets(
     per-row array formulation (``tx.shingles``) goes through interpreted
     higher-order functions and measured ~20× slower on wide corpora.
     The window's doc-id shuffle doubles as the distinct's partitioning.
-    Pass ``toks`` (a ``token_stream`` result) to share one tokenize scan
+    Pass ``toks`` (a ``token_arrays`` result) to share one tokenize scan
     with other consumers.
     """
     from pyspark.sql import Window
 
-    if toks is None:
-        toks = token_stream(docs, text_col, id_col)
+    toks = token_stream(docs, text_col, id_col, toks=toks)
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
     return (
@@ -424,11 +442,13 @@ def simhash_fingerprints(
     whole plan is codegen'd: one xxhash64 per token, 64 compiled CASE
     sums with map-side partial aggregation. The per-row ``simhash``
     expression stays for composition inside other column expressions.
-    Pass ``toks`` (a ``token_stream`` result) to share one tokenize scan.
+    Pass ``toks`` (a ``token_arrays`` result) to share one tokenize scan.
     """
     if toks is None:
-        toks = token_stream(docs, text_col, id_col)
-    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
+        toks = token_arrays(docs, text_col, id_col)
+    hashed = toks.select("id", F.explode("toks").alias("tok")).select(
+        "id", F.xxhash64("tok").alias("h")
+    )
     sums = hashed.groupBy("id").agg(
         *[
             F.sum(
@@ -603,10 +623,11 @@ def simhash_verified_pairs(
     :func:`simhash_candidate_pairs`).
 
     The fingerprint and shingle-posting scans share ONE tokenize pass
-    (``token_stream``, locally checkpointed): normalize + regex-split is
-    the dominant per-row cost and both consumers need the same tokens.
+    (``token_arrays``, locally checkpointed as one array row per doc):
+    normalize + regex-split is the dominant per-row cost and both
+    consumers need the same tokens.
     Returns (id1, id2, jaccard)."""
-    toks = token_stream(docs, text_col, id_col).localCheckpoint(eager=False)
+    toks = token_arrays(docs, text_col, id_col).localCheckpoint(eager=False)
     fps = simhash_fingerprints(docs, text_col, id_col, toks=toks)
     cands = simhash_candidate_pairs(fps, max_hamming, chunks)
     postings = hashed_postings(docs, text_col, id_col, n, toks=toks)
