@@ -64,7 +64,14 @@ def main() -> None:
     # The heaviest entries are noise-dominated when timed single-shot
     # (observed 2-2.6x same-binary swings between rounds) — time those
     # median-of-3 so cross-round comparisons are judgeable.
-    HEAVY = {"curation_funnel": 3, "cr_pipeline": 3}
+    HEAVY = {
+        "curation_funnel": 3,
+        "cr_pipeline": 3,
+        "dedup_simhash": 3,
+        "dedup_minhash_lsh": 3,
+        "embedding_lsh_neardup": 3,
+        "approx_distinct_sketch": 3,
+    }
 
     timings: dict[str, float] = {}
     repeats: dict[str, int] = {}

@@ -87,6 +87,18 @@ def _rows(pdf: pd.DataFrame):
 ALL = sorted(spark_entry.queries().keys())
 
 
+def test_registry_fits_driver_cap():
+    """The driver records correctness rows for at most 50 registered
+    queries; anything beyond the cap silently never earns a row. Keep
+    the registry at or under the cap, and keep every entry oracled."""
+    qs = spark_entry.queries()
+    oracles = spark_entry.oracle_sql()
+    assert len(qs) <= 50, f"{len(qs)} registered queries exceed the 50-row cap"
+    assert set(oracles) <= set(qs)
+    missing = [n for n in qs if n not in oracles]
+    assert not missing, f"queries without oracles: {missing}"
+
+
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(spark, duck, name):
     oracle = spark_entry.oracle_sql().get(name)
