@@ -294,6 +294,10 @@ def build_snapshot(
     # --- D1 unpivot to participant grain + persist ----------------------
     # Each deduped battle → 2 participant observations (scripts:304-310).
     # side index keeps the first-seen ordering deterministic downstream.
+    # Each row also carries the OPPONENT's deck type so every table —
+    # including the E6 matchup matrix — derives from this one persisted
+    # core: anything reading battles_core directly would re-execute the
+    # whole parse/dedup/classify upstream once per materialized table.
     participants = battles_core.select(
         "match_hash",
         "battleTime",
@@ -304,6 +308,7 @@ def build_snapshot(
                     F.col("team_tag").alias("player_tag"),
                     F.col("team_dh").alias("deck_hash"),
                     F.col("team_dtype").alias("deck_type"),
+                    F.col("opp_dtype").alias("opp_deck_type"),
                     F.col("team_obs").alias("obs"),
                     F.col("team_won").alias("won"),
                 ),
@@ -312,6 +317,7 @@ def build_snapshot(
                     F.col("opp_tag").alias("player_tag"),
                     F.col("opp_dh").alias("deck_hash"),
                     F.col("opp_dtype").alias("deck_type"),
+                    F.col("team_dtype").alias("opp_deck_type"),
                     F.col("opp_obs").alias("obs"),
                     F.col("opp_won").alias("won"),
                 ),
@@ -319,21 +325,13 @@ def build_snapshot(
         ),
     ).persist()
 
-    # --- E6 matchup matrix (battle grain, both perspectives) -------------
+    # --- E6 matchup matrix (both perspectives) ---------------------------
     # Each deduped match inserts TWO directional rows (scripts:296-302);
-    # G5's `meta == 2×matches` invariant depends on it.
-    matchup_obs = battles_core.select(
-        F.col("team_dtype").alias("deck_type"),
-        F.col("opp_dtype").alias("opp_deck_type"),
-        F.col("team_won").alias("won"),
-    ).unionAll(
-        battles_core.select(
-            F.col("opp_dtype").alias("deck_type"),
-            F.col("team_dtype").alias("opp_deck_type"),
-            F.col("opp_won").alias("won"),
-        )
-    )
-    meta_type_matchups = matchup_obs.groupBy("deck_type", "opp_deck_type").agg(
+    # G5's `meta == 2×matches` invariant depends on it. The participant
+    # grain IS that double-insert (side 0 = team perspective, side 1 =
+    # opponent perspective), so the matrix is one aggregate over the
+    # persisted core — no second pass over the battle grain.
+    meta_type_matchups = participants.groupBy("deck_type", "opp_deck_type").agg(
         *_uses_wins()
     )
 
