@@ -181,9 +181,24 @@ def true_jaccard_for_pairs(
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs: join candidates to
     the postings on each side, count shared shingles, divide by union
-    size. Candidate sets are tiny relative to the corpus, so both joins
-    broadcast the pair list; everything stays codegen'd (no HOFs).
+    size. Candidate sets are tiny relative to the corpus, so postings are
+    first semi-joined down to candidate ids — set sizes and both pair
+    joins then cost O(candidate postings), not O(corpus postings); at
+    corpus scale the alternative shuffles every document's shingles to
+    verify a relative handful of pairs. AQE turns the semi join into a
+    broadcast once it sees the candidate-id count at runtime; everything
+    stays codegen'd (no HOFs).
     Returns (id1, id2, jaccard) with jaccard ≥ threshold."""
+    # The pair list is consumed twice (id extraction + the pair joins);
+    # checkpoint it so the candidate generator's join runs once. Small by
+    # contract — every generator here is bucketed, never all-pairs.
+    cands = cands.localCheckpoint(eager=False)
+    cand_ids = (
+        cands.select(F.col("id1").alias("id"))
+        .unionAll(cands.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    postings = postings.join(cand_ids, "id", "left_semi")
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     p1 = postings.select(F.col("id").alias("id1"), "sh")
     p2 = postings.select(F.col("id").alias("id2"), "sh")
