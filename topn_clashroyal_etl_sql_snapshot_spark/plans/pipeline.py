@@ -59,9 +59,12 @@ class SnapshotResult:
     tables: dict[str, DataFrame]
     participants: DataFrame  # persisted core; caller unpersists
     counters: dict[str, int] = field(default_factory=dict)
+    _persisted: list[DataFrame] = field(default_factory=list)
 
     def unpersist(self) -> None:
         self.participants.unpersist()
+        for df in self._persisted:
+            df.unpersist()
 
 
 def _uses_wins():
@@ -343,10 +346,16 @@ def build_snapshot(
     first_seen = Window.partitionBy("deck_hash").orderBy(
         "battleTime", "match_hash", "side"
     )
+    # Persisted: three tables (decks, deck_cards, player_type_cards)
+    # consume this, and the window behind it re-shuffles the ENTIRE
+    # participant core by deck_hash — without the persist each table's
+    # write job would repeat that corpus-sized shuffle. The output
+    # itself is small (one row per unique deck).
     deck_first = (
         participants.withColumn("_rn", F.row_number().over(first_seen))
         .filter(F.col("_rn") == 1)
         .select("deck_hash", "deck_type", "obs")
+        .persist()
     )
     decks = deck_first.select("deck_hash", "deck_type")
     deck_cards = deck_first.select(
@@ -467,4 +476,9 @@ def build_snapshot(
         "scanned_entries": scanned_entries,
         "deduped_matches": deduped_matches,
     }
-    return SnapshotResult(tables=tables, participants=participants, counters=counters)
+    return SnapshotResult(
+        tables=tables,
+        participants=participants,
+        counters=counters,
+        _persisted=[deck_first],
+    )
