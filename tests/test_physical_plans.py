@@ -70,11 +70,28 @@ def test_dim_joins_broadcast(snapshot):
 
 
 def test_matchups_no_join_at_all(snapshot):
-    """E6 derives from the battle grain before the unpivot — it needs
-    the override broadcasts but no fact-to-fact join."""
+    """E6 is one aggregate over the participant core (each row carries
+    its opponent's deck type) — the override broadcasts sit upstream of
+    the persist; no fact-to-fact join anywhere."""
     plan = _plan(snapshot.tables["meta_type_matchups"])
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_fanout_reads_persisted_cores(snapshot):
+    """Every warehouse table except the leaderboard-derived player dim
+    reads through a cache boundary (InMemoryTableScan over the persisted
+    participant core / first-seen deck dim). A table whose plan has no
+    cache boundary re-executes the whole parse/dedup/classify upstream
+    once per write job — at corpus scale that N×es the most expensive
+    stage of the pipeline."""
+    for name, df in snapshot.tables.items():
+        if name == "player":
+            continue
+        plan = _plan(df)
+        assert "InMemoryTableScan" in plan, (
+            f"{name}: no cache boundary in plan — re-derives the raw input\n{plan}"
+        )
 
 
 def test_participants_single_shuffle_lineage(snapshot):
