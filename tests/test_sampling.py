@@ -1,0 +1,213 @@
+"""Deterministic sampling/splitting (operators/sampling.py) and the
+pure-Python xxHash64 twin (testing/xxh64.py).
+
+The twin is the independent oracle here: Spark's xxhash64 cannot be
+re-computed by DuckDB, so every hash-derived assignment (bucket, split
+label, sample membership) is re-derived row-for-row in pure Python.
+``per_group_cap`` has no hash dependence, so it gets a DuckDB
+row_number() oracle instead.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+    DEFAULT_BUCKETS,
+    bucket_expr,
+    hash_sample,
+    per_group_cap,
+    stratified_hash_sample,
+    with_split,
+)
+from topn_clashroyal_etl_sql_snapshot_spark.testing.xxh64 import (
+    SPARK_DEFAULT_SEED,
+    spark_xxhash64,
+    xxh64_bytes,
+)
+
+# ---------------------------------------------------------------- twin
+
+
+def test_xxh64_twin_matches_spark_strings(spark):
+    # lengths 0..40 cross every branch of the algorithm: the <32 short
+    # path, the >=32 stripe loop, and 8/4/1-byte tail combinations.
+    values = ["x" * n for n in range(41)] + ["héllo wörld", "é世界"]
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.withColumn("h", F.xxhash64("s")).collect()
+    }
+    for v in values:
+        assert got[v] == spark_xxhash64([("string", v)]), repr(v)
+
+
+def test_xxh64_twin_matches_spark_numeric_and_chained(spark):
+    rows = [(1, 10), (-1, -10), (2**31 - 1, 2**63 - 1), (0, 0), (None, 5)]
+    df = spark.createDataFrame(rows, "i int, l long")
+    got = df.select(
+        F.xxhash64("i").alias("hi"),
+        F.xxhash64("l").alias("hl"),
+        F.xxhash64("i", "l").alias("hc"),
+    ).collect()
+    for (i, l), r in zip(rows, got):
+        assert r["hi"] == spark_xxhash64([("int", i)])
+        assert r["hl"] == spark_xxhash64([("long", l)])
+        # multi-arg chains left to right; None contributes nothing
+        assert r["hc"] == spark_xxhash64([("int", i), ("long", l)])
+
+
+def test_xxh64_twin_custom_seed_and_binary(spark):
+    df = spark.createDataFrame([(b"\x00\x01\xff",)], "b binary")
+    assert df.select(F.xxhash64("b").alias("h")).first()["h"] == spark_xxhash64(
+        [("binary", b"\x00\x01\xff")]
+    )
+    # public-spec sanity: seed folds in, empty input is well-defined
+    assert xxh64_bytes(b"", 0) == 0xEF46DB3751D8E999
+
+
+def _twin_bucket(key: str | None, seed: int = 42, buckets: int = DEFAULT_BUCKETS) -> int:
+    h = spark_xxhash64([("long", seed), ("string", key)])
+    return h % buckets  # Python % == Spark pmod for positive modulus
+
+
+# ------------------------------------------------------------- bucket/split
+
+
+def _keys(n: int) -> list[str]:
+    return [f"doc-{i:05d}" for i in range(n)]
+
+
+def test_bucket_expr_matches_twin(spark):
+    keys = _keys(500)
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = df.select("k", bucket_expr("k").alias("b")).collect()
+    for r in got:
+        assert r["b"] == _twin_bucket(r["k"])
+
+
+def test_with_split_labels_match_twin_and_are_exhaustive(spark):
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    keys = _keys(2000)
+    df = with_split(
+        spark.createDataFrame([(k,) for k in keys], "k string"), "k", weights
+    )
+    thresholds = [("train", 8000), ("val", 9000), ("test", DEFAULT_BUCKETS)]
+    rows = df.collect()
+    assert len(rows) == len(keys)
+    for r in rows:
+        b = _twin_bucket(r["k"])
+        expected = next(name for name, t in thresholds if b < t)
+        assert r["split"] == expected
+    # proportions land near the weights (hash uniformity at n=2000)
+    counts = {r["split"]: 0 for r in rows}
+    for r in rows:
+        counts[r["split"]] += 1
+    assert 0.75 <= counts["train"] / len(keys) <= 0.85
+    assert counts["train"] + counts["val"] + counts["test"] == len(keys)
+
+
+def test_with_split_append_stable(spark):
+    # growing the corpus must not move previously assigned keys
+    small = _keys(300)
+    big = _keys(900)
+    a = with_split(spark.createDataFrame([(k,) for k in small], "k string"), "k")
+    b = with_split(spark.createDataFrame([(k,) for k in big], "k string"), "k")
+    assign_a = {r["k"]: r["split"] for r in a.collect()}
+    assign_b = {r["k"]: r["split"] for r in b.collect()}
+    for k in small:
+        assert assign_a[k] == assign_b[k]
+
+
+def test_with_split_null_key_lands_in_one_bucket(spark):
+    df = with_split(
+        spark.createDataFrame([(None,), (None,), ("k",)], "k string"), "k"
+    )
+    labels = {r["split"] for r in df.filter(F.col("k").isNull()).collect()}
+    assert len(labels) == 1  # deterministic, not dropped
+    null_bucket = spark_xxhash64([("long", 42), ("string", None)]) % DEFAULT_BUCKETS
+    expected = "train" if null_bucket < 9800 else ("val" if null_bucket < 9900 else "test")
+    assert labels == {expected}
+
+
+def test_split_weight_validation():
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        _cumulative_thresholds,
+    )
+
+    with pytest.raises(ValueError, match="positive"):
+        _cumulative_thresholds({"a": 0.0}, 100)
+    with pytest.raises(ValueError, match="negative"):
+        _cumulative_thresholds({"a": 1.0, "b": -0.1}, 100)
+    # rounding never orphans the top bucket
+    assert _cumulative_thresholds({"a": 1, "b": 1, "c": 1}, 10000)[-1][1] == 10000
+
+
+# ------------------------------------------------------------------ sample
+
+
+def test_hash_sample_matches_twin_and_nests(spark):
+    keys = _keys(1000)
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    kept_half = {r["k"] for r in hash_sample(df, "k", 0.5).collect()}
+    kept_quarter = {r["k"] for r in hash_sample(df, "k", 0.25).collect()}
+    for k in keys:
+        assert (k in kept_half) == (_twin_bucket(k) < 5000)
+    # thresholds nest: a smaller fraction is a subset of a larger one
+    assert kept_quarter <= kept_half
+    assert hash_sample(df, "k", 0.0).count() == 0
+    assert hash_sample(df, "k", 1.0).count() == len(keys)
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, "k", 1.5)
+
+
+def test_stratified_hash_sample(spark):
+    rows = [(f"d{i}", "en" if i % 3 else "de") for i in range(600)]
+    df = spark.createDataFrame(rows, "k string, lang string")
+    out = stratified_hash_sample(df, "lang", {"en": 0.5}, key="k").collect()
+    # absent strata are dropped, matching DataFrame.sampleBy semantics
+    assert all(r["lang"] == "en" for r in out)
+    kept = {r["k"] for r in out}
+    for k, lang in rows:
+        expected = lang == "en" and _twin_bucket(k) < 5000
+        assert (k in kept) == expected
+    with pytest.raises(ValueError, match="stratum"):
+        stratified_hash_sample(df, "lang", {"en": 2.0}, key="k")
+
+
+# ------------------------------------------------------------ per_group_cap
+
+
+def test_per_group_cap_duckdb_oracle(spark):
+    rows = [
+        (f"g{i % 5}", f"r{i:03d}", (i * 37) % 100) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id string, score int")
+    got = per_group_cap(df, ["grp"], [F.col("score").desc(), F.col("id")], k=3)
+    got_rows = sorted((r["grp"], r["id"]) for r in got.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (grp VARCHAR, id VARCHAR, score INT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        (g, i)
+        for g, i in con.execute(
+            """
+            SELECT grp, id FROM (
+              SELECT grp, id,
+                     row_number() OVER (PARTITION BY grp
+                                        ORDER BY score DESC, id) AS rn
+              FROM t
+            ) WHERE rn <= 3
+            """
+        ).fetchall()
+    )
+    assert got_rows == want
+    # schema passes through unchanged (helper column dropped)
+    assert got.columns == ["grp", "id", "score"]
+    with pytest.raises(ValueError, match="k must be"):
+        per_group_cap(df, ["grp"], ["id"], k=0)

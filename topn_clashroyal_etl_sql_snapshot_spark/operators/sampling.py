@@ -1,0 +1,167 @@
+"""Deterministic sampling, splitting, and per-group capping for
+training-data pipelines.
+
+The reference has no sampling surface (it snapshots everything —
+scripts/etl_snapshot_topn.py is a full TRUNCATE+RELOAD); these are the
+operations a 100 TB corpus needs before training: carve train/val/test,
+downsample a stratum, cap any one group's (domain's, dedup-cluster's)
+contribution.
+
+Everything here is keyed on ``xxhash64`` of a stable key column, never
+on ``rand()``:
+
+- **Deterministic & replayable**: the same key lands in the same split
+  on every run, every cluster size, every Spark version — so eval sets
+  stay disjoint from training data across pipeline re-runs.
+- **Append-stable**: when the corpus grows, previously sampled keys keep
+  their assignment (consistent hashing); a ``rand()`` sample reshuffles
+  membership on every recompute.
+- **Zero shuffle**: split/sample are narrow projections evaluated inside
+  the scan's codegen stage — at 100 TB they cost a column expression,
+  not an exchange. Only ``per_group_cap`` shuffles (one exchange on the
+  group key), and it is itself the skew mitigator: a pathological group
+  contributes at most ``k`` rows downstream.
+
+Verification: Spark's xxhash64 is not re-computable by a SQL oracle
+(DuckDB's ``hash()`` differs), so tests/test_sampling.py checks these
+against the pure-Python xxHash64 twin (testing/xxh64.py) row-for-row,
+and ``per_group_cap`` against a DuckDB ``row_number()`` oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 10_000
+
+
+def bucket_expr(
+    key: str | Column, seed: int = 42, buckets: int = DEFAULT_BUCKETS
+) -> Column:
+    """``pmod(xxhash64(seed_long, key), buckets)`` — a uniform,
+    deterministic bucket in [0, buckets). The seed is cast to LongType
+    explicitly so the hash input is width-stable (a bare Python-int
+    literal would flip between IntegerType and LongType at 2³¹ and
+    silently change every bucket)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = F.xxhash64(F.lit(int(seed)).cast("long"), key_col)
+    return F.pmod(h, F.lit(int(buckets)))
+
+
+def _cumulative_thresholds(
+    weights: Mapping[str, float], buckets: int
+) -> list[tuple[str, int]]:
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    out: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative split weight for {name!r}")
+        acc += w / total
+        out.append((name, int(round(acc * buckets))))
+    # float rounding must not orphan the top bucket: pin the last
+    # threshold to the full range so labels are exhaustive.
+    out[-1] = (out[-1][0], buckets)
+    return out
+
+
+def with_split(
+    df: DataFrame,
+    key: str | Column,
+    weights: Mapping[str, float] | None = None,
+    seed: int = 42,
+    buckets: int = DEFAULT_BUCKETS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Adds ``split_col`` ∈ weights.keys() with proportions ≈ weights
+    (exact at bucket granularity: a weight of 0.05 with the default
+    10 000 buckets is 500 buckets). Dict order fixes the bucket→label
+    layout, so the same (weights, seed) always yields the same splits.
+
+    Rows with a NULL key hash as an empty contribution (Spark's null
+    rule leaves the running hash at the seed) — they all land in ONE
+    deterministic bucket rather than being dropped; filter beforehand if
+    NULL keys should be excluded."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    b = bucket_expr(key, seed, buckets)
+    expr: Column | None = None
+    for name, threshold in _cumulative_thresholds(weights, buckets):
+        expr = (
+            F.when(b < threshold, F.lit(name))
+            if expr is None
+            else expr.when(b < threshold, F.lit(name))
+        )
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    key: str | Column,
+    fraction: float,
+    seed: int = 42,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows by key-bucket: membership is a pure
+    function of (key, seed), so re-runs, retries, and corpus growth
+    never change which keys are in-sample. All keys sharing a bucket
+    move together — sample by a GROUPING key (doc id, user id) to keep
+    groups intact, which is exactly the leakage-safety property a
+    random-per-row sample cannot give."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(bucket_expr(key, seed, buckets) < int(round(fraction * buckets)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata: str | Column,
+    fractions: Mapping[str, float],
+    key: str | Column,
+    seed: int = 42,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy``'s semantics —
+    strata absent from ``fractions`` are dropped — but hash-keyed, so
+    it is replayable and append-stable). Rebalances a skewed corpus,
+    e.g. downsampling a dominant language or source to a target mix.
+    The when-chain stays a narrow projection; strata cardinality is
+    assumed small (it is a label set, not a key space)."""
+    strata_col = F.col(strata) if isinstance(strata, str) else strata
+    b = bucket_expr(key, seed, buckets)
+    keep: Column = F.lit(False)
+    for value, fraction in fractions.items():
+        if not 0.0 <= fraction <= 1.0:
+            raise ValueError(f"fraction for stratum {value!r} not in [0, 1]")
+        keep = keep | (
+            (strata_col == F.lit(value)) & (b < int(round(fraction * buckets)))
+        )
+    return df.filter(keep)
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
+    k: int,
+) -> DataFrame:
+    """At most ``k`` rows per group, chosen by ``order_cols`` (make the
+    ordering total — include a unique tiebreaker — or the cap is
+    nondeterministic). The training-pipeline use: cap any one domain /
+    near-dup cluster / user at k documents so no group dominates the
+    mix. One exchange on the group key; the window is rank-only, so
+    map-side nothing accumulates beyond the row buffer, and post-cap
+    every group is ≤ k rows — this operator REMOVES downstream skew
+    rather than creating it."""
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
