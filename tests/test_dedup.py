@@ -185,3 +185,65 @@ def test_simhash_bucket_cap_drops_hot_buckets(spark):
         fps, max_hamming=7, chunks=8, max_bucket=39
     ).count()
     assert capped == 0
+
+
+def test_minhash_lsh_hash_math_matches_xxh64_twin(spark, corpus):
+    """Re-derive the entire MinHash→LSH candidate path in pure Python via
+    the xxHash64 twin (testing/xxh64.py): hashed shingle postings,
+    signature min-hashes, band buckets, and the resulting candidate-pair
+    set must all match Spark exactly. This closes the docstring's
+    'hash outputs are engine-specific' verification gap — the hash math
+    itself now has an engine-independent oracle, not just the
+    true-Jaccard post-check on the final output."""
+    from topn_clashroyal_etl_sql_snapshot_spark.testing.xxh64 import spark_xxhash64
+
+    df, texts, _ = corpus
+    k, bands, rpb = 16, 4, 4  # k small enough for the pure-Python side
+
+    # 1. hashed postings: sh64 = xxhash64(shingle_string)
+    postings = dedup.hashed_postings(df)
+    got_postings: dict[int, set[int]] = {}
+    for r in postings.collect():
+        got_postings.setdefault(r["id"], set()).add(r["sh"])
+    want_postings = {
+        i: {spark_xxhash64([("string", sh)]) for sh in _trigrams(t)}
+        for i, t in texts.items()
+    }
+    assert got_postings == want_postings
+
+    # 2. signatures: sig[i] = min over postings of xxhash64(int i, long sh)
+    sigs = dedup.minhash_signatures(k=k, postings=postings)
+    got_sigs = {r["id"]: list(r["sig"]) for r in sigs.collect()}
+    want_sigs = {
+        d: [
+            min(spark_xxhash64([("int", i), ("long", sh)]) for sh in shs)
+            for i in range(k)
+        ]
+        for d, shs in want_postings.items()
+    }
+    assert got_sigs == want_sigs
+
+    # 3. band buckets → candidate pairs: bucket = xxhash64(int band,
+    #    ",".join(str(sig_slice))); pairs share (band, bucket)
+    got_pairs = {
+        (r["id1"], r["id2"])
+        for r in dedup.lsh_candidate_pairs(sigs, bands, rpb).collect()
+    }
+    buckets: dict[tuple[int, int], set[int]] = {}
+    for d, sig in want_sigs.items():
+        for b in range(bands):
+            key = spark_xxhash64(
+                [
+                    ("int", b),
+                    ("string", ",".join(str(v) for v in sig[b * rpb : (b + 1) * rpb])),
+                ]
+            )
+            buckets.setdefault((b, key), set()).add(d)
+    want_pairs = {
+        (a, c)
+        for members in buckets.values()
+        for a, c in itertools.combinations(sorted(members), 2)
+    }
+    assert got_pairs == want_pairs
+    # the fixture's exact dups must be among the candidates
+    assert {(0, 100), (1, 101)} <= got_pairs
