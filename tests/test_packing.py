@@ -1,0 +1,132 @@
+"""Sequence packing (operators/packing.py): greedy contiguous fill vs
+a DuckDB window oracle; first-fit-decreasing invariants + determinism."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from topn_clashroyal_etl_sql_snapshot_spark.operators.packing import (
+    pack_ffd,
+    pack_greedy,
+    pack_stats,
+)
+
+BUDGET = 100
+
+
+def _rows():
+    # deterministic pseudo-random token counts across 3 groups,
+    # including one oversized document (> budget)
+    rows = [
+        (f"g{i % 3}", f"d{i:03d}", 1 + (i * 37) % 70) for i in range(90)
+    ]
+    rows.append(("g0", "d900", 250))  # oversized
+    return rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_rows(), "grp string, doc_id string, toks int")
+
+
+def test_pack_greedy_matches_duckdb_oracle(spark, docs):
+    got = sorted(
+        (r["grp"], r["doc_id"], r["bin_id"])
+        for r in pack_greedy(docs, ["grp"], ["doc_id"], "toks", BUDGET).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp VARCHAR, doc_id VARCHAR, toks INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", _rows())
+    want = sorted(
+        con.execute(
+            f"""
+            SELECT grp, doc_id,
+                   CAST(FLOOR(COALESCE(SUM(toks) OVER (
+                       PARTITION BY grp ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / {BUDGET}) AS BIGINT) AS bin_id
+            FROM t
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_pack_greedy_bin_properties(spark, docs):
+    packed = pack_greedy(docs, ["grp"], ["doc_id"], "toks", BUDGET).collect()
+    by_group: dict[str, list] = {}
+    for r in sorted(packed, key=lambda r: (r["grp"], r["doc_id"])):
+        by_group.setdefault(r["grp"], []).append(r)
+    for rows in by_group.values():
+        bins = [r["bin_id"] for r in rows]
+        # contiguous fill: bin ids are non-decreasing in document order
+        assert bins == sorted(bins)
+        # each bin STARTS under budget: the pre-overflow load is < budget,
+        # so a bin exceeds it by at most its final (boundary) document
+        fill: dict[int, int] = {}
+        for r in rows:
+            prev = fill.get(r["bin_id"], 0)
+            assert prev < BUDGET
+            fill[r["bin_id"]] = prev + r["toks"]
+
+
+def test_pack_ffd_invariants(spark, docs):
+    packed = pack_ffd(docs, ["grp"], "doc_id", "toks", BUDGET).collect()
+    # every document assigned exactly once, tokens preserved
+    assert sorted((r["grp"], r["doc_id"]) for r in packed) == sorted(
+        (g, d) for g, d, _ in _rows()
+    )
+    toks = {(g, d): t for g, d, t in _rows()}
+    fill: dict[tuple[str, int], int] = {}
+    for r in packed:
+        assert r["tokens"] == toks[(r["grp"], r["doc_id"])]
+        fill[(r["grp"], r["bin_id"])] = fill.get((r["grp"], r["bin_id"]), 0) + r["tokens"]
+    # hard cap: only a single oversized doc may exceed the budget
+    for (g, b), total in fill.items():
+        members = [
+            r for r in packed if (r["grp"], r["bin_id"]) == (g, b)
+        ]
+        if total > BUDGET:
+            assert len(members) == 1 and members[0]["tokens"] > BUDGET
+    # the oversized doc sits alone
+    big = next(r for r in packed if r["doc_id"] == "d900")
+    assert fill[("g0", big["bin_id"])] == 250
+
+
+def test_pack_ffd_deterministic_and_no_looser_than_greedy(spark, docs):
+    a = {
+        (r["grp"], r["doc_id"]): r["bin_id"]
+        for r in pack_ffd(docs, ["grp"], "doc_id", "toks", BUDGET).collect()
+    }
+    b = {
+        (r["grp"], r["doc_id"]): r["bin_id"]
+        for r in pack_ffd(
+            docs.repartition(7, "doc_id"), ["grp"], "doc_id", "toks", BUDGET
+        ).collect()
+    }
+    assert a == b  # partitioning-independent assignment
+    # first-fit quality bound: at most ONE bin per group may end ≤ half
+    # full (two half-empty bins would have been merged by first-fit) —
+    # oversized single-doc bins excepted
+    fill: dict[tuple[str, int], int] = {}
+    for r in pack_ffd(docs, ["grp"], "doc_id", "toks", BUDGET).collect():
+        fill[(r["grp"], r["bin_id"])] = (
+            fill.get((r["grp"], r["bin_id"]), 0) + r["tokens"]
+        )
+    half_empty: dict[str, int] = {}
+    for (g, _), total in fill.items():
+        if total <= BUDGET // 2:
+            half_empty[g] = half_empty.get(g, 0) + 1
+    assert all(n <= 1 for n in half_empty.values()), half_empty
+
+
+def test_pack_stats(spark, docs):
+    packed = pack_greedy(docs, ["grp"], ["doc_id"], "toks", BUDGET)
+    stats = pack_stats(packed, ["grp"], "toks", BUDGET).collect()
+    assert sum(r["docs"] for r in stats) == len(_rows())
+    for r in stats:
+        assert r["fill_rate"] == pytest.approx(r["tokens"] / BUDGET)
+    with pytest.raises(ValueError, match="budget"):
+        pack_greedy(packed, ["grp"], ["doc_id"], "toks", 0)
