@@ -130,3 +130,35 @@ def test_pack_stats(spark, docs):
         assert r["fill_rate"] == pytest.approx(r["tokens"] / BUDGET)
     with pytest.raises(ValueError, match="budget"):
         pack_greedy(packed, ["grp"], ["doc_id"], "toks", 0)
+
+
+def test_packing_plan_shapes(spark, docs):
+    """pack_greedy: one exchange (the group-key shuffle feeding the
+    window) and zero Python nodes; pack_stats on top re-uses the same
+    partitioning lineage — the aggregate adds its own exchange but the
+    pack itself stays single-shuffle."""
+    import contextlib
+    import io
+
+    import re
+
+    def plan(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def exchanges(p: str) -> int:
+        # count detail headers like "(4) Exchange": one per node (the
+        # tree section prints the same node as "Exchange (4)")
+        return len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+
+    packed = pack_greedy(docs, ["grp"], ["doc_id"], "toks", BUDGET)
+    p = plan(packed)
+    assert exchanges(p) == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # FFD is the documented pandas exception: exactly one group-key
+    # exchange feeding the FlatMapGroupsInPandas node
+    f = plan(pack_ffd(docs, ["grp"], "doc_id", "toks", BUDGET))
+    assert exchanges(f) == 1, f
+    assert "FlatMapGroupsInPandas" in f

@@ -211,3 +211,44 @@ def test_per_group_cap_duckdb_oracle(spark):
     assert got.columns == ["grp", "id", "score"]
     with pytest.raises(ValueError, match="k must be"):
         per_group_cap(df, ["grp"], ["id"], k=0)
+
+
+# ---------------------------------------------------------------- plan shape
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchanges(plan: str) -> int:
+    # formatted explain lists each node once in the tree and once in the
+    # detail section; count detail headers like "(4) Exchange" only
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+
+
+def test_sampling_plan_shapes(spark):
+    """The 100 TB contract of sampling.py: split/sample are narrow
+    scan-stage projections (zero exchanges, zero Python nodes);
+    per_group_cap costs exactly one exchange (the group-key shuffle)."""
+    df = spark.range(1000).select(
+        F.col("id").cast("string").alias("k"),
+        F.pmod("id", F.lit(7)).alias("grp"),
+    )
+    for narrow in (
+        with_split(df, "k"),
+        hash_sample(df, "k", 0.25),
+        stratified_hash_sample(df, F.col("grp").cast("string"), {"1": 0.5}, key="k"),
+    ):
+        plan = _plan(narrow)
+        assert _exchanges(plan) == 0, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    capped = _plan(per_group_cap(df, ["grp"], ["k"], k=3))
+    assert _exchanges(capped) == 1, capped
