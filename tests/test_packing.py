@@ -162,3 +162,58 @@ def test_packing_plan_shapes(spark, docs):
     f = plan(pack_ffd(docs, ["grp"], "doc_id", "toks", BUDGET))
     assert exchanges(f) == 1, f
     assert "FlatMapGroupsInPandas" in f
+
+
+# ------------------------------------------------------------- property
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+token_lists = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(1, 3 * BUDGET)), min_size=1, max_size=40
+)
+
+
+@given(token_lists)
+@SLOW
+def test_pack_greedy_matches_python_fold_property(spark, items):
+    rows = [(f"g{g}", f"d{i:03d}", t) for i, (g, t) in enumerate(items)]
+    df = spark.createDataFrame(rows, "grp string, doc_id string, toks int")
+    got = {
+        (r["grp"], r["doc_id"]): r["bin_id"]
+        for r in pack_greedy(df, ["grp"], ["doc_id"], "toks", BUDGET).collect()
+    }
+    want: dict[tuple[str, str], int] = {}
+    by_group: dict[str, list] = {}
+    for g, d, t in sorted(rows):
+        by_group.setdefault(g, []).append((d, t))
+    for g, docs_ in by_group.items():
+        acc = 0
+        for d, t in docs_:
+            want[(g, d)] = acc // BUDGET
+            acc += t
+    assert got == want
+
+
+@given(token_lists)
+@SLOW
+def test_pack_ffd_invariants_property(spark, items):
+    rows = [(f"g{g}", f"d{i:03d}", t) for i, (g, t) in enumerate(items)]
+    df = spark.createDataFrame(rows, "grp string, doc_id string, toks int")
+    packed = pack_ffd(df, ["grp"], "doc_id", "toks", BUDGET).collect()
+    assert sorted((r["grp"], r["doc_id"]) for r in packed) == sorted(
+        (g, d) for g, d, _ in rows
+    )
+    fill: dict[tuple[str, int], list[int]] = {}
+    for r in packed:
+        fill.setdefault((r["grp"], r["bin_id"]), []).append(r["tokens"])
+    for members in fill.values():
+        # budget respected unless a lone oversized document
+        assert sum(members) <= BUDGET or (len(members) == 1 and members[0] > BUDGET)

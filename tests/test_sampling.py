@@ -252,3 +252,22 @@ def test_sampling_plan_shapes(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     capped = _plan(per_group_cap(df, ["grp"], ["k"], k=3))
     assert _exchanges(capped) == 1, capped
+
+
+# --------------------------------------------------------- shuffle order
+
+
+def test_shuffle_order_is_deterministic_permutation(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        shuffle_order_expr,
+    )
+
+    keys = _keys(400)
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = [r["k"] for r in df.orderBy(*shuffle_order_expr("k")).collect()]
+    want = sorted(keys, key=lambda k: (spark_xxhash64([("long", 42), ("string", k)]), k))
+    assert got == want
+    assert got != sorted(keys)  # actually permutes
+    # a different seed deals a different permutation (epoch reshuffle)
+    other = [r["k"] for r in df.orderBy(*shuffle_order_expr("k", seed=43)).collect()]
+    assert other != got and sorted(other) == sorted(got)

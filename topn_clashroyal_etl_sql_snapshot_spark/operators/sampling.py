@@ -143,6 +143,29 @@ def stratified_hash_sample(
     return df.filter(keep)
 
 
+def shuffle_order_expr(
+    key: str | Column, seed: int = 42, tiebreak: str | Column | None = None
+) -> list[Column]:
+    """Sort columns for a deterministic corpus shuffle: ORDER BY
+    ``xxhash64(seed, key)`` is a uniform permutation that is a pure
+    function of (key, seed) — reproducible across runs and cluster
+    sizes, re-dealable by changing the seed (epoch number as seed =
+    a fresh permutation per epoch). Training pipelines need this to
+    decorrelate document order from crawl/source order without
+    `rand()`'s replay instability.
+
+    Returns sort columns (hash, then ``tiebreak`` or the key itself so
+    equal hashes — and NULL keys, which all hash alike — still order
+    totally). Use as ``df.orderBy(*shuffle_order_expr("doc_id"))``, or
+    ``df.repartitionByRange(n, *...)`` to materialize shuffled output
+    files without a single global sort partition."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    tb = key_col if tiebreak is None else (
+        F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+    )
+    return [F.xxhash64(F.lit(int(seed)).cast("long"), key_col), tb]
+
+
 def per_group_cap(
     df: DataFrame,
     group_cols: Sequence[str],
