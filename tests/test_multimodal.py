@@ -60,9 +60,14 @@ def test_media_stats_no_udf(spark, media):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_stub_raises_without_fake(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        mm.extract_image_features(media, deterministic_fake=False).collect()
+def test_real_feature_path_nulls_undecodable_rows(spark, media):
+    # the media fixture's payloads are fake bytes, not decodable images:
+    # the REAL pixel path must emit NULL features, never raise — a
+    # corrupt blob must not kill the scan
+    rows = mm.extract_image_features(media, deterministic_fake=False).collect()
+    assert len(rows) == 3  # two fake-PNG rows + the null-payload row
+    assert all(r["feature"] is None for r in rows)
+    assert all(r["sha1"] for r in rows)  # byte-level metadata still real
 
 
 # --- real header parsing (no codec libs) -----------------------------------
@@ -129,3 +134,172 @@ def test_image_dimensions_operator(spark):
         12: ("jpeg", 33, 44),
         13: (None, None, None),
     }
+
+
+# --- real pixel decode (stdlib only) ---------------------------------------
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(arr: np.ndarray, color_type: int, filters, palette: bytes | None = None) -> bytes:
+    """Test-side PNG ENCODER — the forward filter transform (spec §9),
+    the inverse of the operator's unfilter, applied per scanline from
+    the cycle ``filters``. An encode→decode round-trip therefore checks
+    the decoder against independent math, not against itself."""
+    h, w = arr.shape[:2]
+    c = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    flat = arr.reshape(h, w * c).astype(np.uint8)
+    raw = bytearray()
+    prev = bytes(w * c)
+    for y in range(h):
+        line = flat[y].tobytes()
+        f = filters[y % len(filters)]
+        raw.append(f)
+        n = len(line)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = bytes(
+                (line[i] - (line[i - c] if i >= c else 0)) & 0xFF for i in range(n)
+            )
+        elif f == 2:
+            enc = bytes((line[i] - prev[i]) & 0xFF for i in range(n))
+        elif f == 3:
+            enc = bytes(
+                (line[i] - (((line[i - c] if i >= c else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(n)
+            )
+        elif f == 4:
+            enc = bytearray()
+            for i in range(n):
+                a = line[i - c] if i >= c else 0
+                b = prev[i]
+                cc = prev[i - c] if i >= c else 0
+                pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                enc.append((line[i] - pred) & 0xFF)
+            enc = bytes(enc)
+        else:
+            raise ValueError(f)
+        raw += enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += _chunk(b"PLTE", palette)
+    body += _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def _encode_bmp(arr: np.ndarray, top_down: bool = False) -> bytes:
+    """24-bit BI_RGB BMP with proper 4-byte row stride (test-side)."""
+    h, w = arr.shape[:2]
+    stride = ((24 * w + 31) // 32) * 4
+    src = arr if top_down else arr[::-1]
+    data = b"".join(
+        src[y][:, ::-1].tobytes() + b"\x00" * (stride - 3 * w) for y in range(h)
+    )
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + dib + data
+
+
+def _rand_pixels(rng: np.random.Generator, h: int, w: int, c: int) -> np.ndarray:
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def test_png_decode_roundtrip_all_filters_and_colortypes():
+    rng = np.random.default_rng(11)
+    for color_type, c in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        px = _rand_pixels(rng, 7, 5, c)
+        # cycle through every filter type across scanlines
+        payload = _encode_png(px, color_type, filters=[0, 1, 2, 3, 4])
+        got = mm.decode_png_pixels(payload)
+        assert got is not None and got.shape == px.shape, color_type
+        assert np.array_equal(got, px), f"colortype {color_type}"
+
+
+def test_png_decode_palette():
+    rng = np.random.default_rng(5)
+    palette = bytes(rng.integers(0, 256, size=48, dtype=np.uint8))  # 16 entries
+    idx = rng.integers(0, 16, size=(6, 4, 1), dtype=np.uint8)
+    payload = _encode_png(idx, 3, filters=[0, 2, 4], palette=palette)
+    got = mm.decode_png_pixels(payload)
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+
+
+def test_png_decode_real_file_and_rejects():
+    got = mm.decode_png_pixels(REAL_PNG_1x1)
+    assert got is not None and got.shape[:2] == (1, 1)
+    assert got.shape[2] in (3, 4)
+    assert mm.decode_png_pixels(b"\x89PNG-fake") is None
+    assert mm.decode_png_pixels(b"") is None
+    assert mm.decode_png_pixels(None) is None
+    # truncated IDAT → None, not an exception
+    trunc = _encode_png(np.zeros((4, 4, 3), np.uint8), 2, [0])
+    assert mm.decode_png_pixels(trunc[: len(trunc) - 20]) is None
+
+
+def test_bmp_decode_roundtrip_both_orientations():
+    rng = np.random.default_rng(3)
+    px = _rand_pixels(rng, 5, 3, 3)  # stride padding exercised (3*3=9 → 12)
+    assert np.array_equal(mm.decode_bmp_pixels(_encode_bmp(px)), px)
+    assert np.array_equal(mm.decode_bmp_pixels(_encode_bmp(px, top_down=True)), px)
+    assert mm.decode_bmp_pixels(b"BM\x00") is None
+
+
+def test_downsample_block_means_exact():
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = mm.downsample_pixels(arr, 2, 2)
+    for by in range(2):
+        for bx in range(2):
+            block = arr[2 * by : 2 * by + 2, 2 * bx : 2 * bx + 2].astype(float)
+            want = np.rint(block.mean(axis=(0, 1))).astype(np.uint8)
+            assert np.array_equal(out[by, bx], want)
+    # upsample repeats pixels
+    up = mm.downsample_pixels(arr[:2, :2], 4, 4)
+    assert np.array_equal(up[0, 0], arr[0, 0]) and np.array_equal(up[3, 3], arr[1, 1])
+
+
+def test_real_feature_and_thumbnail_operators(spark):
+    rng = np.random.default_rng(9)
+    px = _rand_pixels(rng, 8, 6, 3)
+    png = _encode_png(px, 2, filters=[4, 3, 2, 1, 0])
+    bmp_px = _rand_pixels(rng, 4, 4, 3)
+    rows = [
+        (1, "image", "image/png", png, None, None, None),
+        (2, "image", "image/bmp", _encode_bmp(bmp_px), None, None, None),
+        (3, "image", "image/jpeg", _minimal_jpeg(10, 10), None, None, None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in
+             mm.extract_image_features(df, deterministic_fake=False).collect()}
+    rgb = px.astype(np.float64) / 255.0
+    want = [*rgb.mean(axis=(0, 1)), *rgb.std(axis=(0, 1)), 6 / 8, 3 / 4.0]
+    assert feats[1]["feature"] == pytest.approx(want, abs=1e-6)
+    assert feats[2]["feature"] is not None
+    assert feats[3]["feature"] is None  # JPEG needs absent codec libs
+
+    thumbs = {r["media_id"]: r for r in mm.image_thumbnails(df, 2, 2).collect()}
+    assert (thumbs[1]["thumb_h"], thumbs[1]["thumb_w"]) == (2, 2)
+    assert len(thumbs[1]["rgb"]) == 2 * 2 * 3
+    got_thumb = np.frombuffer(thumbs[1]["rgb"], dtype=np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(got_thumb, mm.downsample_pixels(px, 2, 2))
+    assert thumbs[3]["rgb"] is None and thumbs[3]["thumb_h"] is None

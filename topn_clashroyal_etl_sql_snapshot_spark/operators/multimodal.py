@@ -2,27 +2,32 @@
 columns with typed metadata, processed through Arrow-batched Pandas UDFs.
 
 The Spark-side contract is fully real — schemas, partition-preserving
-``mapInPandas`` plumbing, batch shapes, deterministic fake features — and
-image HEADER decoding (PNG/GIF/JPEG/BMP width·height, pure struct byte
-parsing — no codec libraries) is REAL via :func:`image_dimensions`.
-Pixel-level decoding is STUBBED: the image/audio codec libraries are
-not available in this environment. Each decode function documents its
-production body and raises ``NotImplementedError`` unless
-``deterministic_fake=True`` (the default used in tests), which derives
-features from the raw bytes so the pipeline is testable end-to-end.
+``mapInPandas`` plumbing, batch shapes — and so is the decode path for
+the formats stdlib can carry: image HEADER parsing for PNG/GIF/JPEG/BMP
+(:func:`parse_image_header`) and PIXEL decoding for PNG (zlib inflate +
+all five scanline filters, :func:`decode_png_pixels`) and uncompressed
+BMP (:func:`decode_bmp_pixels`) — no codec libraries involved. JPEG/GIF
+pixel decode and audio/video codecs DO need external libraries that are
+not in this container; those paths return ``None`` features per row
+(corrupt or undecodable media must not kill a 100 TB scan), and the
+frame sampler documents its pyav production body behind
+``deterministic_fake``.
 
 Scale notes: binary payloads ride the columnar Arrow path (no per-row
 pickling); ``mapInPandas`` keeps batches bounded via
-``spark.sql.execution.arrow.maxRecordsPerBatch``; feature extraction is
-embarrassingly parallel — no shuffle at all until a downstream groupBy.
+``spark.sql.execution.arrow.maxRecordsPerBatch``; decode and feature
+extraction are embarrassingly parallel — no shuffle at all until a
+downstream groupBy.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -159,6 +164,175 @@ def image_dimensions(media: DataFrame) -> DataFrame:
     return img.mapInPandas(run, IMAGE_DIM_SCHEMA)
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_pixels(payload: bytes | None) -> np.ndarray | None:
+    """REAL PNG pixel decode with stdlib only: chunk walk → zlib inflate
+    → per-scanline unfilter (None/Sub/Up/Average/Paeth, the full filter
+    set of the PNG spec §9) → H×W×C uint8. Palette images are mapped
+    through PLTE to RGB. Supported: bit depth 8, non-interlaced — the
+    overwhelmingly common web case; anything else returns None rather
+    than guessing.
+    """
+    p = payload or b""
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    ihdr = plte = None
+    idat = bytearray()
+    off = 8
+    while off + 8 <= len(p):
+        (ln,), typ = struct.unpack(">I", p[off : off + 4]), p[off + 4 : off + 8]
+        data = p[off + 8 : off + 8 + ln]
+        if len(data) < ln:
+            return None  # truncated chunk
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        off += 12 + ln  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    channels = _PNG_CHANNELS.get(color)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or channels is None:
+        return None
+    if color == 3 and plte is None:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    rows: list[bytes] = []
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += stride + 1
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        rows.append(bytes(line))
+        prev = line
+    arr = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, channels)
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        if int(arr.max(initial=0)) >= len(pal):
+            return None
+        arr = pal[arr[:, :, 0]]
+    return arr
+
+
+def decode_bmp_pixels(payload: bytes | None) -> np.ndarray | None:
+    """REAL uncompressed-BMP pixel decode: BITMAPINFOHEADER (or newer),
+    24/32 bpp BI_RGB, 4-byte row stride, bottom-up (or top-down when
+    height is negative), BGR(A) → RGB. Returns H×W×3 uint8; other BMP
+    variants return None."""
+    p = payload or b""
+    if p[:2] != b"BM" or len(p) < 34:
+        return None
+    (data_off,) = struct.unpack("<I", p[10:14])
+    (dib,) = struct.unpack("<I", p[14:18])
+    if dib < 40:
+        return None  # OS/2 core headers carry no compression field
+    w, h = struct.unpack("<ii", p[18:26])
+    bpp, (comp,) = struct.unpack("<H", p[28:30])[0], struct.unpack("<I", p[30:34])
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    top_down, h = h < 0, abs(h)
+    nb = bpp // 8
+    stride = ((bpp * w + 31) // 32) * 4
+    if len(p) < data_off + h * stride:
+        return None
+    rows = np.frombuffer(
+        p, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)
+    px = rows[:, : w * nb].reshape(h, w, nb)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, 2::-1].copy()  # BGR(A) → RGB, drop alpha
+
+
+def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
+    """Dispatch on the real container header: PNG and uncompressed BMP
+    decode to pixels with stdlib alone; JPEG/GIF entropy coding needs
+    codec libraries not in this container → None (header metadata for
+    them still comes from :func:`parse_image_header`)."""
+    hdr = parse_image_header(payload)
+    if hdr is None:
+        return None
+    if hdr[0] == "png":
+        return decode_png_pixels(payload)
+    if hdr[0] == "bmp":
+        return decode_bmp_pixels(payload)
+    return None
+
+
+def downsample_pixels(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Block-average resize (area interpolation) via two ``reduceat``
+    passes — exact mean over each output cell's source block, no codec
+    library. Upsampling repeats source pixels (blocks of size 1)."""
+    h, w = arr.shape[:2]
+    r_edges = (np.arange(out_h) * h) // out_h
+    c_edges = (np.arange(out_w) * w) // out_w
+    pooled = np.add.reduceat(
+        np.add.reduceat(arr.astype(np.float64), r_edges, axis=0), c_edges, axis=1
+    )
+    r_sizes = np.diff(np.append(r_edges, h)).clip(min=1)
+    c_sizes = np.diff(np.append(c_edges, w)).clip(min=1)
+    counts = np.outer(r_sizes, c_sizes)[:, :, None]
+    return np.rint(pooled / counts).astype(np.uint8)
+
+
+def _to_rgb(arr: np.ndarray) -> np.ndarray:
+    """Gray / gray+alpha / RGBA → RGB (alpha dropped, gray replicated)."""
+    c = arr.shape[2]
+    if c >= 3:
+        return arr[:, :, :3]
+    return np.repeat(arr[:, :, :1], 3, axis=2)
+
+
+def _pixel_feature(arr: np.ndarray) -> list[float]:
+    """8-dim content descriptor from REAL pixels: per-channel means and
+    stds (RGB, [0,1]-scaled), aspect ratio (min/max), channel count /4."""
+    rgb = _to_rgb(arr).astype(np.float64) / 255.0
+    h, w = arr.shape[:2]
+    means = rgb.mean(axis=(0, 1))
+    stds = rgb.std(axis=(0, 1))
+    return [
+        *(float(m) for m in means),
+        *(float(s) for s in stds),
+        min(h, w) / max(h, w),
+        arr.shape[2] / 4.0,
+    ]
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in feature vector derived from content bytes."""
     h = hashlib.sha1(payload or b"").digest()
@@ -170,23 +344,28 @@ def extract_image_features(
 ) -> DataFrame:
     """payload → (sha1, n_bytes, feature[dim]) via ``mapInPandas``.
 
-    Production body (requires PIL/torchvision, not in this container)::
-
-        img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
-        img = img.resize((224, 224))
-        feature = model(np.asarray(img))          # or color histogram
-
-    The stub derives a deterministic fake feature from the bytes so the
-    plumbing (schema, batching, downstream joins) runs for real.
+    With ``deterministic_fake=False`` the feature is computed from REAL
+    decoded pixels (:func:`decode_image_pixels` — PNG and uncompressed
+    BMP, stdlib-only): per-channel means/stds + shape descriptors.
+    Formats whose entropy coding needs absent codec libraries (JPEG,
+    GIF) and corrupt payloads yield a NULL feature for that row — a bad
+    blob must not kill a 100 TB scan. The default keeps the
+    byte-derived deterministic fake (stable across environments, used
+    by the plumbing tests; a model-embedding production body would slot
+    in the same way, e.g. ``model(np.asarray(img))`` over the decoded
+    array).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips — not available here"
-                )
             payloads = pdf["payload"]
+            if deterministic_fake:
+                feats = [_fake_feature(p, dim) for p in payloads]
+            else:
+                decoded = [decode_image_pixels(p) for p in payloads]
+                feats = [
+                    _pixel_feature(a) if a is not None else None for a in decoded
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -194,7 +373,7 @@ def extract_image_features(
                         hashlib.sha1(p or b"").hexdigest() for p in payloads
                     ],
                     "n_bytes": [len(p or b"") for p in payloads],
-                    "feature": [_fake_feature(p, dim) for p in payloads],
+                    "feature": feats,
                 }
             )
 
@@ -202,6 +381,45 @@ def extract_image_features(
         "media_id", "payload"
     )
     return img.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("thumb_h", T.IntegerType(), True),
+        T.StructField("thumb_w", T.IntegerType(), True),
+        T.StructField("rgb", T.BinaryType(), True),  # row-major H×W×3
+    ]
+)
+
+
+def image_thumbnails(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """payload → fixed-size RGB thumbnail (raw row-major bytes) by REAL
+    decode + block-average resize; undecodable rows get NULL dims/bytes.
+    Same Arrow ``mapInPandas`` shape as the feature extractor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs, ws, blobs = [], [], []
+            for p in pdf["payload"]:
+                arr = decode_image_pixels(p)
+                if arr is None:
+                    hs.append(None), ws.append(None), blobs.append(None)
+                else:
+                    thumb = downsample_pixels(_to_rgb(arr), out_h, out_w)
+                    hs.append(out_h), ws.append(out_w)
+                    blobs.append(thumb.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "thumb_h": pd.array(hs, dtype="Int32"),
+                    "thumb_w": pd.array(ws, dtype="Int32"),
+                    "rgb": blobs,
+                }
+            )
+
+    img = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return img.mapInPandas(run, THUMBNAIL_SCHEMA)
 
 
 def sample_video_frames(
