@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: schema, batching, fan-out, determinism.
-The decode step is a documented stub; the Spark-side contract is real."""
+"""Multimodal tests: schema, batching, fan-out, determinism, and REAL
+stdlib-only decode — PNG/GIF/BMP pixels and WAV samples round-tripped
+against independent test-side encoders."""
 
 from __future__ import annotations
 
@@ -303,3 +304,165 @@ def test_real_feature_and_thumbnail_operators(spark):
     got_thumb = np.frombuffer(thumbs[1]["rgb"], dtype=np.uint8).reshape(2, 2, 3)
     assert np.array_equal(got_thumb, mm.downsample_pixels(px, 2, 2))
     assert thumbs[3]["rgb"] is None and thumbs[3]["thumb_h"] is None
+
+
+# --- GIF (pure-Python LZW) -------------------------------------------------
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """Test-side GIF-LZW ENCODER: emits a clear code, then every pixel
+    index as a literal code, tracking the decoder's table growth to keep
+    code widths in sync (valid per spec — an encoder may defer
+    compression). Independent of the decoder's string-table logic."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, size):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    next_code = end + 1
+    first = True
+    for ix in indices:
+        emit(int(ix), code_size)
+        if first:
+            first = False
+            continue
+        # decoder adds one table entry per code after the first
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(idx: np.ndarray, palette: np.ndarray, interlaced: bool = False) -> bytes:
+    h, w = idx.shape
+    n = len(palette)
+    depth = max(2, (n - 1).bit_length())
+    pal = np.zeros((2**depth, 3), dtype=np.uint8)
+    pal[:n] = palette
+    screen = struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    rows = idx
+    if interlaced:
+        order = [r for start, step in mm._GIF_PASSES for r in range(start, h, step)]
+        rows = idx[order]  # store rows in pass order
+    min_code = max(2, depth)
+    lzw = _lzw_encode(rows.flatten(), min_code)
+    sub = bytearray()
+    for i in range(0, len(lzw), 200):
+        blk = lzw[i : i + 200]
+        sub.append(len(blk))
+        sub += blk
+    sub.append(0)
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0)
+    return (
+        b"GIF89a" + screen + pal.tobytes() + img + bytes([min_code]) + bytes(sub) + b"\x3b"
+    )
+
+
+def test_gif_decode_roundtrip():
+    rng = np.random.default_rng(13)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(11, 7), dtype=np.uint8).astype(np.int64)
+    got = mm.decode_gif_pixels(_encode_gif(idx, palette))
+    assert got is not None and got.shape == (11, 7, 3)
+    assert np.array_equal(got, palette[idx])
+
+
+def test_gif_decode_interlaced_and_large_alphabet():
+    rng = np.random.default_rng(17)
+    # 256-entry palette → 8-bit codes → exercises code-size growth past 9+ bits
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(23, 31), dtype=np.int64)
+    assert np.array_equal(mm.decode_gif_pixels(_encode_gif(idx, palette)), palette[idx])
+    assert np.array_equal(
+        mm.decode_gif_pixels(_encode_gif(idx, palette, interlaced=True)), palette[idx]
+    )
+
+
+def test_gif_decode_rejects_corrupt():
+    assert mm.decode_gif_pixels(b"GIF89a\x00") is None
+    assert mm.decode_gif_pixels(None) is None
+    rng = np.random.default_rng(1)
+    palette = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(6, 6), dtype=np.int64)
+    full = _encode_gif(idx, palette)
+    assert mm.decode_gif_pixels(full[:30]) is None  # truncated mid-stream
+    # decode_image_pixels dispatches GIF now
+    assert np.array_equal(mm.decode_image_pixels(full), palette[idx])
+
+
+# --- WAV (stdlib struct) ---------------------------------------------------
+
+
+def _encode_wav(samples: np.ndarray, rate: int, bits: int = 16, float32: bool = False) -> bytes:
+    n, ch = samples.shape
+    if float32:
+        data = samples.astype("<f4").tobytes()
+        audio_fmt, bits = 3, 32
+    elif bits == 8:
+        data = ((samples * 128.0) + 128.0).clip(0, 255).astype(np.uint8).tobytes()
+        audio_fmt = 1
+    elif bits == 16:
+        data = (samples * 32768.0).clip(-32768, 32767).astype("<i2").tobytes()
+        audio_fmt = 1
+    else:
+        data = (samples * 2147483648.0).clip(-(2**31), 2**31 - 1).astype("<i4").tobytes()
+        audio_fmt = 1
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", audio_fmt, ch, rate, rate * block, block, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_decode_roundtrip_all_encodings():
+    rng = np.random.default_rng(21)
+    x = (rng.uniform(-0.9, 0.9, size=(480, 2))).astype(np.float64)
+    for kwargs, tol in (
+        ({"bits": 16}, 1 / 32000),
+        ({"bits": 32}, 1e-9),
+        ({"float32": True}, 1e-7),
+        ({"bits": 8}, 1 / 120),
+    ):
+        got = mm.decode_wav_samples(_encode_wav(x, 16000, **kwargs))
+        assert got is not None, kwargs
+        samples, rate = got
+        assert rate == 16000 and samples.shape == (480, 2)
+        assert np.abs(samples - x).max() < tol, kwargs
+    assert mm.decode_wav_samples(b"RIFFxxxx") is None
+    assert mm.decode_wav_samples(None) is None
+
+
+def test_extract_audio_features_operator(spark):
+    t = np.arange(8000) / 8000.0
+    sine = np.sin(2 * np.pi * 100 * t)[:, None]  # 100 Hz, 1 s
+    rows = [
+        (1, "audio", "audio/wav", _encode_wav(sine, 8000), None, None, None),
+        (2, "audio", "audio/mpeg", b"ID3-not-a-wav", None, None, None),
+        (3, "image", "image/png", b"ignored", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.extract_audio_features(df).collect()}
+    assert set(got) == {1, 2}
+    r = got[1]
+    assert (r["sample_rate"], r["channels"], r["n_samples"]) == (8000, 1, 8000)
+    assert r["duration_ms"] == pytest.approx(1000.0)
+    assert r["rms"] == pytest.approx(1 / np.sqrt(2), rel=1e-3)
+    assert r["peak"] == pytest.approx(1.0, rel=1e-3)
+    # 100 Hz sine crosses zero 200 times/second
+    assert r["zero_crossing_rate"] == pytest.approx(200 / 8000, rel=0.02)
+    assert got[2]["sample_rate"] is None and got[2]["rms"] is None

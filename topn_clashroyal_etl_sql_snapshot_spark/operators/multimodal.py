@@ -3,15 +3,17 @@ columns with typed metadata, processed through Arrow-batched Pandas UDFs.
 
 The Spark-side contract is fully real — schemas, partition-preserving
 ``mapInPandas`` plumbing, batch shapes — and so is the decode path for
-the formats stdlib can carry: image HEADER parsing for PNG/GIF/JPEG/BMP
-(:func:`parse_image_header`) and PIXEL decoding for PNG (zlib inflate +
-all five scanline filters, :func:`decode_png_pixels`) and uncompressed
-BMP (:func:`decode_bmp_pixels`) — no codec libraries involved. JPEG/GIF
-pixel decode and audio/video codecs DO need external libraries that are
-not in this container; those paths return ``None`` features per row
-(corrupt or undecodable media must not kill a 100 TB scan), and the
-frame sampler documents its pyav production body behind
-``deterministic_fake``.
+every format stdlib can carry: image HEADER parsing for
+PNG/GIF/JPEG/BMP (:func:`parse_image_header`); PIXEL decoding for PNG
+(zlib inflate + all five scanline filters, :func:`decode_png_pixels`),
+GIF (pure-Python LZW + interlace, :func:`decode_gif_pixels`), and
+uncompressed BMP (:func:`decode_bmp_pixels`); SAMPLE decoding for
+PCM/float WAV (:func:`decode_wav_samples`) — no codec libraries
+involved. JPEG entropy coding and compressed audio/video codecs DO
+need external libraries that are not in this container; those paths
+return ``None`` features per row (corrupt or undecodable media must
+not kill a 100 TB scan), and the frame sampler documents its pyav
+production body behind ``deterministic_fake``.
 
 Scale notes: binary payloads ride the columnar Arrow path (no per-row
 pickling); ``mapInPandas`` keeps batches bounded via
@@ -279,16 +281,136 @@ def decode_bmp_pixels(payload: bytes | None) -> np.ndarray | None:
     return px[:, :, 2::-1].copy()  # BGR(A) → RGB, drop alpha
 
 
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int] | None:
+    """GIF-variant LZW (LSB-first bit packing, dynamic code width 3→12
+    bits, clear/end codes) — the spec's decompressor, appendix F of
+    GIF89a. Returns pixel indices or None on a corrupt stream."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < max_pixels:
+        byte_i, bit_o = divmod(bitpos, 8)
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> bit_o) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = dict(base)
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)  # the KwKwK special case
+        else:
+            return None
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+# GIF interlace passes: (start row, step)
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(payload: bytes | None) -> np.ndarray | None:
+    """REAL GIF first-frame decode with stdlib only: logical screen +
+    color tables by struct parsing, pixel indices through the
+    pure-Python LZW decompressor, optional interlace row reordering →
+    H×W×3 uint8. Animation frames beyond the first and transparency
+    compositing are out of scope (frame fan-out belongs to the video
+    path); corrupt streams return None."""
+    p = payload or b""
+    if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
+        return None
+    flags = p[10]
+    off = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 0x07) + 1)
+        if len(p) < off + 3 * n:
+            return None
+        gct = np.frombuffer(p, np.uint8, count=3 * n, offset=off).reshape(-1, 3)
+        off += 3 * n
+    while off < len(p):
+        b0 = p[off]
+        if b0 == 0x21:  # extension: label, then sub-blocks to a 0 terminator
+            off += 2
+            while off < len(p) and p[off] != 0:
+                off += 1 + p[off]
+            off += 1
+        elif b0 == 0x2C:  # image descriptor
+            if len(p) < off + 10:
+                return None
+            _, _, iw, ih, iflags = struct.unpack("<HHHHB", p[off + 1 : off + 10])
+            off += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 ** ((iflags & 0x07) + 1)
+                if len(p) < off + 3 * n:
+                    return None
+                table = np.frombuffer(p, np.uint8, count=3 * n, offset=off).reshape(-1, 3)
+                off += 3 * n
+            if table is None or iw == 0 or ih == 0 or off >= len(p):
+                return None
+            min_code_size = p[off]
+            off += 1
+            data = bytearray()
+            while off < len(p) and p[off] != 0:
+                ln = p[off]
+                data += p[off + 1 : off + 1 + ln]
+                off += 1 + ln
+            indices = _lzw_decode(bytes(data), min_code_size, iw * ih)
+            if indices is None or len(indices) < iw * ih:
+                return None
+            idx = np.asarray(indices[: iw * ih], dtype=np.int32).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: stored rows are in pass order
+                order = [r for start, step in _GIF_PASSES for r in range(start, ih, step)]
+                out = np.empty_like(idx)
+                out[order] = idx
+                idx = out
+            if int(idx.max(initial=0)) >= len(table):
+                return None
+            return table[idx]
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            return None
+    return None
+
+
 def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
-    """Dispatch on the real container header: PNG and uncompressed BMP
-    decode to pixels with stdlib alone; JPEG/GIF entropy coding needs
-    codec libraries not in this container → None (header metadata for
-    them still comes from :func:`parse_image_header`)."""
+    """Dispatch on the real container header: PNG, GIF, and uncompressed
+    BMP decode to pixels with stdlib alone; JPEG entropy coding needs
+    codec libraries not in this container → None (header metadata for it
+    still comes from :func:`parse_image_header`)."""
     hdr = parse_image_header(payload)
     if hdr is None:
         return None
     if hdr[0] == "png":
         return decode_png_pixels(payload)
+    if hdr[0] == "gif":
+        return decode_gif_pixels(payload)
     if hdr[0] == "bmp":
         return decode_bmp_pixels(payload)
     return None
@@ -455,6 +577,108 @@ def sample_video_frames(
 
     vid = media.filter(F.col("kind") == "video").select("media_id", "payload")
     return vid.mapInPandas(run, FRAME_SCHEMA)
+
+
+def decode_wav_samples(payload: bytes | None) -> tuple[np.ndarray, int] | None:
+    """REAL WAV decode with stdlib struct parsing: RIFF chunk walk →
+    fmt (PCM or IEEE-float) + data → (samples[n, channels] float64 in
+    [-1, 1], sample_rate). Supported encodings: u8 / s16 / s32 PCM and
+    f32 — the uncompressed cases; compressed codecs (MP3, AAC, μ-law)
+    need libraries not in this container → None."""
+    p = payload or b""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    fmt = data = None
+    off = 12
+    while off + 8 <= len(p):
+        cid, ln = p[off : off + 4], struct.unpack("<I", p[off + 4 : off + 8])[0]
+        body = p[off + 8 : off + 8 + ln]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        off += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if channels == 0 or rate == 0:
+        return None
+    if audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data[: len(data) // 2 * 2], "<i2").astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data[: len(data) // 4 * 4], "<i4").astype(np.float64) / 2147483648.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data[: len(data) // 4 * 4], "<f4").astype(np.float64)
+    else:
+        return None
+    n = len(x) // channels
+    if n == 0:
+        return None
+    return x[: n * channels].reshape(n, channels), int(rate)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zero_crossing_rate", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """payload → signal-level features from REAL decoded WAV samples
+    (sample rate, duration, RMS, peak, zero-crossing rate of the
+    channel-mean signal). Non-WAV/compressed/corrupt rows → NULLs, same
+    per-row error containment as the image path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k.name: [] for k in AUDIO_FEATURE_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                cols["media_id"].append(mid)
+                decoded = decode_wav_samples(payload)
+                if decoded is None:
+                    for k in (
+                        "sample_rate", "channels", "n_samples", "duration_ms",
+                        "rms", "peak", "zero_crossing_rate",
+                    ):
+                        cols[k].append(None)
+                    continue
+                x, rate = decoded
+                mono = x.mean(axis=1)
+                cols["sample_rate"].append(rate)
+                cols["channels"].append(x.shape[1])
+                cols["n_samples"].append(x.shape[0])
+                cols["duration_ms"].append(1000.0 * x.shape[0] / rate)
+                cols["rms"].append(float(np.sqrt(np.mean(mono**2))))
+                cols["peak"].append(float(np.abs(mono).max()))
+                zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+                cols["zero_crossing_rate"].append(zc)
+            yield pd.DataFrame(
+                {
+                    "media_id": cols["media_id"],
+                    "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                    "channels": pd.array(cols["channels"], dtype="Int32"),
+                    "n_samples": pd.array(cols["n_samples"], dtype="Int64"),
+                    "duration_ms": pd.array(cols["duration_ms"], dtype="Float64"),
+                    "rms": pd.array(cols["rms"], dtype="Float64"),
+                    "peak": pd.array(cols["peak"], dtype="Float64"),
+                    "zero_crossing_rate": pd.array(
+                        cols["zero_crossing_rate"], dtype="Float64"
+                    ),
+                }
+            )
+
+    aud = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return aud.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:
