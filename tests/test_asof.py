@@ -118,3 +118,69 @@ def test_asof_plan_single_exchange_no_python(spark, frames):
     plan = buf.getvalue()
     assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------- range join
+
+
+def _range_data():
+    rng = random.Random(7)
+    points = [("a" if i % 2 else "b", rng.randrange(0, 500), i) for i in range(120)]
+    intervals = []
+    for j in range(40):
+        k = "a" if j % 2 else "b"
+        s = rng.randrange(0, 480)
+        intervals.append((k, s, s + rng.randrange(0, 60), f"iv{j}"))
+    return points, intervals
+
+
+def _duck_range(points, intervals, how: str):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (k VARCHAR, ts BIGINT, pid BIGINT)")
+    con.execute("CREATE TABLE i (k VARCHAR, s BIGINT, e BIGINT, iv VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)", points)
+    con.executemany("INSERT INTO i VALUES (?, ?, ?, ?)", intervals)
+    join = "JOIN" if how == "inner" else "LEFT JOIN"
+    return sorted(
+        con.execute(
+            f"SELECT p.pid, i.iv FROM p {join} i"
+            " ON p.k = i.k AND p.ts BETWEEN i.s AND i.e"
+        ).fetchall()
+    )
+
+
+@pytest.mark.parametrize("bucket_width", [1, 16, 64, 1000])
+def test_point_in_interval_join_matches_duckdb(spark, bucket_width):
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.asof import (
+        point_in_interval_join,
+    )
+
+    points, intervals = _range_data()
+    p = spark.createDataFrame(points, "k string, ts long, pid long")
+    i = spark.createDataFrame(intervals, "k string, s long, e long, iv string")
+    got = sorted(
+        (r["pid"], r["iv"])
+        for r in point_in_interval_join(
+            p, i, "ts", "s", "e", by_cols=["k"], bucket_width=bucket_width
+        ).collect()
+    )
+    assert got == _duck_range(points, intervals, "inner")
+
+
+def test_point_in_interval_left_join_pads_unmatched(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.asof import (
+        point_in_interval_join,
+    )
+
+    points, intervals = _range_data()
+    p = spark.createDataFrame(points, "k string, ts long, pid long")
+    i = spark.createDataFrame(intervals, "k string, s long, e long, iv string")
+    got = sorted(
+        (r["pid"], r["iv"])
+        for r in point_in_interval_join(
+            p, i, "ts", "s", "e", by_cols=["k"], bucket_width=32, how="left"
+        ).collect()
+    )
+    assert got == _duck_range(points, intervals, "left")
+    with pytest.raises(ValueError, match="bucket_width"):
+        point_in_interval_join(p, i, "ts", "s", "e", bucket_width=0)

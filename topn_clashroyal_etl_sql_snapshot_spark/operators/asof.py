@@ -116,3 +116,68 @@ def asof_join(
         F.col("_m._ts").alias(f"{ts_col}{suffix}"),
         *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    by_cols: Sequence[str] = (),
+    bucket_width: int | float = 1,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to the intervals containing them
+    (``start ≤ ts ≤ end``) without a range theta-join.
+
+    Spark plans a plain range predicate as BroadcastNestedLoopJoin or a
+    per-key cartesian — quadratic. The bucketed form is the standard
+    bin-hint technique: a point lands in exactly ONE time bucket
+    (``floor(ts / width)``); each interval is exploded to the buckets
+    its span covers; the join is then an ordinary equi-join on
+    ``(by_cols…, bucket)`` with the exact range predicate as a post-
+    filter. No duplicates by construction (one bucket per point).
+
+    ``bucket_width`` trades explode fan-out against join selectivity:
+    each interval produces ``span/width + 1`` rows, and each bucket
+    pairs its points with its candidate intervals. Set it near the
+    TYPICAL interval span so typical intervals explode to ~2 buckets;
+    a pathologically long interval costs rows linear in its span — cap
+    interval length upstream if the distribution is heavy-tailed.
+    ``how="left"`` keeps unmatched points with null interval columns
+    (one row per point: deduplicated by construction, the anti-join
+    side re-attached).
+
+    Equi-key path stays whole-stage-codegen'd; one shuffle per side on
+    the (keys, bucket) join key.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how}")
+    by_cols = list(by_cols)
+    width = F.lit(bucket_width)
+    p = points.withColumn("_bucket", F.floor(F.col(ts_col) / width))
+    i = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / width), F.floor(F.col(end_col) / width)
+            )
+        ),
+    )
+    joined = p.join(i, [*by_cols, "_bucket"]).filter(
+        F.col(ts_col).between(F.col(start_col), F.col(end_col))
+    )
+    out_cols = [
+        *[F.col(c) for c in points.columns],
+        *[F.col(c) for c in intervals.columns if c not in (*by_cols,)],
+    ]
+    matched = joined.select(*out_cols)
+    if how == "inner":
+        return matched
+    missing = points.join(
+        matched.select(*points.columns).distinct(), points.columns, "left_anti"
+    )
+    return matched.unionByName(missing, allowMissingColumns=True)
