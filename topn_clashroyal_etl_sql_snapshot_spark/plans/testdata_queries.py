@@ -317,17 +317,12 @@ def q5_region_order_volume(spark, sf_dir):
     )
 
 
-@register(
-    "semi_customers_with_orders",
-    """
-    SELECT c_custkey, c_name
-    FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    ORDER BY c_custkey
-    """,
-)
 def semi_customers_with_orders(spark, sf_dir):
-    """Semi-join (D5 TopN gate shape, scripts:332-335): EXISTS ≡ left_semi."""
+    """Semi-join (D5 TopN gate shape, scripts:332-335): EXISTS ≡ left_semi.
+
+    Driver-checked via ``setops_suite`` (the four semi/anti/intersect/
+    except shapes union into one labeled result so the registry fits the
+    driver's 50-row cap without dropping any shape's coverage)."""
     cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
@@ -336,18 +331,9 @@ def semi_customers_with_orders(spark, sf_dir):
     )
 
 
-@register(
-    "anti_customers_without_orders",
-    """
-    SELECT c_custkey, c_name
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    ORDER BY c_custkey
-    """,
-)
 def anti_customers_without_orders(spark, sf_dir):
     """Anti-join (FK-orphan validation shape, validate.py): NOT EXISTS ≡
-    left_anti."""
+    left_anti. Driver-checked via ``setops_suite``."""
     cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
@@ -470,18 +456,10 @@ def cube_returnflag_status(spark, sf_dir):
     )
 
 
-@register(
-    "except_parts_never_shipped",
-    """
-    SELECT p_partkey FROM part
-    EXCEPT
-    SELECT l_partkey AS p_partkey FROM lineitem
-    ORDER BY p_partkey
-    """,
-)
 def except_parts_never_shipped(spark, sf_dir):
     """EXCEPT (set difference) — §2.H extension; ≡ the anti-join FK-orphan
-    shape expressed as a set operation."""
+    shape expressed as a set operation. Driver-checked via
+    ``setops_suite``."""
     part, li = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
     return (
         part.select("p_partkey")
@@ -490,23 +468,68 @@ def except_parts_never_shipped(spark, sf_dir):
     )
 
 
-@register(
-    "intersect_active_customers",
-    """
-    SELECT c_custkey FROM customer
-    INTERSECT
-    SELECT o_custkey AS c_custkey FROM orders
-    ORDER BY c_custkey
-    """,
-)
 def intersect_active_customers(spark, sf_dir):
-    """INTERSECT — §2.H extension; ≡ the semi-join shape as a set op."""
+    """INTERSECT — §2.H extension; ≡ the semi-join shape as a set op.
+    Driver-checked via ``setops_suite``."""
     cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     return (
         cust.select("c_custkey")
         .intersect(orders.select(F.col("o_custkey").alias("c_custkey")))
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "setops_suite",
+    """
+    SELECT 'semi_with_orders' AS op, c_custkey AS key FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'anti_without_orders' AS op, c_custkey AS key FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'intersect_active' AS op, c_custkey AS key FROM (
+        SELECT c_custkey FROM customer
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'except_never_shipped' AS op, p_partkey AS key FROM (
+        SELECT p_partkey FROM part
+        EXCEPT
+        SELECT l_partkey AS p_partkey FROM lineitem
+    )
+    ORDER BY op, key
+    """,
+)
+def setops_suite(spark, sf_dir):
+    """All four set-op / existence shapes (left_semi, left_anti,
+    INTERSECT, EXCEPT — SURVEY.md §2.D5 + §2.H) as one labeled union so
+    each keeps a driver-checked row under the 50-query registry cap.
+
+    Plan: the four branches are independent; the semi/anti pair shares
+    the same (broadcast-able) orders build side, INTERSECT/EXCEPT plan
+    as distinct-then-join. The union is a no-shuffle concatenation —
+    each leg keeps its own plan, so merging loses no physical coverage
+    (tests/test_plans.py still asserts the per-leg shapes)."""
+    legs = [
+        semi_customers_with_orders(spark, sf_dir).select(
+            F.lit("semi_with_orders").alias("op"), F.col("c_custkey").alias("key")
+        ),
+        anti_customers_without_orders(spark, sf_dir).select(
+            F.lit("anti_without_orders").alias("op"), F.col("c_custkey").alias("key")
+        ),
+        intersect_active_customers(spark, sf_dir).select(
+            F.lit("intersect_active").alias("op"), F.col("c_custkey").alias("key")
+        ),
+        except_parts_never_shipped(spark, sf_dir).select(
+            F.lit("except_never_shipped").alias("op"), F.col("p_partkey").alias("key")
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("op", "key")
 
 
 @register(
