@@ -59,7 +59,10 @@ def main() -> None:
 
     # Warm the JVM/codegen path once so per-query timings measure the
     # queries, not first-call JIT + parquet footer reads.
-    next(iter(qs.values()))(spark, sf_dir).collect()
+    try:
+        next(iter(qs.values()))(spark, sf_dir).collect()
+    except Exception:  # noqa: BLE001 — the per-query loop will report it
+        pass
 
     # The heaviest entries are noise-dominated when timed single-shot
     # (observed 2-2.6x same-binary swings between rounds) — time those
@@ -75,17 +78,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     repeats: dict[str, int] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(qs.items()):
         n = HEAVY.get(name, 1)
         samples = []
-        for _ in range(n):
-            if name == "curation_funnel":
-                # evict the session-level jaccard-pairs cache so every
-                # repeat measures the full compute, not a cached replay
-                llm_queries._PAIRS_CACHE.pop(spark, None)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
+        # Per-query fault isolation: one broken query must not lose the
+        # timings of every green one (a single AnalysisException killed
+        # the entire r4 run). Record the error and keep going.
+        try:
+            for _ in range(n):
+                if name == "curation_funnel":
+                    # evict the session-level jaccard-pairs cache so every
+                    # repeat measures the full compute, not a cached replay
+                    llm_queries._PAIRS_CACHE.pop(spark, None)
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(statistics.median(samples), 4)
         repeats[name] = n
 
@@ -137,23 +148,25 @@ def main() -> None:
         result.unpersist()
         return dt
 
-    samples = [run_pipeline() for _ in range(HEAVY["cr_pipeline"])]
-    timings["cr_pipeline"] = round(statistics.median(samples), 4)
-    repeats["cr_pipeline"] = HEAVY["cr_pipeline"]
+    try:
+        samples = [run_pipeline() for _ in range(HEAVY["cr_pipeline"])]
+        timings["cr_pipeline"] = round(statistics.median(samples), 4)
+        repeats["cr_pipeline"] = HEAVY["cr_pipeline"]
+    except Exception as exc:  # noqa: BLE001 — harness boundary
+        errors["cr_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "repeats": repeats,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "repeats": repeats,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -138,3 +138,18 @@ def test_multirotation_lsh_full_recall_low_threshold(spark, vectors):
         ).collect()
     }
     assert lsh == bf and len(bf) >= 3
+
+
+def test_bruteforce_neardup_max_rows_fuse(spark, vectors):
+    """The all-pairs plan must refuse, not silently run, a corpus above
+    its row bound (r4 verdict: no unguarded crossJoin reachable from the
+    registry)."""
+    import pytest
+
+    df, _ = vectors
+    with pytest.raises(ValueError, match="refuses an all-pairs plan"):
+        similarity.brute_force_neardup_pairs(df, threshold=0.9, max_rows=2)
+    # Under the bound (or explicitly unbounded) it still runs.
+    assert similarity.brute_force_neardup_pairs(
+        df, threshold=0.999, max_rows=None
+    ).count() >= 0

@@ -566,7 +566,10 @@ def connected_components(
     This is a driver-side loop of DataFrame jobs (the documented
     exception for iterative algorithms): each round is one join + one
     aggregate, labels are eagerly checkpointed so round N+1's plan
-    doesn't re-derive rounds 1..N. Returns (id, component).
+    doesn't re-derive rounds 1..N. The convergence test is folded into
+    the label rows themselves (a ``chg`` flag summed off the freshly
+    checkpointed in-memory block) — no extra join-and-count job per
+    round. Returns (id, component).
 
     Raises ``RuntimeError`` if labels are still changing after
     ``max_iter`` rounds: partially-propagated labels are WRONG KEEP/DROP
@@ -592,19 +595,23 @@ def connected_components(
             .agg(F.min("nc").alias("nbr_min"))
             .withColumnRenamed("a", "id")
         )
-        new_labels = labels.join(nbr, "id", "left").select(
-            "id",
-            F.least(
-                F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
-            ).alias("comp"),
+        new_comp = F.least(
+            F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            labels.join(new_labels.withColumnsRenamed({"comp": "nc"}), "id")
-            .filter(F.col("comp") != F.col("nc"))
-            .count()
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                new_comp.alias("new_comp"),
+                (new_comp != F.col("comp")).cast("long").alias("chg"),
+            )
+            .withColumnRenamed("new_comp", "comp")
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
+        # The checkpoint just materialized these rows in block storage;
+        # summing chg off them is a cheap scan, not a re-join.
+        changed = new_labels.agg(F.sum("chg")).collect()[0][0] or 0
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     if changed != 0:

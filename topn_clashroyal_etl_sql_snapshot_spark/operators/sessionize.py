@@ -34,7 +34,10 @@ def with_session_ids(
     exceeds ``gap_ms``. Deterministic: ties on ts break by
     ``tiebreak_col``."""
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    ms = F.unix_millis(F.col(ts_col))
+    # Defensive: unix_millis rejects TIMESTAMP_NTZ (Spark 4 reads
+    # isAdjustedToUTC=false parquet as NTZ); session TZ is pinned UTC so
+    # the cast is value-identical and a no-op for plain TIMESTAMP.
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
     prev_ms = F.lag(ms).over(w)
     is_break = (prev_ms.isNull() | ((ms - prev_ms) > gap_ms)).cast("long")
     running = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col).rowsBetween(
@@ -53,7 +56,7 @@ def session_stats(
     """(user_id, session_id, n_events, duration_ms) — one row per
     session. Duration is last-minus-first event in ms (0 for singleton
     sessions)."""
-    ms = F.unix_millis(F.col(ts_col))
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
     return (
         with_session_ids(events, gap_ms, user_col, ts_col, tiebreak_col)
         .groupBy(user_col, "session_id")

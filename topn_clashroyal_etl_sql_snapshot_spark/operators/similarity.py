@@ -390,9 +390,27 @@ def brute_force_neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup (ground truth / small corpora).
-    O(n²) — at scale use ``lsh_neardup_pairs``."""
+    O(n²) — at scale use ``lsh_neardup_pairs``.
+
+    ``max_rows`` is a deliberate scale fuse: an all-pairs plan that is
+    correct at 10⁴ rows is a 10¹⁰-pair cartesian at 10⁷, and the failure
+    mode is a silent multi-hour job, not an error. Counting the input
+    first costs one cheap job; exceeding the bound raises immediately
+    with the LSH alternative named. Pass ``max_rows=None`` only for
+    ground-truth runs where the quadratic cost is understood."""
+    if max_rows is not None:
+        n_rows = embeddings.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"brute_force_neardup_pairs refuses an all-pairs plan over "
+                f"{n_rows} rows (> max_rows={max_rows}): that is a "
+                f"{n_rows * (n_rows - 1) // 2}-pair cartesian. Use "
+                "lsh_neardup_pairs (bucketed candidates) at scale, or pass "
+                "max_rows=None for an explicit ground-truth run."
+            )
     sk = _with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
     )

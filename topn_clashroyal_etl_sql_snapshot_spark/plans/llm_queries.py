@@ -562,11 +562,14 @@ def embedding_neardup_pairs(spark, sf_dir):
     toward all-pairs anyway, so exact is also the honest cost model.
     The scale path for real near-dup thresholds is the LSH-bucketed plan
     (``embedding_lsh_neardup``, cosine ≥ 0.95); LSH-vs-exact containment
-    at 0.45 stays a pytest check (tests/test_similarity.py)."""
+    at 0.45 stays a pytest check (tests/test_similarity.py). The
+    operator's built-in ``max_rows`` fuse (similarity.py) makes this
+    registration refuse, rather than silently run, a corpus too large
+    for all-pairs — no unguarded crossJoin is reachable from here."""
     emb = read_testdata(spark, sf_dir, "embeddings")
-    return similarity.brute_force_neardup_pairs(emb, threshold=0.45).orderBy(
-        "id1", "id2"
-    )
+    return similarity.brute_force_neardup_pairs(
+        emb, threshold=0.45, max_rows=100_000
+    ).orderBy("id1", "id2")
 
 
 @register("embedding_lsh_neardup", _exact_cosine_pairs_sql(0.95))

@@ -70,16 +70,24 @@ def read_table(spark: SparkSession, warehouse_dir: str, name: str) -> DataFrame:
 def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated synthetic table (TESTDATA.md).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects — read nanos as long and convert to a microsecond
-    timestamp (truncation; all downstream use is ≥ second granularity).
+    ``events.ts`` has shipped under three parquet types across driver
+    versions — TIMESTAMP(NANOS) (vectorized reader rejects it; read
+    nanos-as-long and rebuild), timestamp[us] isAdjustedToUTC=false
+    (Spark 4 reads it as TIMESTAMP_NTZ), and plain TIMESTAMP.
+    Normalize all three to session-TZ TIMESTAMP here so downstream
+    operators (``unix_millis`` et al., which reject NTZ) see ONE type.
+    The session timezone is pinned UTC (session.py), so the NTZ→TZ cast
+    is value-identical.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
