@@ -583,3 +583,65 @@ def embedding_lsh_neardup(spark, sf_dir):
     return similarity.lsh_neardup_pairs(
         emb, threshold=0.95, planes=16, rotations=4
     ).orderBy("id1", "id2")
+
+
+@register(
+    "docs_per_group_cap",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) t WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+)
+def docs_per_group_cap(spark, sf_dir):
+    """Per-group contribution cap: at most 5 documents per source,
+    keeping the longest (ties broken by doc_id — the ordering is total,
+    so the cap is deterministic). The mix-balancing step of corpus
+    assembly: no one domain/source dominates the training mix. One
+    exchange on the group key; rank-only window, and post-cap every
+    group is ≤ k rows — the operator REMOVES downstream skew
+    (operators/sampling.py per_group_cap)."""
+    from ..operators.sampling import per_group_cap
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    capped = per_group_cap(
+        docs, ["source"], [F.desc("n_chars"), F.asc("doc_id")], k=5
+    )
+    return capped.select("doc_id", "source", "n_chars").orderBy("source", "doc_id")
+
+
+@register(
+    "docs_pack_greedy",
+    """
+    SELECT doc_id, source, n_chars,
+           CAST(floor(
+             COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) / 4096.0
+           ) AS BIGINT) AS bin_id
+    FROM documents
+    ORDER BY source, doc_id
+    """,
+)
+def docs_pack_greedy(spark, sf_dir):
+    """Greedy sequence packing: documents fill 4096-char training bins
+    contiguously in doc_id order within each source shard —
+    ``bin = floor(exclusive_cumsum / budget)`` as pure window algebra
+    (operators/packing.py pack_greedy; codegen, one shuffle on the
+    shard key). The DuckDB oracle is the same window expression, so the
+    assignment is checked bit-for-bit. The tighter FFD packer
+    (applyInPandas) is pytest-verified against its invariants —
+    per-group Python state is not SQL-expressible."""
+    from ..operators.packing import pack_greedy
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    packed = pack_greedy(
+        docs, ["source"], [F.asc("doc_id")], "n_chars", budget=4096
+    )
+    return packed.select("doc_id", "source", "n_chars", "bin_id").orderBy(
+        "source", "doc_id"
+    )

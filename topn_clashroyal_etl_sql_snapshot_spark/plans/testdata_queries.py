@@ -640,6 +640,57 @@ def events_sessionize(spark, sf_dir):
 
 
 @register(
+    "events_asof_join",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_ms(p.ts) AS purchase_ms,
+           epoch_ms(v.ts) AS view_ms,
+           v.value AS view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """Point-in-time join: each purchase event picks up the user's most
+    recent prior (or same-instant) view event — the canonical as-of
+    shape (align an event with the latest snapshot at event time).
+    Spark side is the union-window composition (operators/asof.py: one
+    shuffle on user_id, codegen throughout, no theta-join); the oracle
+    is DuckDB's native ASOF LEFT JOIN — an independent engine's
+    implementation of the same semantics. Timestamps are compared and
+    returned as epoch millis on both sides so no tz/stringification
+    skew can enter the hash. (user_id, ts) is duplicate-free in this
+    corpus, so the matched row is unique and the comparison exact."""
+    from ..operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, views, ts_col="ts", by_cols=["user_id"], value_cols=["value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("purchase_ms"),
+        F.unix_millis(F.col("ts_right")).alias("view_ms"),
+        F.col("value_right").alias("view_value"),
+    ).orderBy("event_id")
+
+
+@register(
     "percentile_order_prices",
     """
     SELECT o_orderpriority,
