@@ -400,10 +400,10 @@ def decode_gif_pixels(payload: bytes | None) -> np.ndarray | None:
 
 
 def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
-    """Dispatch on the real container header: PNG, GIF, and uncompressed
-    BMP decode to pixels with stdlib alone; JPEG entropy coding needs
-    codec libraries not in this container → None (header metadata for it
-    still comes from :func:`parse_image_header`)."""
+    """Dispatch on the real container header: PNG, GIF, uncompressed
+    BMP, and baseline JPEG (SOF0/SOF1 — operators/jpeg.py's stdlib
+    Huffman+IDCT decoder) all decode to pixels with no codec library.
+    Progressive/arithmetic JPEG and corrupt payloads → None."""
     hdr = parse_image_header(payload)
     if hdr is None:
         return None
@@ -413,6 +413,10 @@ def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
         return decode_gif_pixels(payload)
     if hdr[0] == "bmp":
         return decode_bmp_pixels(payload)
+    if hdr[0] == "jpeg":
+        from .jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
     return None
 
 
