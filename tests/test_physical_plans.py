@@ -127,3 +127,69 @@ def test_scan_counters_report_is_relational(spark):
     # the streaming-visible subset (parseable battleTime) can't exceed
     # the batch dedup count
     assert rows["deduped_matches"] >= rows["stream_deduped_matches"]
+
+
+def test_asof_join_single_exchange(spark):
+    """The union-window as-of composition shuffles exactly once (on the
+    by-key) and keeps Python out of the plan — the property that makes
+    it viable at 100 TB where a theta-join or pandas merge would not
+    be."""
+    import re
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.asof import asof_join
+
+    left = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        (F.col("id") * 10).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    right = spark.range(30).select(
+        (F.col("id") % 7).alias("user_id"),
+        (F.col("id") * 33).alias("ts"),
+        F.lit(2.0).alias("value"),
+    )
+    out = asof_join(left, right, ts_col="ts", by_cols=["user_id"])
+    plan = _plan(out)
+    shuffles = re.findall(r"[+:]- Exchange", plan)
+    assert len(shuffles) == 1, f"expected 1 shuffle in as-of join:\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_greedy_single_exchange_no_python(spark):
+    """Greedy packing is window algebra: one shuffle on the shard key,
+    codegen throughout."""
+    import re
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.packing import pack_greedy
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("source"),
+        (F.col("id") % 977 + 17).alias("n_tokens"),
+    )
+    out = pack_greedy(docs, ["source"], [F.asc("doc_id")], "n_tokens", budget=4096)
+    plan = _plan(out)
+    shuffles = re.findall(r"[+:]- Exchange", plan)
+    assert len(shuffles) == 1, f"expected 1 shuffle in greedy packing:\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_per_group_cap_single_exchange_no_python(spark):
+    """The per-group cap is a rank-only window: one shuffle on the group
+    key, filter inside the same stage."""
+    import re
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import per_group_cap
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("source"),
+        (F.col("id") % 977).alias("n_chars"),
+    )
+    out = per_group_cap(docs, ["source"], [F.desc("n_chars"), F.asc("doc_id")], 5)
+    plan = _plan(out)
+    shuffles = re.findall(r"[+:]- Exchange", plan)
+    assert len(shuffles) == 1, f"expected 1 shuffle in per-group cap:\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
