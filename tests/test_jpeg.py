@@ -104,3 +104,50 @@ def test_jpeg_feature_rows_non_null(spark):
     }
     assert feats[1] is not None and len(feats[1]) == 8
     assert feats[2] is None
+
+
+def test_420_subsampled_roundtrip():
+    """4:2:0: exercises the decoder's multi-block MCU interleave and
+    chroma replication upsample. 16x16 constant-color tiles make the
+    encoder's chroma block-average and the decoder's replication both
+    exact, so the only loss is coefficient rounding."""
+    rng = np.random.default_rng(11)
+    tiles = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1)  # 32x48x3
+    blob = encode_jpeg(img, quant=1, subsampling=(2, 2))
+    out = jpeg.decode_jpeg_pixels(blob)
+    assert out is not None and out.shape == (32, 48, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_422_subsampled_odd_dims():
+    rng = np.random.default_rng(13)
+    tiles = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1)[:27, :29]
+    blob = encode_jpeg(img, quant=1, subsampling=(2, 1))
+    out = jpeg.decode_jpeg_pixels(blob)
+    assert out is not None and out.shape == (27, 29, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_restart_markers_roundtrip():
+    """DRI + RSTn every 2 MCUs: the decoder must byte-align, consume the
+    marker, and reset DC predictors — desync would corrupt every block
+    after the first restart."""
+    img = _gradient(24, 40)  # 15 MCUs -> 7 restarts
+    blob = encode_jpeg(img, quant=1, restart_interval=2)
+    assert b"\xff\xdd" in blob  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
+    out = jpeg.decode_jpeg_pixels(blob)
+    assert out is not None and out.shape == (24, 40, 1)
+    assert int(np.abs(out[:, :, 0].astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_restart_markers_with_subsampling():
+    rng = np.random.default_rng(17)
+    tiles = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1)  # 48x48x3
+    blob = encode_jpeg(img, quant=1, subsampling=(2, 2), restart_interval=1)
+    out = jpeg.decode_jpeg_pixels(blob)
+    assert out is not None and out.shape == (48, 48, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2

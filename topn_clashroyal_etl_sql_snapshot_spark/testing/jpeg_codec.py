@@ -62,10 +62,18 @@ class _BitWriter:
                 self.out.append(0x00)  # byte stuffing
             self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per T.81
+
+    def marker(self, b: int) -> None:
+        """Emit an unstuffed marker (byte-aligned) into the stream."""
+        self.align()
+        self.out += bytes([0xFF, b])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -129,25 +137,43 @@ _ZIGZAG_RASTER = np.zeros(64, dtype=np.int64)
 _ZIGZAG_RASTER[_ZIGZAG] = np.arange(64)
 
 
-def encode_jpeg(img: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    quant: int | np.ndarray = 1,
+    subsampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
     """img: H×W (gray) or H×W×3 (RGB) uint8 → baseline JPEG bytes.
 
-    ``quant``: a scalar fills the whole table (1 = near-lossless), or a
-    64-entry zigzag-ordered table. Edges are padded by replication to
-    8-pixel multiples; 4:4:4 sampling throughout.
+    - ``quant``: a scalar fills the whole table (1 = near-lossless), or
+      a 64-entry zigzag-ordered table.
+    - ``subsampling``: luma sampling factors (h, v) with chroma at 1×1 —
+      (1, 1) is 4:4:4, (2, 1) is 4:2:2, (2, 2) is 4:2:0. Chroma is
+      block-averaged down, which is what exercises the decoder's MCU
+      interleave + replication-upsample path.
+    - ``restart_interval``: if > 0, a DRI segment plus RST markers every
+      N MCUs (decoder must byte-align, resync, and reset DC predictors).
+
+    Edges are padded by replication to MCU multiples.
     """
     arr = np.asarray(img)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
+    hs, vs = subsampling
+    if gray:
+        hs = vs = 1
     q = (
         np.full(64, int(quant), dtype=np.int32)
         if np.isscalar(quant)
         else np.asarray(quant, dtype=np.int32)
     )
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
+    mcus_x, mcus_y = pw // mcu_w, ph // mcu_h
     if gray:
         planes = [arr.astype(np.float64)]
+        samps = [(1, 1)]
     else:
         rgb = arr.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
@@ -155,19 +181,25 @@ def encode_jpeg(img: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
-    padded = []
-    for p in planes:
+        samps = [(hs, vs), (1, 1), (1, 1)]
+    shifted = []
+    for p, (chs, cvs) in zip(planes, samps):
         p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-        padded.append(p - 128.0)
+        if (chs, cvs) != (hs, vs):  # chroma: block-average downsample
+            fy, fx = vs // cvs, hs // chs
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        shifted.append(p - 128.0)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT (table 0, 8-bit, zigzag order)
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes(int(v) for v in q)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOF0
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for cid in range(1, ncomp + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtable 0
+    for cid, (chs, cvs) in zip(range(1, ncomp + 1), samps):
+        sof += struct.pack(">BBB", cid, (chs << 4) | cvs, 0)
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT: DC table 0 and AC table 0 (shared by every component)
     for tc, counts, syms in ((0, _DC_COUNTS, _DC_SYMBOLS), (1, _AC_COUNTS, _AC_SYMBOLS)):
@@ -180,13 +212,24 @@ def encode_jpeg(img: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    per_comp = [_dct_quant(p, q) for p in padded]
+    per_comp = [_dct_quant(p, q) for p in shifted]
     bw = _BitWriter()
     preds = [0] * ncomp
-    nblocks = per_comp[0].shape[0]
-    for bi in range(nblocks):  # 1x1 sampling: one block per comp per MCU
-        for ci in range(ncomp):
-            preds[ci] = _encode_block(bw, per_comp[ci][bi], preds[ci])
+    mcu_index = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+            for ci, (chs, cvs) in enumerate(samps):
+                row_blocks = mcus_x * chs
+                for by in range(cvs):
+                    for bx in range(chs):
+                        bi = (my * cvs + by) * row_blocks + mx * chs + bx
+                        preds[ci] = _encode_block(bw, per_comp[ci][bi], preds[ci])
+            mcu_index += 1
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
