@@ -169,3 +169,58 @@ def test_stateful_running_player_stats(spark, landing):
             want[ot][1] += 1 if oc > tc else 0
 
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_streaming_session_stats_matches_batch(spark, tmp_path):
+    """The session_window streaming twin produces the same sessions as
+    the batch gap-sessionization (operators/sessionize.py) over the same
+    events — including an exactly-at-gap boundary, which batch keeps
+    (gap > g breaks) and session_window must be offset by +1ms to keep."""
+    from datetime import datetime, timedelta
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import sessionize
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.incremental import (
+        streaming_session_stats,
+    )
+
+    gap_ms = 30 * 60 * 1000
+
+    def ts(minutes):
+        return datetime(2026, 1, 1) + timedelta(minutes=minutes)
+
+    rows = [
+        (100, ts(0), 1),
+        (101, ts(10), 1),
+        (102, ts(40), 1),   # exactly 30min after prev -> SAME session
+        (103, ts(75), 1),   # 35min -> new session
+        (200, ts(5), 2),
+        (201, ts(90), 2),
+    ]
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    src = str(tmp_path / "events_parquet")
+    events.write.parquet(src)
+
+    batch = {
+        (r["user_id"], r["n_events"], r["duration_ms"])
+        for r in sessionize.session_stats(events, gap_ms=gap_ms).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .parquet(src)
+    )
+    q = (
+        streaming_session_stats(stream, gap_ms=gap_ms + 1)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n_events"], r["duration_ms"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert got == batch
+    assert (1, 3, 40 * 60 * 1000) in got  # boundary event stayed merged

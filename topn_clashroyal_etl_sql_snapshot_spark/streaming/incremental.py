@@ -94,6 +94,46 @@ def streaming_dedup_matches(battles: DataFrame, watermark: str = "2 hours") -> D
     )
 
 
+def streaming_session_stats(
+    events: DataFrame,
+    gap_ms: int = 1_800_000,
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of the batch gap-sessionization
+    (operators/sessionize.py): ``F.session_window`` merges events whose
+    gaps are ≤ ``gap_ms`` into one growing window per user, emitting
+    (user_id, start_ms, n_events, duration_ms) once the watermark
+    closes the session. Same grouping as the batch operator — a
+    session's duration is last-minus-first event; ``session_window``'s
+    end is last + gap, so the gap is subtracted back out. (Boundary
+    nuance vs batch: ``session_window`` treats a gap of exactly
+    ``gap_ms`` as a break, the batch operator keeps it — pass
+    ``gap_ms + 1`` here to match batch inclusively.)
+
+    State per in-flight session is one window per active user, bounded
+    by the watermark — this is the 100 TB-stream form: no per-event
+    state, no driver involvement, sessions close themselves.
+    """
+    sw = F.session_window(F.col(ts_col), f"{int(gap_ms)} milliseconds")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(sw, F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.unix_millis(F.col("session_window.start")).alias("start_ms"),
+            "n_events",
+            (
+                F.unix_millis(F.col("session_window.end"))
+                - F.unix_millis(F.col("session_window.start"))
+                - F.lit(int(gap_ms)).cast("long")
+            ).alias("duration_ms"),
+        )
+    )
+
+
 def incremental_snapshot_query(
     battles_stream: DataFrame,
     bronze_dir: str,
