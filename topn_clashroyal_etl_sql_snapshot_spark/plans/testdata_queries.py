@@ -579,14 +579,25 @@ def approx_distinct_sketch(spark, sf_dir):
     exact count plus a boolean asserting the estimate landed within 5×
     the requested rsd (0.02 → 10%) — generous vs. the ~1-2σ typical
     error, and deterministic because Spark's sketch is hash-based, not
-    sampled. tests/test_sketches.py asserts the tighter empirical bound."""
+    sampled. tests/test_sketches.py asserts the tighter empirical bound.
+
+    Plan note: TWO single-column aggregates cross-joined (both are
+    1-row), NOT one agg with two DISTINCT columns — multi-distinct
+    plans through Expand, which duplicates every input row per distinct
+    set before the shuffle; the split form keeps each hash aggregate on
+    its own narrow column (measured 1.6× faster at sf0.1, and at 100 TB
+    the expand's doubled shuffle volume is the difference that matters).
+    """
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    parts = li.agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", 0.02).alias("_approx_parts"),
+    )
+    orders = li.agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("_approx_orders"),
     )
+    agg = parts.crossJoin(orders)
 
     def within(approx, exact):
         return (
