@@ -466,3 +466,107 @@ def test_extract_audio_features_operator(spark):
     # 100 Hz sine crosses zero 200 times/second
     assert r["zero_crossing_rate"] == pytest.approx(200 / 8000, rel=0.02)
     assert got[2]["sample_rate"] is None and got[2]["rms"] is None
+
+
+def test_gif_animation_compositing_roundtrip():
+    """Multi-frame GIF with transparency, offsets, and disposal: each
+    decoded frame must equal the composited canvas per the GIF89a
+    animation model."""
+    import numpy as np
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.multimodal import (
+        decode_gif_frames,
+    )
+    from topn_clashroyal_etl_sql_snapshot_spark.testing.gif_codec import encode_gif
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+         [255, 255, 0], [255, 0, 255], [0, 255, 255], [255, 255, 255]],
+        dtype=np.uint8,
+    )
+    f0 = np.full((8, 10), 1, dtype=np.uint8)          # all red
+    f1 = np.full((4, 4), 2, dtype=np.uint8)           # green patch at (3,2)
+    f2 = np.full((8, 10), 3, dtype=np.uint8)
+    f2[2:6, 1:5] = 7                                  # idx 7 transparent
+    blob = encode_gif(
+        [
+            {"indices": f0},
+            {"indices": f1, "offset": (3, 2)},
+            {"indices": f2, "transparent": 7},
+        ],
+        pal,
+    )
+    frames = decode_gif_frames(blob)
+    assert frames is not None and len(frames) == 3
+    assert np.array_equal(frames[0], np.tile(pal[1], (8, 10, 1)))
+    expect1 = np.tile(pal[1], (8, 10, 1)).astype(np.uint8)
+    expect1[2:6, 3:7] = pal[2]
+    assert np.array_equal(frames[1], expect1)
+    # frame 2: blue everywhere except the transparent window, which
+    # shows frame 1's canvas through
+    expect2 = np.tile(pal[3], (8, 10, 1)).astype(np.uint8)
+    expect2[2:6, 1:5] = expect1[2:6, 1:5]
+    assert np.array_equal(frames[2], expect2)
+
+
+def test_gif_disposal_restore_background():
+    import numpy as np
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.multimodal import (
+        decode_gif_frames,
+    )
+    from topn_clashroyal_etl_sql_snapshot_spark.testing.gif_codec import encode_gif
+
+    pal = np.array(
+        [[9, 9, 9], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    f0 = np.full((6, 6), 1, dtype=np.uint8)
+    f1 = np.full((6, 6), 2, dtype=np.uint8)
+    f1[1:5, 1:5] = 3
+    # frame 0 disposes to background; frame 1 then draws with idx 3
+    # transparent, so the hole shows BACKGROUND (palette[0]), not frame 0
+    blob = encode_gif(
+        [{"indices": f0, "disposal": 2}, {"indices": f1, "transparent": 3}],
+        pal,
+        bg_index=0,
+    )
+    frames = decode_gif_frames(blob)
+    assert frames is not None and len(frames) == 2
+    expect = np.tile(pal[2], (6, 6, 1)).astype(np.uint8)
+    expect[1:5, 1:5] = pal[0]
+    assert np.array_equal(frames[1], expect)
+
+
+def test_sample_video_frames_real_gif(spark):
+    """The video frame sampler's REAL path: an animated GIF payload
+    fans out to every_n-th composited RGB frame; an undecodable codec
+    payload is skipped, not fatal."""
+    import numpy as np
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import multimodal
+    from topn_clashroyal_etl_sql_snapshot_spark.testing.gif_codec import encode_gif
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    gif = encode_gif(
+        [{"indices": np.full((4, 5), i % 4, dtype=np.uint8)} for i in range(5)],
+        pal,
+    )
+    rows = [
+        (1, "video", "image/gif", bytearray(gif), None, None, None),
+        (2, "video", "video/mp4", bytearray(b"\x00\x00mp4 junk"), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.sample_video_frames(
+        media, every_n=2, deterministic_fake=False
+    ).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert 2 not in by_id  # undecodable skipped
+    idxs = sorted(r["frame_idx"] for r in by_id[1])
+    assert idxs == [0, 2, 4]
+    f0 = [r for r in by_id[1] if r["frame_idx"] == 0][0]
+    arr = np.frombuffer(bytes(f0["frame_payload"]), np.uint8).reshape(4, 5, 3)
+    assert np.array_equal(arr, np.tile(pal[0], (4, 5, 1)))

@@ -399,6 +399,112 @@ def decode_gif_pixels(payload: bytes | None) -> np.ndarray | None:
     return None
 
 
+def decode_gif_frames(
+    payload: bytes | None, max_frames: int = 256
+) -> list[np.ndarray] | None:
+    """REAL animated-GIF decode: every frame composited onto the logical
+    screen per the GIF89a animation model — graphic-control extensions
+    (transparency index, disposal method), frame rectangles at offsets,
+    local color tables, interlacing — using the same pure-Python LZW
+    core as the single-frame path. Returns a list of H×W×3 uint8 arrays
+    (one per frame, already composited), or None for corrupt/non-GIF
+    payloads. Disposal methods: 0/1 leave, 2 restore background,
+    3 restore previous (snapshot)."""
+    p = payload or b""
+    if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
+        return None
+    sw, sh = struct.unpack("<HH", p[6:10])
+    flags, bg_idx = p[10], p[11]
+    if sw == 0 or sh == 0:
+        return None
+    off = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 0x07) + 1)
+        if len(p) < off + 3 * n:
+            return None
+        gct = np.frombuffer(p, np.uint8, count=3 * n, offset=off).reshape(-1, 3)
+        off += 3 * n
+    if gct is not None and bg_idx < len(gct):
+        canvas = np.tile(gct[bg_idx], (sh, sw, 1)).astype(np.uint8)
+    else:
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    bg_canvas = canvas.copy()
+    frames: list[np.ndarray] = []
+    transparent_idx: int | None = None
+    disposal = 0
+    while off < len(p) and len(frames) < max_frames:
+        b0 = p[off]
+        if b0 == 0x21:  # extension
+            if off + 2 > len(p):
+                return None
+            label = p[off + 1]
+            off += 2
+            if label == 0xF9 and off < len(p) and p[off] >= 4:  # GCE
+                gce_flags = p[off + 1]
+                disposal = (gce_flags >> 2) & 0x07
+                transparent_idx = p[off + 4] if gce_flags & 0x01 else None
+            while off < len(p) and p[off] != 0:
+                off += 1 + p[off]
+            off += 1
+        elif b0 == 0x2C:  # image descriptor
+            if len(p) < off + 10:
+                return None
+            ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", p[off + 1 : off + 10])
+            off += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 ** ((iflags & 0x07) + 1)
+                if len(p) < off + 3 * n:
+                    return None
+                table = np.frombuffer(p, np.uint8, count=3 * n, offset=off).reshape(-1, 3)
+                off += 3 * n
+            if table is None or iw == 0 or ih == 0 or off >= len(p):
+                return None
+            if ix + iw > sw or iy + ih > sh:
+                return None
+            min_code_size = p[off]
+            off += 1
+            data = bytearray()
+            while off < len(p) and p[off] != 0:
+                ln = p[off]
+                data += p[off + 1 : off + 1 + ln]
+                off += 1 + ln
+            off += 1  # block terminator
+            indices = _lzw_decode(bytes(data), min_code_size, iw * ih)
+            if indices is None or len(indices) < iw * ih:
+                return None
+            idx = np.asarray(indices[: iw * ih], dtype=np.int32).reshape(ih, iw)
+            if iflags & 0x40:
+                order = [r for start, step in _GIF_PASSES for r in range(start, ih, step)]
+                out = np.empty_like(idx)
+                out[order] = idx
+                idx = out
+            if int(idx.max(initial=0)) >= len(table):
+                return None
+            prev_canvas = canvas.copy() if disposal == 3 else None
+            region = canvas[iy : iy + ih, ix : ix + iw]
+            if transparent_idx is not None:
+                opaque = idx != transparent_idx
+                region[opaque] = table[idx][opaque]
+            else:
+                region[:] = table[idx]
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[iy : iy + ih, ix : ix + iw] = bg_canvas[
+                    iy : iy + ih, ix : ix + iw
+                ]
+            elif disposal == 3 and prev_canvas is not None:
+                canvas = prev_canvas
+            disposal = 0
+            transparent_idx = None
+        elif b0 == 0x3B:
+            break
+        else:
+            return None
+    return frames or None
+
+
 def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
     """Dispatch on the real container header: PNG, GIF, uncompressed
     BMP, and baseline JPEG (SOF0/SOF1 — operators/jpeg.py's stdlib
@@ -551,32 +657,46 @@ def image_thumbnails(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFr
 def sample_video_frames(
     media: DataFrame, every_n: int = 10, deterministic_fake: bool = True
 ) -> DataFrame:
-    """video payload → rows of sampled frames (one row per frame).
+    """video payload → rows of sampled frames (one row per frame;
+    ``frame_idx`` is the source frame number, ``frame_payload`` the raw
+    row-major H×W×3 RGB bytes).
 
-    Production body (requires pyav/ffmpeg)::
+    REAL decode path (``deterministic_fake=False``): animated GIF —
+    the one video-shaped format stdlib can carry — decodes fully via
+    :func:`decode_gif_frames` (LZW + GIF89a compositing: transparency,
+    disposal, frame rects), then every ``every_n``-th composited frame
+    is emitted. Container formats whose codecs need absent libraries
+    (MP4/H.264, VP9, AV1…) emit zero rows for that media_id — skipped,
+    not fatal; the production body swaps in pyav::
 
         container = av.open(io.BytesIO(payload))
         for i, frame in enumerate(container.decode(video=0)):
-            if i % every_n == 0: yield frame.to_image().tobytes()
+            if i % every_n == 0: yield frame.to_rgb().planes...
 
-    The stub slices the payload into ``every_n`` pseudo-frames so the
-    fan-out shape (1 row → N rows) is exercised for real.
+    The default stub slices the payload into ``every_n`` pseudo-frames
+    so the fan-out shape (1 row → N rows) is exercised by the plumbing
+    tests without any decodable media.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real video decode requires pyav/ffmpeg — not available here"
-                )
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_payload": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 p = payload or b""
-                step = max(1, len(p) // every_n)
-                for idx, off in enumerate(range(0, len(p), step)):
+                if deterministic_fake:
+                    step = max(1, len(p) // every_n)
+                    for idx, off in enumerate(range(0, len(p), step)):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["frame_payload"].append(p[off : off + step])
+                    continue
+                frames = decode_gif_frames(p)
+                if frames is None:
+                    continue  # undecodable codec: skip, never kill the scan
+                for idx in range(0, len(frames), max(1, every_n)):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
-                    out["frame_payload"].append(p[off : off + step])
+                    out["frame_payload"].append(frames[idx].tobytes())
             yield pd.DataFrame(out)
 
     vid = media.filter(F.col("kind") == "video").select("media_id", "payload")
