@@ -229,6 +229,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 1000,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
 
@@ -236,9 +237,11 @@ def jaccard_pairs(
     max_df (boilerplate: quadratic candidate blowup, no signal) →
     self-join on shingle (id1 < id2) → intersection counts → join per-doc
     set sizes → jaccard = |∩| / (|A|+|B|-|∩|). Integer counts + one double
-    division — oracle-exact across engines.
+    division — oracle-exact across engines. Pass ``toks`` (a
+    ``token_arrays`` result) to share one tokenize scan with the other
+    dedup families.
     """
-    postings = hashed_postings(docs, text_col, id_col, n)
+    postings = hashed_postings(docs, text_col, id_col, n, toks=toks)
     if max_df is not None:
         df_counts = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
         postings = (
@@ -390,6 +393,7 @@ def minhash_lsh_verified_pairs(
     bands: int = 32,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates post-verified by TRUE Jaccard on the
     shingle sets — the production near-dup plan. Returns
@@ -399,8 +403,9 @@ def minhash_lsh_verified_pairs(
     j=0.9 — near-dup corpora live well above that). Unlike the exact
     inverted-index join, candidate generation never touches shingle
     postings pairwise, so it survives boilerplate-heavy corpora at
-    100 TB without a df cap."""
-    postings = hashed_postings(docs, text_col, id_col, n)
+    100 TB without a df cap. Pass ``toks`` to share one tokenize scan
+    with the other dedup families."""
+    postings = hashed_postings(docs, text_col, id_col, n, toks=toks)
     sigs = minhash_signatures(k=k, postings=postings)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     return true_jaccard_for_pairs(cands, postings, threshold)
@@ -631,6 +636,7 @@ def simhash_verified_pairs(
     max_hamming: int = 7,
     chunks: int = 8,
     threshold: float = 0.5,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash candidates post-verified by TRUE Jaccard — same contract
     as :func:`minhash_lsh_verified_pairs` with a different (cheaper)
@@ -647,9 +653,11 @@ def simhash_verified_pairs(
     The fingerprint and shingle-posting scans share ONE tokenize pass
     (``token_arrays``, locally checkpointed as one array row per doc):
     normalize + regex-split is the dominant per-row cost and both
-    consumers need the same tokens.
+    consumers need the same tokens. An externally supplied ``toks``
+    (already checkpointed) extends that sharing across dedup families.
     Returns (id1, id2, jaccard)."""
-    toks = token_arrays(docs, text_col, id_col).localCheckpoint(eager=False)
+    if toks is None:
+        toks = token_arrays(docs, text_col, id_col).localCheckpoint(eager=False)
     fps = simhash_fingerprints(docs, text_col, id_col, toks=toks)
     cands = simhash_candidate_pairs(fps, max_hamming, chunks)
     postings = hashed_postings(docs, text_col, id_col, n, toks=toks)

@@ -30,13 +30,30 @@ from .testdata_queries import register
 # consumer materializes it and later consumers reuse the blocks.
 _PAIRS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+# The tokenize pass (normalize + regex split — the dominant per-row
+# cost) is likewise shared across ALL dedup families: exact-Jaccard,
+# MinHash, and SimHash all start from the same (id, tokens) arrays, so
+# a production corpus pipeline tokenizes once and fans out. Same weak
+# session keying and lazy-checkpoint lifecycle as the pairs cache.
+_TOKS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _toks_cached(spark, sf_dir: str):
+    per_session = _TOKS_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        docs = read_testdata(spark, sf_dir, "documents")
+        per_session[sf_dir] = dedup.token_arrays(docs).localCheckpoint(
+            eager=False
+        )
+    return per_session[sf_dir]
+
 
 def _jaccard_pairs_cached(spark, sf_dir: str):
     per_session = _PAIRS_CACHE.setdefault(spark, {})
     if sf_dir not in per_session:
         docs = read_testdata(spark, sf_dir, "documents")
         per_session[sf_dir] = dedup.jaccard_pairs(
-            docs, n=3, threshold=0.5
+            docs, n=3, threshold=0.5, toks=_toks_cached(spark, sf_dir)
         ).localCheckpoint(eager=False)
     return per_session[sf_dir]
 
@@ -310,18 +327,25 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(128) + LSH(32×4) candidates post-verified by true Jaccard
     — the 100 TB near-dup plan. Full recall here: miss probability per
     pair is (1-j⁴)³² ≤ 4.7e-8 at j ≥ 0.8 and this corpus's duplicate
-    pairs all sit at j ≥ 0.9, so the result equals the exact oracle."""
+    pairs all sit at j ≥ 0.9, so the result equals the exact oracle.
+    Tokenization comes from the session cache shared by every dedup
+    family (one corpus scan, N candidate generators)."""
     docs = read_testdata(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_verified_pairs(docs, threshold=0.5).orderBy("id1", "id2")
+    return dedup.minhash_lsh_verified_pairs(
+        docs, threshold=0.5, toks=_toks_cached(spark, sf_dir)
+    ).orderBy("id1", "id2")
 
 
 @register("dedup_simhash", _JACCARD_PAIRS_SQL)
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 pigeonhole candidates (hamming ≤ 7 guaranteed by 8-bit
     chunks) post-verified by true Jaccard. Token-level near-dups measure
-    hamming ≤ 5 here, so recall is full and the exact oracle matches."""
+    hamming ≤ 5 here, so recall is full and the exact oracle matches.
+    Tokenization comes from the shared dedup-family session cache."""
     docs = read_testdata(spark, sf_dir, "documents")
-    return dedup.simhash_verified_pairs(docs, threshold=0.5).orderBy("id1", "id2")
+    return dedup.simhash_verified_pairs(
+        docs, threshold=0.5, toks=_toks_cached(spark, sf_dir)
+    ).orderBy("id1", "id2")
 
 
 @register(
