@@ -151,3 +151,39 @@ def test_restart_markers_with_subsampling():
     out = jpeg.decode_jpeg_pixels(blob)
     assert out is not None and out.shape == (48, 48, 3)
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 allows any number of 0xFF fill bytes before a marker; the
+    walker must skip padding instead of desyncing."""
+    img = _gradient(8, 8)
+    blob = encode_jpeg(img, quant=1)
+    # inject a fill byte before the SOF0 marker
+    idx = blob.find(b"\xff\xc0")
+    padded = blob[:idx] + b"\xff" + blob[idx:]
+    out = jpeg.decode_jpeg_pixels(padded)
+    assert out is not None and out.shape == (8, 8, 1)
+    assert int(np.abs(out[:, :, 0].astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_noninterleaved_multiscan_declined():
+    """A baseline file whose SOS covers fewer components than the frame
+    (non-interleaved multi-scan) must return None, not flat-chroma
+    pixels presented as a successful decode."""
+    rng = np.random.default_rng(3)
+    img = np.repeat(np.repeat(rng.integers(0, 256, (2, 2, 3), dtype=np.uint8), 8, 0), 8, 1)
+    blob = bytearray(encode_jpeg(img, quant=1))
+    # rewrite the SOS header to declare a single-component scan
+    idx = bytes(blob).find(b"\xff\xda")
+    # SOS: FF DA len(2) ns [cs td/ta]*ns ss se ah/al
+    assert blob[idx + 4] == 3
+    new_sos = bytes([0xFF, 0xDA, 0, 8, 1, blob[idx + 5], blob[idx + 6], 0, 63, 0])
+    old_len = 2 + struct_len(blob, idx)
+    blob = blob[:idx] + new_sos + blob[idx + old_len:]
+    assert jpeg.decode_jpeg_pixels(bytes(blob)) is None
+
+
+def struct_len(blob, idx):
+    import struct as _s
+
+    return _s.unpack_from(">H", blob, idx + 2)[0]

@@ -570,3 +570,22 @@ def test_sample_video_frames_real_gif(spark):
     f0 = [r for r in by_id[1] if r["frame_idx"] == 0][0]
     arr = np.frombuffer(bytes(f0["frame_payload"]), np.uint8).reshape(4, 5, 3)
     assert np.array_equal(arr, np.tile(pal[0], (4, 5, 1)))
+
+
+def test_gif_frames_corrupt_and_hostile_headers_return_none():
+    """Truncated GCE and absurd declared screen sizes must yield None,
+    never an exception or a multi-GB allocation."""
+    import struct
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.multimodal import (
+        decode_gif_frames,
+    )
+
+    # truncated right after the GCE block-size byte
+    truncated = b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0, 0, 0]) + b"\x21\xf9\x04"
+    assert decode_gif_frames(truncated) is None
+    # header declares a 65535x65535 canvas (~12.9 GB) with no frame data
+    huge = b"GIF89a" + struct.pack("<HH", 65535, 65535) + bytes([0, 0, 0]) + b"\x3b"
+    assert decode_gif_frames(huge) is None
+    assert decode_gif_frames(None) is None
+    assert decode_gif_frames(b"GIF89a") is None

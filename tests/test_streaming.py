@@ -175,7 +175,8 @@ def test_streaming_session_stats_matches_batch(spark, tmp_path):
     """The session_window streaming twin produces the same sessions as
     the batch gap-sessionization (operators/sessionize.py) over the same
     events — including an exactly-at-gap boundary, which batch keeps
-    (gap > g breaks) and session_window must be offset by +1ms to keep."""
+    (gap > g breaks); the operator absorbs session_window's half-open
+    semantics internally, so the SAME gap_ms matches by default."""
     from datetime import datetime, timedelta
 
     from topn_clashroyal_etl_sql_snapshot_spark.operators import sessionize
@@ -210,7 +211,7 @@ def test_streaming_session_stats_matches_batch(spark, tmp_path):
         .parquet(src)
     )
     q = (
-        streaming_session_stats(stream, gap_ms=gap_ms + 1)
+        streaming_session_stats(stream, gap_ms=gap_ms)
         .writeStream.format("memory")
         .queryName("sessions_out")
         .outputMode("complete")

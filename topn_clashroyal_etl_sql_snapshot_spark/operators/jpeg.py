@@ -13,8 +13,10 @@ YCbCr→RGB.
 Scope, honestly stated:
 
 - Baseline and extended-sequential Huffman frames (SOF0, SOF1) decode
-  fully, gray or YCbCr, any sampling factors, with or without DRI
-  restart intervals.
+  fully in their interleaved single-scan form (the overwhelmingly
+  common one), gray or YCbCr, any sampling factors, with or without
+  DRI restart intervals. Non-interleaved multi-scan baseline files
+  return ``None`` rather than plausible-but-wrong pixels.
 - Progressive (SOF2), arithmetic-coded (SOF9+), and hierarchical
   frames return ``None`` — a corrupt or unsupported blob must not kill
   a 100 TB scan (same contract as every other decoder here).
@@ -173,6 +175,12 @@ def _decode(data: bytes | None) -> np.ndarray | None:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip padding to the marker code itself.
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            return None
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             return None  # reached EOI before any scan
@@ -223,6 +231,11 @@ def _decode(data: bytes | None) -> np.ndarray | None:
             if frame is None:
                 return None
             ns = seg[0]
+            if ns != len(frame[2]):
+                # Non-interleaved multi-scan baseline (one scan per
+                # component) — decoding only the first scan would return
+                # plausible-but-wrong pixels (flat chroma). Decline.
+                return None
             scan = []  # (comp_index, dc_table, ac_table)
             comp_ids = [c[0] for c in frame[2]]
             for c in range(ns):

@@ -400,7 +400,9 @@ def decode_gif_pixels(payload: bytes | None) -> np.ndarray | None:
 
 
 def decode_gif_frames(
-    payload: bytes | None, max_frames: int = 256
+    payload: bytes | None,
+    max_frames: int = 256,
+    max_pixels: int = 16_777_216,
 ) -> list[np.ndarray] | None:
     """REAL animated-GIF decode: every frame composited onto the logical
     screen per the GIF89a animation model — graphic-control extensions
@@ -409,13 +411,28 @@ def decode_gif_frames(
     core as the single-frame path. Returns a list of H×W×3 uint8 arrays
     (one per frame, already composited), or None for corrupt/non-GIF
     payloads. Disposal methods: 0/1 leave, 2 restore background,
-    3 restore previous (snapshot)."""
-    p = payload or b""
+    3 restore previous (snapshot).
+
+    ``max_pixels`` bounds the DECLARED logical screen (a few header
+    bytes can claim a 65535×65535 canvas — ~12.9 GB before any frame
+    data is read; a bad blob must not OOM an executor), and the frame
+    list is bounded by ``max_frames × screen`` allocations."""
+    try:
+        return _decode_gif_frames(payload or b"", max_frames, max_pixels)
+    except Exception:
+        # Truncated/corrupt containers must yield None, never propagate
+        # (same contract as every decoder in this module).
+        return None
+
+
+def _decode_gif_frames(
+    p: bytes, max_frames: int, max_pixels: int
+) -> list[np.ndarray] | None:
     if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
         return None
     sw, sh = struct.unpack("<HH", p[6:10])
     flags, bg_idx = p[10], p[11]
-    if sw == 0 or sh == 0:
+    if sw == 0 or sh == 0 or sw * sh > max_pixels:
         return None
     off = 13
     gct = None
@@ -440,7 +457,7 @@ def decode_gif_frames(
                 return None
             label = p[off + 1]
             off += 2
-            if label == 0xF9 and off < len(p) and p[off] >= 4:  # GCE
+            if label == 0xF9 and off + 4 < len(p) and p[off] >= 4:  # GCE
                 gce_flags = p[off + 1]
                 disposal = (gce_flags >> 2) & 0x07
                 transparent_idx = p[off + 4] if gce_flags & 0x01 else None

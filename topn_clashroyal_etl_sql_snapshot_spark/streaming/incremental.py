@@ -107,16 +107,24 @@ def streaming_session_stats(
     (user_id, start_ms, n_events, duration_ms) once the watermark
     closes the session. Same grouping as the batch operator — a
     session's duration is last-minus-first event; ``session_window``'s
-    end is last + gap, so the gap is subtracted back out. (Boundary
-    nuance vs batch: ``session_window`` treats a gap of exactly
-    ``gap_ms`` as a break, the batch operator keeps it — pass
-    ``gap_ms + 1`` here to match batch inclusively.)
+    end is last + gap, so the gap is subtracted back out.
+
+    Batch parity is the default: the batch operator KEEPS an event at
+    exactly ``gap_ms`` (break iff gap > gap_ms) while ``session_window``
+    merges only gaps strictly inside the window, so the window gap is
+    widened by 1 ms internally — the emitted sessions match the batch
+    twin event-for-event (tests/test_streaming.py proves it, boundary
+    included). The ts column is cast to session-TZ TIMESTAMP first:
+    ``unix_millis`` (and event-time semantics generally) reject the
+    TIMESTAMP_NTZ type that isAdjustedToUTC=false parquet produces —
+    the same normalization the batch reader applies.
 
     State per in-flight session is one window per active user, bounded
     by the watermark — this is the 100 TB-stream form: no per-event
     state, no driver involvement, sessions close themselves.
     """
-    sw = F.session_window(F.col(ts_col), f"{int(gap_ms)} milliseconds")
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    sw = F.session_window(F.col(ts_col), f"{int(gap_ms) + 1} milliseconds")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(sw, F.col(user_col))
@@ -128,7 +136,7 @@ def streaming_session_stats(
             (
                 F.unix_millis(F.col("session_window.end"))
                 - F.unix_millis(F.col("session_window.start"))
-                - F.lit(int(gap_ms)).cast("long")
+                - F.lit(int(gap_ms) + 1).cast("long")
             ).alias("duration_ms"),
         )
     )
