@@ -184,3 +184,39 @@ def test_point_in_interval_left_join_pads_unmatched(spark):
     assert got == _duck_range(points, intervals, "left")
     with pytest.raises(ValueError, match="bucket_width"):
         point_in_interval_join(p, i, "ts", "s", "e", bucket_width=0)
+
+
+def test_asof_randomized_large_matches_duckdb(spark):
+    """Adversarial randomized case: many keys, clustered + duplicate
+    left timestamps, sparse/hot keys, and left-only keys — one large
+    draw (fixed seed) compared row-for-row against DuckDB's ASOF JOIN
+    in both directions."""
+    rng = random.Random(7)
+    keys = [f"k{i}" for i in range(40)]
+    left = []
+    for i in range(2000):
+        k = rng.choice(keys)
+        # clustered timestamps with duplicates (ties across left rows)
+        ts = rng.randrange(0, 500) * 4
+        left.append((k, ts, i))
+    left.append(("only-left", 123, 99999))
+    right = []
+    used = set()
+    for _ in range(600):
+        k = rng.choice(keys[:30])  # last 10 keys are right-empty
+        ts = rng.randrange(0, 2000)
+        if (k, ts) in used:
+            continue
+        used.add((k, ts))
+        right.append((k, ts, f"{k}@{ts}", ts * 3))
+    ldf = spark.createDataFrame(left, "k string, ts long, lid long")
+    rdf = spark.createDataFrame(right, "k string, ts long, tag string, px long")
+    for direction, cmp in (("backward", ">="), ("forward", "<=")):
+        got = {
+            r["lid"]: (r["ts_right"], r["tag_right"], r["px_right"])
+            for r in asof_join(
+                ldf, rdf, ts_col="ts", by_cols=["k"], direction=direction
+            ).collect()
+        }
+        want = _duck(left, right, cmp)
+        assert got == want, direction
