@@ -638,17 +638,24 @@ def simhash_verified_pairs(
     threshold: float = 0.5,
     toks: DataFrame | None = None,
 ) -> DataFrame:
-    """SimHash candidates post-verified by TRUE Jaccard — same contract
-    as :func:`minhash_lsh_verified_pairs` with a different (cheaper)
-    candidate generator: one 64-bit fingerprint per doc instead of k=128
-    min-hashes. Pigeonhole with ``chunks=8`` guarantees every pair within
-    hamming ≤ 7 shares an exact 8-bit chunk; token-level near-dup docs
-    measure hamming ≤ 5 on this corpus, so recall is full with margin.
-    At extreme scale prefer chunks=4 (width-16 chunks, hamming ≤ 3):
-    wider chunks mean colder buckets — the recall/candidate-volume knob;
-    either way ``max_bucket`` bounds in-bucket candidate volume when the
-    corpus outgrows the chunk keyspace (see
-    :func:`simhash_candidate_pairs`).
+    """SimHash candidates post-verified by TRUE Jaccard — same plan
+    shape as :func:`minhash_lsh_verified_pairs` with a cheaper candidate
+    generator: one 64-bit fingerprint per doc instead of k=128
+    min-hashes. Pigeonhole with ``chunks=8`` guarantees every pair
+    within hamming ≤ 7 shares an exact 8-bit chunk.
+
+    RECALL CONTRACT (measured, not assumed): a 64-bit SimHash is a
+    HIGH-similarity tool — even set-jaccard ≥ 0.8 pairs can land at
+    hamming ~10-12 when token multiplicities differ (cos θ ≈ 2j/(1+j);
+    at j = 0.8, E[hamming] ≈ 64·θ/π ≈ 10). On the driver corpus at
+    sf0.01 every true pair measures hamming ≤ 5, so this plan equals
+    the exact oracle there; at sf0.1 it recalls 241/256 (94%) of
+    jaccard ≥ 0.5 pairs. Where exactness at moderate thresholds
+    matters, use :func:`minhash_lsh_verified_pairs` (its S-curve is a
+    direct function of jaccard, miss probability ≤ 5e-8 at j ≥ 0.8);
+    SimHash earns its keep as the cheapest near-exact-duplicate screen.
+    ``max_bucket`` bounds in-bucket candidate volume when the corpus
+    outgrows the chunk keyspace (see :func:`simhash_candidate_pairs`).
 
     The fingerprint and shingle-posting scans share ONE tokenize pass
     (``token_arrays``, locally checkpointed as one array row per doc):
