@@ -178,3 +178,130 @@ def test_bpe_pretokens_gpt2_style(spark):
     toks = df.select(bpe_pretokens(F.col("text")).alias("t")).first()["t"]
     # contraction split, leading-space attachment, digit/punct runs
     assert toks == ["It", "'s", " 2026", ",", " naïve", " test", "-", "case", "!"]
+
+
+def test_scrub_pii_matches_python_re(spark):
+    """Every scrub pattern is Java/Python-portable by construction; the
+    composed scrub must equal re.sub in the same order, row for row."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import cleaning as cl
+
+    rows = [
+        "contact me at alice.smith+spam@example.co.uk or bob@x.io today",
+        "see https://example.com/a?b=c&d=e#f and www.test.org/path now",
+        "server at 192.168.1.250 answered, backup 10.0.0.7 did not",
+        "call +1 555 123-4567 or (020) 7946 0958 before 2024",
+        "mixed: visit http://u:p@host.com/x email u:p@host.com 1.2.3.4",
+        "no pii here, just year 2024 and id 123456789",
+        "",
+    ]
+
+    def py_scrub(s):
+        s = re.sub(cl.URL_PATTERN, "<URL>", s)
+        s = re.sub(cl.EMAIL_PATTERN, "<EMAIL>", s)
+        s = re.sub(cl.IPV4_PATTERN, "<IP>", s)
+        s = re.sub(cl.PHONE_PATTERN, "<PHONE>", s)
+        return s
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)], "i long, t string")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", cl.scrub_pii(F.col("t")).alias("s")).collect()
+    }
+    for i, t in enumerate(rows):
+        assert got[i] == py_scrub(t), (t, got[i], py_scrub(t))
+    # counts agree too
+    cnt_row = (
+        df.select(*[c.alias(k) for k, c in cl.pii_counts(F.col("t")).items()])
+        .groupBy()
+        .sum()
+        .collect()[0]
+    )
+    joined = "\n".join(rows)
+    assert cnt_row[0] == len(re.findall(cl.URL_PATTERN, joined))
+    assert cnt_row[1] == len(re.findall(cl.EMAIL_PATTERN, joined))
+    assert cnt_row[2] == len(re.findall(cl.IPV4_PATTERN, joined))
+    assert cnt_row[3] == len(re.findall(cl.PHONE_PATTERN, joined))
+
+
+def test_repetition_stats_matches_python_oracle(spark):
+    import collections
+    import re as _re
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    docs = [
+        (0, "spam line\nspam line\nspam line\nunique one"),
+        (1, "all unique lines\nhere there\nare no repeats"),
+        (2, "buy now buy now buy now forever"),
+        (3, ""),
+        (4, "single"),
+    ]
+
+    def toks(s):
+        return [t for t in _re.sub(r"[^a-zA-Z0-9 ]", " ", s).lower().split() if t]
+
+    def oracle(text):
+        lines = [ln for ln in text.split("\n") if ln.strip() != ""]
+        lc = collections.Counter(lines)
+        total, distinct = len(lines), len(lc)
+        chars_total = sum(len(ln) for ln in lines)
+        chars_dup = sum(len(ln) * n for ln, n in lc.items() if n > 1)
+        tk = toks(text)
+        bgs = [(a, b) for a, b in zip(tk, tk[1:])]
+        bc = collections.Counter(bgs)
+        if bc:
+            best = max(bc, key=lambda g: (bc[g], " ".join(g)))
+            top_chars = bc[best] * (len(best[0]) + len(best[1]))
+        else:
+            top_chars = 0
+        token_chars = sum(len(t) for t in tk)
+        return (
+            total,
+            (total - distinct) / total if total else 0.0,
+            chars_dup / chars_total if chars_total else 0.0,
+            top_chars / token_chars if token_chars else 0.0,
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_lines"],
+            round(r["dup_line_frac"], 9),
+            round(r["dup_line_char_frac"], 9),
+            round(r["top_bigram_char_frac"], 9),
+        )
+        for r in repetition_stats(df).collect()
+    }
+    for doc_id, text in docs:
+        want = oracle(text)
+        want = (want[0], round(want[1], 9), round(want[2], 9), round(want[3], 9))
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_cleaning_and_repetition_plans_stay_jvm_side(spark):
+    import io
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import cleaning as cl
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame([(0, "a b\nc d")], "doc_id long, text string")
+    for out in (
+        df.select(cl.scrub_pii(F.col("text")).alias("s")),
+        repetition_stats(df),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -131,3 +131,107 @@ def winnow_fingerprints(
             F.col("n_fingerprints").cast("double") / F.col("n_kgrams"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, the quality
+    gates that catch boilerplate/templated/spam docs that per-token
+    metrics miss:
+
+    - ``dup_line_frac``      — fraction of lines that are repeats of an
+      earlier-seen line (1 - distinct/total),
+    - ``dup_line_char_frac`` — fraction of line characters belonging to
+      duplicated lines (all occurrences counted, as in Gopher),
+    - ``top_bigram_char_frac`` — fraction of token characters covered
+      by occurrences of the single most frequent word bigram.
+
+    Plan: two explodes (lines, token bigrams) each into a (doc, value)
+    groupBy with compiled aggregates, joined back on the doc id —
+    partial+final hash aggregation, shuffles keyed on the doc id and
+    high-cardinality (doc, value) pairs, no HOF-interpreted loops, no
+    Python. Empty docs yield zero fractions (no NULL poisoning).
+
+    Reference: Rae et al. 2021 (Gopher), Table A1 repetition filters;
+    thresholds are the caller's policy, this op just measures.
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import _spread
+
+    spread = _spread(docs, id_col)
+
+    lines = spread.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).filter(F.trim(F.col("line")) != "")
+    per_line = lines.groupBy("_id", "line").agg(
+        F.count(F.lit(1)).alias("n"), F.length("line").alias("len")
+    )
+    line_stats = per_line.groupBy("_id").agg(
+        F.sum("n").alias("_lines_total"),
+        F.count(F.lit(1)).alias("_lines_distinct"),
+        F.sum(F.col("n") * F.col("len")).alias("_line_chars_total"),
+        F.sum(
+            F.when(F.col("n") > 1, F.col("n") * F.col("len")).otherwise(0)
+        ).alias("_line_chars_dup"),
+    )
+
+    bigrams = spread.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tx.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w_doc = W.partitionBy("_id").orderBy("pos")
+    nxt = F.lead("tok").over(w_doc)
+    per_bigram = (
+        bigrams.select(
+            "_id",
+            F.concat_ws(" ", F.col("tok"), nxt).alias("bg"),
+            (F.length("tok") + F.length(nxt)).alias("blen"),
+            nxt.alias("_nxt"),
+        )
+        .filter(F.col("_nxt").isNotNull())
+        .groupBy("_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("blen").alias("blen"))
+    )
+    bigram_stats = per_bigram.groupBy("_id").agg(
+        F.max_by(F.col("n") * F.col("blen"), F.struct(F.col("n"), F.col("bg"))).alias(
+            "_top_bigram_chars"
+        ),
+    )
+    token_chars = spread.select(
+        F.col(id_col).alias("_id"),
+        F.aggregate(
+            F.transform(tx.tokens(F.col(text_col)), lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("_token_chars"),
+    )
+
+    out = (
+        spread.select(id_col)
+        .join(line_stats, spread[id_col] == line_stats["_id"], "left")
+        .drop("_id")
+        .join(token_chars.withColumnRenamed("_id", id_col), id_col, "left")
+        .join(
+            bigram_stats.withColumnRenamed("_id", id_col), id_col, "left"
+        )
+    )
+    safe_div = lambda a, b: F.when(b > 0, a.cast("double") / b).otherwise(F.lit(0.0))  # noqa: E731
+    return out.select(
+        id_col,
+        F.coalesce(F.col("_lines_total"), F.lit(0)).alias("n_lines"),
+        safe_div(
+            F.coalesce(F.col("_lines_total") - F.col("_lines_distinct"), F.lit(0)),
+            F.coalesce(F.col("_lines_total"), F.lit(0)),
+        ).alias("dup_line_frac"),
+        safe_div(
+            F.coalesce(F.col("_line_chars_dup"), F.lit(0)),
+            F.coalesce(F.col("_line_chars_total"), F.lit(0)),
+        ).alias("dup_line_char_frac"),
+        safe_div(
+            F.coalesce(F.col("_top_bigram_chars"), F.lit(0)),
+            F.coalesce(F.col("_token_chars"), F.lit(0)),
+        ).alias("top_bigram_char_frac"),
+    )
