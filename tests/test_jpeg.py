@@ -187,3 +187,31 @@ def struct_len(blob, idx):
     import struct as _s
 
     return _s.unpack_from(">H", blob, idx + 2)[0]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    rgb=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_roundtrip_property_random_images(h, w, rgb, seed):
+    """Any uint8 image round-trips within the IDCT rounding bound: each
+    of 64 coefficients rounds by <= 0.5 and the orthonormal basis
+    entries are <= 0.25, so per-pixel error is <= 8 even for pure
+    noise. A desync/table bug produces errors far beyond this."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = jpeg.decode_jpeg_pixels(encode_jpeg(img, quant=1))
+    assert out is not None
+    assert out.shape == (h, w, 3 if rgb else 1)
+    ref = img if rgb else img[:, :, None]
+    err = int(np.abs(out.astype(int) - ref.astype(int)).max())
+    # RGB adds the YCbCr forward/backward float transform rounding
+    assert err <= (10 if rgb else 8), err
