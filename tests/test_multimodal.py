@@ -589,3 +589,50 @@ def test_gif_frames_corrupt_and_hostile_headers_return_none():
     assert decode_gif_frames(huge) is None
     assert decode_gif_frames(None) is None
     assert decode_gif_frames(b"GIF89a") is None
+
+
+def test_decoders_never_raise_on_fuzzed_bytes():
+    """The module contract is None-or-valid on ANY payload — random
+    bytes and bit-flipped valid files must never raise out of a decoder
+    (an exception inside mapInPandas kills the task and, after retries,
+    the whole scan)."""
+    import numpy as np
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import jpeg, multimodal
+    from topn_clashroyal_etl_sql_snapshot_spark.testing.gif_codec import encode_gif
+    from topn_clashroyal_etl_sql_snapshot_spark.testing.jpeg_codec import encode_jpeg
+
+    decoders = [
+        multimodal.parse_image_header,
+        multimodal.decode_image_pixels,
+        multimodal.decode_png_pixels,
+        multimodal.decode_bmp_pixels,
+        multimodal.decode_gif_pixels,
+        multimodal.decode_gif_frames,
+        multimodal.decode_wav_samples,
+        jpeg.decode_jpeg_pixels,
+    ]
+    rng = np.random.default_rng(99)
+
+    payloads = [b"", b"\x00", bytes(rng.integers(0, 256, 64, dtype=np.uint8))]
+    # random bytes behind each real magic prefix (parser goes deepest)
+    for magic in (b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"\xff\xd8\xff",
+                  b"RIFF????WAVE"):
+        for size in (4, 64, 512):
+            payloads.append(magic + bytes(rng.integers(0, 256, size, dtype=np.uint8)))
+    # bit-flipped valid files
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    valid = [
+        encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8)),
+        encode_gif([{"indices": np.zeros((4, 4), np.uint8)}] * 2, pal),
+    ]
+    for blob in valid:
+        for _ in range(40):
+            b = bytearray(blob)
+            for _ in range(rng.integers(1, 4)):
+                b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
+            payloads.append(bytes(b))
+
+    for payload in payloads:
+        for dec in decoders:
+            dec(payload)  # must not raise; return value unconstrained
