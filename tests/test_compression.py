@@ -1,0 +1,76 @@
+"""Compressed-column stage (operators/compression.py): sniffing parity
+with stdlib magic bytes, round-trips per codec, corrupt → NULL, and the
+zip-bomb output bound."""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import lzma
+import zlib
+
+from pyspark.sql import functions as F
+
+from topn_clashroyal_etl_sql_snapshot_spark.operators import compression as cz
+
+
+def _rows():
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    raw = text.encode()
+    return text, [
+        (1, "gzip", bytearray(gzip.compress(raw))),
+        (2, "zlib", bytearray(zlib.compress(raw, 6))),
+        (3, "bz2", bytearray(bz2.compress(raw))),
+        (4, "xz", bytearray(lzma.compress(raw))),
+        (5, "none", bytearray(raw)),
+        (6, "none", None),  # NULL payload
+        (7, "gzip", bytearray(b"\x1f\x8b" + b"corrupt!")),
+        (8, "zstd", bytearray(b"\x28\xb5\x2f\xfd" + b"\x00" * 16)),
+    ]
+
+
+def test_detect_and_decompress_roundtrip(spark):
+    text, rows = _rows()
+    df = spark.createDataFrame(rows, "doc_id long, codec string, payload binary")
+    det = {
+        r["doc_id"]: r["d"]
+        for r in df.select(
+            "doc_id", cz.detect_compression(F.col("payload")).alias("d")
+        ).collect()
+    }
+    assert det[1] == "gzip" and det[2] == "zlib" and det[3] == "bz2"
+    assert det[4] == "xz" and det[5] == "none" and det[6] is None
+    assert det[7] == "gzip" and det[8] == "zstd"
+
+    got = {
+        r["doc_id"]: r["text"] for r in cz.decompress_text(df).collect()
+    }
+    for i in (1, 2, 3, 4, 5):
+        assert got[i] == text, i
+    assert got[6] is None          # NULL in, NULL out
+    assert got[7] is None          # corrupt gzip → NULL, not a crash
+    assert got[8] is None          # zstd needs an absent library
+
+
+def test_zip_bomb_output_is_bounded(spark):
+    # 64 MB of zeros compresses to ~64 KB; the stage must inflate at
+    # most max_bytes, not the whole bomb.
+    bomb = gzip.compress(b"\x00" * (64 * 1024 * 1024))
+    assert len(bomb) < 200_000
+    df = spark.createDataFrame(
+        [(1, bytearray(bomb))], "doc_id long, payload binary"
+    )
+    out = cz.decompress_text(df, max_bytes=1024).collect()[0]["text"]
+    assert out is not None and len(out) == 1024
+
+
+def test_detect_is_codegen_column_algebra(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "i long, payload binary")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.select(cz.detect_compression(F.col("payload"))).explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
