@@ -202,13 +202,20 @@ def lsh_neardup_pairs(
     candidate join shuffles on high-cardinality bucket keys.
 
     Recall/efficiency knobs: a pair at angle θ is a candidate with
-    probability 1-(1-(1-θ/π)^planes)^rotations. At production near-dup
-    thresholds (cosine ≥ 0.9, θ ≤ 26°) a handful of rotations of 16
-    planes reach ~certain recall while pruning almost everything. At
+    probability 1-(1-(1-θ/π)^planes)^rotations — an S-curve in cosine,
+    NOT a hard guarantee at the threshold itself. Worked numbers for
+    planes=16, rotations=4: ~0.55 at cosine 0.95, ~0.93 at 0.99, ~0.998
+    at 0.999 — i.e. this config is an exact-duplicate screen (the
+    near-dup regime where survivors cluster at cosine → 1), not an
+    exact-recall plan at its nominal threshold. To push recall at a
+    target cosine, trade planes down and rotations up (8 planes ×
+    12 rotations ≈ 0.999 at cosine 0.95) — fewer planes = hotter
+    buckets, so plane count must also grow with corpus size at scale.
+    For guaranteed-exact results at moderate thresholds use
+    ``brute_force_neardup_pairs`` on a sampled/blocked subset. At
     permissive thresholds (≤ 0.5, θ ≈ 60°) sign-bit LSH degenerates —
-    few planes + many rotations still reach full recall, but candidates
-    approach all-pairs; that regime is inherent to the similarity level,
-    not the plan."""
+    candidates approach all-pairs; that regime is inherent to the
+    similarity level, not the plan."""
     # Materialize the sketches EAGERLY: both self-join sides consume
     # them, and the 64-aggregate sketch tree is expensive for Catalyst —
     # an eager local checkpoint truncates the lineage so the downstream
