@@ -326,8 +326,12 @@ def dedup_trigram_jaccard(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(128) + LSH(32×4) candidates post-verified by true Jaccard
     — the 100 TB near-dup plan. Full recall here: miss probability per
-    pair is (1-j⁴)³² ≤ 4.7e-8 at j ≥ 0.8 and this corpus's duplicate
-    pairs all sit at j ≥ 0.9, so the result equals the exact oracle.
+    pair is (1-j⁴)³² ≤ 4.7e-8 at j ≥ 0.8, and the corpus's true pairs
+    measure min j = 0.9 at sf0.01 / 0.8 at sf0.1 (a pair at exactly the
+    0.5 threshold would be missed ~13% of the time — no such pair
+    exists; the S-curve midpoint sits at j ≈ 0.42 by design so the
+    working regime is its steep right side). Result equals the exact
+    oracle.
     Tokenization comes from the session cache shared by every dedup
     family (one corpus scan, N candidate generators)."""
     docs = read_testdata(spark, sf_dir, "documents")
