@@ -346,9 +346,12 @@ def ivf_topk(
        window rank.
 
     Recall is the nprobe/n_centroids knob: queries whose true neighbors
-    live across an unprobed boundary miss them — tune for the workload
-    (the registered driver query is tuned to full recall at test scale,
-    making the exact oracle applicable). Returns
+    live across an unprobed boundary miss them — tune for the workload.
+    (The registered driver query ``embedding_ann_topk`` stays on the
+    exact ``brute_force_topk`` path because the synthetic testdata
+    embeddings are isotropic — no partition scheme can prune them
+    honestly; THIS operator is verified on clustered data in
+    tests/test_similarity.py, where IVF equals brute force.) Returns
     (query_id, neighbor_id, cosine, rank)."""
     cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     corpus_assign = _nearest_centroids(embeddings, cents, 1, id_col, vec_col)
