@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""End-to-end corpus curation on the synthetic testdata — the composed
+pipeline a training-data team would actually run, built entirely from
+this engine's operators:
+
+    read documents
+      → PII scrub                      (functions/cleaning.py, codegen)
+      → language ID + quality gates    (operators/textstats.py)
+      → repetition/boilerplate gate    (textstats.repetition_stats)
+      → near-dup dedup, KEEP/DROP      (MinHash-LSH → components)
+      → deterministic train/val/test   (operators/sampling.py)
+      → per-source contribution cap    (sampling.per_group_cap)
+      → sequence packing               (operators/packing.py)
+
+Run:  python examples/curate_corpus.py [sf_dir]   (default sf0.001)
+
+Prints one funnel line per stage plus the final per-split/bin summary.
+Every stage is lazy column algebra over one DataFrame lineage — the
+only materializations are the dedup pair set (checkpointed, reused by
+components) and the final counts.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from topn_clashroyal_etl_sql_snapshot_spark.functions import cleaning as cl  # noqa: E402
+from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx  # noqa: E402
+from topn_clashroyal_etl_sql_snapshot_spark.operators import dedup  # noqa: E402
+from topn_clashroyal_etl_sql_snapshot_spark.operators.packing import (  # noqa: E402
+    pack_greedy,
+    pack_stats,
+)
+from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (  # noqa: E402
+    per_group_cap,
+    with_split,
+)
+from topn_clashroyal_etl_sql_snapshot_spark.operators.textstats import (  # noqa: E402
+    lang_id_table,
+    repetition_stats,
+)
+from topn_clashroyal_etl_sql_snapshot_spark.session import get_spark  # noqa: E402
+from topn_clashroyal_etl_sql_snapshot_spark.sources.readers import (  # noqa: E402
+    read_testdata,
+)
+
+
+def curate(spark, sf_dir: str, budget: int = 2048):
+    docs = read_testdata(spark, sf_dir, "documents")
+    n_all = docs.count()
+    print(f"0_all            {n_all}")
+
+    # PII scrub is a projection — it rewrites text, drops nothing.
+    docs = docs.withColumn("text", cl.scrub_pii(F.col("text")))
+
+    # Language + quality gates.
+    flagged = lang_id_table(docs).filter(F.col("predicted_lang") != "und")
+    flagged = flagged.filter(tx.quality_score(F.col("text")) >= 0.5)
+    n_quality = flagged.count()
+    print(f"1_lang_quality   {n_quality}")
+
+    # Repetition gate (Gopher-style thresholds).
+    rep = repetition_stats(docs)
+    keep_rep = rep.filter(
+        (F.col("dup_line_char_frac") <= 0.3)
+        & (F.col("top_bigram_char_frac") <= 0.5)
+    ).select("doc_id")
+    flagged = flagged.join(keep_rep, "doc_id", "left_semi")
+    n_rep = flagged.count()
+    print(f"2_repetition     {n_rep}")
+
+    # Near-dup dedup: MinHash-LSH pairs → connected components → keep
+    # each component's min doc_id.
+    pairs = dedup.minhash_lsh_verified_pairs(docs, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    dropped = comp.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    flagged = flagged.join(dropped, "doc_id", "left_anti")
+    n_dedup = flagged.count()
+    print(f"3_dedup          {n_dedup}")
+
+    # Deterministic split + per-source cap + packing.
+    kept = docs.join(flagged.select("doc_id"), "doc_id", "left_semi")
+    kept = with_split(kept, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    kept = per_group_cap(
+        kept, ["split", "source"], [F.desc("n_chars"), F.asc("doc_id")], k=50
+    )
+    packed = pack_greedy(
+        kept, ["split", "source"], [F.asc("doc_id")], "n_chars", budget=budget
+    )
+    summary = (
+        pack_stats(packed, ["split", "source"], "n_chars", budget)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("bins"),
+            F.sum("docs").alias("docs"),
+            F.round(F.avg("fill_rate"), 3).alias("avg_fill"),
+        )
+        .orderBy("split")
+    )
+    print("4_packed (split, bins, docs, avg_fill):")
+    rows = summary.collect()
+    for r in rows:
+        print(f"    {r['split']:6s} {r['bins']:6d} {r['docs']:6d} {r['avg_fill']}")
+    return {
+        "all": n_all,
+        "lang_quality": n_quality,
+        "repetition": n_rep,
+        "dedup": n_dedup,
+        "splits": {r["split"]: r["docs"] for r in rows},
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="curate-example")
+    curate(spark, sf_dir)
+    spark.stop()

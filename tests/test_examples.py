@@ -1,0 +1,26 @@
+"""The end-to-end curation example must keep running — it is the
+composed-API smoke test (read → scrub → gates → dedup → split → cap →
+pack) and executable documentation."""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+
+def test_curate_corpus_example(spark):
+    path = Path(__file__).resolve().parent.parent / "examples" / "curate_corpus.py"
+    spec = importlib.util.spec_from_file_location("curate_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.curate(spark, "/root/testdata/sf0.001")
+    # funnel is monotone non-increasing
+    assert out["all"] >= out["lang_quality"] >= out["repetition"] >= out["dedup"]
+    assert out["dedup"] > 0
+    # every surviving doc lands in exactly one split (cap may trim)
+    assert 0 < sum(out["splits"].values()) <= out["dedup"]
+    assert set(out["splits"]) <= {"train", "val", "test"}
+    # train dominates per the 90/5/5 weights
+    assert out["splits"]["train"] > out["splits"].get("val", 0)
+    assert out["splits"]["train"] > out["splits"].get("test", 0)
