@@ -1,3 +1,29 @@
-from . import deck, dedup, multimodal, similarity
+from . import (
+    asof,
+    compression,
+    deck,
+    dedup,
+    jpeg,
+    multimodal,
+    packing,
+    sampling,
+    sessionize,
+    similarity,
+    skew,
+    textstats,
+)
 
-__all__ = ["deck", "dedup", "multimodal", "similarity"]
+__all__ = [
+    "asof",
+    "compression",
+    "deck",
+    "dedup",
+    "jpeg",
+    "multimodal",
+    "packing",
+    "sampling",
+    "sessionize",
+    "similarity",
+    "skew",
+    "textstats",
+]
