@@ -1,4 +1,4 @@
-from . import exprs
+from . import cleaning, exprs, text, vectors
 from .exprs import (
     RANKED_MODE_IDS,
     battle_result,
@@ -14,7 +14,10 @@ from .exprs import (
 )
 
 __all__ = [
+    "cleaning",
     "exprs",
+    "text",
+    "vectors",
     "RANKED_MODE_IDS",
     "battle_result",
     "card_variant",

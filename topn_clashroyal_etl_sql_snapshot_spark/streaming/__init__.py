@@ -1,12 +1,16 @@
+from . import stateful
 from .incremental import (
     incremental_snapshot_query,
     stream_battles,
     streaming_dedup_matches,
+    streaming_session_stats,
     windowed_match_counts,
 )
 
 __all__ = [
+    "stateful",
     "incremental_snapshot_query",
+    "streaming_session_stats",
     "stream_battles",
     "streaming_dedup_matches",
     "windowed_match_counts",
