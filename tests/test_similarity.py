@@ -153,3 +153,27 @@ def test_bruteforce_neardup_max_rows_fuse(spark, vectors):
     assert similarity.brute_force_neardup_pairs(
         df, threshold=0.999, max_rows=None
     ).count() >= 0
+
+
+def test_ivf_full_probe_equals_exact_on_isotropic_testdata(spark):
+    """nprobe = n_centroids means no partition is skipped, so IVF must
+    reproduce brute force EXACTLY even on isotropic embeddings where no
+    clustering structure exists — the boundary case that proves the
+    bucketed plumbing (assignment, probe join, verify) loses nothing."""
+    from topn_clashroyal_etl_sql_snapshot_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    from pyspark.sql import functions as F
+
+    flt = F.col("vec_id") < 5
+    bf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.brute_force_topk(emb, k=3, query_filter=flt).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.ivf_topk(
+            emb, k=3, n_centroids=8, nprobe=8, query_filter=flt
+        ).collect()
+    }
+    assert ivf == bf and len(bf) == 15
