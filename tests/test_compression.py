@@ -64,6 +64,21 @@ def test_zip_bomb_output_is_bounded(spark):
     assert out is not None and len(out) == 1024
 
 
+def test_multi_member_gzip_decodes_every_member():
+    """Concatenated gzip members (WARC-style payloads) must decode to
+    the concatenation of every member, not silently stop at the first —
+    and the cumulative max_bytes bound must still hold across members."""
+    a, b, c = b"first-member|" * 10, b"second-member|" * 10, b"third|" * 10
+    blob = gzip.compress(a) + gzip.compress(b) + gzip.compress(c)
+    assert cz._decompress_one(blob, 1 << 20) == a + b + c
+    # bound lands mid-second-member: output is exactly max_bytes
+    bound = len(a) + 5
+    assert cz._decompress_one(blob, bound) == (a + b)[:bound]
+    # trailing garbage after the last member: members before it decode
+    trailing = gzip.compress(a) + b"\x1f\x8bgarbage"
+    assert cz._decompress_one(trailing, 1 << 20) == a
+
+
 def test_detect_is_codegen_column_algebra(spark):
     import contextlib
     import io

@@ -591,6 +591,56 @@ def test_gif_frames_corrupt_and_hostile_headers_return_none():
     assert decode_gif_frames(b"GIF89a") is None
 
 
+def test_gif_retained_frames_bounded_by_total_bytes():
+    """A small GIF declaring a large screen plus many tiny frame rects
+    must not expand to max_frames full-canvas copies: the retained list
+    is capped at max_total_bytes, and every_n skips frames without
+    breaking compositing state."""
+    import numpy as np
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.multimodal import (
+        decode_gif_frames,
+    )
+    from topn_clashroyal_etl_sql_snapshot_spark.testing.gif_codec import encode_gif
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    # 64x64 screen (12 KB/frame), 40 one-pixel frames
+    frames_in = [
+        {"indices": np.full((1, 1), 1 + (i % 2), dtype=np.uint8),
+         "offset": (i % 8, i // 8)}
+        for i in range(40)
+    ]
+    blob = encode_gif(frames_in, pal, screen=(64, 64))
+    # budget for exactly 3 retained frames: 3 * 64*64*3 = 36864 bytes
+    got = decode_gif_frames(blob, max_total_bytes=3 * 64 * 64 * 3)
+    assert got is not None and len(got) == 3
+    # every_n=4: retained frames are composites 0,4,8,... and each must
+    # equal the corresponding slice of the full decode
+    full = decode_gif_frames(blob)
+    sampled = decode_gif_frames(blob, every_n=4)
+    assert sampled is not None and len(sampled) == len(full[::4])
+    for a, b in zip(sampled, full[::4]):
+        assert np.array_equal(a, b)
+
+
+def test_jpeg_non_8bit_precision_returns_none():
+    """A 12-bit extended-sequential SOF must return None (decoding with
+    the 8-bit level shift would give plausible-but-wrong pixels)."""
+    import numpy as np
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import jpeg
+    from topn_clashroyal_etl_sql_snapshot_spark.testing.jpeg_codec import encode_jpeg
+
+    blob = bytearray(encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8)))
+    sof = blob.find(b"\xff\xc0")
+    assert sof >= 0 and blob[sof + 4] == 8  # precision byte after len
+    assert jpeg.decode_jpeg_pixels(bytes(blob)) is not None
+    blob[sof + 4] = 12
+    assert jpeg.decode_jpeg_pixels(bytes(blob)) is None
+
+
 def test_decoders_never_raise_on_fuzzed_bytes():
     """The module contract is None-or-valid on ANY payload — random
     bytes and bit-flipped valid files must never raise out of a decoder

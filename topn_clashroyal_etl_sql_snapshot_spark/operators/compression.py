@@ -64,7 +64,25 @@ def _decompress_one(payload: bytes | None, max_bytes: int) -> bytes | None:
     p = bytes(payload)
     try:
         if p[:2] == b"\x1f\x8b":
-            return zlib.decompressobj(wbits=31).decompress(p, max_bytes)
+            # Multi-member (concatenated) gzip is the norm for
+            # WARC-style web payloads: decompress member after member,
+            # keeping the cumulative output under max_bytes.
+            out = bytearray()
+            data = p
+            first = True
+            while data[:2] == b"\x1f\x8b" and len(out) < max_bytes:
+                d = zlib.decompressobj(wbits=31)
+                try:
+                    out += d.decompress(data, max_bytes - len(out))
+                except Exception:
+                    if first:
+                        raise  # corrupt first member → NULL (outer handler)
+                    break  # corrupt LATER member: keep the decoded prefix
+                first = False
+                if not d.eof:
+                    break  # member truncated by the bound (or by input)
+                data = d.unused_data
+            return bytes(out)
         if p[:3] == b"BZh":
             return bz2.BZ2Decompressor().decompress(p, max_bytes)
         if p[:4] == b"\xfd7zX":

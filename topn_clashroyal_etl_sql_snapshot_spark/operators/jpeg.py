@@ -204,6 +204,11 @@ def _decode(data: bytes | None) -> np.ndarray | None:
                     i += 128
                 qt[tq] = table
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            if seg[0] != 8:
+                # 12-bit extended-sequential: decoding with the 8-bit
+                # level shift and 0..255 clip would return plausible but
+                # wrong pixels. Unsupported precision → None.
+                return None
             h, w = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
             comps = []

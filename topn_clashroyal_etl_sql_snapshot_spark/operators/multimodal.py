@@ -403,6 +403,8 @@ def decode_gif_frames(
     payload: bytes | None,
     max_frames: int = 256,
     max_pixels: int = 16_777_216,
+    max_total_bytes: int = 134_217_728,
+    every_n: int = 1,
 ) -> list[np.ndarray] | None:
     """REAL animated-GIF decode: every frame composited onto the logical
     screen per the GIF89a animation model — graphic-control extensions
@@ -415,10 +417,21 @@ def decode_gif_frames(
 
     ``max_pixels`` bounds the DECLARED logical screen (a few header
     bytes can claim a 65535×65535 canvas — ~12.9 GB before any frame
-    data is read; a bad blob must not OOM an executor), and the frame
-    list is bounded by ``max_frames × screen`` allocations."""
+    data is read; a bad blob must not OOM an executor). The RETAINED
+    frame list is independently bounded by ``max_total_bytes``: a
+    few-KB GIF declaring a large screen plus 256 tiny frame rects would
+    otherwise expand to ``max_frames × screen`` full-canvas copies
+    (~12 GB at the old defaults). The retained-frame cap is
+    ``min(max_frames, max_total_bytes // (sw*sh*3))`` — long animations
+    on large canvases truncate rather than OOM. ``every_n`` retains
+    every n-th composited frame (frames in between are composited onto
+    the canvas for correctness but never copied out), so callers that
+    sample — :func:`sample_video_frames` — pay memory only for the
+    frames they keep."""
     try:
-        return _decode_gif_frames(payload or b"", max_frames, max_pixels)
+        return _decode_gif_frames(
+            payload or b"", max_frames, max_pixels, max_total_bytes, every_n
+        )
     except Exception:
         # Truncated/corrupt containers must yield None, never propagate
         # (same contract as every decoder in this module).
@@ -426,7 +439,8 @@ def decode_gif_frames(
 
 
 def _decode_gif_frames(
-    p: bytes, max_frames: int, max_pixels: int
+    p: bytes, max_frames: int, max_pixels: int, max_total_bytes: int,
+    every_n: int,
 ) -> list[np.ndarray] | None:
     if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
         return None
@@ -434,6 +448,10 @@ def _decode_gif_frames(
     flags, bg_idx = p[10], p[11]
     if sw == 0 or sh == 0 or sw * sh > max_pixels:
         return None
+    every_n = max(1, every_n)
+    # Retained-output budget: never hold more than max_total_bytes of
+    # composited frames, whatever max_frames says.
+    frame_cap = min(max_frames, max(1, max_total_bytes // (sw * sh * 3)))
     off = 13
     gct = None
     if flags & 0x80:
@@ -450,7 +468,8 @@ def _decode_gif_frames(
     frames: list[np.ndarray] = []
     transparent_idx: int | None = None
     disposal = 0
-    while off < len(p) and len(frames) < max_frames:
+    seen = 0  # composited frames, including those every_n skips
+    while off < len(p) and len(frames) < frame_cap:
         b0 = p[off]
         if b0 == 0x21:  # extension
             if off + 2 > len(p):
@@ -506,7 +525,9 @@ def _decode_gif_frames(
                 region[opaque] = table[idx][opaque]
             else:
                 region[:] = table[idx]
-            frames.append(canvas.copy())
+            if seen % every_n == 0:
+                frames.append(canvas.copy())
+            seen += 1
             if disposal == 2:
                 canvas[iy : iy + ih, ix : ix + iw] = bg_canvas[
                     iy : iy + ih, ix : ix + iw
@@ -707,13 +728,17 @@ def sample_video_frames(
                         out["frame_idx"].append(idx)
                         out["frame_payload"].append(p[off : off + step])
                     continue
-                frames = decode_gif_frames(p)
+                # Sampling is pushed INTO the decoder: skipped frames
+                # are composited (animation state stays correct) but
+                # never copied out, so memory is paid only for frames
+                # this row actually emits.
+                frames = decode_gif_frames(p, every_n=max(1, every_n))
                 if frames is None:
                     continue  # undecodable codec: skip, never kill the scan
-                for idx in range(0, len(frames), max(1, every_n)):
+                for i, frame in enumerate(frames):
                     out["media_id"].append(mid)
-                    out["frame_idx"].append(idx)
-                    out["frame_payload"].append(frames[idx].tobytes())
+                    out["frame_idx"].append(i * max(1, every_n))
+                    out["frame_payload"].append(frame.tobytes())
             yield pd.DataFrame(out)
 
     vid = media.filter(F.col("kind") == "video").select("media_id", "payload")
