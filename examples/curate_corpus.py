@@ -8,6 +8,7 @@ this engine's operators:
       → language ID + quality gates    (operators/textstats.py)
       → repetition/boilerplate gate    (textstats.repetition_stats)
       → near-dup dedup, KEEP/DROP      (MinHash-LSH → components)
+      → benchmark decontamination      (operators/decontam.py)
       → deterministic train/val/test   (operators/sampling.py)
       → per-source contribution cap    (sampling.per_group_cap)
       → sequence packing               (operators/packing.py)
@@ -33,7 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from topn_clashroyal_etl_sql_snapshot_spark.functions import cleaning as cl  # noqa: E402
 from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx  # noqa: E402
-from topn_clashroyal_etl_sql_snapshot_spark.operators import dedup  # noqa: E402
+from topn_clashroyal_etl_sql_snapshot_spark.operators import decontam, dedup  # noqa: E402
 from topn_clashroyal_etl_sql_snapshot_spark.operators.packing import (  # noqa: E402
     pack_greedy,
     pack_stats,
@@ -96,6 +97,15 @@ def curate(spark, sf_dir: str, budget: int = 2048):
     n_dedup = flagged.count()
     print(f"3_dedup          {n_dedup}")
 
+    # Benchmark decontamination: drop any document sharing an 8-gram
+    # with the held-out eval slice (here: every 20th doc_id stands in
+    # for the benchmark suite; in production this is the eval set).
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    hits = decontam.contamination_hits(docs, bench, n=8)
+    flagged = flagged.join(hits.select("doc_id"), "doc_id", "left_anti")
+    n_decon = flagged.count()
+    print(f"4_decontam       {n_decon}")
+
     # Deterministic split + per-source cap + packing.
     kept = docs.join(flagged.select("doc_id"), "doc_id", "left_semi")
     kept = with_split(kept, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
@@ -115,7 +125,7 @@ def curate(spark, sf_dir: str, budget: int = 2048):
         )
         .orderBy("split")
     )
-    print("4_packed (split, bins, docs, avg_fill):")
+    print("5_packed (split, bins, docs, avg_fill):")
     rows = summary.collect()
     for r in rows:
         print(f"    {r['split']:6s} {r['bins']:6d} {r['docs']:6d} {r['avg_fill']}")
@@ -124,6 +134,7 @@ def curate(spark, sf_dir: str, budget: int = 2048):
         "lang_quality": n_quality,
         "repetition": n_rep,
         "dedup": n_dedup,
+        "decontam": n_decon,
         "splits": {r["split"]: r["docs"] for r in rows},
     }
 

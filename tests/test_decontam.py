@@ -1,0 +1,142 @@
+"""Decontamination tests (operators/decontam.py): n-gram overlap flags
+vs a pure-Python oracle, removal semantics, the broadcast plan shape,
+and edge cases (short docs, empty benchmark)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from topn_clashroyal_etl_sql_snapshot_spark.operators import decontam
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.sub(r"[^a-zA-Z0-9 ]", " ", text).lower().split() if t]
+
+
+def _ngrams(text: str, n: int) -> set[str]:
+    toks = _tokens(text)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega"
+).split()
+
+
+@pytest.fixture(scope="module")
+def corpus_and_bench(spark):
+    import random
+
+    rng = random.Random(31)
+    corpus = []
+    for i in range(40):
+        corpus.append((i, " ".join(rng.choice(WORDS) for _ in range(30))))
+    # benchmark: 3 held-out prompts, unrelated vocabulary
+    bench = [
+        (1000, "the quick brown fox jumps over the lazy dog every single day"),
+        (1001, "to be or not to be that is the question for the ages"),
+        (1002, "all your base are belong to us said the ancient machine"),
+    ]
+    # plant contamination: doc 50 quotes benchmark 1000 verbatim inside
+    # noise, doc 51 contains benchmark 1001's first 8 words, doc 52 has
+    # only a 4-word overlap (below n=5: must stay clean)
+    corpus.append((50, "noise words here " + bench[0][1] + " trailing noise"))
+    corpus.append((51, " ".join(_tokens(bench[1][1])[:8]) + " unrelated tail words"))
+    corpus.append((52, "for the ages indeed " + " ".join(rng.choice(WORDS) for _ in range(20))))
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    return cdf, bdf, corpus, bench
+
+
+def _oracle_hits(corpus, bench, n) -> dict[int, int]:
+    bench_grams = set()
+    for _, t in bench:
+        bench_grams |= _ngrams(t, n)
+    out = {}
+    for i, t in corpus:
+        k = len(_ngrams(t, n) & bench_grams)
+        if k:
+            out[i] = k
+    return out
+
+
+@pytest.mark.parametrize("n", [5, 8])
+def test_contamination_hits_match_python_oracle(spark, corpus_and_bench, n):
+    cdf, bdf, corpus, bench = corpus_and_bench
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontam.contamination_hits(cdf, bdf, n=n).collect()
+    }
+    assert got == _oracle_hits(corpus, bench, n)
+
+
+def test_planted_contamination_flagged_and_below_threshold_clean(
+    spark, corpus_and_bench
+):
+    cdf, bdf, corpus, bench = corpus_and_bench
+    flagged = {
+        r["doc_id"]
+        for r in decontam.contamination_hits(cdf, bdf, n=5).collect()
+    }
+    assert 50 in flagged  # verbatim quote
+    assert 51 in flagged  # 8-word prefix ⊃ a 5-gram
+    assert 52 not in flagged  # 4-word overlap < n
+
+    clean = decontam.decontaminate(cdf, bdf, n=5)
+    clean_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    all_ids = {i for i, _ in corpus}
+    assert clean_ids == all_ids - flagged
+    assert clean.columns == cdf.columns  # every input column survives
+
+
+def test_report_row(spark, corpus_and_bench):
+    cdf, bdf, corpus, bench = corpus_and_bench
+    oracle = _oracle_hits(corpus, bench, 5)
+    rep = decontam.decontamination_report(cdf, bdf, n=5).collect()[0]
+    assert rep["total_docs"] == len(corpus)
+    assert rep["contaminated_docs"] == len(oracle)
+    assert rep["clean_docs"] == len(corpus) - len(oracle)
+    assert rep["total_hits"] == sum(oracle.values())
+    assert rep["max_hits"] == max(oracle.values())
+
+
+def test_empty_benchmark_flags_nothing(spark, corpus_and_bench):
+    cdf, _, corpus, _ = corpus_and_bench
+    empty = cdf.filter(F.lit(False)).select("doc_id", "text")
+    assert decontam.contamination_hits(cdf, empty, n=5).count() == 0
+    assert decontam.decontaminate(cdf, empty, n=5).count() == len(corpus)
+    rep = decontam.decontamination_report(cdf, empty, n=5).collect()[0]
+    assert rep["contaminated_docs"] == 0 and rep["total_hits"] == 0
+
+
+def test_short_docs_produce_no_ngrams(spark):
+    cdf = spark.createDataFrame(
+        [(1, "too short"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    bdf = spark.createDataFrame(
+        [(9, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontam.contamination_hits(cdf, bdf, n=5).collect()
+    }
+    assert got == {2: 6}  # 10 tokens → 6 distinct 5-grams, all shared
+
+
+def test_benchmark_side_is_broadcast(spark, corpus_and_bench):
+    """The scale contract: the corpus-side overlap join must be a
+    broadcast hash join (benchmark n-gram set ships to executors), not a
+    shuffled sort-merge join of corpus postings."""
+    cdf, bdf, _, _ = corpus_and_bench
+    plan = (
+        decontam.contamination_hits(cdf, bdf, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan

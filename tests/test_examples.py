@@ -16,10 +16,16 @@ def test_curate_corpus_example(spark):
 
     out = mod.curate(spark, "/root/testdata/sf0.001")
     # funnel is monotone non-increasing
-    assert out["all"] >= out["lang_quality"] >= out["repetition"] >= out["dedup"]
-    assert out["dedup"] > 0
+    assert (
+        out["all"] >= out["lang_quality"] >= out["repetition"]
+        >= out["dedup"] >= out["decontam"]
+    )
+    assert out["decontam"] > 0
+    # decontamination dropped the contaminated slice (doc_id % 20 == 0
+    # benchmark docs flag themselves, so the stage must remove some)
+    assert out["decontam"] < out["dedup"]
     # every surviving doc lands in exactly one split (cap may trim)
-    assert 0 < sum(out["splits"].values()) <= out["dedup"]
+    assert 0 < sum(out["splits"].values()) <= out["decontam"]
     assert set(out["splits"]) <= {"train", "val", "test"}
     # train dominates per the 90/5/5 weights
     assert out["splits"]["train"] > out["splits"].get("val", 0)

@@ -1,0 +1,122 @@
+"""Benchmark decontamination: flag corpus documents that share word
+n-grams with a held-out evaluation/benchmark set.
+
+The step every serious training-data pipeline runs before packing:
+if a benchmark prompt/answer leaked into the crawl, training on it
+invalidates the eval. The standard test (GPT-3 appendix C, PaLM,
+Llama) is exact n-gram overlap at n ≈ 8-13: a document is contaminated
+if ANY of its word n-grams appears in any benchmark document.
+
+No reference analog (the reference ETL has no corpus surface —
+training-pipeline extension mandate); reuses the dedup family's
+tokenize/shingle machinery (``dedup.shingle_sets`` /
+``dedup.hashed_postings``) so corpus pipelines that already shingled
+for near-dup detection pay nothing extra for the corpus side.
+
+Scale design (the asymmetry is the whole point):
+
+- The CORPUS side is the 100 TB stream: one scan → distinct hashed
+  n-grams per doc (``hashed_postings`` — the same relation MinHash and
+  Jaccard consume, shareable via ``toks``/session caches).
+- The BENCHMARK side is small by construction (eval suites are
+  thousands of documents, not billions) → its distinct n-gram set is
+  **broadcast**, so the overlap join is map-side: zero shuffle of the
+  corpus postings, no skew surface (a hot boilerplate n-gram meets
+  only the broadcast hash set, never a partitioned join).
+- The per-doc hit count groups by doc id, which REUSES the doc-id
+  partitioning the shingle window already established — with the join
+  broadcast, no exchange sits between shingling and the rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """(sh: long) — the DISTINCT hashed word n-grams of the benchmark
+    set, deduplicated across benchmark documents (per-doc provenance is
+    irrelevant to the contamination test; the distinct keeps the
+    broadcast as small as possible)."""
+    return (
+        dedup.hashed_postings(benchmark, text_col, id_col, n)
+        .select("sh")
+        .distinct()
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_hits) — corpus documents sharing ≥ 1 word n-gram with
+    the benchmark set; ``n_hits`` counts the DISTINCT shared n-grams
+    (each corpus n-gram is distinct per doc by construction, so a plain
+    count after the join is the distinct count).
+
+    Plan: corpus postings ⋈ broadcast(benchmark n-gram set) → groupBy
+    doc id. Pass ``toks`` (a ``dedup.token_arrays`` result) to share
+    the corpus tokenize with the dedup family."""
+    corpus_sh = dedup.hashed_postings(corpus, text_col, id_col, n, toks=toks)
+    bench_sh = benchmark_ngrams(benchmark, text_col, id_col, n)
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("id").alias(id_col), "n_hits")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """The clean corpus: every input column, minus documents flagged by
+    :func:`contamination_hits` (left-anti join on the doc id — the flag
+    side is the small output of a broadcast-join rollup, so AQE plans
+    this anti join as a broadcast too)."""
+    hits = contamination_hits(corpus, benchmark, text_col, id_col, n, toks=toks)
+    return corpus.join(hits.select(id_col), id_col, "left_anti")
+
+
+def decontamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """One-row removal report: (total_docs, contaminated_docs,
+    clean_docs, total_hits, max_hits) — the audit line a pipeline logs
+    per benchmark suite before dropping the flagged documents."""
+    hits = contamination_hits(corpus, benchmark, text_col, id_col, n, toks=toks)
+    totals = corpus.agg(F.count(F.lit(1)).alias("total_docs"))
+    flagged = hits.agg(
+        F.count(F.lit(1)).alias("contaminated_docs"),
+        F.coalesce(F.sum("n_hits"), F.lit(0)).alias("total_hits"),
+        F.coalesce(F.max("n_hits"), F.lit(0)).alias("max_hits"),
+    )
+    return totals.crossJoin(flagged).select(
+        "total_docs",
+        "contaminated_docs",
+        (F.col("total_docs") - F.col("contaminated_docs")).alias("clean_docs"),
+        "total_hits",
+        "max_hits",
+    )

@@ -15,7 +15,7 @@ import weakref
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
-from ..operators import dedup, similarity
+from ..operators import decontam, dedup, similarity
 from ..sources.readers import read_testdata
 from .testdata_queries import register
 
@@ -252,35 +252,28 @@ def text_winnow_fingerprints(spark, sf_dir):
     "dedup_exact_summary",
     f"""
     SELECT COUNT(*) AS total_docs,
-           COUNT(DISTINCT md5({_NORM_SQL})) AS unique_docs
+           COUNT(DISTINCT md5({_NORM_SQL})) AS unique_docs,
+           COUNT(*) - COUNT(DISTINCT md5({_NORM_SQL})) AS dup_docs
     FROM documents
     """,
 )
 def dedup_exact_summary(spark, sf_dir):
-    """Exact-dedup accounting: total vs distinct normalized fingerprints."""
+    """Exact-dedup accounting: total vs distinct normalized
+    fingerprints, plus the redundant-copy count. This single row
+    subsumes the former ``dedup_exact_groups`` registration (per-group
+    rows with copies > 1): the driver corpus has no exact duplicates,
+    so the groups query returned 0 rows and verified nothing, while
+    this row hash-checks ``content_fingerprint`` against DuckDB's md5
+    over EVERY document. ``exact_dup_groups`` itself stays
+    pytest-verified on corpora with planted duplicates
+    (tests/test_dedup.py)."""
     docs = read_testdata(spark, sf_dir, "documents")
+    fp = tx.content_fingerprint(F.col("text"))
     return docs.agg(
         F.count(F.lit(1)).alias("total_docs"),
-        F.countDistinct(tx.content_fingerprint(F.col("text"))).alias("unique_docs"),
+        F.countDistinct(fp).alias("unique_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(fp)).alias("dup_docs"),
     )
-
-
-@register(
-    "dedup_exact_groups",
-    f"""
-    SELECT md5({_NORM_SQL}) AS fingerprint,
-           COUNT(*) AS copies,
-           MIN(doc_id) AS keep_id
-    FROM documents
-    GROUP BY 1
-    HAVING COUNT(*) > 1
-    ORDER BY fingerprint
-    """,
-)
-def dedup_exact_groups(spark, sf_dir):
-    """Exact duplicate groups (hash-groupBy; D2 generalized)."""
-    docs = read_testdata(spark, sf_dir, "documents")
-    return dedup.exact_dup_groups(docs).orderBy("fingerprint")
 
 
 # Exact trigram-Jaccard pairs at threshold 0.5 — the shared oracle for
@@ -413,6 +406,49 @@ def dedup_components(spark, sf_dir):
             (F.col("id") == F.col("comp")).alias("keep"),
         ).orderBy("doc_id")
     )
+
+
+# Decontamination oracle: 8-gram overlap (the corpus's shortest doc has
+# 10 tokens, so every document contributes n-grams at n=8; the operator
+# default n=13 targets real corpora with longer documents). The
+# benchmark set is a deterministic held-out slice — every 20th doc_id —
+# derived identically on both sides.
+_DECON_N = 8
+_DECON_SHINGLE_SQL = " || ' ' || ".join(
+    f"toks[i+{j}]" if j else "toks[i]" for j in range(_DECON_N)
+)
+
+@register(
+    "decontaminate_overlap",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, {_DECON_SHINGLE_SQL} AS sh
+      FROM base, UNNEST(generate_series(1, len(toks) - {_DECON_N - 1})) AS t(i)
+      WHERE len(toks) >= {_DECON_N}
+    ),
+    bench AS (SELECT DISTINCT sh FROM g WHERE doc_id % 20 = 0)
+    SELECT g.doc_id, COUNT(*) AS n_hits
+    FROM g JOIN bench USING (sh)
+    GROUP BY g.doc_id
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_overlap(spark, sf_dir):
+    """Benchmark decontamination: corpus documents sharing any word
+    8-gram with the held-out benchmark slice (every 20th doc_id), with
+    the count of distinct shared n-grams. The benchmark n-gram set is
+    broadcast, so the corpus-side join is map-side — the 100 TB-scan
+    shape (operators/decontam.py). The benchmark docs flag themselves
+    (full self-overlap) — exactly what a pipeline wants when the crawl
+    accidentally contains the eval set."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontam.contamination_hits(
+        docs, bench, n=_DECON_N, toks=_toks_cached(spark, sf_dir)
+    ).orderBy("doc_id")
 
 
 _LANG_PRED_SQL = f"""
