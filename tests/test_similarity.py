@@ -155,6 +155,137 @@ def test_bruteforce_neardup_max_rows_fuse(spark, vectors):
     ).count() >= 0
 
 
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """6 tight clusters of 10 vectors each: the regime semantic dedup
+    is built for. Intra-cluster cosines ≈ 0.999; inter-cluster cosines
+    are far below any dedup threshold."""
+    rng = random.Random(5)
+    centers = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(6)]
+    rows = []
+    for i in range(60):
+        c = centers[i % 6]
+        rows.append((i, [float(x + rng.gauss(0, 0.01)) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_semantic_pairs_exhaustive_assign_equals_bruteforce(spark, vectors):
+    """n_assign = n_centroids makes every pair share a cluster, so the
+    cluster-bucketed plan must reproduce brute force exactly, cosine
+    values included (shared exact_cosine_for_pairs tail)."""
+    df, _ = vectors
+    bf = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.brute_force_neardup_pairs(df, threshold=0.99).collect()
+    }
+    sem = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.semantic_neardup_pairs(
+            df, threshold=0.99, n_centroids=8, n_assign=8
+        ).collect()
+    }
+    assert sem == bf and len(bf) == 3
+
+
+def test_kcenter_places_one_pivot_per_cluster(spark, clustered):
+    """Greedy farthest-point pivots must cover all 6 well-separated
+    clusters with exactly one pivot each (a hash-sampled 6 collides —
+    measured {0,2,2,4,5,5} on this fixture — which is why semantic
+    dedup does not use ivf_centroids)."""
+    cents = similarity.kcenter_centroids(clustered, 6)
+    assert len(cents) == 6
+    # recover each pivot's true cluster by matching against the fixture
+    rows = {r["vec_id"]: list(r["embedding"]) for r in clustered.collect()}
+    owners = []
+    for _, vec, _ in cents:
+        best = max(rows, key=lambda i: _cos(rows[i], vec))
+        owners.append(best % 6)
+    assert sorted(owners) == [0, 1, 2, 3, 4, 5]
+
+
+def test_kcenter_small_corpus_returns_every_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    cents = similarity.kcenter_centroids(df, 5)
+    assert len(cents) == 2  # corpus smaller than k: stop, don't duplicate
+
+
+def test_semantic_pairs_clustered_recall_and_precision(spark, clustered):
+    """On clustered data (SemDeDup's regime) the single-assignment plan
+    recovers every true pair — near-dups co-assign to the same nearest
+    pivot — and precision is exact by construction."""
+    bf = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.brute_force_neardup_pairs(
+            clustered, threshold=0.95
+        ).collect()
+    }
+    sem = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.semantic_neardup_pairs(
+            clustered, threshold=0.95, n_centroids=6, n_assign=1
+        ).collect()
+    }
+    assert sem <= bf  # precision: every emitted pair is a true pair
+    assert sem == bf  # recall on clustered data
+    # 6 clusters × C(10,2) intra-cluster pairs
+    assert len(bf) == 6 * 45
+
+
+def test_semantic_dedup_keep_drop(spark, clustered):
+    """KEEP/DROP must equal a Python union-find over the brute-force
+    pair set: one keeper (min id) per semantic cluster."""
+    bf_pairs = [
+        (r["id1"], r["id2"])
+        for r in similarity.brute_force_neardup_pairs(
+            clustered, threshold=0.95
+        ).collect()
+    ]
+    want = _union_find(bf_pairs)
+    got = {
+        r["id"]: (r["component"], r["keep"])
+        for r in similarity.semantic_dedup(
+            clustered, threshold=0.95, n_centroids=6, n_assign=1
+        ).collect()
+    }
+    assert got == {x: (c, x == c) for x, c in want.items()}
+    # 6 components, keepers are ids 0..5 (the per-cluster minima)
+    assert {c for c, _ in got.values()} == set(range(6))
+    assert {x for x, (c, k) in got.items() if k} == set(range(6))
+
+
+def test_semantic_pairs_no_cartesian_in_plan(spark, clustered):
+    """The scale contract: candidate generation is a cluster-key join —
+    no CartesianProduct / BroadcastNestedLoopJoin node anywhere."""
+    plan = (
+        similarity.semantic_neardup_pairs(
+            clustered, threshold=0.95, n_centroids=6, n_assign=1
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_full_probe_equals_exact_on_isotropic_testdata(spark):
     """nprobe = n_centroids means no partition is skipped, so IVF must
     reproduce brute force EXACTLY even on isotropic embeddings where no

@@ -232,6 +232,21 @@ def lsh_neardup_pairs(
         .select("id1", "id2")
         .distinct()
     )
+    return exact_cosine_for_pairs(cands, embeddings, threshold, id_col, vec_col)
+
+
+def exact_cosine_for_pairs(
+    cands: DataFrame,
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine verification of (id1, id2) candidate pairs — the
+    shared tail of every bucketed near-dup plan (LSH, semantic/IVF):
+    join both vectors back, fold the dot in fixed order (bit-identical
+    to the brute-force path), keep pairs at/above ``threshold``.
+    Returns (id1, id2, cosine)."""
     vecs = _with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
     )
@@ -438,4 +453,153 @@ def brute_force_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+def kcenter_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """Greedy farthest-point (k-center) pivots by cosine distance —
+    deterministic, no RNG, no trained model.
+
+    Why not ``ivf_centroids`` here: hash-sampling k pivots from a
+    corpus with ~k tight clusters collides pivots (birthday bound — at
+    k=6 over 6 clusters the all-distinct probability is 6!/6⁶ ≈ 1.5%),
+    and TWO pivots inside one near-dup cluster split it across a
+    Voronoi boundary, silently halving semantic-dedup recall. Greedy
+    farthest-point placement cannot put a second pivot into any cluster
+    before every cluster has one (the classic k-center 2-approximation
+    argument), so on well-separated data each tight group co-assigns to
+    its own pivot — recall is structural, not probabilistic.
+
+    Plan: the first pivot is the min-``xxhash64(id)`` vector (same
+    determinism device as ``ivf_centroids``); each round keeps a
+    running ``best`` = max cosine to any chosen pivot as a COLUMN
+    (one additional dot per row per round — O(k) dots total, not
+    O(k²)), local-checkpointed so round t's plan doesn't re-derive
+    rounds 1..t-1, and picks the global argmin (ties by id) via
+    TakeOrderedAndProject. Driver holds only the k pivot vectors —
+    the same justified-smallness as ``ivf_centroids``. O(k) jobs: fine
+    for the 10²-10³ pivots semantic dedup uses per shard; for SemDeDup
+    at web scale (50k clusters) swap in a k-means|| fit and feed the
+    resulting centroid list straight to ``_nearest_centroids``."""
+    base = _with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
+    )
+    base = base.localCheckpoint(eager=False)
+    first = (
+        base.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(1).collect()
+    )
+    if not first:
+        return []
+    pivots = [
+        (0, [float(x) for x in first[0]["v"]], float(first[0]["n"]))
+    ]
+    cur = base.filter(F.col("id") != first[0]["id"]).withColumn(
+        "best", F.lit(-2.0)
+    )
+    while len(pivots) < n_centroids:
+        _, pv, pn = pivots[-1]
+        pcol = F.array(*[F.lit(float(x)) for x in pv])
+        cos = vx.cosine_prenormed(vx.dot(F.col("v"), pcol), F.col("n"), F.lit(pn))
+        cur = cur.withColumn(
+            "best", F.greatest(F.col("best"), F.round(cos, 9))
+        ).localCheckpoint(eager=False)
+        nxt = cur.orderBy(F.asc("best"), F.col("id")).limit(1).collect()
+        if not nxt:
+            break  # corpus smaller than n_centroids: every vector is a pivot
+        pivots.append(
+            (len(pivots), [float(x) for x in nxt[0]["v"]], float(nxt[0]["n"]))
+        )
+        cur = cur.filter(F.col("id") != nxt[0]["id"])
+    return pivots
+
+
+def semantic_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
+    """Semantic near-dup pairs, cluster-bucketed (the SemDeDup recipe,
+    Abbas et al. 2023): cluster the embedding space, compare pairs ONLY
+    within a cluster, verify with exact cosine. Returns (id1, id2,
+    cosine ≥ threshold).
+
+    Plan: deterministic hash-sampled centroids (``ivf_centroids`` — no
+    model state) → every vector assigned to its ``n_assign`` nearest
+    centroids (``_nearest_centroids``, narrow codegen) → self-join on
+    the cluster key (id1 < id2, distinct) → shared exact-cosine verify
+    (``exact_cosine_for_pairs``). The candidate join shuffles on the
+    cluster id — O(Σ cluster²) pairs, never corpus²; at 100 TB,
+    ``n_centroids`` scales with corpus size to keep clusters bounded
+    (SemDeDup runs 50k clusters over 5B embeddings).
+
+    Recall contract: pairs whose members assign to disjoint centroid
+    sets are MISSED — inherent to cluster-bucketed dedup, not a bug of
+    this plan. Pivots come from :func:`kcenter_centroids` (greedy
+    farthest-point), which on well-separated clusters places one pivot
+    per cluster, so tight near-dup groups co-assign and recall is 1
+    structurally (hash-sampled pivots — ``ivf_centroids`` — collide two
+    pivots into one cluster with birthday-bound probability and split
+    it; measured on the 6-cluster test fixture). Pairs straddling a
+    Voronoi boundary between OVERLAPPING clusters remain missable;
+    ``n_assign`` > 1 ORs across boundaries, and ``n_assign =
+    n_centroids`` is provably exhaustive (every pair shares a cluster →
+    equals brute force — pinned in tests/test_similarity.py). Precision
+    is exact by construction (every emitted pair carries a verified
+    cosine). Pass ``centroids`` (any [(idx, vector, norm)] list, e.g. a
+    k-means|| fit) to override pivot selection."""
+    cents = centroids if centroids is not None else kcenter_centroids(
+        embeddings, n_centroids, id_col, vec_col
+    )
+    assign = _nearest_centroids(embeddings, cents, n_assign, id_col, vec_col)
+    a = assign.select(F.col("id").alias("id1"), "cidx")
+    b = assign.select(F.col("id").alias("id2"), "cidx")
+    cands = (
+        a.join(b, "cidx")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    return exact_cosine_for_pairs(cands, embeddings, threshold, id_col, vec_col)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
+    """The KEEP/DROP decision over semantic near-dup pairs: connected
+    components (``dedup.connected_components`` — min-label propagation,
+    O(diameter) rounds) over :func:`semantic_neardup_pairs`, so every
+    member of a semantic cluster-duplicate group resolves to the
+    group's minimum id. Returns (id, component, keep) for every id that
+    appears in at least one qualifying pair; ids with no semantic
+    duplicate are absent (they are all keepers — the caller anti-joins
+    the drop set, same shape as ``decontam.decontaminate``)."""
+    from . import dedup
+
+    pairs = semantic_neardup_pairs(
+        embeddings, threshold, n_centroids, n_assign, id_col, vec_col, centroids
+    )
+    comp = dedup.connected_components(pairs.select("id1", "id2"))
+    return comp.select(
+        "id",
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).alias("keep"),
     )
