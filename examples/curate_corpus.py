@@ -11,7 +11,9 @@ this engine's operators:
       → benchmark decontamination      (operators/decontam.py)
       → deterministic train/val/test   (operators/sampling.py)
       → per-source contribution cap    (sampling.per_group_cap)
-      → sequence packing               (operators/packing.py)
+      → BPE tokenize (train + encode)  (operators/bpe.py)
+      → sequence packing on REAL
+        token counts                   (operators/packing.py)
 
 Run:  python examples/curate_corpus.py [sf_dir]   (default sf0.001)
 
@@ -34,7 +36,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from topn_clashroyal_etl_sql_snapshot_spark.functions import cleaning as cl  # noqa: E402
 from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx  # noqa: E402
-from topn_clashroyal_etl_sql_snapshot_spark.operators import decontam, dedup  # noqa: E402
+from topn_clashroyal_etl_sql_snapshot_spark.operators import (  # noqa: E402
+    bpe,
+    decontam,
+    dedup,
+)
 from topn_clashroyal_etl_sql_snapshot_spark.operators.packing import (  # noqa: E402
     pack_greedy,
     pack_stats,
@@ -112,11 +118,18 @@ def curate(spark, sf_dir: str, budget: int = 2048):
     kept = per_group_cap(
         kept, ["split", "source"], [F.desc("n_chars"), F.asc("doc_id")], k=50
     )
+
+    # Tokenize with a real byte-level BPE (trained on a deterministic
+    # sample of this corpus) so bins are budgeted in actual tokens, not
+    # the n_chars proxy.
+    merges = bpe.train_bpe_sampled(kept, n_merges=256, sample_fraction=0.2)
+    kept = bpe.bpe_encode_text(kept, merges).drop("token_ids")
+
     packed = pack_greedy(
-        kept, ["split", "source"], [F.asc("doc_id")], "n_chars", budget=budget
+        kept, ["split", "source"], [F.asc("doc_id")], "n_tokens", budget=budget
     )
     summary = (
-        pack_stats(packed, ["split", "source"], "n_chars", budget)
+        pack_stats(packed, ["split", "source"], "n_tokens", budget)
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("bins"),
