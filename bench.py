@@ -41,21 +41,19 @@ def main() -> None:
 
     qs = testdata_queries.queries()
 
-    # Headline = the scalable plans. embedding_neardup_pairs is excluded
-    # from timing: at its permissive 0.45-cosine threshold (θ≈60°, the
-    # regime this corpus's pairs live in) ANY candidate generator
-    # degenerates toward all-pairs — that cost is inherent to the
-    # similarity level, not the plan; embedding_lsh_neardup (strict
-    # threshold) times the pruning regime instead.
+    # Headline = the scalable plans. embedding_neardup_pairs re-entered
+    # the timed set in r6: it now runs over a deterministic hash sample
+    # (bounded input at any sf), so its cost is the sampled-exact
+    # recipe, not an unbounded all-pairs blowup.
     # cr_* run on a fixed-size domain fixture (sf-independent pipeline
     # parity checks) — timing them against sf would be meaningless; the
     # pipeline's scaling behavior is measured by cr_pipeline below.
-    excluded = {"embedding_neardup_pairs"}
-    qs = {
-        n: f
-        for n, f in qs.items()
-        if n not in excluded and not n.startswith("cr_")
-    }
+    qs = {n: f for n, f in qs.items() if not n.startswith("cr_")}
+    # The strict-threshold LSH plan left the driver registry (its exact
+    # result is empty at every driver sf, so the hash check verified
+    # nothing) but stays in the bench: it times the sketch+bucket-join
+    # pruning regime that the sampled-exact query doesn't exercise.
+    qs["embedding_lsh_neardup"] = llm_queries.embedding_lsh_neardup
 
     # Warm the JVM/codegen path once so per-query timings measure the
     # queries, not first-call JIT + parquet footer reads.
@@ -67,6 +65,9 @@ def main() -> None:
     # The heaviest entries are noise-dominated when timed single-shot
     # (observed 2-2.6x same-binary swings between rounds) — time those
     # median-of-3 so cross-round comparisons are judgeable.
+    # events_sessionize / events_rolling_sum joined in r6: their r5
+    # single-shot numbers ticked up 1.3-1.5x vs r3 and could not be
+    # adjudicated as noise without medians (r5 verdict item 2).
     HEAVY = {
         "curation_funnel": 3,
         "cr_pipeline": 3,
@@ -74,6 +75,9 @@ def main() -> None:
         "dedup_minhash_lsh": 3,
         "embedding_lsh_neardup": 3,
         "approx_distinct_sketch": 3,
+        "events_sessionize": 3,
+        "events_rolling_sum": 3,
+        "embedding_neardup_pairs": 3,
     }
 
     timings: dict[str, float] = {}

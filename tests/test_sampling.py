@@ -88,6 +88,45 @@ def test_bucket_expr_matches_twin(spark):
         assert r["b"] == _twin_bucket(r["k"])
 
 
+def test_xxh64_bucket_sql_matches_spark_and_twin(spark):
+    """The generated DuckDB CTE chain (plans/xxh64_sql.py) must equal
+    Spark's pmod(xxhash64(42L, key), 10000) lane-for-lane — it is the
+    oracle-side sampling for driver rows (embedding_neardup_pairs), so
+    a single mismatched bucket silently changes a driver sample."""
+    from topn_clashroyal_etl_sql_snapshot_spark.plans.xxh64_sql import (
+        hash_long,
+        xxh64_bucket_ctes,
+    )
+
+    # adversarial keys: sign boundary, 32-bit boundary, extremes
+    keys = (
+        list(range(200))
+        + [2**31 - 1, 2**31, 2**32 - 1, 2**32, 2**63 - 1, -1, -2**63]
+        + [i * 961748927 for i in range(200)]
+    )
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    want = {r["k"]: r["b"] for r in df.select("k", bucket_expr("k").alias("b")).collect()}
+
+    sql = (
+        "WITH src AS (SELECT UNNEST(?) AS k),\n"
+        + xxh64_bucket_ctes("src", "k")
+        + "\nSELECT k, _bucket FROM _xxbkt"
+    )
+    got = dict(duckdb.connect().execute(sql, [keys]).fetchall())
+    assert got == want
+
+    # and the baked seed-chain math agrees with the independent twin:
+    # xxhash64(42L, key) == hashLong(key, hashLong(42, 42))
+    from topn_clashroyal_etl_sql_snapshot_spark.testing.xxh64 import (
+        spark_xxhash64,
+    )
+
+    for k in (0, 1, -1, 2**31, 2**63 - 1):
+        assert hash_long(k % (1 << 64), hash_long(42, 42)) == spark_xxhash64(
+            [("long", 42), ("long", k)]
+        ) % (1 << 64)
+
+
 def test_with_split_labels_match_twin_and_are_exhaustive(spark):
     weights = {"train": 0.8, "val": 0.1, "test": 0.1}
     keys = _keys(2000)

@@ -18,6 +18,7 @@ from ..functions import text as tx
 from ..operators import decontam, dedup, similarity
 from ..sources.readers import read_testdata
 from .testdata_queries import register
+from .xxh64_sql import xxh64_bucket_ctes
 
 # Session-scoped cache for the exact trigram-Jaccard pair set: three
 # registered queries consume the SAME relation (dedup_trigram_jaccard
@@ -597,10 +598,19 @@ def embedding_ann_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-def _exact_cosine_pairs_sql(threshold: float) -> str:
-    return f"""
-    WITH n AS (
-      SELECT vec_id, embedding, {_VEC_NORM_SQL} AS nrm FROM embeddings
+_NEARDUP_SAMPLE_BUCKETS = 2_500  # hash_sample fraction 0.25 of 10 000
+
+_NEARDUP_SAMPLED_SQL = f"""
+    WITH src AS (SELECT vec_id FROM embeddings),
+    {xxh64_bucket_ctes('src', 'vec_id')},
+    samp AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e
+      JOIN _xxbkt b ON e.vec_id = b.vec_id
+      WHERE b._bucket < {_NEARDUP_SAMPLE_BUCKETS}
+    ),
+    n AS (
+      SELECT vec_id, embedding, {_VEC_NORM_SQL} AS nrm FROM samp
     )
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            round(
@@ -611,52 +621,89 @@ def _exact_cosine_pairs_sql(threshold: float) -> str:
     WHERE round(
              list_sum(list_transform(generate_series(1, len(a.embedding)),
                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / NULLIF(a.nrm * b.nrm, 0.0), 9) >= {threshold}
+             / NULLIF(a.nrm * b.nrm, 0.0), 9) >= 0.35
     ORDER BY id1, id2
     """
 
 
-@register("embedding_neardup_pairs", _exact_cosine_pairs_sql(0.45))
+@register("embedding_neardup_pairs", _NEARDUP_SAMPLED_SQL)
 def embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs at a PERMISSIVE threshold (0.45,
-    θ ≈ 60°) — registered as the exact all-pairs plan, matching the
-    exact oracle BY CONSTRUCTION.
+    """Exact near-dup pair measurement at a PERMISSIVE threshold (0.35,
+    θ ≈ 70°) over a DETERMINISTIC HASH SAMPLE of the corpus — the
+    scale-safe way to run exact permissive-threshold analysis, and how
+    a 100 TB pipeline actually measures its near-dup rate: all-pairs on
+    the full corpus is quadratic, and at θ ≈ 60-70° sign-bit LSH has
+    nonzero expected misses vs an exact oracle, so a probabilistic plan
+    would fail deterministically. Sampling by ``hash_sample`` keeps the
+    input bounded (fraction scales down as the corpus grows — the
+    fraction is the knob; the operator's ``max_rows`` fuse stays as the
+    backstop so an unguarded all-pairs plan remains unreachable).
 
-    Why exact and not LSH here: at θ ≈ 60° sign-bit LSH's per-pair miss
-    probability is ~0.3-0.6% even at 3 planes × 16 rotations, so at a
-    larger driver sf the expected number of missed pairs exceeds 0 and a
-    probabilistic plan would fail the exact oracle deterministically —
-    and at this similarity level ANY candidate generator degenerates
-    toward all-pairs anyway, so exact is also the honest cost model.
-    The scale path for real near-dup thresholds is the LSH-bucketed plan
-    (``embedding_lsh_neardup``, cosine ≥ 0.95); LSH-vs-exact containment
-    at 0.45 stays a pytest check (tests/test_similarity.py). The
-    operator's built-in ``max_rows`` fuse (similarity.py) makes this
-    registration refuse, rather than silently run, a corpus too large
-    for all-pairs — no unguarded crossJoin is reachable from here."""
+    Oracle parity on the SAMPLE itself: the DuckDB side reproduces
+    Spark's ``pmod(xxhash64(42L, vec_id), 10000)`` bucket math
+    bit-for-bit via the generated CTE chain (plans/xxh64_sql.py), so
+    the driver hash-checks sample membership AND the pair cosines. The
+    strict-threshold scale plan remains ``embedding_lsh_neardup``."""
+    from ..operators import sampling
+
     emb = read_testdata(spark, sf_dir, "embeddings")
+    samp = sampling.hash_sample(
+        emb, "vec_id", _NEARDUP_SAMPLE_BUCKETS / 10_000
+    )
     return similarity.brute_force_neardup_pairs(
-        emb, threshold=0.45, max_rows=100_000
+        samp, threshold=0.35, max_rows=100_000
     ).orderBy("id1", "id2")
 
 
-@register("embedding_lsh_neardup", _exact_cosine_pairs_sql(0.95))
 def embedding_lsh_neardup(spark, sf_dir):
     """Strict near-duplicate scan (cosine ≥ 0.95) — the bucketed LSH
-    plan with exact-cosine verification (precision exact by
-    construction). Recall honesty: the S-curve at 16 planes × 4
-    rotations is ~0.55 per pair AT the 0.95 threshold, →1 as cosine→1
-    (see ``lsh_neardup_pairs``); the oracle equality here is sound
-    because the corpus's pair-cosine distribution is MEASURED to top
-    out below 0.9 at every driver sf (the exact result is empty, and
-    true near-dup corpora cluster at cosine ≥ 0.99 where recall is
-    ~0.93-1.0). Recall behavior on corpora where qualifying pairs DO
-    exist is pinned by the planted-neighbor pytest fixtures
-    (tests/test_similarity.py)."""
+    plan with exact-cosine verification. NOT registered for the driver
+    since r6: the exact result is empty at every driver sf (the
+    corpus's pair cosines top out below 0.9), so the hash check
+    compared empty to empty and verified nothing — the registry slot
+    went to ``with_split`` (bit-exact xxh64 oracle). Recall behavior on
+    corpora where qualifying pairs DO exist is pinned by the
+    planted-neighbor pytest fixtures (tests/test_similarity.py), and
+    the sketch path still runs in the bench via this callable."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     return similarity.lsh_neardup_pairs(
         emb, threshold=0.95, planes=16, rotations=4
     ).orderBy("id1", "id2")
+
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+@register(
+    "docs_with_split",
+    f"""
+    WITH src AS (SELECT doc_id FROM documents),
+    {xxh64_bucket_ctes('src', 'doc_id')}
+    SELECT doc_id, _bucket AS bucket,
+           CASE WHEN _bucket < 9000 THEN 'train'
+                WHEN _bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM _xxbkt
+    ORDER BY doc_id
+    """,
+)
+def docs_with_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) for every
+    document — replayable, append-stable hash-bucket membership
+    (operators/sampling.py ``with_split``). The oracle recomputes
+    Spark's ``pmod(xxhash64(42L, doc_id), 10000)`` bucket bit-for-bit
+    in generated DuckDB arithmetic (plans/xxh64_sql.py), so the driver
+    hash-checks EVERY row's bucket and label — the strongest possible
+    check of the splits family (formerly pytest-only against the
+    Python twin)."""
+    from ..operators.sampling import bucket_expr, with_split
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return (
+        with_split(docs.select("doc_id"), "doc_id", _SPLIT_WEIGHTS)
+        .withColumn("bucket", bucket_expr("doc_id"))
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    )
 
 
 @register(

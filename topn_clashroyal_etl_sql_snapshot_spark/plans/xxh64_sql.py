@@ -1,0 +1,112 @@
+"""Spark's ``xxhash64`` bucket math, generated as DuckDB SQL.
+
+The sampling/split family (``operators/sampling.py``) keys membership
+on ``pmod(xxhash64(42L, key), buckets)``. To oracle those operators in
+the driver's DuckDB harness, this module emits a CTE chain computing
+the IDENTICAL value in pure SQL arithmetic:
+
+- XXH64 of one 64-bit little-endian lane (the public xxHash spec /
+  Spark's ``XXH64.hashLong``): acc = seed+P5+8; acc ^= rotl(lane*P2,
+  31)*P1; acc = rotl(acc,27)*P1+P4; then the avalanche mix.
+- Spark folds multi-argument ``xxhash64(42L, key)`` by chaining:
+  ``hashLong(key, hashLong(42, 42))``. The inner hash is a constant,
+  precomputed here (:data:`ACC0` bakes it into the first add).
+- DuckDB has no wrapping 64-bit multiply (UBIGINT raises on overflow,
+  HUGEINT is signed 128-bit and a 64×64 product overflows it), so each
+  ``(a*b) mod 2⁶⁴`` splits ``a`` into 32-bit halves:
+  ``(a_lo*b mod 2⁶⁴ + (a_hi*b mod 2³²)·2³²) mod 2⁶⁴`` — every
+  intermediate < 2⁹⁶ fits HUGEINT. Rotations use the same disjoint
+  decomposition; XORs/shifts run on UBIGINT (bit ops don't overflow).
+
+The chain is validated lane-for-lane against ``F.xxhash64`` and the
+pure-Python twin ``testing/xxh64.py`` in tests/test_sampling.py.
+"""
+
+from __future__ import annotations
+
+_M = "18446744073709551616"  # 2^64
+_P1 = 11400714785074694791
+_P2 = 14029467366897019727
+_P3 = 1609587929392839161
+_P4 = 9650029242287828579
+_P5 = 2870177450012600261
+_MASK = (1 << 64) - 1
+
+
+def _mulmod(a: str, b: int) -> str:
+    return (
+        f"((({a}) % 4294967296) * {b}::HUGEINT % {_M} + "
+        f"((({a}) // 4294967296) * {b} % 4294967296) * 4294967296) % {_M}"
+    )
+
+
+def _rotl(x: str, r: int) -> str:
+    lo = 1 << (64 - r)
+    return f"((({x}) % {lo}) * {1 << r} + ({x}) // {lo})"
+
+
+def _xor(a: str, b: str) -> str:
+    return f"CAST(xor(CAST({a} AS UBIGINT), CAST({b} AS UBIGINT)) AS HUGEINT)"
+
+
+def _shr(a: str, n: int) -> str:
+    return f"CAST(CAST({a} AS UBIGINT) >> {n} AS HUGEINT)"
+
+
+def _py_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _py_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _MASK
+    h ^= h >> 29
+    h = (h * _P3) & _MASK
+    h ^= h >> 32
+    return h
+
+
+def hash_long(lane: int, seed: int) -> int:
+    """Python twin of Spark's ``XXH64.hashLong`` (used to bake the
+    seed-chain constant; independently re-verified by testing/xxh64.py)."""
+    h = (seed + _P5 + 8) & _MASK
+    h ^= (_py_rotl((lane * _P2) & _MASK, 31) * _P1) & _MASK
+    h = (_py_rotl(h, 27) * _P1 + _P4) & _MASK
+    return _py_fmix(h)
+
+
+# xxhash64(42L, key) == hashLong(key, hashLong(42, 42)); fold the
+# constant inner hash + P5 + 8 into the chain's first addend.
+ACC0 = (hash_long(42, 42) + _P5 + 8) & _MASK
+
+
+def xxh64_bucket_ctes(src: str, key: str, buckets: int = 10_000) -> str:
+    """CTE chain text: given relation ``src`` with BIGINT column
+    ``key``, defines ``_xxbkt(key, _bucket)`` where ``_bucket`` equals
+    Spark's ``pmod(xxhash64(42L, key), buckets)`` (signed pmod at the
+    end — Spark's hash is a signed long). Splice into a WITH list."""
+    steps = [
+        # two's-complement lane: negative longs map to value + 2^64
+        # (DuckDB % keeps the dividend's sign, hence the double-mod)
+        ("_xx0",
+         f"SELECT {key}, (CAST({key} AS HUGEINT) % {_M} + {_M}) % {_M} AS v "
+         f"FROM {src}"),
+        ("_xx1", f"SELECT {key}, {_mulmod('v', _P2)} AS v FROM _xx0"),
+        ("_xx2", f"SELECT {key}, {_rotl('v', 31)} AS v FROM _xx1"),
+        ("_xx3", f"SELECT {key}, {_mulmod('v', _P1)} AS v FROM _xx2"),
+        ("_xx4", f"SELECT {key}, {_xor(str(ACC0), 'v')} AS v FROM _xx3"),
+        ("_xx5", f"SELECT {key}, {_rotl('v', 27)} AS v FROM _xx4"),
+        ("_xx6", f"SELECT {key}, ({_mulmod('v', _P1)} + {_P4}) % {_M} AS v FROM _xx5"),
+        ("_xx7", f"SELECT {key}, {_xor('v', _shr('v', 33))} AS v FROM _xx6"),
+        ("_xx8", f"SELECT {key}, {_mulmod('v', _P2)} AS v FROM _xx7"),
+        ("_xx9", f"SELECT {key}, {_xor('v', _shr('v', 29))} AS v FROM _xx8"),
+        ("_xx10", f"SELECT {key}, {_mulmod('v', _P3)} AS v FROM _xx9"),
+        ("_xx11", f"SELECT {key}, {_xor('v', _shr('v', 32))} AS v FROM _xx10"),
+        (
+            "_xxbkt",
+            f"SELECT {key}, CAST((((CASE WHEN v >= 9223372036854775808::HUGEINT "
+            f"THEN v - {_M}::HUGEINT ELSE v END) % {buckets}) + {buckets}) "
+            f"% {buckets} AS BIGINT) AS _bucket FROM _xx11",
+        ),
+    ]
+    return ",\n".join(f"{name} AS ({q})" for name, q in steps)
