@@ -290,6 +290,33 @@ def test_repetition_stats_matches_python_oracle(spark):
         want = (want[0], round(want[1], 9), round(want[2], 9), round(want[3], 9))
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
 
+    # include_counts: the raw integer numerators/denominators (the
+    # driver row's exact aggregation units) match the same oracle
+    counts = {
+        r["doc_id"]: (
+            r["line_chars"], r["dup_line_chars"],
+            r["top_bigram_chars"], r["token_chars"],
+        )
+        for r in repetition_stats(df, include_counts=True).collect()
+    }
+    for doc_id, text in docs:
+        lines = [ln for ln in text.split("\n") if ln.strip() != ""]
+        lc = collections.Counter(lines)
+        tk = toks(text)
+        bc = collections.Counter(zip(tk, tk[1:]))
+        if bc:
+            best = max(bc, key=lambda g: (bc[g], " ".join(g)))
+            top_chars = bc[best] * (len(best[0]) + len(best[1]))
+        else:
+            top_chars = 0
+        want_counts = (
+            sum(len(ln) * n for ln, n in lc.items()),
+            sum(len(ln) * n for ln, n in lc.items() if n > 1),
+            top_chars,
+            sum(len(t) for t in tk),
+        )
+        assert counts[doc_id] == want_counts, (doc_id, counts[doc_id], want_counts)
+
 
 def test_cleaning_and_repetition_plans_stay_jvm_side(spark):
     import io

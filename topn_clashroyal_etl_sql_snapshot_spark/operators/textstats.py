@@ -134,7 +134,10 @@ def winnow_fingerprints(
 
 
 def repetition_stats(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_counts: bool = False,
 ) -> DataFrame:
     """Gopher-style within-document repetition signals, the quality
     gates that catch boilerplate/templated/spam docs that per-token
@@ -161,6 +164,13 @@ def repetition_stats(
 
     Reference: Rae et al. 2021 (Gopher), Table A1 repetition filters;
     thresholds are the caller's policy, this op just measures.
+
+    ``include_counts=True`` appends the raw INTEGER numerators and
+    denominators (``line_chars``, ``dup_line_chars``,
+    ``top_bigram_chars``, ``token_chars``) — exact, order-independent
+    aggregation units for corpus-level rollups (a sum of per-doc
+    FRACTIONS is neither meaningful nor float-stable; the driver row
+    sums these integers instead).
     """
     from pyspark.sql import Window as W
 
@@ -223,8 +233,8 @@ def repetition_stats(
         )
     )
     safe_div = lambda a, b: F.when(b > 0, a.cast("double") / b).otherwise(F.lit(0.0))  # noqa: E731
-    return out.select(
-        id_col,
+    cols = [
+        F.col(id_col),
         F.coalesce(F.col("_lines_total"), F.lit(0)).alias("n_lines"),
         safe_div(
             F.coalesce(F.col("_lines_total") - F.col("_lines_distinct"), F.lit(0)),
@@ -241,4 +251,12 @@ def repetition_stats(
                 F.coalesce(F.col("_token_chars"), F.lit(0)),
             ),
         ).alias("top_bigram_char_frac"),
-    )
+    ]
+    if include_counts:
+        cols += [
+            F.coalesce(F.col("_line_chars_total"), F.lit(0)).alias("line_chars"),
+            F.coalesce(F.col("_line_chars_dup"), F.lit(0)).alias("dup_line_chars"),
+            F.coalesce(F.col("_top_bigram_chars"), F.lit(0)).alias("top_bigram_chars"),
+            F.coalesce(F.col("_token_chars"), F.lit(0)).alias("token_chars"),
+        ]
+    return out.select(*cols)

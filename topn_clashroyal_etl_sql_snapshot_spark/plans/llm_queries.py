@@ -178,22 +178,81 @@ _QUALITY_SQL = f"""
 @register(
     "text_quality_by_source",
     f"""
-    SELECT source,
+    WITH lines AS (
+      SELECT doc_id, line FROM (
+        SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line
+        FROM documents
+      ) WHERE trim(line) <> ''
+    ),
+    per_line AS (
+      SELECT doc_id, line, COUNT(*) AS n, length(line) AS len
+      FROM lines GROUP BY doc_id, line
+    ),
+    line_stats AS (
+      SELECT doc_id,
+             SUM(n * len) AS line_chars,
+             SUM(CASE WHEN n > 1 THEN n * len ELSE 0 END) AS dup_line_chars
+      FROM per_line GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    per_bigram AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, COUNT(*) AS n
+      FROM base, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2
+      GROUP BY 1, 2
+    ),
+    top_bigram AS (
+      SELECT doc_id, n * (length(bg) - 1) AS top_bigram_chars FROM (
+        SELECT doc_id, bg, n,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, bg DESC) AS rn
+        FROM per_bigram
+      ) WHERE rn = 1
+    ),
+    tok_chars AS (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                  AS BIGINT) AS token_chars
+      FROM base
+    ),
+    rep AS (
+      SELECT d.doc_id, d.source,
+             coalesce(ls.line_chars, 0) AS line_chars,
+             coalesce(ls.dup_line_chars, 0) AS dup_line_chars,
+             coalesce(tb.top_bigram_chars, 0) AS top_bigram_chars,
+             coalesce(tc.token_chars, 0) AS token_chars
+      FROM documents d
+      LEFT JOIN line_stats ls ON ls.doc_id = d.doc_id
+      LEFT JOIN top_bigram tb ON tb.doc_id = d.doc_id
+      LEFT JOIN tok_chars tc ON tc.doc_id = d.doc_id
+    )
+    SELECT d.source,
            COUNT(*) AS docs,
            CAST(SUM(CAST({_QUALITY_SQL} AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality,
            MIN({_QUALITY_SQL}) AS min_quality,
-           MAX({_QUALITY_SQL}) AS max_quality
-    FROM documents
-    GROUP BY source
-    ORDER BY source
+           MAX({_QUALITY_SQL}) AS max_quality,
+           CAST(SUM(r.line_chars) AS BIGINT) AS line_chars,
+           CAST(SUM(r.dup_line_chars) AS BIGINT) AS dup_line_chars,
+           CAST(SUM(r.top_bigram_chars) AS BIGINT) AS top_bigram_chars,
+           CAST(SUM(r.token_chars) AS BIGINT) AS token_chars
+    FROM documents d JOIN rep r ON r.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
     """,
 )
 def text_quality_by_source(spark, sf_dir):
-    """Quality-score rollup per source (decimal-exact sum so the float
-    aggregate is order-independent)."""
+    """Per-source corpus-quality rollup: heuristic quality score
+    (decimal-exact sum so the float aggregate is order-independent)
+    PLUS the Gopher repetition accounting summed over the source's
+    documents — raw INTEGER numerators/denominators
+    (``operators/textstats.py::repetition_stats(include_counts=True)``),
+    which pin every per-doc line-dup and top-bigram computation with
+    zero float hazard. One driver row covers both quality families."""
+    from ..operators.textstats import repetition_stats
+
     docs = read_testdata(spark, sf_dir, "documents")
     q = tx.quality_score(F.col("text"))
-    return (
+    quality = (
         docs.withColumn("q", q)
         .groupBy("source")
         .agg(
@@ -202,8 +261,19 @@ def text_quality_by_source(spark, sf_dir):
             F.min("q").alias("min_quality"),
             F.max("q").alias("max_quality"),
         )
-        .orderBy("source")
     )
+    rep = (
+        repetition_stats(docs, include_counts=True)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("line_chars").alias("line_chars"),
+            F.sum("dup_line_chars").alias("dup_line_chars"),
+            F.sum("top_bigram_chars").alias("top_bigram_chars"),
+            F.sum("token_chars").alias("token_chars"),
+        )
+    )
+    return quality.join(rep, "source").orderBy("source")
 
 
 @register(
