@@ -67,9 +67,14 @@ def test_decoder_is_deterministic():
 
 def test_unsupported_and_garbage_return_none():
     blob = bytearray(encode_jpeg(_gradient(8, 8)))
-    # flip SOF0 -> SOF2 (progressive): decoder must decline, not crash
+    # flip SOF0 -> SOF2: the baseline-shaped scan header (Ss=0, Se=63)
+    # is illegal under a progressive frame (T.81 G.1.1.1.1 requires
+    # Se=0 for DC scans) — decline, don't return junk DC-only pixels
     idx = bytes(blob).find(b"\xff\xc0")
     blob[idx + 1] = 0xC2
+    assert jpeg.decode_jpeg_pixels(bytes(blob)) is None
+    # flip SOF0 -> SOF9 (arithmetic): still declined
+    blob[idx + 1] = 0xC9
     assert jpeg.decode_jpeg_pixels(bytes(blob)) is None
     assert jpeg.decode_jpeg_pixels(None) is None
     assert jpeg.decode_jpeg_pixels(b"\xff\xd8\x00\x00") is None
@@ -189,8 +194,95 @@ def struct_len(blob, idx):
     return _s.unpack_from(">H", blob, idx + 2)[0]
 
 
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+from topn_clashroyal_etl_sql_snapshot_spark.testing.jpeg_codec import (
+    encode_jpeg_progressive,
+)
+
+
+@pytest.mark.parametrize(
+    "shape,kwargs",
+    [
+        ((8, 8), {}),
+        ((21, 13), {}),
+        ((24, 17, 3), {}),
+        ((33, 46, 3), {"subsampling": (2, 2)}),
+        ((16, 40, 3), {"subsampling": (2, 1), "quant": 8}),
+        ((40, 40), {"restart_interval": 3}),
+        ((31, 18, 3), {"subsampling": (2, 2), "restart_interval": 2}),
+        ((16, 16), {"dc_split": 3, "ac_split": 2}),
+        ((17, 9, 3), {"dc_split": 2, "ac_split": 2, "band_break": 15}),
+    ],
+)
+def test_progressive_equals_baseline_decode(shape, kwargs):
+    """The progressive scan script carries the SAME quantized
+    coefficients as the baseline stream, through a completely separate
+    entropy path (spectral bands, successive approximation, EOB runs,
+    refinement correction bits) — so the decoded pixels must be
+    BIT-IDENTICAL to decoding the baseline encoding, across
+    subsampling, restart intervals, and deep approximation splits."""
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    bkw = {k: v for k, v in kwargs.items() if k in ("subsampling", "quant", "restart_interval")}
+    prog = jpeg.decode_jpeg_pixels(encode_jpeg_progressive(img, **kwargs))
+    base = jpeg.decode_jpeg_pixels(encode_jpeg(img, **bkw))
+    assert prog is not None and base is not None
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_near_lossless_vs_source():
+    img = _gradient(16, 24)
+    out = jpeg.decode_jpeg_pixels(encode_jpeg_progressive(img, quant=1))
+    assert out is not None and out.shape == (16, 24, 1)
+    assert int(np.abs(out[:, :, 0].astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_progressive_truncated_and_bitflipped_never_raise():
+    """Partial progressive files (some scans missing) and corrupted
+    ones must yield None or pixels — never an exception (the
+    mapInPandas contract)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    blob = encode_jpeg_progressive(img)
+    for cut in range(0, len(blob), 97):
+        jpeg.decode_jpeg_pixels(blob[:cut])  # must not raise
+    for _ in range(60):
+        b = bytearray(blob)
+        for _ in range(rng.integers(1, 4)):
+            b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
+        jpeg.decode_jpeg_pixels(bytes(b))  # must not raise
+
+
+def test_progressive_dispatch_through_multimodal():
+    """decode_image_pixels routes progressive JPEGs too (its header
+    sniff is format-level, not SOF-level)."""
+    img = _gradient(12, 12)
+    blob = encode_jpeg_progressive(img)
+    out = multimodal.decode_image_pixels(blob)
+    assert out is not None and out.shape == (12, 12, 1)
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    rgb=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_property_equals_baseline(h, w, rgb, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    prog = jpeg.decode_jpeg_pixels(encode_jpeg_progressive(img, quant=2))
+    base = jpeg.decode_jpeg_pixels(encode_jpeg(img, quant=2))
+    assert prog is not None and np.array_equal(prog, base)
 
 
 @settings(max_examples=12, deadline=None)

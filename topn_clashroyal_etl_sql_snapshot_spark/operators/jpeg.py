@@ -17,9 +17,17 @@ Scope, honestly stated:
   common one), gray or YCbCr, any sampling factors, with or without
   DRI restart intervals. Non-interleaved multi-scan baseline files
   return ``None`` rather than plausible-but-wrong pixels.
-- Progressive (SOF2), arithmetic-coded (SOF9+), and hierarchical
-  frames return ``None`` — a corrupt or unsupported blob must not kill
-  a 100 TB scan (same contract as every other decoder here).
+- Progressive frames (SOF2) decode fully: multi-scan spectral
+  selection + successive approximation per T.81 Annex G — interleaved
+  and non-interleaved DC first/refinement scans, per-component AC
+  first scans with EOB-run decoding, and AC refinement scans with
+  correction bits, with restart intervals resetting predictors and the
+  EOB run. Coefficients accumulate across scans in the same per-block
+  stores the baseline path uses; the dequant/IDCT/color tail is
+  shared.
+- Arithmetic-coded (SOF9+) and hierarchical frames return ``None`` —
+  a corrupt or unsupported blob must not kill a 100 TB scan (same
+  contract as every other decoder here).
 - Per-pixel output matches a reference decoder up to IDCT rounding
   (integer-exact on the round-trip tests in tests/test_jpeg.py, which
   encode with a test-side baseline encoder and compare within ±1).
@@ -170,6 +178,9 @@ def _decode(data: bytes | None) -> np.ndarray | None:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) with comps = [(id, hs, vs, tq)]
+    progressive = False
+    prog_stores = None  # per-component (nblocks, 64) zigzag coeff stores
+    prog_any_scan = False
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -183,7 +194,9 @@ def _decode(data: bytes | None) -> np.ndarray | None:
             return None
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
-            return None  # reached EOI before any scan
+            if progressive and prog_any_scan:
+                return _assemble(frame, prog_stores, qt)
+            return None  # reached EOI before any (complete) scan
         seg_len = struct.unpack_from(">H", data, pos + 2)[0]
         seg = data[pos + 4 : pos + 2 + seg_len]
         next_pos = pos + 2 + seg_len
@@ -203,11 +216,11 @@ def _decode(data: bytes | None) -> np.ndarray | None:
                     )
                     i += 128
                 qt[tq] = table
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             if seg[0] != 8:
-                # 12-bit extended-sequential: decoding with the 8-bit
-                # level shift and 0..255 clip would return plausible but
-                # wrong pixels. Unsupported precision → None.
+                # 12-bit frames: decoding with the 8-bit level shift
+                # and 0..255 clip would return plausible but wrong
+                # pixels. Unsupported precision → None.
                 return None
             h, w = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
@@ -216,9 +229,10 @@ def _decode(data: bytes | None) -> np.ndarray | None:
                 cid, samp, tq_id = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq_id))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xC4:  # DHT
             i = 0
             while i + 17 <= len(seg):
@@ -236,22 +250,249 @@ def _decode(data: bytes | None) -> np.ndarray | None:
             if frame is None:
                 return None
             ns = seg[0]
-            if ns != len(frame[2]):
-                # Non-interleaved multi-scan baseline (one scan per
-                # component) — decoding only the first scan would return
-                # plausible-but-wrong pixels (flat chroma). Decline.
-                return None
             scan = []  # (comp_index, dc_table, ac_table)
             comp_ids = [c[0] for c in frame[2]]
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((comp_ids.index(cs), tdta >> 4, tdta & 0x0F))
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                if prog_stores is None:
+                    prog_stores = _alloc_stores(frame)
+                end = _decode_prog_scan(
+                    data, next_pos, frame, scan, ss, se, ah, al,
+                    prog_stores, huff_dc, huff_ac, restart_interval,
+                )
+                prog_any_scan = True
+                pos = end
+                continue
+            if ns != len(frame[2]):
+                # Non-interleaved multi-scan baseline (one scan per
+                # component) — decoding only the first scan would return
+                # plausible-but-wrong pixels (flat chroma). Decline.
+                return None
             return _decode_scan(
                 data, next_pos, frame, scan, qt, huff_dc, huff_ac,
                 restart_interval,
             )
         pos = next_pos
+    # Stream exhausted (EOI is 2 bytes, under the 4-byte segment-header
+    # minimum the loop requires): a progressive file with at least one
+    # decoded scan assembles here.
+    if progressive and prog_any_scan:
+        return _assemble(frame, prog_stores, qt)
     return None
+
+
+def _mcu_grid(frame):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_stores(frame) -> list[np.ndarray]:
+    """One (nblocks, 64) zigzag-ordered int32 store per component, MCU-
+    padded — the same layout the baseline path fills in one pass."""
+    _, _, mcus_x, mcus_y = _mcu_grid(frame)
+    return [
+        np.zeros((mcus_y * vs * mcus_x * hs, 64), dtype=np.int32)
+        for _, hs, vs, _ in frame[2]
+    ]
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First position ≥ pos of a REAL marker (0xFF followed by neither
+    a stuffed 0x00 nor an RSTn) — where the next segment header starts
+    after a scan's entropy-coded data."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_prog_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    scan,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    stores: list[np.ndarray],
+    huff_dc,
+    huff_ac,
+    restart_interval: int,
+) -> int:
+    """One progressive scan (T.81 G.2): accumulates coefficient bits
+    into ``stores`` and returns the stream position of the next marker.
+
+    Scan taxonomy: interleaved scans carry DC only (Ss must be 0);
+    AC bands (Ss ≥ 1) are single-component with blocks in the
+    component's OWN raster order (not MCU order). First scans (Ah=0)
+    entropy-decode values shifted left by Al; refinement scans (Ah>0)
+    add one magnitude bit at position Al per coefficient."""
+    h, w, comps = frame
+    hmax, vmax, mcus_x, mcus_y = _mcu_grid(frame)
+    # T.81 G.1.1.1.1 scan-header validity: a DC scan is exactly the
+    # Ss=Se=0 band (a baseline-shaped 0..63 header under an SOF2 frame
+    # is illegal — decoding it as DC-only would return junk pixels);
+    # AC bands must lie in 1..63 ordered.
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan requires Se=0")
+    if ss > 0 and not (ss <= se <= 63):
+        raise ValueError("invalid spectral band")
+    br = _BitReader(data, pos)
+
+    if len(scan) > 1:
+        # Interleaved DC scan over the MCU grid
+        if ss != 0:
+            raise ValueError("interleaved progressive scan must be DC-only")
+        pred = [0] * len(comps)
+        mcu_index = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                    br.restart()
+                    pred = [0] * len(comps)
+                for ci, td, _ in scan:
+                    _, hs, vs, _ = comps[ci]
+                    store = stores[ci]
+                    row_blocks = mcus_x * hs
+                    for by in range(vs):
+                        for bx in range(hs):
+                            coeffs = store[
+                                (my * vs + by) * row_blocks + mx * hs + bx
+                            ]
+                            if ah == 0:
+                                t = _huff_decode(br, huff_dc[td])
+                                diff = _extend(br.read(t), t) if t else 0
+                                pred[ci] += diff
+                                coeffs[0] = pred[ci] << al
+                            else:
+                                coeffs[0] |= br.read(1) << al
+                mcu_index += 1
+        return _next_marker(data, br.pos)
+
+    # Non-interleaved scan: one component, blocks in its own raster
+    ci, td, ta = scan[0]
+    _, hs, vs, _ = comps[ci]
+    store = stores[ci]
+    row_blocks = mcus_x * hs
+    comp_w = (w * hs + 8 * hmax - 1) // (8 * hmax)  # blocks across
+    comp_h = (h * vs + 8 * vmax - 1) // (8 * vmax)  # blocks down
+    pred = 0
+    eobrun = 0
+    block_index = 0
+    for byy in range(comp_h):
+        for bxx in range(comp_w):
+            if restart_interval and block_index and block_index % restart_interval == 0:
+                br.restart()
+                pred = 0
+                eobrun = 0
+            coeffs = store[byy * row_blocks + bxx]
+            if ss == 0:
+                if ah == 0:
+                    t = _huff_decode(br, huff_dc[td])
+                    diff = _extend(br.read(t), t) if t else 0
+                    pred += diff
+                    coeffs[0] = pred << al
+                else:
+                    coeffs[0] |= br.read(1) << al
+            elif ah == 0:
+                eobrun = _ac_first(br, huff_ac[ta], coeffs, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(br, huff_ac[ta], coeffs, ss, se, al, eobrun)
+            block_index += 1
+    return _next_marker(data, br.pos)
+
+
+def _ac_first(br, act, coeffs, ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC first scan for one block (T.81 G.2.2): run/size symbols with
+    EOBn run-length codes; values enter shifted left by Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL: sixteen zero coefficients
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read(r)
+            break  # end of band for this block
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        coeffs[k] = _extend(br.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, act, coeffs, ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC refinement scan for one block (T.81 G.1.2.3): newly-nonzero
+    coefficients arrive as ±1<<Al; every already-nonzero coefficient
+    crossed on the way receives one correction bit. An EOBn symbol
+    still refines the REST of the current block (the r=64 walk) and
+    then covers the next eobrun-1 whole blocks."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def correct(k_start: int, k_end: int, newval: int, run: int) -> int:
+        """Walk k_start..k_end: correction bits on nonzero history,
+        count down `run` zero-history slots, place `newval` when the
+        run expires. Returns the resume index (past the placement)."""
+        k = k_start
+        while k <= k_end:
+            c = coeffs[k]
+            if c != 0:
+                if br.read(1) and (c & p1) == 0:
+                    coeffs[k] = c + (p1 if c >= 0 else m1)
+            else:
+                if run == 0:
+                    if newval:
+                        coeffs[k] = newval
+                    return k + 1
+                run -= 1
+            k += 1
+        return k
+
+    if eobrun > 0:
+        # This block is inside an EOB run: corrections only.
+        correct(ss, se, 0, 64 + 1)  # run never expires
+        return eobrun - 1
+
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read(r)
+                # EOB still refines the rest of THIS block
+                correct(k, se, 0, 64 + 1)
+                return eobrun
+            newval = 0  # ZRL: skip 16 zero-history slots, no new coeff
+        elif s == 1:
+            newval = p1 if br.read(1) else m1
+        else:
+            raise ValueError("refinement magnitude must be 1")
+        k = correct(k, se, newval, r)
+    return 0
 
 
 def _decode_scan(
@@ -315,7 +556,14 @@ def _decode_scan(
                             k += 1
             mcu_index += 1
 
-    # Dequantize + dezigzag + IDCT, vectorized per component
+    return _assemble(frame, blocks_per_comp, qt)
+
+
+def _assemble(frame, blocks_per_comp, qt) -> np.ndarray:
+    """Dequantize + dezigzag + IDCT + upsample + color — the shared
+    tail of the baseline and progressive paths."""
+    h, w, comps = frame
+    hmax, vmax, mcus_x, mcus_y = _mcu_grid(frame)
     planes = []
     for (cid, hs, vs, tq_id), store in zip(comps, blocks_per_comp):
         deq = store * qt[tq_id][None, :]

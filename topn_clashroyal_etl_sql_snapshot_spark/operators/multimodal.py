@@ -547,7 +547,9 @@ def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
     """Dispatch on the real container header: PNG, GIF, uncompressed
     BMP, and baseline JPEG (SOF0/SOF1 — operators/jpeg.py's stdlib
     Huffman+IDCT decoder) all decode to pixels with no codec library.
-    Progressive/arithmetic JPEG and corrupt payloads → None."""
+    Progressive JPEG (SOF2) decodes fully since r6 (multi-scan
+    spectral selection + successive approximation, operators/jpeg.py);
+    arithmetic-coded JPEG and corrupt payloads → None."""
     hdr = parse_image_header(payload)
     if hdr is None:
         return None
