@@ -91,6 +91,14 @@ def main() -> None:
         # the entire r4 run). Record the error and keep going.
         try:
             for _ in range(n):
+                # Drop dead Python DataFrame refs so the ContextCleaner
+                # releases prior queries' localCheckpoint blocks —
+                # otherwise block-manager pressure from 30 earlier
+                # queries bleeds into this one's timing (measured 2x on
+                # embedding_lsh_neardup late in the alphabet).
+                import gc
+
+                gc.collect()
                 if name == "curation_funnel":
                     # evict the session-level jaccard-pairs AND tokenize
                     # caches so every repeat measures the full compute,
