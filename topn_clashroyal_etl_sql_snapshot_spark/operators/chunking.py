@@ -1,0 +1,107 @@
+"""Document chunking: split long documents into bounded training
+chunks with overlap — the stage between extraction/cleaning and
+sequence packing (a 200k-char web page cannot enter a 4k-token
+context; every pretraining pipeline windows it first).
+
+No reference analog; training-pipeline extension mandate.
+
+Two variants, same windowing scheme:
+
+- :func:`chunk_by_chars` — pure column algebra over the text itself
+  (``sequence`` → ``explode`` → ``substring``), fully inside
+  whole-stage codegen, no Python, no shuffle. The right tool before
+  tokenization (or when budgets are char-denominated).
+- :func:`chunk_by_tokens` — the same windowing over a token-id array
+  column (``operators/bpe.py::bpe_encode_text`` output), slicing with
+  column-argument ``F.slice`` so chunk boundaries are exact token
+  counts. Chunks re-enter ``packing.pack_greedy`` with ``n_tokens``
+  as the budget column.
+
+Windowing contract (both variants, pinned by a DuckDB oracle in
+tests/test_chunking.py): ``step = size - overlap``; chunk k covers
+positions ``[1 + k*step, 1 + k*step + size)`` (1-based);
+``n_chunks = 1 + ceil(max(n - size, 0) / step)`` — full coverage,
+exactly ``overlap`` units shared between consecutive chunks, the last
+chunk may be shorter but is never empty, and a document at most
+``size`` long yields exactly one chunk (empty/NULL-safe: empty text
+yields one empty chunk, NULL text yields no rows — explode of a NULL
+sequence).
+
+Scale: one row explodes into ``ceil(n/step)`` rows — a narrow
+generator inside the scan stage, no shuffle; downstream grouping
+(packing) shuffles on its own keys as before. Chunk identity
+``(doc_id, chunk_idx)`` is deterministic, so reruns and incremental
+appends produce identical chunk keys (the same replayability contract
+as ``sampling.with_split``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _n_chunks(n, size: int, step: int):
+    return 1 + F.ceil(F.greatest(n - size, F.lit(0)).cast("double") / step).cast(
+        "long"
+    )
+
+
+def chunk_by_chars(
+    docs: DataFrame,
+    size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    chunk_col: str = "chunk_text",
+) -> DataFrame:
+    """One output row per chunk: every input column (text included)
+    plus (chunk_idx, chunk_col, chunk_chars)."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap} / {size}")
+    step = size - overlap
+    n = F.length(F.col(text_col))
+    # NULL text → NULL sequence → explode drops the row entirely
+    # (Spark's `greatest` SKIPS nulls, so without the guard a NULL doc
+    # would emit one all-NULL chunk row instead of none).
+    ks = F.when(
+        F.col(text_col).isNotNull(),
+        F.sequence(F.lit(0), _n_chunks(n, size, step) - 1),
+    )
+    out = docs.withColumn("chunk_idx", F.explode(ks))
+    # Column.substr takes Column positions (F.substring needs literals)
+    chunk = F.col(text_col).substr(
+        F.col("chunk_idx").cast("int") * step + 1, F.lit(size)
+    )
+    return out.withColumn(chunk_col, chunk).withColumn(
+        "chunk_chars", F.length(chunk)
+    )
+
+
+def chunk_by_tokens(
+    docs: DataFrame,
+    size: int,
+    overlap: int = 0,
+    ids_col: str = "token_ids",
+    chunk_col: str = "chunk_ids",
+) -> DataFrame:
+    """One output row per chunk of the token-id array: every input
+    column plus (chunk_idx, chunk_col, n_tokens). ``n_tokens`` is the
+    chunk's exact token count — feed it straight to
+    ``packing.pack_greedy(..., "n_tokens", budget)``. An existing
+    ``n_tokens`` column (as emitted by ``bpe_encode_text``) is
+    replaced by the per-chunk count."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap} / {size}")
+    step = size - overlap
+    n = F.size(F.col(ids_col))
+    ks = F.when(
+        F.col(ids_col).isNotNull(),
+        F.sequence(F.lit(0), _n_chunks(n, size, step) - 1),
+    )
+    out = docs.drop("n_tokens").withColumn("chunk_idx", F.explode(ks))
+    chunk = F.slice(
+        F.col(ids_col), F.col("chunk_idx").cast("int") * step + 1, F.lit(size)
+    )
+    return out.withColumn(chunk_col, chunk).withColumn(
+        "n_tokens", F.size(chunk)
+    )
