@@ -4,7 +4,7 @@ pipeline a training-data team would actually run, built entirely from
 this engine's operators:
 
     read documents
-      → PII scrub                      (functions/cleaning.py, codegen)
+      → unicode hygiene + PII scrub    (functions/cleaning.py)
       → language ID + quality gates    (operators/textstats.py)
       → repetition/boilerplate gate    (textstats.repetition_stats)
       → near-dup dedup, KEEP/DROP      (MinHash-LSH → components)
@@ -64,8 +64,12 @@ def curate(spark, sf_dir: str, budget: int = 2048):
     n_all = docs.count()
     print(f"0_all            {n_all}")
 
-    # PII scrub is a projection — it rewrites text, drops nothing.
-    docs = docs.withColumn("text", cl.scrub_pii(F.col("text")))
+    # Text hygiene then PII scrub — projections that rewrite text,
+    # drop nothing: NFC normalization (canonical equivalence, so
+    # é-composed and é-decomposed dedup identically), control/zero-
+    # width strip + space normalization, then redaction.
+    docs = cl.normalize_unicode_text(docs)
+    docs = docs.withColumn("text", cl.scrub_pii(cl.clean_text(F.col("text"))))
 
     # Language + quality gates.
     flagged = lang_id_table(docs).filter(F.col("predicted_lang") != "und")

@@ -233,6 +233,77 @@ def test_scrub_pii_matches_python_re(spark):
     assert cnt_row[3] == len(re.findall(cl.PHONE_PATTERN, after_ips))
 
 
+def test_unicode_hygiene_matches_python(spark):
+    """Control/zero-width strip + space normalization + FFFD ratio
+    must equal the Python-re twins row for row; NFC normalization must
+    equal unicodedata.normalize with canonical-equivalence semantics."""
+    import re
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import cleaning as cl
+
+    rows = [
+        "plain ascii stays",
+        "bell\x07 null\x00 del\x7f c1\x85 kept\ttab\nnewline\rcr",
+        "zero\u200bwidth\u200cjoin\u200der bom\ufeff end",
+        "nb\u00a0sp en\u2000quad thin\u2009sp ideo\u3000space nnb\u202fsp",
+        "caf\u00e9 composed vs cafe\u0301 decomposed",
+        "bad decode \ufffd\ufffd here",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "i long, t string"
+    )
+    got = {
+        r["i"]: (r["c"], r["s"], r["r"])
+        for r in df.select(
+            "i",
+            cl.strip_control_chars(F.col("t")).alias("c"),
+            cl.clean_text(F.col("t")).alias("s"),
+            cl.replacement_char_ratio(F.col("t")).alias("r"),
+        ).collect()
+    }
+    for i, t in enumerate(rows):
+        want_c = re.sub(cl.CONTROL_CHARS_PATTERN, "", t)
+        want_s = re.sub(cl.UNICODE_SPACES_PATTERN, " ", want_c)
+        want_r = (t.count("�") / len(t)) if t else 0.0
+        assert got[i] == (want_c, want_s, want_r), (i, t)
+    # the zero-width/space rows actually changed (the patterns bite)
+    assert got[2][0] == "zerowidthjoiner bom end"
+    assert got[3][1] == "nb sp en quad thin sp ideo space nnb sp"
+    assert "\u00a0" not in got[3][1] and "\u3000" not in got[3][1]
+
+    # NFC stage: decomposed é becomes composed é; fingerprints then
+    # agree between canonically-equivalent spellings
+    out = {
+        r["i"]: r["t"]
+        for r in cl.normalize_unicode_text(df, text_col="t").collect()
+    }
+    for i, t in enumerate(rows):
+        assert out[i] == unicodedata.normalize("NFC", t)
+    assert "café" not in out[4] and "café" in out[4]
+
+
+def test_unicode_hygiene_is_codegen(spark):
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import cleaning as cl
+
+    df = spark.createDataFrame([(1, "x")], "i long, t string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.select(
+            cl.clean_text(F.col("t")), cl.replacement_char_ratio(F.col("t"))
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_repetition_stats_matches_python_oracle(spark):
     import collections
     import re as _re

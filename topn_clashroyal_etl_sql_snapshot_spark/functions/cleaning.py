@@ -67,6 +67,95 @@ def scrub_pii(col: Column) -> Column:
     return scrub_phones(scrub_ipv4(scrub_emails(scrub_urls(col))))
 
 
+# ---------------------------------------------------------------------------
+# Unicode hygiene (the scrub BEFORE the scrub: crawled text arrives
+# with control bytes, zero-width characters, exotic spaces, and
+# decode-failure replacement characters)
+# ---------------------------------------------------------------------------
+
+# C0 (minus \t\n\r) + DEL + C1 + zero-width (ZWSP/ZWNJ/ZWJ) + BOM.
+CONTROL_CHARS_PATTERN = (
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f"
+    "\u200b-\u200d\ufeff]"
+)
+# Every Unicode space separator that is not a plain ASCII space:
+# NBSP, Ogham, en-quad..hair space, line/para sep, narrow NBSP,
+# math space, CJK ideographic space.
+UNICODE_SPACES_PATTERN = (
+    "[\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]"
+)
+
+
+def strip_control_chars(col: Column) -> Column:
+    """Remove control and zero-width characters (keeping ``\\t \\n \\r``
+    — they are document structure). Codegen ``regexp_replace``."""
+    return F.regexp_replace(col, CONTROL_CHARS_PATTERN, "")
+
+
+def normalize_spaces(col: Column) -> Column:
+    """Map every non-ASCII Unicode space separator (NBSP, en/em/thin
+    spaces, ideographic space, …) to a plain space — token boundaries
+    become uniform for everything downstream (tokenize, shingles,
+    BPE). Does NOT collapse runs; that is a formatting decision left
+    to the caller."""
+    return F.regexp_replace(col, UNICODE_SPACES_PATTERN, " ")
+
+
+def replacement_char_ratio(col: Column) -> Column:
+    """Fraction of characters that are U+FFFD — the decode-failure
+    marker. A high ratio means the upstream bytes→text decode was
+    wrong (mojibake); pipelines gate on it like a quality score.
+    NULL-safe: empty text → 0.0."""
+    n = F.length(col)
+    bad = F.length(col) - F.length(F.regexp_replace(col, "�", ""))
+    return F.when(n > 0, bad.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def clean_text(col: Column) -> Column:
+    """The composed pre-tokenization hygiene pass: control/zero-width
+    strip → space normalization. Pure codegen; compose with
+    :func:`scrub_pii` for the full cleaning stage."""
+    return normalize_spaces(strip_control_chars(col))
+
+
+def normalize_unicode_text(
+    df,
+    text_col: str = "text",
+    form: str = "NFC",
+):
+    """Unicode normalization (NFC by default) as an Arrow-batched
+    ``mapInPandas`` stage — Spark has no normalization builtin, and
+    canonical equivalence matters for dedup (``é`` as one codepoint vs
+    ``e`` + combining accent hash differently while rendering
+    identically). Replaces ``text_col`` in place; NULL rows stay NULL.
+    Per-row CPU, no shuffle — the same legitimate-Python shape as
+    ``decompress_text``. For ASCII-dominated corpora the fast path is
+    cheap (``unicodedata.is_normalized`` short-circuits)."""
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    kept = [f for f in df.schema if f.name != text_col]
+    schema = T.StructType(kept + [T.StructField(text_col, T.StringType(), True)])
+    kept_names = [f.name for f in kept]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[kept_names].copy()
+            out[text_col] = [
+                t
+                if t is None or unicodedata.is_normalized(form, t)
+                else unicodedata.normalize(form, t)
+                for t in pdf[text_col]
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
 def pii_counts(col: Column) -> dict[str, Column]:
     """Per-row match counts for audit/reporting (e.g. 'how much PII did
     this source contribute'). Counts are taken on the PROGRESSIVELY
