@@ -225,3 +225,74 @@ def test_streaming_session_stats_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert (1, 3, 40 * 60 * 1000) in got  # boundary event stayed merged
+
+
+def test_streaming_corpus_gates_match_batch(spark, tmp_path):
+    """The corpus-ingest gate stack (hygiene → scrub → lang → quality)
+    is stateless column algebra, so running it on a file stream must
+    keep exactly the rows the same function keeps on a batch frame;
+    the watermarked fingerprint dedup must keep one row per distinct
+    normalized content across micro-batch files."""
+    import json as _json
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming import corpus
+
+    good = "the quick brown fox jumps over the lazy dog and runs on " * 4
+    docs = [
+        # survives every gate
+        {"doc_id": 1, "text": good, "lang": "en", "source": "a"},
+        # control chars + PII, still good text under the gates
+        {"doc_id": 2, "text": "\x07" + good + " mail bob@x.io", "lang": "en", "source": "a"},
+        # fails language gate
+        {"doc_id": 3, "text": "xyzzy plugh foobar qux " * 10, "lang": "und", "source": "b"},
+        # fails quality gate (punctuation soup)
+        {"doc_id": 4, "text": "!!! ??? ;;; ### " * 20, "lang": "en", "source": "b"},
+        # exact duplicate of doc 1 modulo case/punct (same fingerprint),
+        # landing in a LATER file
+        {"doc_id": 5, "text": good.upper(), "lang": "en", "source": "c"},
+        # another survivor, distinct content
+        {"doc_id": 6, "text": "a completely different sentence about the sea " * 5, "lang": "en", "source": "c"},
+    ]
+    d = tmp_path / "docs_landing"
+    d.mkdir()
+    for i, chunk in enumerate((docs[:3], docs[3:])):  # two micro-batch files
+        with open(d / f"part{i}.jsonl", "w") as f:
+            for doc in chunk:
+                row = dict(doc)
+                row["ingest_time"] = datetime(2026, 1, 1, 0, 0, i).isoformat()
+                f.write(_json.dumps(row) + "\n")
+
+    batch_docs = spark.read.schema(corpus.DOCUMENT_SCHEMA).json(str(d))
+    batch_kept = corpus.curate_stream(batch_docs)  # same fn, batch frame
+    batch_ids = {r["doc_id"] for r in batch_kept.select("doc_id").collect()}
+    assert batch_ids == {1, 2, 5, 6}
+    # scrub actually rewrote doc 2's text
+    t2 = batch_kept.filter(F.col("doc_id") == 2).first()["text"]
+    assert "<EMAIL>" in t2 and "\x07" not in t2
+
+    stream = corpus.stream_documents(spark, str(d))
+    q = (
+        corpus.streaming_dedup_documents(corpus.curate_stream(stream))
+        .writeStream.format("memory")
+        .queryName("corpus_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM corpus_out").collect()
+    # gate parity: kept fingerprint set equals the batch dedup's
+    batch_fps = {
+        r["fp"]
+        for r in batch_kept.select(
+            F.md5(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9 ]", " "))).alias("fp")
+        ).collect()
+    }
+    assert {r["fingerprint"] for r in got} == batch_fps
+    # docs 1 and 5 share a fingerprint: exactly one survived
+    assert len(got) == 3
+    kept_ids = {r["doc_id"] for r in got}
+    assert len(kept_ids & {1, 5}) == 1 and {2, 6} <= kept_ids

@@ -1,4 +1,4 @@
-from . import stateful
+from . import corpus, stateful
 from .incremental import (
     incremental_snapshot_query,
     stream_battles,
@@ -8,6 +8,7 @@ from .incremental import (
 )
 
 __all__ = [
+    "corpus",
     "stateful",
     "incremental_snapshot_query",
     "streaming_session_stats",

@@ -1,0 +1,94 @@
+"""Structured Streaming twin of the corpus-ingest gates.
+
+A training-data pipeline's INGEST half — hygiene, PII scrub, language
+and quality gating, exact dedup — runs continuously as documents land;
+the heavy corpus-wide passes (near-dup components, decontamination,
+packing) stay batch jobs over the accumulated bronze table (they need
+corpus-global state that streaming cannot bound). This module gives
+the ingest half a streaming form with BATCH PARITY by construction:
+
+- :func:`stream_documents` — file-source stream over a JSONL landing
+  zone with the ``documents`` schema.
+- :func:`curate_stream` — the gate stack as PURE PROJECTIONS AND
+  FILTERS (``cleaning.clean_text`` → ``scrub_pii`` → ``tx.lang_id`` ≠
+  'und' → ``quality_score`` ≥ threshold): completely stateless, so
+  the SAME function applies to a batch DataFrame unchanged — the
+  parity test feeds both sides the same rows
+  (tests/test_streaming.py).
+- :func:`streaming_dedup_documents` — exact dedup as watermarked
+  ``dropDuplicates`` on the normalized content fingerprint:
+  first-arrival-wins across micro-batches, state bounded by the
+  watermark (the batch twin ``dedup.dedup_exact`` keeps min-id
+  instead — deterministic where streaming is arrival-ordered; the
+  parity test compares the KEPT FINGERPRINT SET, which is identical).
+
+NFC normalization (``cleaning.normalize_unicode_text``) is mapInPandas
+and works on streams too (stateless per row); it is left out of
+:func:`curate_stream` only so the gate stack stays one codegen stage —
+compose it upstream when the corpus needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import cleaning as cl
+from ..functions import text as tx
+
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ingest_time", T.TimestampType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over the document landing zone (JSONL),
+    ``maxFilesPerTrigger`` as the admission valve."""
+    return (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .json(landing_dir)
+    )
+
+
+def curate_stream(
+    docs: DataFrame, min_quality: float = 0.5
+) -> DataFrame:
+    """Hygiene → scrub → language gate → quality gate, all stateless
+    column algebra — identical semantics on a stream or a batch frame
+    (that identity IS the parity test). Adds ``predicted_lang`` and
+    ``quality``; drops 'und'-language and low-quality rows."""
+    cleaned = docs.withColumn(
+        "text", cl.scrub_pii(cl.clean_text(F.col("text")))
+    )
+    scored = cleaned.withColumn(
+        "predicted_lang", tx.lang_id(F.col("text"))
+    ).withColumn("quality", tx.quality_score(F.col("text")))
+    return scored.filter(
+        (F.col("predicted_lang") != "und") & (F.col("quality") >= min_quality)
+    )
+
+
+def streaming_dedup_documents(
+    docs: DataFrame,
+    watermark: str = "2 hours",
+    time_col: str = "ingest_time",
+) -> DataFrame:
+    """Exact streaming dedup: first arrival per normalized content
+    fingerprint wins; duplicate state is dropped once the watermark
+    passes (a re-crawl of the same page weeks later would re-admit it —
+    bound the watermark to the re-crawl horizon, or run the batch
+    ``dedup_exact`` over bronze for the corpus-global guarantee)."""
+    fp = docs.withColumn(
+        "fingerprint", tx.content_fingerprint(F.col("text"))
+    )
+    return fp.withWatermark(time_col, watermark).dropDuplicates(
+        ["fingerprint"]
+    )
