@@ -1,0 +1,135 @@
+"""Character n-gram language-model scoring: the CCNet/KenLM-style
+quality filter — score each document's perplexity under a small LM
+trained on an in-domain reference sample, and gate or bucket on it
+(wikipedia-like text scores low, gibberish/boilerplate scores high).
+
+No reference analog; training-pipeline extension mandate. A real
+pipeline uses a KenLM binary; the Spark-first re-expression keeps the
+exact same shape with a character-trigram model — small enough to fit
+in a broadcast, strong enough to separate text from noise — and runs
+scoring as pure relational algebra:
+
+- **Training** (:func:`train_char_lm`): driver-side fit on a
+  deterministic xxhash64 sample behind a ``max_docs`` fuse (the same
+  fixed-sample argument as ``bpe.train_bpe_sampled`` — an LM filter's
+  reference model does not improve past a bounded in-domain sample).
+  Add-k smoothing over the observed alphabet; returns the model as
+  plain data (gram → conditional log-prob, plus per-context floors
+  for unseen continuations).
+- **Scoring** (:func:`lm_perplexity`): explode each document into its
+  char n-grams with the same ``sequence`` → ``explode`` → ``substr``
+  codegen pattern as ``operators/chunking.py``, LEFT-join the
+  BROADCAST model table on the gram, coalesce misses to the floor
+  log-prob, and aggregate per doc id — one broadcast join plus one
+  doc-keyed aggregation, no Python in the scoring path. Output:
+  ``avg_logprob`` (natural log per char) and ``ppl`` = exp(−avg).
+
+Scale: the model is vocabulary-sized (≤ |alphabet|ⁿ observed grams —
+tens of KB at n=3), broadcast once; scoring fans each row into
+``len(text)−n+1`` narrow rows inside the scan stage, and the only
+shuffle is the per-doc aggregation (partial avg map-side). Skew-free:
+gram keys join against a broadcast, never a partitioned table.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_char_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    add_k: float = 0.5,
+    sample_fraction: float = 1.0,
+    max_docs: int = 100_000,
+) -> dict:
+    """Fit the char n-gram model on a deterministic hash sample.
+    Returns ``{"n", "logp": {gram: logp}, "floor": float}`` where
+    ``floor`` is the unseen-gram log-prob ``log(k / (k·V))`` under an
+    unseen context (V = alphabet size + 1 for OOV) — the coalesce
+    default the scorer broadcasts."""
+    s = docs.select(F.col(text_col).alias("t"))
+    if sample_fraction < 1.0:
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(10_000))
+        s = docs.filter(bucket < int(sample_fraction * 10_000)).select(
+            F.col(text_col).alias("t")
+        )
+    n_rows = s.count()
+    if n_rows > max_docs:
+        raise ValueError(
+            f"train_char_lm refuses to collect {n_rows} documents "
+            f"(> max_docs={max_docs}); lower sample_fraction — an LM "
+            "filter's reference model needs a bounded in-domain sample."
+        )
+    gram_counts: dict[str, int] = {}
+    ctx_counts: dict[str, int] = {}
+    alphabet: set[str] = set()
+    for r in s.collect():
+        t = r["t"]
+        if t is None:
+            continue
+        alphabet.update(t)
+        for i in range(len(t) - n + 1):
+            g = t[i : i + n]
+            gram_counts[g] = gram_counts.get(g, 0) + 1
+            ctx_counts[g[:-1]] = ctx_counts.get(g[:-1], 0) + 1
+    v = len(alphabet) + 1  # +1: one OOV character class
+    logp = {
+        g: math.log((c + add_k) / (ctx_counts[g[:-1]] + add_k * v))
+        for g, c in gram_counts.items()
+    }
+    return {"n": n, "logp": logp, "floor": math.log(add_k / (add_k * v))}
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_grams, avg_logprob, ppl) per document. Documents
+    shorter than n chars (or NULL) score ``n_grams = 0`` with NULL
+    avg/ppl — gate them on length, not perplexity."""
+    n = model["n"]
+    spark = docs.sparkSession
+    lm = F.broadcast(
+        spark.createDataFrame(
+            list(model["logp"].items()), "gram string, logp double"
+        )
+    )
+    floor = float(model["floor"])
+    base = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("_t").isNotNull() & (F.length("_t") >= n),
+                F.sequence(F.lit(1), F.length("_t") - (n - 1)),
+            )
+        ).alias("_i"),
+        F.col("_t"),
+    ).select(id_col, F.col("_t").substr(F.col("_i"), F.lit(n)).alias("gram"))
+    scored = grams.join(lm, "gram", "left").select(
+        id_col, F.coalesce(F.col("logp"), F.lit(floor)).alias("lp")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.avg("lp").alias("avg_logprob"),
+    )
+    # left join back so short/NULL docs keep a row with n_grams = 0
+    out = (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.col("avg_logprob"),
+            F.exp(-F.col("avg_logprob")).alias("ppl"),
+        )
+    )
+    return out
