@@ -16,10 +16,15 @@ def _py_score(text: str, model: dict):
     n = model["n"]
     if text is None or len(text) < n:
         return 0, None
-    lps = [
-        model["logp"].get(text[i : i + n], model["floor"])
-        for i in range(len(text) - n + 1)
-    ]
+
+    def lp(g):
+        if g in model["logp"]:
+            return model["logp"][g]
+        if g[:-1] in model["ctx_floor"]:
+            return model["ctx_floor"][g[:-1]]
+        return model["floor"]
+
+    lps = [lp(text[i : i + n]) for i in range(len(text) - n + 1)]
     return len(lps), sum(lps) / len(lps)
 
 

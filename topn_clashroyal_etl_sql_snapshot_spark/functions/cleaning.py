@@ -105,10 +105,16 @@ def replacement_char_ratio(col: Column) -> Column:
     """Fraction of characters that are U+FFFD — the decode-failure
     marker. A high ratio means the upstream bytes→text decode was
     wrong (mojibake); pipelines gate on it like a quality score.
-    NULL-safe: empty text → 0.0."""
+    Empty text → 0.0; NULL text → NULL (a missing document is
+    UNSCOREABLE, not clean — a 0.0 would sail through any
+    ``ratio <= t`` gate)."""
     n = F.length(col)
     bad = F.length(col) - F.length(F.regexp_replace(col, "�", ""))
-    return F.when(n > 0, bad.cast("double") / n).otherwise(F.lit(0.0))
+    return (
+        F.when(col.isNull(), F.lit(None).cast("double"))
+        .when(n > 0, bad.cast("double") / n)
+        .otherwise(F.lit(0.0))
+    )
 
 
 def clean_text(col: Column) -> Column:

@@ -134,19 +134,22 @@ def train_bpe_sampled(
 ) -> list[tuple[bytes, bytes]]:
     """Fit BPE merges on a deterministic hash-sample of the corpus.
 
-    The sample membership is ``xxhash64(id) % 10_000 <
-    fraction * 10_000`` — the same replayable bucket math as
-    ``sampling.hash_sample``, so re-runs (and the pytest twin) see the
-    identical sample. The collect is bounded by ``max_docs``: a
-    tokenizer fit needs a fixed-size sample, not the corpus — exceeding
-    the bound raises rather than melting the driver (same fuse
-    philosophy as ``brute_force_neardup_pairs``)."""
-    s = docs.select(F.col(text_col).alias("t"))
+    Sample membership is ``sampling.hash_sample`` itself — not a
+    re-implementation — so the tokenizer's training sample lives in
+    the SAME bucket space as ``with_split``/``hash_sample`` holdouts
+    (a hand-rolled ``xxhash64(id)`` would bucket every key differently
+    from ``bucket_expr``'s seeded ``xxhash64(42L, id)`` chain and
+    silently break any nesting/alignment assumption). The collect is
+    bounded by ``max_docs``: a tokenizer fit needs a fixed-size
+    sample, not the corpus — exceeding the bound raises rather than
+    melting the driver (same fuse philosophy as
+    ``brute_force_neardup_pairs``)."""
+    from .sampling import hash_sample
+
+    s = docs
     if sample_fraction < 1.0:
-        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(10_000))
-        s = docs.filter(bucket < int(sample_fraction * 10_000)).select(
-            F.col(text_col).alias("t")
-        )
+        s = hash_sample(docs, id_col, sample_fraction)
+    s = s.select(F.col(text_col).alias("t"))
     n = s.count()
     if n > max_docs:
         raise ValueError(

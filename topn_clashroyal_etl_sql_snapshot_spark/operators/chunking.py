@@ -53,9 +53,15 @@ def chunk_by_chars(
     overlap: int = 0,
     text_col: str = "text",
     chunk_col: str = "chunk_text",
+    keep_source: bool = False,
 ) -> DataFrame:
-    """One output row per chunk: every input column (text included)
-    plus (chunk_idx, chunk_col, chunk_chars)."""
+    """One output row per chunk: the input columns MINUS ``text_col``
+    (each exploded row carrying the full source text would ship
+    O(n²/step) bytes per document into every downstream shuffle — a
+    200k-char page at size 4096 is ~49 rows × 200 KB ≈ 10 MB through
+    the packer's exchange; ``(doc_id, chunk_idx)`` reconstructs
+    provenance, and ``keep_source=True`` opts back in) plus
+    (chunk_idx, chunk_col, chunk_chars)."""
     if not 0 <= overlap < size:
         raise ValueError(f"need 0 <= overlap < size, got {overlap} / {size}")
     step = size - overlap
@@ -72,9 +78,10 @@ def chunk_by_chars(
     chunk = F.col(text_col).substr(
         F.col("chunk_idx").cast("int") * step + 1, F.lit(size)
     )
-    return out.withColumn(chunk_col, chunk).withColumn(
+    out = out.withColumn(chunk_col, chunk).withColumn(
         "chunk_chars", F.length(chunk)
     )
+    return out if keep_source else out.drop(text_col)
 
 
 def chunk_by_tokens(
@@ -83,10 +90,13 @@ def chunk_by_tokens(
     overlap: int = 0,
     ids_col: str = "token_ids",
     chunk_col: str = "chunk_ids",
+    keep_source: bool = False,
 ) -> DataFrame:
-    """One output row per chunk of the token-id array: every input
-    column plus (chunk_idx, chunk_col, n_tokens). ``n_tokens`` is the
-    chunk's exact token count — feed it straight to
+    """One output row per chunk of the token-id array: the input
+    columns MINUS ``ids_col`` (same O(n²/step) shuffle-bloat argument
+    as :func:`chunk_by_chars`; ``keep_source=True`` opts back in) plus
+    (chunk_idx, chunk_col, n_tokens). ``n_tokens`` is the chunk's
+    exact token count — feed it straight to
     ``packing.pack_greedy(..., "n_tokens", budget)``. An existing
     ``n_tokens`` column (as emitted by ``bpe_encode_text``) is
     replaced by the per-chunk count."""
@@ -102,6 +112,7 @@ def chunk_by_tokens(
     chunk = F.slice(
         F.col(ids_col), F.col("chunk_idx").cast("int") * step + 1, F.lit(size)
     )
-    return out.withColumn(chunk_col, chunk).withColumn(
+    out = out.withColumn(chunk_col, chunk).withColumn(
         "n_tokens", F.size(chunk)
     )
+    return out if keep_source else out.drop(ids_col)

@@ -49,16 +49,22 @@ def train_char_lm(
     max_docs: int = 100_000,
 ) -> dict:
     """Fit the char n-gram model on a deterministic hash sample.
-    Returns ``{"n", "logp": {gram: logp}, "floor": float}`` where
-    ``floor`` is the unseen-gram log-prob ``log(k / (k·V))`` under an
-    unseen context (V = alphabet size + 1 for OOV) — the coalesce
-    default the scorer broadcasts."""
-    s = docs.select(F.col(text_col).alias("t"))
+    Returns ``{"n", "logp": {gram: logp}, "ctx_floor": {ctx: logp},
+    "floor": float}``: ``ctx_floor[ctx] = log(k / (C(ctx) + k·V))`` is
+    the unseen-CONTINUATION log-prob under a SEEN context (so the
+    smoothed distribution per context sums to exactly 1 — a single
+    global floor would score unseen grams under well-observed contexts
+    several nats too high and shrink the in-domain/gibberish gap the
+    filter exists for), and ``floor = log(1/V)`` covers fully unseen
+    contexts (V = alphabet size + 1 for OOV)."""
+    from .sampling import hash_sample
+
+    s = docs
     if sample_fraction < 1.0:
-        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(10_000))
-        s = docs.filter(bucket < int(sample_fraction * 10_000)).select(
-            F.col(text_col).alias("t")
-        )
+        # the real sampling operator, so the LM's reference sample
+        # shares the bucket space of with_split/hash_sample holdouts
+        s = hash_sample(docs, id_col, sample_fraction)
+    s = s.select(F.col(text_col).alias("t"))
     n_rows = s.count()
     if n_rows > max_docs:
         raise ValueError(
@@ -83,7 +89,15 @@ def train_char_lm(
         g: math.log((c + add_k) / (ctx_counts[g[:-1]] + add_k * v))
         for g, c in gram_counts.items()
     }
-    return {"n": n, "logp": logp, "floor": math.log(add_k / (add_k * v))}
+    ctx_floor = {
+        ctx: math.log(add_k / (c + add_k * v)) for ctx, c in ctx_counts.items()
+    }
+    return {
+        "n": n,
+        "logp": logp,
+        "ctx_floor": ctx_floor,
+        "floor": math.log(add_k / (add_k * v)),
+    }
 
 
 def lm_perplexity(
@@ -102,6 +116,11 @@ def lm_perplexity(
             list(model["logp"].items()), "gram string, logp double"
         )
     )
+    ctx_lm = F.broadcast(
+        spark.createDataFrame(
+            list(model["ctx_floor"].items()), "ctx string, ctx_logp double"
+        )
+    )
     floor = float(model["floor"])
     base = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
     grams = base.select(
@@ -114,8 +133,19 @@ def lm_perplexity(
         ).alias("_i"),
         F.col("_t"),
     ).select(id_col, F.col("_t").substr(F.col("_i"), F.lit(n)).alias("gram"))
-    scored = grams.join(lm, "gram", "left").select(
-        id_col, F.coalesce(F.col("logp"), F.lit(floor)).alias("lp")
+    # three-level backoff: seen gram → seen context's unseen-
+    # continuation floor → fully-unseen-context floor; both lookup
+    # tables are broadcast, so this is two map-side joins
+    scored = (
+        grams.withColumn("ctx", F.col("gram").substr(1, n - 1))
+        .join(lm, "gram", "left")
+        .join(ctx_lm, "ctx", "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("logp"), F.col("ctx_logp"), F.lit(floor)
+            ).alias("lp"),
+        )
     )
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),

@@ -536,11 +536,12 @@ def semantic_neardup_pairs(
     within a cluster, verify with exact cosine. Returns (id1, id2,
     cosine ≥ threshold).
 
-    Plan: deterministic hash-sampled centroids (``ivf_centroids`` — no
-    model state) → every vector assigned to its ``n_assign`` nearest
-    centroids (``_nearest_centroids``, narrow codegen) → self-join on
-    the cluster key (id1 < id2, distinct) → shared exact-cosine verify
-    (``exact_cosine_for_pairs``). The candidate join shuffles on the
+    Plan: deterministic greedy farthest-point centroids
+    (``kcenter_centroids`` — NOT the hash-sampled ``ivf_centroids``;
+    see the recall paragraph below for why) → every vector assigned to
+    its ``n_assign`` nearest centroids (``_nearest_centroids``, narrow
+    codegen) → self-join on the cluster key (id1 < id2, distinct) →
+    shared exact-cosine verify (``exact_cosine_for_pairs``). The candidate join shuffles on the
     cluster id — O(Σ cluster²) pairs, never corpus²; at 100 TB,
     ``n_centroids`` scales with corpus size to keep clusters bounded
     (SemDeDup runs 50k clusters over 5B embeddings).

@@ -85,10 +85,18 @@ def streaming_dedup_documents(
     fingerprint wins; duplicate state is dropped once the watermark
     passes (a re-crawl of the same page weeks later would re-admit it —
     bound the watermark to the re-crawl horizon, or run the batch
-    ``dedup_exact`` over bronze for the corpus-global guarantee)."""
+    ``dedup_exact`` over bronze for the corpus-global guarantee).
+
+    ``dropDuplicatesWithinWatermark`` is load-bearing: plain
+    ``dropDuplicates(["fingerprint"])`` only evicts state when the
+    event-time column is PART OF the dedup subset — with a key-only
+    subset its state store grows one entry per distinct fingerprint
+    forever, and a long-lived ingest job eventually OOMs. The
+    WithinWatermark variant exists precisely for key-only dedup with
+    watermark-bounded state."""
     fp = docs.withColumn(
         "fingerprint", tx.content_fingerprint(F.col("text"))
     )
-    return fp.withWatermark(time_col, watermark).dropDuplicates(
+    return fp.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
