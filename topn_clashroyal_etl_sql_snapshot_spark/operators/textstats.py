@@ -69,6 +69,43 @@ def token_stats(
     )
 
 
+def winnow_marked(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, h, wmin) — every token k-gram's md5 with its sliding-
+    window minimum; ``h == wmin`` marks the SELECTED fingerprints. The
+    shared stage behind :func:`winnow_fingerprints` (per-doc density
+    rollup) and ``operators/overlap.py`` (cross-document repeated-
+    substring detection). One shuffle on the doc id serves the k-gram
+    leads, the sliding window, and downstream per-doc grouping."""
+    from pyspark.sql import Window as W
+
+    from .dedup import _spread
+
+    toks = _spread(docs, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tx.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w_doc = W.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w_doc) for j in range(1, k)]
+    grams = (
+        toks.select(
+            "id",
+            "pos",
+            F.md5(F.concat_ws(" ", *leads)).alias("h"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("id", "pos", "h")
+    )
+    w_slide = W.partitionBy("id").orderBy("pos").rowsBetween(-(window - 1), 0)
+    return grams.withColumn("wmin", F.min("h").over(w_slide))
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 3,
@@ -96,28 +133,7 @@ def winnow_fingerprints(
     over (doc, pos) + one aggregate; all codegen, shuffles once on doc
     id (reused by both windows and the aggregate).
     """
-    from pyspark.sql import Window as W
-
-    from .dedup import _spread
-
-    toks = _spread(docs, id_col).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tx.tokens(F.col(text_col))).alias("pos", "tok"),
-    )
-    w_doc = W.partitionBy("id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", j).over(w_doc) for j in range(1, k)]
-    grams = (
-        toks.select(
-            "id",
-            "pos",
-            F.md5(F.concat_ws(" ", *leads)).alias("h"),
-            leads[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .select("id", "pos", "h")
-    )
-    w_slide = W.partitionBy("id").orderBy("pos").rowsBetween(-(window - 1), 0)
-    marked = grams.withColumn("wmin", F.min("h").over(w_slide))
+    marked = winnow_marked(docs, k, window, text_col, id_col)
     return (
         marked.groupBy(F.col("id").alias(id_col))
         .agg(
