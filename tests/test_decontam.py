@@ -129,6 +129,65 @@ def test_short_docs_produce_no_ngrams(spark):
     assert got == {2: 6}  # 10 tokens → 6 distinct 5-grams, all shared
 
 
+def _py_spans(text: str, bench_grams: set[str], n: int) -> list[tuple[int, int, int]]:
+    toks = _tokens(text)
+    hits = [
+        i
+        for i in range(len(toks) - n + 1)
+        if " ".join(toks[i : i + n]) in bench_grams
+    ]
+    spans = []
+    for p in hits:
+        if spans and p <= spans[-1][1]:
+            spans[-1] = (spans[-1][0], max(spans[-1][1], p + n), spans[-1][2] + 1)
+        else:
+            spans.append((p, p + n, 1))
+    return spans
+
+
+def test_contamination_spans_match_python_oracle(spark, corpus_and_bench):
+    """Merged token-position intervals must equal the Python interval-
+    merge twin: one island per maximal run of overlapping matches."""
+    cdf, bdf, corpus, bench = corpus_and_bench
+    n = 5
+    bench_grams = set()
+    for _, t in bench:
+        bench_grams |= _ngrams(t, n)
+    got: dict[int, list] = {}
+    for r in decontam.contamination_spans(cdf, bdf, n=n).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_grams_in_span"])
+        )
+    want = {}
+    for i, t in corpus:
+        spans = _py_spans(t, bench_grams, n)
+        if spans:
+            want[i] = spans
+    assert {k: sorted(v) for k, v in got.items()} == want
+    # doc 50 quotes one contiguous benchmark sentence: exactly one span
+    assert len(want[50]) == 1
+    start, end, k = want[50][0]
+    # the span covers the full quoted region: 12 bench tokens → 8
+    # matched 5-grams, span length 12 tokens
+    assert k == 8 and end - start == 12
+
+
+def test_disjoint_quotes_produce_separate_spans(spark):
+    bench = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "vv ww xx yy zz")],
+        "doc_id long, text string",
+    )
+    doc_text = (
+        "aa bb cc dd ee noise1 noise2 noise3 noise4 vv ww xx yy zz tail"
+    )
+    docs = spark.createDataFrame([(7, doc_text)], "doc_id long, text string")
+    rows = sorted(
+        (r["span_start"], r["span_end"])
+        for r in decontam.contamination_spans(docs, bench, n=5).collect()
+    )
+    assert rows == [(0, 5), (9, 14)]
+
+
 def test_benchmark_side_is_broadcast(spark, corpus_and_bench):
     """The scale contract: the corpus-side overlap join must be a
     broadcast hash join (benchmark n-gram set ships to executors), not a

@@ -95,6 +95,74 @@ def decontaminate(
     return corpus.join(hits.select(id_col), id_col, "left_anti")
 
 
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_grams_in_span) — the MERGED
+    token-position intervals of benchmark overlap per document
+    (``span_end`` exclusive): a matched n-gram at token position p
+    covers [p, p+n), and overlapping/adjacent covers merge into one
+    span. Dropping a 50k-token document for one quoted benchmark
+    sentence wastes 49k good tokens — pipelines excise the span
+    instead; this is the report that drives the excision (and the
+    human audit of WHAT leaked).
+
+    Plan: positional n-grams (the same window-lead stream
+    ``shingle_sets`` builds, WITHOUT the distinct — positions matter
+    here) → broadcast semi-join against the benchmark n-gram set →
+    classic gaps-and-islands interval merge, all window algebra: a
+    match opens a new island iff its position exceeds the running max
+    span end of earlier matches; islands group to (min start, max
+    end). Shuffle budget: the doc-id window partitioning carries from
+    the match stream into the island windows and the final group —
+    one exchange end to end, benchmark side broadcast."""
+    from pyspark.sql import Window as W
+
+    toks_stream = dedup.token_stream(corpus, text_col, id_col, toks=toks)
+    w = W.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    grams = (
+        toks_stream.select(
+            "id",
+            "pos",
+            F.xxhash64(F.concat_ws(" ", *leads)).alias("sh"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("id", "pos", "sh")
+    )
+    bench_sh = benchmark_ngrams(benchmark, text_col, id_col, n)
+    hits = grams.join(F.broadcast(bench_sh), "sh", "left_semi")
+
+    # gaps-and-islands: running max end over PRECEDING matches; a hit
+    # whose pos exceeds it starts a new island
+    w_prev = W.partitionBy("id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_run = W.partitionBy("id").orderBy("pos")
+    marked = hits.withColumn(
+        "_new",
+        F.when(
+            F.col("pos") > F.coalesce(F.max(F.col("pos") + n).over(w_prev), F.lit(-1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_island", F.sum("_new").over(w_run))
+    return (
+        marked.groupBy(F.col("id").alias(id_col), "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams_in_span"),
+        )
+        .drop("_island")
+    )
+
+
 def decontamination_report(
     corpus: DataFrame,
     benchmark: DataFrame,
