@@ -205,6 +205,27 @@ def test_semantic_pairs_exhaustive_assign_equals_bruteforce(spark, vectors):
     assert sem == bf and len(bf) == 3
 
 
+def test_ivf_topk_accepts_kcenter_centroids(spark, clustered):
+    """ivf_topk with farthest-point pivots and nprobe=1 on clustered
+    data still reproduces brute force — every query's neighbors live
+    in its own (correctly pivoted) cluster."""
+    cents = similarity.kcenter_centroids(clustered, 6)
+    bf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.brute_force_topk(
+            clustered, k=3, query_filter=F.col("vec_id") < 6
+        ).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.ivf_topk(
+            clustered, k=3, nprobe=1, query_filter=F.col("vec_id") < 6,
+            centroids=cents,
+        ).collect()
+    }
+    assert ivf == bf
+
+
 def test_kcenter_places_one_pivot_per_cluster(spark, clustered):
     """Greedy farthest-point pivots must cover all 6 well-separated
     clusters with exactly one pivot each (a hash-sampled 6 collides —

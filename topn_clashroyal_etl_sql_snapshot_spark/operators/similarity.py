@@ -349,6 +349,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_filter=None,
+    centroids: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
     """IVF-flat ANN top-k — the bucketed path for LARGE query sets,
     where broadcasting the queries (``brute_force_topk``) stops scaling:
@@ -368,7 +369,12 @@ def ivf_topk(
     honestly; THIS operator is verified on clustered data in
     tests/test_similarity.py, where IVF equals brute force.) Returns
     (query_id, neighbor_id, cosine, rank)."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    # default pivots stay hash-sampled (cheap, fine for top-k where
+    # nprobe covers neighbor clusters); pass a kcenter_centroids or
+    # k-means|| fit via `centroids` when pivot placement matters
+    cents = centroids if centroids is not None else ivf_centroids(
+        embeddings, n_centroids, id_col, vec_col
+    )
     corpus_assign = _nearest_centroids(embeddings, cents, 1, id_col, vec_col)
     q = embeddings if query_filter is None else embeddings.filter(query_filter)
     query_probe = _nearest_centroids(q, cents, nprobe, id_col, vec_col)
