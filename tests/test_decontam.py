@@ -188,6 +188,39 @@ def test_disjoint_quotes_produce_separate_spans(spark):
     assert rows == [(0, 5), (9, 14)]
 
 
+def test_excise_contaminated_matches_python(spark, corpus_and_bench):
+    """Excision must drop exactly the tokens inside merged spans and
+    keep everything else in order; uncontaminated documents pass
+    through as their token join."""
+    cdf, bdf, corpus, bench = corpus_and_bench
+    n = 5
+    bench_grams = set()
+    for _, t in bench:
+        bench_grams |= _ngrams(t, n)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_kept"], r["n_tokens_dropped"])
+        for r in decontam.excise_contaminated(cdf, bdf, n=n).collect()
+    }
+    assert set(got) == {i for i, _ in corpus}
+    for i, t in corpus:
+        toks = _tokens(t)
+        covered = set()
+        for s, e, _ in _py_spans(t, bench_grams, n):
+            covered.update(range(s, e))
+        kept = [tok for p, tok in enumerate(toks) if p not in covered]
+        assert got[i] == (
+            " ".join(kept),
+            len(kept),
+            len(toks) - len(kept),
+        ), i
+    # doc 50 lost its quoted sentence but kept the noise around it
+    assert got[50][2] == 12
+    assert "quick brown fox" not in got[50][0]
+    assert got[50][0].startswith("noise words here")
+    # clean docs: nothing dropped
+    assert got[3][2] == 0
+
+
 def test_benchmark_side_is_broadcast(spark, corpus_and_bench):
     """The scale contract: the corpus-side overlap join must be a
     broadcast hash join (benchmark n-gram set ships to executors), not a

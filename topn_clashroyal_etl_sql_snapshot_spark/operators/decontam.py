@@ -163,6 +163,74 @@ def contamination_spans(
     )
 
 
+def excise_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    toks: DataFrame | None = None,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """(doc_id, out_col, n_tokens_kept, n_tokens_dropped): every
+    corpus document with its contaminated spans REMOVED — the
+    keep-the-document alternative to :func:`decontaminate`'s
+    drop-the-document.
+
+    Honest caveat on fidelity: the clean text is rebuilt from the
+    TOKENIZED stream (surviving tokens joined with single spaces), so
+    the excised document carries the normalized token text, not the
+    original formatting — the right input for tokenize-next pipelines
+    (the usual consumer), not for display. Span semantics come from
+    :func:`contamination_spans` (merged [start, end) token intervals).
+
+    Plan: token stream ⋈ spans on the doc id (spans per doc are few —
+    the join multiplies each token row by that doc's span count, then
+    a per-token aggregate collapses it), coverage flag via MAX over
+    the span predicates, per-doc rebuild with ``sort_array`` over
+    (pos, tok) structs — grouping stays on the doc id the stream is
+    already partitioned by. Documents with no spans pass through
+    intact (left join)."""
+    spans = contamination_spans(corpus, benchmark, text_col, id_col, n, toks=toks)
+    stream = dedup.token_stream(corpus, text_col, id_col, toks=toks)
+    joined = stream.join(
+        spans.select(
+            F.col(id_col).alias("id"), "span_start", "span_end"
+        ),
+        "id",
+        "left",
+    )
+    per_token = joined.groupBy("id", "pos").agg(
+        F.first("tok").alias("tok"),
+        F.max(
+            F.when(
+                (F.col("pos") >= F.col("span_start"))
+                & (F.col("pos") < F.col("span_end")),
+                1,
+            ).otherwise(0)
+        ).alias("covered"),
+    )
+    rebuilt = per_token.groupBy(F.col("id").alias(id_col)).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("covered") == 0,
+                            F.struct(F.col("pos"), F.col("tok")),
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias(out_col),
+        F.count_if(F.col("covered") == 0).alias("n_tokens_kept"),
+        F.count_if(F.col("covered") == 1).alias("n_tokens_dropped"),
+    )
+    return rebuilt
+
+
 def decontamination_report(
     corpus: DataFrame,
     benchmark: DataFrame,
