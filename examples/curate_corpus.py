@@ -45,6 +45,9 @@ from topn_clashroyal_etl_sql_snapshot_spark.operators.packing import (  # noqa: 
     pack_greedy,
     pack_stats,
 )
+from topn_clashroyal_etl_sql_snapshot_spark.operators.profile import (  # noqa: E402
+    corpus_profile,
+)
 from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (  # noqa: E402
     per_group_cap,
     with_split,
@@ -61,8 +64,14 @@ from topn_clashroyal_etl_sql_snapshot_spark.sources.readers import (  # noqa: E4
 
 def curate(spark, sf_dir: str, budget: int = 2048):
     docs = read_testdata(spark, sf_dir, "documents")
-    n_all = docs.count()
-    print(f"0_all            {n_all}")
+    # one-pass corpus telemetry before any gate (the go/no-go report)
+    prof = corpus_profile(docs).collect()[0]
+    n_all = prof["docs"]
+    print(
+        f"0_all            {n_all}  "
+        f"(avg_chars={prof['avg_chars']:.0f} dup_rate={prof['dup_rate']:.3f} "
+        f"pct_und={prof['pct_und']:.3f} q_mean={prof['quality_mean']:.3f})"
+    )
 
     # Text hygiene then PII scrub — projections that rewrite text,
     # drop nothing: NFC normalization (canonical equivalence, so
