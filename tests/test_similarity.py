@@ -329,3 +329,111 @@ def test_ivf_full_probe_equals_exact_on_isotropic_testdata(spark):
         ).collect()
     }
     assert ivf == bf and len(bf) == 15
+
+
+# ---------------------------------------------------------------------------
+# k-means|| fit (kmeans_parallel_centroids)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_parallel_one_center_per_cluster(spark, clustered):
+    """The distributed fit must cover all 6 well-separated clusters with
+    exactly one center each — the same structural-recall bar
+    kcenter_centroids is held to."""
+    cents = similarity.kmeans_parallel_centroids(clustered, 6)
+    assert len(cents) == 6
+    rows = {r["vec_id"]: list(r["embedding"]) for r in clustered.collect()}
+    owners = []
+    for _, vec, _ in cents:
+        best = max(rows, key=lambda i: _cos(rows[i], vec))
+        owners.append(best % 6)
+    assert sorted(owners) == [0, 1, 2, 3, 4, 5]
+
+
+def test_kmeans_parallel_semantic_pairs_equal_bruteforce(spark, clustered):
+    """semantic_neardup_pairs fed a k-means|| fit reproduces brute force
+    on clustered data — recall parity with the kcenter path, cosine
+    values included (shared exact-cosine verify)."""
+    cents = similarity.kmeans_parallel_centroids(clustered, 6)
+    bf = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.brute_force_neardup_pairs(
+            clustered, threshold=0.95
+        ).collect()
+    }
+    sem = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in similarity.semantic_neardup_pairs(
+            clustered, threshold=0.95, centroids=cents
+        ).collect()
+    }
+    assert sem == bf and len(bf) == 6 * 45  # 6 clusters x C(10,2)
+
+
+def test_kmeans_parallel_deterministic(spark, clustered):
+    """No RNG state anywhere: two independent fits are identical,
+    vector-for-vector (hash-derived sampling + integer-scaled sums)."""
+    a = similarity.kmeans_parallel_centroids(clustered, 6)
+    b = similarity.kmeans_parallel_centroids(clustered, 6)
+    assert a == b
+
+
+def test_kmeans_parallel_small_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    cents = similarity.kmeans_parallel_centroids(df, 5)
+    assert len(cents) == 2
+
+
+@pytest.fixture(scope="module")
+def many_clustered(spark):
+    """20 tight clusters x 15 vectors: big enough that the k-means||
+    reduce step (candidates > k) actually runs."""
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(20)]
+    rows = []
+    for i in range(300):
+        c = centers[i % 20]
+        rows.append((i, [float(x + rng.gauss(0, 0.01)) for x in c]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_parallel_job_count_independent_of_k(spark, many_clustered):
+    """THE scale contract vs kcenter_centroids: Spark job count is
+    O(init_rounds + lloyd_rounds), NOT O(k). Doubling k must not grow
+    the number of driver round-trips (kcenter at k=40 would launch ~80
+    jobs; the parallel fit stays constant)."""
+    many_clustered.count()  # materialize fixture off the measured groups
+    sc = spark.sparkContext
+
+    def jobs_for(k):
+        group = f"kmeans-fit-k{k}"
+        sc.setJobGroup(group, "kmeans job-count pin")
+        try:
+            cents = similarity.kmeans_parallel_centroids(many_clustered, k)
+        finally:
+            sc.setJobGroup(None, None)
+        assert len(cents) == k
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j10, j40 = jobs_for(10), jobs_for(40)
+    # same rounds -> same job shape; allow tiny slack for early-exit paths
+    assert j40 <= j10 + 2, (j10, j40)
+    # fixed budget regardless of k (rounds x {checkpoint, psi, sample} +
+    # weighting + lloyd x {assign-stats}; take/limit runs incremental
+    # sub-jobs) — kcenter at k=40 would be ~2 jobs PER pivot on top
+    assert j40 <= 60, (j10, j40)
+
+
+def test_kmeans_parallel_covers_20_clusters(spark, many_clustered):
+    """k = true cluster count on 20 clusters: every cluster gets exactly
+    one center (k-means|| oversampling + weighted reduce must not merge
+    or split tight clusters)."""
+    cents = similarity.kmeans_parallel_centroids(many_clustered, 20)
+    rows = {r["vec_id"]: list(r["embedding"]) for r in many_clustered.collect()}
+    owners = []
+    for _, vec, _ in cents:
+        best = max(rows, key=lambda i: _cos(rows[i], vec))
+        owners.append(best % 20)
+    assert sorted(owners) == list(range(20))

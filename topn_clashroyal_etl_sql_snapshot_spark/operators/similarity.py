@@ -466,6 +466,236 @@ def brute_force_neardup_pairs(
 # Semantic dedup (SemDeDup-style)
 # ---------------------------------------------------------------------------
 
+def _best_cosine_vs_batch(cur: DataFrame, batch: list[list[float]]) -> DataFrame:
+    """Update ``cur`` (id, v, best) — ``v`` UNIT vectors — so ``best``
+    becomes max(best, cosine to any vector in ``batch``).
+
+    The batch ships as a LITERAL array-of-arrays and the per-row max-dot
+    is the same exploded (id, d, x, cidx) integer-scaled stream as
+    :func:`_nearest_centroids` — narrow codegen, no join against a
+    centroid table, replay-deterministic argmax/max. One shuffle
+    (the (id, cidx) partial-sum), one self-join back on id."""
+    m = len(batch)
+    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in vec]) for vec in batch])
+    cnorms = F.array(
+        *[F.lit(float(sum(x * x for x in vec) ** 0.5) or 1.0) for vec in batch]
+    )
+    dims = cur.select("id", F.posexplode(F.col("v")).alias("d", "x"))
+    terms = dims.select(
+        "id",
+        "d",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("cidx"),
+    ).select(
+        "id",
+        "cidx",
+        F.round(
+            F.col("x").cast("double")
+            * F.element_at(cmat, F.col("cidx") + 1)[F.col("d")]
+            * F.lit(float(1 << 40))
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    bmax = (
+        terms.groupBy("id", "cidx")
+        .agg(F.sum("t").alias("s"))
+        .withColumn(
+            "cos",
+            F.col("s").cast("double")
+            / F.lit(float(1 << 40))
+            / F.element_at(cnorms, F.col("cidx") + 1),
+        )
+        .groupBy("id")
+        .agg(F.round(F.max("cos"), 9).alias("_bcos"))
+    )
+    return (
+        cur.join(bmax, "id", "left")
+        .withColumn(
+            "best", F.greatest(F.col("best"), F.coalesce(F.col("_bcos"), F.lit(-2.0)))
+        )
+        .drop("_bcos")
+    )
+
+
+def _weighted_kmeanspp(cands, weights, k: int, lloyd_iters: int = 10):
+    """Driver-side deterministic weighted k-means++ over the (small)
+    k-means|| candidate set — the Bahmani et al. 2012 recluster step.
+    ``cands``: list of unit vectors; ``weights``: per-candidate point
+    counts. Randomized D²-sampling is replaced by the deterministic
+    argmax(w · d²) variant (ties by candidate index) so replays and the
+    test oracle see identical centers; then weighted Lloyd to
+    convergence (or ``lloyd_iters``). numpy is fine HERE — the candidate
+    set is O(oversample · rounds), never corpus-sized."""
+    import numpy as np
+
+    X = np.asarray(cands, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    n = len(X)
+    if n <= k:
+        return [list(map(float, x)) for x in X]
+    # unit sphere: squared euclidean = 2(1 - cos)
+    chosen = [int(np.argmax(w))]
+    d2 = 2.0 * np.clip(1.0 - X @ X[chosen[0]], 0.0, None)
+    while len(chosen) < k:
+        scores = w * d2
+        # ties break toward the lower index (np.argmax is first-max)
+        nxt = int(np.argmax(scores))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, 2.0 * np.clip(1.0 - X @ X[nxt], 0.0, None))
+    C = X[chosen].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = C.copy()
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                newC[j] = np.average(X[mask], axis=0, weights=w[mask])
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return [list(map(float, c)) for c in C]
+
+
+def kmeans_parallel_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    init_rounds: int = 5,
+    oversample: int | None = None,
+    lloyd_rounds: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """Distributed spherical k-means fit — k-means|| initialization
+    (Bahmani et al., "Scalable k-means++", VLDB 2012) + Lloyd rounds as
+    DataFrame algebra. THE scale path for semantic dedup / IVF pivots:
+    job count is O(init_rounds + lloyd_rounds) — independent of k —
+    vs :func:`kcenter_centroids`' O(k) sequential driver round-trips,
+    so SemDeDup's 50k-cluster regime is reachable.
+
+    Deterministic end to end (the module contract): the seed center is
+    the min-``xxhash64(id)`` vector, per-round sampling uses
+    ``xxhash64(id, round)`` as the uniform draw (no RNG state), costs
+    and means aggregate in integer-scaled space (doubles summed across
+    partitions would make marginal samples partition-order dependent),
+    and the driver-side recluster uses the argmax(w·d²) k-means++
+    variant. Same fit every run, every executor layout, every replay.
+
+    Plan per init round (all narrow codegen, one exchange each):
+    update running ``best`` cosine against the last round's candidate
+    batch (:func:`_best_cosine_vs_batch`, literal batch — no join) →
+    integer-scaled cost sum ψ = Σ(1-best) → sample each row with
+    p = min(1, ℓ·cost/ψ) via the hash draw (expected ℓ = ``oversample``,
+    default 2k, per round), pulled driver-side through
+    TakeOrderedAndProject with a 4ℓ fuse. Candidates are then weighted
+    by their Voronoi population (one :func:`_nearest_centroids` pass +
+    groupBy count) and reduced to k driver-side
+    (:func:`_weighted_kmeanspp` — candidate set is O(ℓ·rounds), tiny).
+    Each Lloyd round: assign (narrow, literal centers) → per-(cluster,
+    dim) integer-scaled mean → collect k×dim longs (bounded by k·dim,
+    not corpus). Empty clusters keep their previous center.
+
+    Zero-norm vectors are excluded from the fit (no direction); they
+    still assign downstream wherever the caller sends them. Returns
+    [(idx, vector, norm)] — plugs straight into the ``centroids``
+    parameter of :func:`semantic_neardup_pairs` / :func:`semantic_dedup`
+    / :func:`ivf_topk`. Headroom: unit-vector terms at 2³⁰ scaling keep
+    per-(cluster, dim) sums exact to ~10⁹ rows per cluster."""
+    k = n_centroids
+    ell = oversample if oversample is not None else 2 * k
+    unit = (
+        _with_norm(embeddings, vec_col)
+        .filter(F.col("_norm") > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("_norm")
+            ).alias("v"),
+        )
+    )
+    first = unit.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(1).collect()
+    if not first:
+        return []
+    cands: list[list[float]] = [[float(x) for x in first[0]["v"]]]
+    cur = unit.withColumn("best", F.lit(-2.0)).localCheckpoint(eager=False)
+    new_batch = cands[:]
+    # integer-scaled cost: best is rounded to 9 decimals, so (1-best)·10⁹
+    # is an exact long — partition-order-independent ψ.
+    cost_scaled = F.round((F.lit(1.0) - F.col("best")) * F.lit(1e9)).cast("long")
+    for rnd in range(init_rounds):
+        cur = _best_cosine_vs_batch(cur, new_batch).localCheckpoint(eager=False)
+        psi = cur.agg(F.sum(cost_scaled).alias("psi")).collect()[0]["psi"]
+        if not psi:
+            break  # every vector coincides with a candidate
+        draw = (
+            (F.xxhash64(F.col("id"), F.lit(rnd)).cast("double") / F.lit(float(1 << 63)))
+            + F.lit(1.0)
+        ) / F.lit(2.0)
+        prob = F.least(
+            F.lit(1.0),
+            F.lit(float(ell)) * cost_scaled.cast("double") / F.lit(float(psi)),
+        )
+        sampled = (
+            cur.filter(draw < prob)
+            .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+            .limit(4 * ell)
+            .collect()
+        )
+        new_batch = [[float(x) for x in r["v"]] for r in sampled]
+        cands.extend(new_batch)
+        if not new_batch:
+            break
+    cand_list = [
+        (i, vec, float(sum(x * x for x in vec) ** 0.5) or 1.0)
+        for i, vec in enumerate(cands)
+    ]
+    if len(cand_list) <= k:
+        return cand_list
+    # weight candidates by Voronoi population, recluster driver-side
+    assign = _nearest_centroids(unit, cand_list, 1, "id", "v")
+    wrows = {
+        r["cidx"]: r["w"]
+        for r in assign.groupBy("cidx").agg(F.count(F.lit(1)).alias("w")).collect()
+    }
+    weights = [wrows.get(i, 0) or 1e-9 for i in range(len(cand_list))]
+    centers = _weighted_kmeanspp(cands, weights, k)
+
+    scale = float(1 << 30)
+    for _ in range(lloyd_rounds):
+        cents = [
+            (i, vec, float(sum(x * x for x in vec) ** 0.5) or 1.0)
+            for i, vec in enumerate(centers)
+        ]
+        assign = _nearest_centroids(unit, cents, 1, "id", "v")
+        stats = (
+            unit.join(assign, "id")
+            .select("cidx", F.posexplode(F.col("v")).alias("d", "x"))
+            .groupBy("cidx", "d")
+            .agg(
+                F.sum(F.round(F.col("x") * F.lit(scale)).cast("long")).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_c.setdefault(r["cidx"], {})[r["d"]] = r["sx"] / (r["n"] * scale)
+        new_centers = []
+        for i, old in enumerate(centers):
+            got = by_c.get(i)
+            if got:
+                new_centers.append([got[d] for d in range(len(old))])
+            else:
+                new_centers.append(old)  # empty cluster keeps its center
+        if new_centers == centers:
+            break
+        centers = new_centers
+    return [
+        (i, vec, float(sum(x * x for x in vec) ** 0.5) or 1.0)
+        for i, vec in enumerate(centers)
+    ]
+
+
 def kcenter_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -494,7 +724,8 @@ def kcenter_centroids(
     TakeOrderedAndProject. Driver holds only the k pivot vectors —
     the same justified-smallness as ``ivf_centroids``. O(k) jobs: fine
     for the 10²-10³ pivots semantic dedup uses per shard; for SemDeDup
-    at web scale (50k clusters) swap in a k-means|| fit and feed the
+    at web scale (50k clusters) use :func:`kmeans_parallel_centroids`
+    (k-means|| — O(rounds) jobs, independent of k) and feed the
     resulting centroid list straight to ``_nearest_centroids``."""
     base = _with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
@@ -565,8 +796,9 @@ def semantic_neardup_pairs(
     n_centroids`` is provably exhaustive (every pair shares a cluster →
     equals brute force — pinned in tests/test_similarity.py). Precision
     is exact by construction (every emitted pair carries a verified
-    cosine). Pass ``centroids`` (any [(idx, vector, norm)] list, e.g. a
-    k-means|| fit) to override pivot selection."""
+    cosine). Pass ``centroids`` (any [(idx, vector, norm)] list) to
+    override pivot selection — :func:`kmeans_parallel_centroids` is the
+    shipped large-k fit (O(rounds) jobs vs kcenter's O(k))."""
     cents = centroids if centroids is not None else kcenter_centroids(
         embeddings, n_centroids, id_col, vec_col
     )
