@@ -24,8 +24,15 @@ def _py_score(text: str, model: dict):
             return model["ctx_floor"][g[:-1]]
         return model["floor"]
 
-    lps = [lp(text[i : i + n]) for i in range(len(text) - n + 1)]
-    return len(lps), sum(lps) / len(lps)
+    def micro(v):
+        # Spark's F.round = BigDecimal(Double.toString(v)) HALF_UP;
+        # Python repr() is the same shortest decimal string
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(Decimal(repr(v * 1e6)).quantize(Decimal(1), ROUND_HALF_UP))
+
+    lps = [micro(lp(text[i : i + n])) for i in range(len(text) - n + 1)]
+    return len(lps), sum(lps) / (len(lps) * 1e6)
 
 
 REF = (

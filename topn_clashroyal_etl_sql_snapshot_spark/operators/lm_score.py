@@ -39,6 +39,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fit_char_lm_counts(texts, n: int = 3, add_k: float = 0.5) -> dict:
+    """Pure-Python model fit over an in-memory text iterable — the
+    counting/smoothing core shared by :func:`train_char_lm` (which
+    feeds it a bounded Spark sample) and by callers that need a model
+    from a FIXED reference corpus (e.g. the driver-registered
+    ``lm_perplexity`` row, whose DuckDB oracle embeds the model as a
+    literal table — a data-dependent fit couldn't be mirrored in a
+    static SQL string)."""
+    gram_counts: dict[str, int] = {}
+    ctx_counts: dict[str, int] = {}
+    alphabet: set[str] = set()
+    for t in texts:
+        if t is None:
+            continue
+        alphabet.update(t)
+        for i in range(len(t) - n + 1):
+            g = t[i : i + n]
+            gram_counts[g] = gram_counts.get(g, 0) + 1
+            ctx_counts[g[:-1]] = ctx_counts.get(g[:-1], 0) + 1
+    v = len(alphabet) + 1  # +1: one OOV character class
+    logp = {
+        g: math.log((c + add_k) / (ctx_counts[g[:-1]] + add_k * v))
+        for g, c in gram_counts.items()
+    }
+    ctx_floor = {
+        ctx: math.log(add_k / (c + add_k * v)) for ctx, c in ctx_counts.items()
+    }
+    return {
+        "n": n,
+        "logp": logp,
+        "ctx_floor": ctx_floor,
+        "floor": math.log(add_k / (add_k * v)),
+    }
+
+
 def train_char_lm(
     docs: DataFrame,
     text_col: str = "text",
@@ -72,32 +107,7 @@ def train_char_lm(
             f"(> max_docs={max_docs}); lower sample_fraction — an LM "
             "filter's reference model needs a bounded in-domain sample."
         )
-    gram_counts: dict[str, int] = {}
-    ctx_counts: dict[str, int] = {}
-    alphabet: set[str] = set()
-    for r in s.collect():
-        t = r["t"]
-        if t is None:
-            continue
-        alphabet.update(t)
-        for i in range(len(t) - n + 1):
-            g = t[i : i + n]
-            gram_counts[g] = gram_counts.get(g, 0) + 1
-            ctx_counts[g[:-1]] = ctx_counts.get(g[:-1], 0) + 1
-    v = len(alphabet) + 1  # +1: one OOV character class
-    logp = {
-        g: math.log((c + add_k) / (ctx_counts[g[:-1]] + add_k * v))
-        for g, c in gram_counts.items()
-    }
-    ctx_floor = {
-        ctx: math.log(add_k / (c + add_k * v)) for ctx, c in ctx_counts.items()
-    }
-    return {
-        "n": n,
-        "logp": logp,
-        "ctx_floor": ctx_floor,
-        "floor": math.log(add_k / (add_k * v)),
-    }
+    return fit_char_lm_counts((r["t"] for r in s.collect()), n=n, add_k=add_k)
 
 
 def lm_perplexity(
@@ -108,7 +118,17 @@ def lm_perplexity(
 ) -> DataFrame:
     """(id_col, n_grams, avg_logprob, ppl) per document. Documents
     shorter than n chars (or NULL) score ``n_grams = 0`` with NULL
-    avg/ppl — gate them on length, not perplexity."""
+    avg/ppl — gate them on length, not perplexity.
+
+    Per-gram log-probs are quantized to MICRO-NATS (round(lp·10⁶) as
+    long) before aggregation, so the per-doc sum is an exact integer —
+    partition-order independent (a double SUM's low bits depend on the
+    executor merge order) and bit-reproducible by the DuckDB oracle of
+    the registered driver row. Quantization error ≤ 5·10⁻⁷ nat/char —
+    four orders below any perplexity gate anyone sets; determinism is
+    the module-wide contract (same device as the integer-scaled dots in
+    operators/similarity.py and the DECIMAL money sums in
+    plans/testdata_queries.py)."""
     n = model["n"]
     spark = docs.sparkSession
     lm = F.broadcast(
@@ -142,14 +162,20 @@ def lm_perplexity(
         .join(ctx_lm, "ctx", "left")
         .select(
             id_col,
-            F.coalesce(
-                F.col("logp"), F.col("ctx_logp"), F.lit(floor)
-            ).alias("lp"),
+            F.round(
+                F.coalesce(F.col("logp"), F.col("ctx_logp"), F.lit(floor))
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("lp_micro"),
         )
     )
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
-        F.avg("lp").alias("avg_logprob"),
+        (
+            F.sum("lp_micro").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e6))
+        ).alias("avg_logprob"),
     )
     # left join back so short/NULL docs keep a row with n_grams = 0
     out = (

@@ -241,18 +241,14 @@ def cr_f4_top_decks(spark, sf_dir):
     return q.top_decks(t["player_decks"], t["decks"])
 
 
-@register(
-    "cr_f5_matchup_winrates",
-    f"""
-    SELECT deck_type, opp_deck_type, uses, wins,
-           CAST(wins AS DOUBLE) / NULLIF(uses, 0) AS winrate
-    FROM {_wh('meta_type_matchups')}
-    ORDER BY uses DESC, deck_type, opp_deck_type
-    LIMIT 20
-    """,
-)
 def cr_f5_matchup_winrates(spark, sf_dir):
-    """F5 (scripts/etl_snapshot_topn.py:535-536)."""
+    """F5 (scripts/etl_snapshot_topn.py:535-536).
+
+    UNREGISTERED in r7 (50-row cap rotation): this is a projection +
+    ratio over ``meta_type_matchups``, whose every row is already
+    hash-checked by ``cr_meta_type_matchups``; the winrate expression
+    itself is pinned by tests/test_plans.py. Slot went to the r6
+    operator crop (plans/llm_queries.py)."""
     t = snapshot_tables(spark)
     return q.matchup_winrates(t["meta_type_matchups"])
 
@@ -277,19 +273,17 @@ def cr_f6_best_decks(spark, sf_dir):
     return q.best_decks_by_winrate(t["player_decks"], min_uses=5)
 
 
-@register(
-    "cr_f7_deck_integrity",
-    f"""
-    SELECT deck_hash, COUNT(*) AS n_cards
-    FROM {_wh('deck_cards')}
-    GROUP BY deck_hash
-    HAVING COUNT(*) <> 8
-    ORDER BY deck_hash
-    LIMIT 20
-    """,
-)
 def cr_f7_deck_integrity(spark, sf_dir):
-    """F7/G1 (scripts:533): must be empty — every deck has 8 cards."""
+    """F7/G1 (scripts:533): must be empty — every deck has 8 cards.
+
+    UNREGISTERED in r7 (50-row cap rotation): the result is empty at
+    every driver run (0 rows = clean), so the hash check compared
+    empty to empty and verified nothing — the same reasoning that
+    rotated out ``embedding_lsh_neardup`` in r6. The 8-cards invariant
+    it queries is independently driver-checked by ``cr_g_validation``
+    (G1 row) and its violation-detection semantics are pinned by
+    tests/test_plans.py on seeded-corruption input. Slot went to the
+    r6 operator crop (plans/llm_queries.py)."""
     t = snapshot_tables(spark)
     return q.deck_integrity_violations(t["deck_cards"])
 
@@ -365,20 +359,20 @@ def _catalog(spark):
     )
 
 
-@register(
-    "cr_b2_normalized",
-    f"""
-    SELECT battle_time, result, mode_name, my_cards_str, opp_cards_str
-    FROM {_wh('library_normalized')}
-    ORDER BY battle_time, my_cards_str, opp_cards_str
-    """,
-)
 def cr_b2_normalized(spark, sf_dir):
     """B2 library-path normalization (battle_filters.py:52-97): ranked
     filter + projection, duplicates kept (this path never dedups). Card
     lists flatten to '|'-joined strings for the scalar hash compare;
     oracle = the committed golden parquet from the pure-Python
-    re-derivation (testing/cr_synthetic.py_normalize_battles)."""
+    re-derivation (testing/cr_synthetic.py_normalize_battles).
+
+    UNREGISTERED in r7 (50-row cap rotation): ``cr_e8_library_summary``
+    consumes this exact normalize output (E8 derives from B2), so its
+    hash check covers the B2 path end-to-end; the projection itself
+    stays verified by tests/test_library.py and by this callable in
+    tests/test_driver_contract-style pytest runs. Slot went to the r6
+    operator crop (chunk_by_chars / lm_perplexity /
+    semantic_neardup_pairs in plans/llm_queries.py)."""
     from . import library
 
     norm = library.normalize_battles(_battles(spark))

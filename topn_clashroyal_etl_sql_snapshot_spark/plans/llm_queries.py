@@ -836,3 +836,205 @@ def docs_pack_greedy(spark, sf_dir):
     return packed.select("doc_id", "source", "n_chars", "bin_id").orderBy(
         "source", "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 registry rotation: the r6 operator crop under the driver
+# oracle (chunking, LM scoring, semantic dedup). Slots freed by
+# cr_f5/cr_b2/cr_f7 (see plans/domain_queries.py for where each one's
+# coverage now lives).
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 300, 60
+_CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@register(
+    "chunk_by_chars",
+    f"""
+    SELECT doc_id, k AS chunk_idx,
+           length(substring(text, k * {_CHUNK_STEP} + 1, {_CHUNK_SIZE})) AS chunk_chars,
+           md5(substring(text, k * {_CHUNK_STEP} + 1, {_CHUNK_SIZE})) AS chunk_md5
+    FROM documents, UNNEST(generate_series(0,
+        CAST(ceil(greatest(length(text) - {_CHUNK_SIZE}, 0) / {_CHUNK_STEP}.0) AS BIGINT)
+    )) AS t(k)
+    WHERE text IS NOT NULL
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_by_chars(spark, sf_dir):
+    """Document chunking (operators/chunking.py): every document
+    windowed into 300-char chunks with 60-char overlap — the stage
+    between extraction and packing. The oracle recomputes the identical
+    windowing in SQL (the same oracle pinned in tests/test_chunking.py)
+    and every chunk's CONTENT is checked via md5 — full text equality
+    without shipping the chunk bytes through the compare. Scale: the
+    chunk generator runs inside the scan stage (sequence → explode →
+    substr, zero shuffle) and the source text column is dropped from
+    chunk rows (the O(n²/step) exchange-bloat argument at the
+    operator)."""
+    from ..operators import chunking
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = chunking.chunk_by_chars(docs, _CHUNK_SIZE, _CHUNK_OVERLAP)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_chars",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# The LM-row model is fit from a FIXED reference corpus at import time
+# (pure Python, no Spark) so the DuckDB oracle can embed it as a
+# literal table — a data-dependent fit couldn't live in a static SQL
+# string. The scoring path under test is exactly the production one:
+# explode → two broadcast joins → three-level backoff → micro-nat sum.
+_LM_REF = (
+    "the quick brown fox jumps over the lazy dog while the rain in "
+    "spain stays mainly in the plain and the cat sat on the mat as "
+    "training pipelines score clean text against noisy web crawls "
+    "and keep the documents whose character patterns read like the "
+    "reference domain "
+) * 3
+
+
+def _lm_model():
+    from ..operators import lm_score
+
+    return lm_score.fit_char_lm_counts([_LM_REF], n=3, add_k=0.5)
+
+
+def _lm_oracle_sql() -> str:
+    m = _lm_model()
+    lm_rows = ",".join(
+        f"('{g}', {p!r})" for g, p in sorted(m["logp"].items())
+    )
+    ctx_rows = ",".join(
+        f"('{c}', {p!r})" for c, p in sorted(m["ctx_floor"].items())
+    )
+    return f"""
+    WITH lm(gram, logp) AS (VALUES {lm_rows}),
+    ctxlm(ctx, ctx_logp) AS (VALUES {ctx_rows}),
+    grams AS (
+      SELECT doc_id, substring(text, i, 3) AS gram
+      FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS t(i)
+      WHERE text IS NOT NULL AND length(text) >= 3
+    ),
+    scored AS (
+      SELECT doc_id,
+             -- literals parse as DECIMAL; cast to DOUBLE first (exact:
+             -- repr() round-trips through the decimal text) so the
+             -- micro-nat scale multiplies doubles like the Spark side
+             CAST(round(CAST(COALESCE(l.logp, c.ctx_logp, {m['floor']!r}) AS DOUBLE)
+                        * 1000000.0)
+                  AS BIGINT) AS lp_micro
+      FROM grams g
+      LEFT JOIN lm l ON g.gram = l.gram
+      LEFT JOIN ctxlm c ON substring(g.gram, 1, 2) = c.ctx
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(lp_micro) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams, p.avg_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@register("lm_perplexity", _lm_oracle_sql())
+def lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm_score.py): every
+    document's char-trigram avg log-prob under a fixed reference model.
+    The model is a literal table on both sides; the oracle reproduces
+    the three-level backoff (gram → context floor → global floor) and
+    the micro-nat integer aggregation bit-for-bit — exact, not
+    approximate, because lm_perplexity sums quantized longs (see the
+    operator docstring). ``ppl = exp(-avg)`` stays out of the compared
+    columns only because libm exp may differ from the JVM's in the last
+    ulp; avg_logprob IS the score. Scale: both model joins are
+    broadcast (vocabulary-sized), the only shuffle is the doc-keyed
+    aggregation."""
+    from ..operators import lm_score
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = lm_score.lm_perplexity(docs, _lm_model())
+    return out.select("doc_id", "n_grams", "avg_logprob").orderBy("doc_id")
+
+
+_SEM_K = 8
+_SEM_THRESHOLD = 0.35
+
+_SEM_DOT_SCALED = """list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> CAST(round((CAST(e.embedding[i] AS DOUBLE) *
+                                  CAST(p.embedding[i] AS DOUBLE)) *
+                                 1099511627776.0) AS BIGINT)))"""
+
+_SEM_COS = """round(list_sum(list_transform(generate_series(1, len(x.embedding)),
+                 i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                 / NULLIF(x.nrm * y.nrm, 0.0), 9)"""
+
+
+def _semantic_oracle_sql() -> str:
+    from .xxh64_sql import xxh64_signed_ctes
+
+    return f"""
+    WITH src AS (SELECT vec_id FROM embeddings),
+    {xxh64_signed_ctes('src', 'vec_id')},
+    piv AS (
+      SELECT vec_id, embedding, cidx FROM (
+        SELECT e.vec_id, e.embedding,
+               ROW_NUMBER() OVER (ORDER BY h._hash, e.vec_id) - 1 AS cidx
+        FROM embeddings e JOIN _xxh h USING (vec_id)
+      ) WHERE cidx < {_SEM_K}
+    ),
+    pivn AS (
+      SELECT cidx, embedding, {_VEC_NORM_SQL} AS nrm FROM piv
+    ),
+    assigned AS (
+      SELECT id, cidx FROM (
+        SELECT e.vec_id AS id, p.cidx,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST({_SEM_DOT_SCALED} AS DOUBLE) / p.nrm DESC, p.cidx
+               ) AS rnk
+        FROM embeddings e CROSS JOIN pivn p
+      ) WHERE rnk = 1
+    ),
+    n AS (SELECT vec_id, embedding, {_VEC_NORM_SQL} AS nrm FROM embeddings),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM assigned a JOIN assigned b ON a.cidx = b.cidx AND a.id < b.id
+    )
+    SELECT c.id1, c.id2, {_SEM_COS} AS cosine
+    FROM cand c
+    JOIN n x ON x.vec_id = c.id1
+    JOIN n y ON y.vec_id = c.id2
+    WHERE {_SEM_COS} >= {_SEM_THRESHOLD}
+    ORDER BY id1, id2
+    """
+
+
+@register("semantic_neardup_pairs", _semantic_oracle_sql())
+def semantic_neardup_pairs(spark, sf_dir):
+    """Semantic near-dup pairs (SemDeDup recipe,
+    operators/similarity.py): cluster-bucketed candidates → exact
+    cosine verify, at a permissive threshold so the driver compares a
+    non-empty pair set. THIS row uses the hash-sampled
+    ``ivf_centroids`` pivots because they are the SQL-reproducible
+    choice — the oracle recomputes the pivot pick (single-arg xxhash64
+    order, plans/xxh64_sql.py), the integer-scaled nearest-centroid
+    assignment, the cluster-key self-join, and the 9-decimal verify
+    cosines bit-for-bit. Pivot QUALITY contracts (kcenter coverage,
+    the k-means|| fit, recall vs brute force) are pinned in
+    tests/test_similarity.py — pivot selection is a parameter of the
+    plan, not part of the bucketed-candidate machinery this row
+    checks. Scale: candidates are O(Σ cluster²), never corpus²; the
+    verify tail is shared with every other near-dup family."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=_SEM_K)
+    return similarity.semantic_neardup_pairs(
+        emb, threshold=_SEM_THRESHOLD, n_assign=1, centroids=cents
+    ).orderBy("id1", "id2")

@@ -110,3 +110,38 @@ def xxh64_bucket_ctes(src: str, key: str, buckets: int = 10_000) -> str:
         ),
     ]
     return ",\n".join(f"{name} AS ({q})" for name, q in steps)
+
+
+def xxh64_signed_ctes(src: str, key: str, seed: int = 42) -> str:
+    """CTE chain text: defines ``_xxh({key}, _hash)`` where ``_hash``
+    equals Spark's SINGLE-argument ``xxhash64({key})`` as a signed
+    BIGINT — i.e. ``hashLong(key, seed)`` with Spark's default seed 42.
+    (The two-arg ``xxhash64(42L, key)`` form is what
+    :func:`xxh64_bucket_ctes` bakes into :data:`ACC0`; a single-column
+    call skips the chaining, so its first addend is just
+    ``seed + P5 + 8``.) Used by oracles that must reproduce
+    hash-ORDERED selections — e.g. the deterministic pivot pick in
+    ``similarity.ivf_centroids`` (``ORDER BY xxhash64(id), id``)."""
+    acc0 = (seed + _P5 + 8) & _MASK
+    steps = [
+        ("_sx0",
+         f"SELECT {key}, (CAST({key} AS HUGEINT) % {_M} + {_M}) % {_M} AS v "
+         f"FROM {src}"),
+        ("_sx1", f"SELECT {key}, {_mulmod('v', _P2)} AS v FROM _sx0"),
+        ("_sx2", f"SELECT {key}, {_rotl('v', 31)} AS v FROM _sx1"),
+        ("_sx3", f"SELECT {key}, {_mulmod('v', _P1)} AS v FROM _sx2"),
+        ("_sx4", f"SELECT {key}, {_xor(str(acc0), 'v')} AS v FROM _sx3"),
+        ("_sx5", f"SELECT {key}, {_rotl('v', 27)} AS v FROM _sx4"),
+        ("_sx6", f"SELECT {key}, ({_mulmod('v', _P1)} + {_P4}) % {_M} AS v FROM _sx5"),
+        ("_sx7", f"SELECT {key}, {_xor('v', _shr('v', 33))} AS v FROM _sx6"),
+        ("_sx8", f"SELECT {key}, {_mulmod('v', _P2)} AS v FROM _sx7"),
+        ("_sx9", f"SELECT {key}, {_xor('v', _shr('v', 29))} AS v FROM _sx8"),
+        ("_sx10", f"SELECT {key}, {_mulmod('v', _P3)} AS v FROM _sx9"),
+        ("_sx11", f"SELECT {key}, {_xor('v', _shr('v', 32))} AS v FROM _sx10"),
+        (
+            "_xxh",
+            f"SELECT {key}, CAST(CASE WHEN v >= 9223372036854775808::HUGEINT "
+            f"THEN v - {_M}::HUGEINT ELSE v END AS BIGINT) AS _hash FROM _sx11",
+        ),
+    ]
+    return ",\n".join(f"{name} AS ({q})" for name, q in steps)
