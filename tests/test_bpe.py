@@ -152,3 +152,31 @@ def test_train_sample_fuse_and_fraction(spark):
         docs, n_merges=5, sample_fraction=0.15, max_docs=10
     )
     assert len(merges) == 5
+
+
+def test_long_pretoken_fuse_round_trips(spark):
+    """A single space-free machine-generated run (base64-ish blob) must
+    not hit the O(L^2) merge loop whole: it is segmented at
+    max_word_bytes, still decodes back to the exact utf-8 bytes, and
+    ordinary words around it tokenize identically to the uncapped
+    path."""
+    blob = ("QmFzZTY0QQ==" * 700).replace("=", "A")  # 8400 chars, no spaces
+    text = "prefix words " + blob + " suffix words"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(1, "prefix words and suffix words common text " * 5)],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe_sampled(ref, n_merges=30)
+
+    capped = bpe.bpe_encode_text(docs, merges, max_word_bytes=64).collect()[0]
+    assert bpe.decode_ids(capped["token_ids"], merges) == text.encode()
+    assert capped["n_tokens"] == len(capped["token_ids"])
+
+    # words outside the blob are unaffected by the fuse
+    plain = spark.createDataFrame(
+        [(1, "prefix words suffix words")], "doc_id long, text string"
+    )
+    a = bpe.bpe_encode_text(plain, merges, max_word_bytes=64).collect()[0]
+    b = bpe.bpe_encode_text(plain, merges).collect()[0]
+    assert a["token_ids"] == b["token_ids"]

@@ -232,3 +232,29 @@ def test_benchmark_side_is_broadcast(spark, corpus_and_bench):
     )
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
+
+
+def test_excise_keeps_null_and_empty_docs(spark, corpus_and_bench):
+    """Every corpus document gets an output row (r6 ADVICE finding):
+    NULL text keeps a NULL clean_text, zero-token text an empty one,
+    both with zero kept/dropped counts — excise_contaminated must not
+    silently drop what decontaminate passes through."""
+    _, bdf, _, _ = corpus_and_bench
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   ...   "),  # normalizes to zero tokens
+            (4, "plain clean words with no benchmark overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_kept"], r["n_tokens_dropped"])
+        for r in decontam.excise_contaminated(docs, bdf, n=5).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == (None, 0, 0)
+    assert got[2] == ("", 0, 0)
+    assert got[3] == ("", 0, 0)
+    assert got[4][1] > 0 and got[4][2] == 0

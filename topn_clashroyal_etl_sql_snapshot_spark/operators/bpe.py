@@ -199,6 +199,7 @@ def bpe_encode_text(
     ids_col: str = "token_ids",
     count_col: str = "n_tokens",
     cache_size: int = 65_536,
+    max_word_bytes: int = 1024,
 ) -> DataFrame:
     """Adds ``ids_col`` (array<int> of BPE vocabulary ids) and
     ``count_col`` (their count — the REAL token budget for
@@ -208,7 +209,20 @@ def bpe_encode_text(
     The merges table rides a Spark broadcast variable (one copy per
     executor, not per task); the per-word merge loop memoizes through
     an LRU cache sized for the Zipf head. Arrow-batched ``mapInPandas``
-    over existing columns — no shuffle, embarrassingly parallel."""
+    over existing columns — no shuffle, embarrassingly parallel.
+
+    ``max_word_bytes`` is the per-pre-token fuse (the same bounded-
+    per-row discipline as the media decoders' ``max_bytes``):
+    ``encode_word`` is O(L²) in pre-token length, so a single space-
+    free megabyte run (a base64/minified-JS blob in a web crawl) would
+    otherwise pin one executor core for hours. Longer pre-tokens are
+    split into ``max_word_bytes`` segments encoded independently —
+    the round-trip invariant is untouched (segment byte decompositions
+    concatenate back to the word; only merges ACROSS the cut are lost,
+    which for binary blobs don't exist in a text-trained vocab anyway)
+    — and bypass the LRU cache (unique blobs would evict the Zipf
+    head). Natural-language pre-tokens are tens of bytes; 1024 only
+    ever fires on machine-generated runs."""
     from functools import lru_cache
 
     sc = docs.sparkSession.sparkContext
@@ -232,6 +246,15 @@ def bpe_encode_text(
         def word_ids(w: bytes) -> tuple[int, ...]:
             return tuple(vocab[p] for p in encode_word(w, ranks))
 
+        def ids_for(w: bytes) -> tuple[int, ...]:
+            if len(w) <= max_word_bytes:
+                return word_ids(w)
+            return tuple(
+                vocab[p]
+                for s in range(0, len(w), max_word_bytes)
+                for p in encode_word(w[s : s + max_word_bytes], ranks)
+            )
+
         for pdf in batches:
             ids_out, n_out = [], []
             for t in pdf[text_col]:
@@ -239,7 +262,7 @@ def bpe_encode_text(
                     ids_out.append(None)
                     n_out.append(None)
                     continue
-                ids = [i for w in pretokenize(t) for i in word_ids(w)]
+                ids = [i for w in pretokenize(t) for i in ids_for(w)]
                 ids_out.append(ids)
                 n_out.append(len(ids))
             out = pdf[kept_names].copy()

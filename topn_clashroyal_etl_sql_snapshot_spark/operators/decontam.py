@@ -190,7 +190,12 @@ def excise_contaminated(
     the span predicates, per-doc rebuild with ``sort_array`` over
     (pos, tok) structs — grouping stays on the doc id the stream is
     already partitioned by. Documents with no spans pass through
-    intact (left join)."""
+    intact (left join). EVERY corpus document gets an output row:
+    docs that produce no token-stream rows re-enter via a final left
+    join on the corpus ids (only the id + a has-text flag ship through
+    it, never the text) — NULL text keeps a NULL ``out_col``, zero-
+    token text an empty one, both with zero counts (without this,
+    such docs silently vanished — r6 ADVICE finding)."""
     spans = contamination_spans(corpus, benchmark, text_col, id_col, n, toks=toks)
     stream = dedup.token_stream(corpus, text_col, id_col, toks=toks)
     joined = stream.join(
@@ -228,7 +233,17 @@ def excise_contaminated(
         F.count_if(F.col("covered") == 0).alias("n_tokens_kept"),
         F.count_if(F.col("covered") == 1).alias("n_tokens_dropped"),
     )
-    return rebuilt
+    base = corpus.select(
+        F.col(id_col), F.col(text_col).isNotNull().alias("_has_text")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.when(
+            F.col("_has_text"), F.coalesce(F.col(out_col), F.lit(""))
+        ).alias(out_col),
+        F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+        F.coalesce("n_tokens_dropped", F.lit(0)).alias("n_tokens_dropped"),
+    )
 
 
 def decontamination_report(

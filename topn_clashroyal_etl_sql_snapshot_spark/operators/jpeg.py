@@ -158,11 +158,25 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg_pixels(payload: bytes | None) -> np.ndarray | None:
-    """Baseline JPEG → H×W×C uint8 array (C = 1 gray, 3 RGB).
+def _i32(v: int) -> int:
+    """Wrap a Python int to int32 two's-complement before storing into
+    the int32 coefficient arrays. A CORRUPT stream can feed the DC
+    predictor a bogus size category (a raw Huffman symbol byte, up to
+    255 'bits'), blowing it far past 2³¹; a bare numpy int32 assignment
+    then raises OverflowError on numpy ≥ 2 (DeprecationWarning today) —
+    making corrupt-input behavior depend on the numpy version, which
+    violates the decoder's deterministic never-crash contract. Valid
+    streams never leave int32 range, so this is a no-op on real data."""
+    return ((v + 0x80000000) & 0xFFFFFFFF) - 0x80000000
 
-    Returns ``None`` for progressive/arithmetic/truncated/non-JPEG
-    payloads rather than raising — a bad blob must not kill a scan.
+
+def decode_jpeg_pixels(payload: bytes | None) -> np.ndarray | None:
+    """Baseline or progressive (SOF0/SOF1/SOF2) JPEG → H×W×C uint8
+    array (C = 1 gray, 3 RGB).
+
+    Returns ``None`` for arithmetic/lossless/hierarchical/truncated/
+    non-JPEG payloads rather than raising — a bad blob must not kill a
+    scan.
     """
     try:
         return _decode(payload)
@@ -377,7 +391,7 @@ def _decode_prog_scan(
                                 t = _huff_decode(br, huff_dc[td])
                                 diff = _extend(br.read(t), t) if t else 0
                                 pred[ci] += diff
-                                coeffs[0] = pred[ci] << al
+                                coeffs[0] = _i32(pred[ci] << al)
                             else:
                                 coeffs[0] |= br.read(1) << al
                 mcu_index += 1
@@ -405,7 +419,7 @@ def _decode_prog_scan(
                     t = _huff_decode(br, huff_dc[td])
                     diff = _extend(br.read(t), t) if t else 0
                     pred += diff
-                    coeffs[0] = pred << al
+                    coeffs[0] = _i32(pred << al)
                 else:
                     coeffs[0] |= br.read(1) << al
             elif ah == 0:
@@ -539,7 +553,7 @@ def _decode_scan(
                         t = _huff_decode(br, dct)
                         diff = _extend(br.read(t), t) if t else 0
                         pred[ci] += diff
-                        coeffs[0] = pred[ci]
+                        coeffs[0] = _i32(pred[ci])
                         k = 1
                         while k < 64:
                             rs = _huff_decode(br, act)
