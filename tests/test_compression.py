@@ -89,3 +89,55 @@ def test_detect_is_codegen_column_algebra(spark):
         df.select(cz.detect_compression(F.col("payload"))).explain("formatted")
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pluggable_zstd_codec(spark):
+    """The codecs hook: a caller-supplied zstd decompressor routes by
+    the sniffed magic, round-trips, is bounded by max_bytes, and its
+    exceptions NULL the row — while the stdlib default for zstd stays
+    NULL and other formats keep their stdlib path."""
+    import zlib as _zlib
+
+    magic = b"\x28\xb5\x2f\xfd"
+
+    # fake zstd container for the test: magic + zlib body (the real
+    # plug-in would be the zstandard library's decompressobj)
+    def fake_zstd(payload, max_bytes):
+        return _zlib.decompressobj().decompress(payload[4:], max_bytes)
+
+    body = b"zstd framed text " * 20
+    rows = [
+        (1, magic + _zlib.compress(body)),           # fake-zstd frame
+        (2, gzip.compress(b"still gzip")),           # untouched path
+        (3, magic + b"\x00corrupt"),                 # codec raises -> NULL
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    # default: zstd is detected but yields NULL
+    base = {
+        r["doc_id"]: r["text"]
+        for r in cz.decompress_text(df).collect()
+    }
+    assert base[1] is None and base[2] == "still gzip"
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in cz.decompress_text(
+            df, codecs={"zstd": fake_zstd}
+        ).collect()
+    }
+    assert got[1] == body.decode()
+    assert got[2] == "still gzip"
+    assert got[3] is None
+    assert got[4] is None
+
+    # the override's output is still truncated at max_bytes
+    capped = {
+        r["doc_id"]: r["text"]
+        for r in cz.decompress_text(
+            df, codecs={"zstd": lambda p, mx: _zlib.decompress(p[4:])},
+            max_bytes=10,
+        ).collect()
+    }
+    assert capped[1] == body.decode()[:10]

@@ -13,11 +13,17 @@ Two pieces:
   (gzip/zlib/bz2/xz/zstd), codegen, rides the scan. Use it to route or
   audit before paying Python for the decompress.
 - :func:`decompress_text` — Arrow-batched ``mapInPandas`` decompress
-  via stdlib ``gzip``/``zlib``/``bz2``/``lzma`` (zstd is detected but
-  needs an absent library → NULL, documented). Corrupt or unknown
+  via stdlib ``gzip``/``zlib``/``bz2``/``lzma``. Corrupt or unknown
   payloads yield NULL for the row — a bad blob must not kill a 100 TB
   scan. Oversized decompressed output is truncated at ``max_bytes``
   (zip-bomb guard: a 1 KB gzip member can inflate to GBs).
+
+zstd (now a dominant corpus container — HF datasets, OSCAR) is
+detected but has no stdlib decompressor: by DEFAULT it yields NULL,
+and the ``codecs`` hook lets the caller plug a decompressor in
+(``{"zstd": lambda payload, max_bytes: ...}``) without this module
+growing a dependency — the callable rides the closure to executors
+like any Python UDF state.
 
 No reference analog; training-pipeline extension surface.
 """
@@ -54,14 +60,42 @@ def detect_compression(col: Column) -> Column:
     )
 
 
-def _decompress_one(payload: bytes | None, max_bytes: int) -> bytes | None:
+def _sniff(p: bytes) -> str:
+    """Python twin of :func:`detect_compression` for the UDF path."""
+    if p[:2] == b"\x1f\x8b":
+        return "gzip"
+    if p[:3] == b"BZh":
+        return "bz2"
+    if p[:4] == b"\xfd7zX":
+        return "xz"
+    if p[:4] == b"\x28\xb5\x2f\xfd":
+        return "zstd"
+    if len(p) >= 2 and p[0] == 0x78 and p[1] in (0x01, 0x5E, 0x9C, 0xDA):
+        return "zlib"
+    return "none"
+
+
+def _decompress_one(
+    payload: bytes | None, max_bytes: int, codecs: dict | None = None
+) -> bytes | None:
     """Bounded decompress: every codec path uses an incremental
     decompressor with ``max_length`` so a zip bomb allocates at most
     ``max_bytes`` — ``decompress(p)[:max_bytes]`` would inflate the
-    whole bomb first and OOM before the slice."""
+    whole bomb first and OOM before the slice. A ``codecs`` override
+    for the sniffed format wins over the stdlib default; its
+    exceptions NULL the row like any other corrupt payload (the
+    caller's decompressor must not be able to kill the scan either)."""
     if payload is None:
         return None
     p = bytes(payload)
+    if codecs:
+        fmt = _sniff(p)
+        if fmt in codecs:
+            try:
+                out = codecs[fmt](p, max_bytes)
+            except Exception:
+                return None
+            return None if out is None else bytes(out)[:max_bytes]
     try:
         if p[:2] == b"\x1f\x8b":
             # Multi-member (concatenated) gzip is the norm for
@@ -102,14 +136,19 @@ def decompress_text(
     out_col: str = "text",
     encoding: str = "utf-8",
     max_bytes: int = 16_777_216,
+    codecs: dict | None = None,
 ) -> DataFrame:
     """Adds ``out_col``: the payload decompressed (codec sniffed per
     row) and decoded as ``encoding`` (errors replaced — a stray byte
-    must not kill the row either). NULL on corrupt/zstd payloads. If
-    the input already has ``out_col`` it is REPLACED (decompressing
-    into an existing ``text`` column is the natural call shape) —
-    without this, the appended duplicate field would fail the
-    mapInPandas schema check.
+    must not kill the row either). NULL on corrupt payloads — and on
+    zstd unless the caller plugs a decompressor into ``codecs``
+    (``{format: callable(payload, max_bytes) -> bytes|None}``, formats
+    as named by :func:`detect_compression`; an override wins over the
+    stdlib default for that format, and its output is still truncated
+    at ``max_bytes``). If the input already has ``out_col`` it is
+    REPLACED (decompressing into an existing ``text`` column is the
+    natural call shape) — without this, the appended duplicate field
+    would fail the mapInPandas schema check.
 
     Plan: ``mapInPandas`` preserving all other input columns —
     Arrow-batched, embarrassingly parallel, no shuffle."""
@@ -120,7 +159,7 @@ def decompress_text(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decompressed = [
-                _decompress_one(p, max_bytes) for p in pdf[payload_col]
+                _decompress_one(p, max_bytes, codecs) for p in pdf[payload_col]
             ]
             out = pdf[kept_names].copy()
             out[out_col] = [
