@@ -549,8 +549,15 @@ def simhash_candidate_pairs(
         a.join(b, ["chunk", "val"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
-        .distinct()
+        # hamming filter BEFORE the distinct: the xor+popcount is one
+        # codegen'd instruction per joined row, so filtering first can
+        # only shrink the distinct's exchange. On corpora where bucket
+        # collisions are mostly far pairs (random text) this cuts the
+        # distinct input by orders of magnitude; on the templated
+        # driver corpus (r7 profile: 6.7M joined rows, most already
+        # within radius) it measures neutral — never worse.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
