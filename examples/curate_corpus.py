@@ -12,8 +12,9 @@ this engine's operators:
       → deterministic train/val/test   (operators/sampling.py)
       → per-source contribution cap    (sampling.per_group_cap)
       → BPE tokenize (train + encode)  (operators/bpe.py)
+      → token-budget chunking          (operators/chunking.py)
       → sequence packing on REAL
-        token counts                   (operators/packing.py)
+        per-chunk token counts         (operators/packing.py)
 
 Run:  python examples/curate_corpus.py [sf_dir]   (default sf0.001)
 
@@ -38,6 +39,7 @@ from topn_clashroyal_etl_sql_snapshot_spark.functions import cleaning as cl  # n
 from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx  # noqa: E402
 from topn_clashroyal_etl_sql_snapshot_spark.operators import (  # noqa: E402
     bpe,
+    chunking,
     decontam,
     dedup,
 )
@@ -132,36 +134,58 @@ def curate(spark, sf_dir: str, budget: int = 2048):
         kept, ["split", "source"], [F.desc("n_chars"), F.asc("doc_id")], k=50
     )
 
+    # per-split DOCUMENT counts (chunking below multiplies rows, so the
+    # funnel's doc accounting is taken here, at the last doc-grain stage)
+    split_docs = {
+        r["split"]: r["n"]
+        for r in kept.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
     # Tokenize with a real byte-level BPE (trained on a deterministic
     # sample of this corpus) so bins are budgeted in actual tokens, not
     # the n_chars proxy.
     merges = bpe.train_bpe_sampled(kept, n_merges=256, sample_fraction=0.2)
-    kept = bpe.bpe_encode_text(kept, merges).drop("token_ids")
+    encoded = bpe.bpe_encode_text(kept, merges)
+
+    # Window long documents into bounded training chunks BEFORE packing
+    # (a doc longer than the context budget can't enter a bin whole):
+    # exact per-chunk token counts come straight off the id slices, and
+    # (doc_id, chunk_idx) keeps provenance. chunk_by_tokens drops the
+    # id arrays from its output by default — only the counts flow on.
+    chunked = chunking.chunk_by_tokens(encoded, size=512, overlap=64)
+    n_chunks = chunked.count()
+    print(f"5_chunked        {n_chunks}  (from {sum(split_docs.values())} docs)")
 
     packed = pack_greedy(
-        kept, ["split", "source"], [F.asc("doc_id")], "n_tokens", budget=budget
+        chunked,
+        ["split", "source"],
+        [F.asc("doc_id"), F.asc("chunk_idx")],
+        "n_tokens",
+        budget=budget,
     )
     summary = (
         pack_stats(packed, ["split", "source"], "n_tokens", budget)
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("bins"),
-            F.sum("docs").alias("docs"),
+            F.sum("docs").alias("chunks"),
             F.round(F.avg("fill_rate"), 3).alias("avg_fill"),
         )
         .orderBy("split")
     )
-    print("5_packed (split, bins, docs, avg_fill):")
+    print("6_packed (split, bins, chunks, avg_fill):")
     rows = summary.collect()
     for r in rows:
-        print(f"    {r['split']:6s} {r['bins']:6d} {r['docs']:6d} {r['avg_fill']}")
+        print(f"    {r['split']:6s} {r['bins']:6d} {r['chunks']:6d} {r['avg_fill']}")
     return {
         "all": n_all,
         "lang_quality": n_quality,
         "repetition": n_rep,
         "dedup": n_dedup,
         "decontam": n_decon,
-        "splits": {r["split"]: r["docs"] for r in rows},
+        "chunks": n_chunks,
+        "splits": split_docs,
+        "packed_chunks": {r["split"]: r["chunks"] for r in rows},
     }
 
 

@@ -27,6 +27,10 @@ def test_curate_corpus_example(spark):
     # every surviving doc lands in exactly one split (cap may trim)
     assert 0 < sum(out["splits"].values()) <= out["decontam"]
     assert set(out["splits"]) <= {"train", "val", "test"}
+    # chunking sits between BPE and packing: at least one chunk per
+    # surviving doc, and every chunk reaches the packer
+    assert out["chunks"] >= sum(out["splits"].values())
+    assert sum(out["packed_chunks"].values()) == out["chunks"]
     # train dominates per the 90/5/5 weights
     assert out["splits"]["train"] > out["splits"].get("val", 0)
     assert out["splits"]["train"] > out["splits"].get("test", 0)
