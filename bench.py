@@ -78,6 +78,9 @@ def main() -> None:
         "events_sessionize": 3,
         "events_rolling_sum": 3,
         "embedding_neardup_pairs": 3,
+        # r7: new heaviest similarity entry (cluster-key candidates +
+        # exact verify) — medians from day one, no single-shot noise
+        "semantic_neardup_pairs": 3,
     }
 
     timings: dict[str, float] = {}

@@ -1,0 +1,159 @@
+"""Hashed-feature logistic classifier tests (operators/classifier.py):
+separable-data accuracy, exact integer-margin parity with a Python
+twin, determinism, multiclass OVR, edge cases, and the broadcast/no-
+Python plan pin."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from topn_clashroyal_etl_sql_snapshot_spark.operators import classifier, dedup
+
+POS_WORDS = "excellent wonderful great clear helpful accurate readable".split()
+NEG_WORDS = "zzxqj garbled noise spam lorem filler clickbait".split()
+
+
+def _mk_docs(spark, n=120, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        y = i % 2
+        vocab = POS_WORDS if y else NEG_WORDS
+        text = " ".join(rng.choice(vocab) for _ in range(20))
+        rows.append((i, text, y))
+    return spark.createDataFrame(rows, "doc_id long, text string, y int")
+
+
+def test_separable_data_learns_and_scores(spark):
+    docs = _mk_docs(spark)
+    model = classifier.train_hashed_logistic(docs, "y", epochs=20)
+    scored = classifier.score_hashed_logistic(docs, model)
+    got = {
+        r["doc_id"]: r["prob"]
+        for r in scored.join(docs.select("doc_id", "y"), "doc_id").collect()
+    }
+    acc = sum(
+        1 for i, p in got.items() if (p >= 0.5) == bool(i % 2)
+    ) / len(got)
+    assert acc == 1.0  # fully separable vocabularies
+
+
+def test_margin_matches_python_twin_exactly(spark):
+    """Integer micro-margin contract: the Spark margin equals a pure-
+    Python dot product of raw counts with the model's micro weights —
+    exact equality, not approx (partition-order independence)."""
+    docs = _mk_docs(spark, n=40)
+    model = classifier.train_hashed_logistic(docs, "y", epochs=5)
+    scored = {
+        r["doc_id"]: r["margin"]
+        for r in classifier.score_hashed_logistic(docs, model).collect()
+    }
+    feats = classifier.hashed_features(docs, model["n_buckets"]).collect()
+    by_doc: dict[int, int] = {}
+    for r in feats:
+        by_doc[r["id"]] = by_doc.get(r["id"], 0) + model["w_micro"].get(
+            r["feat"], 0
+        ) * r["cnt"]
+    for i in scored:
+        want = (by_doc.get(i, 0) + model["bias_micro"]) / 1e6
+        assert scored[i] == want, i
+
+
+def test_training_is_deterministic(spark):
+    docs = _mk_docs(spark, n=60)
+    a = classifier.train_hashed_logistic(docs, "y", epochs=6)
+    b = classifier.train_hashed_logistic(docs, "y", epochs=6)
+    assert a == b
+
+
+def test_null_and_empty_docs_score_bias(spark):
+    docs = _mk_docs(spark, n=20)
+    model = classifier.train_hashed_logistic(docs, "y", epochs=5)
+    edge = spark.createDataFrame(
+        [(100, None), (101, ""), (102, "   ")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["margin"]
+        for r in classifier.score_hashed_logistic(edge, model).collect()
+    }
+    want = model["bias_micro"] / 1e6
+    assert got == {100: want, 101: want, 102: want}
+
+
+def test_multiclass_ovr_predicts_language_style(spark):
+    rng = random.Random(9)
+    vocabs = {
+        "en": "the and of to in is was for with that".split(),
+        "de": "der die und das ist nicht ein mit auf zu".split(),
+        "fr": "le la et les des une dans est pour que".split(),
+    }
+    rows = []
+    i = 0
+    for lang, words in vocabs.items():
+        for _ in range(30):
+            rows.append((i, " ".join(rng.choice(words) for _ in range(15)), lang))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ovr = classifier.train_hashed_logistic_ovr(docs, "lang", epochs=15)
+    assert ovr["classes"] == ["de", "en", "fr"]
+    pred = {
+        r["doc_id"]: r["predicted"]
+        for r in classifier.score_hashed_logistic_ovr(docs, ovr).collect()
+    }
+    truth = {r[0]: r[2] for r in rows}
+    acc = sum(1 for i in pred if pred[i] == truth[i]) / len(pred)
+    assert acc == 1.0
+
+
+def test_hashed_features_bigrams_and_bounds(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    nb = 64
+    rows = classifier.hashed_features(docs, n_buckets=nb).collect()
+    assert {r["id"] for r in rows} == {1}  # null/empty -> no rows
+    # 3 unigrams + 2 bigrams, all within the bucket space
+    assert sum(r["cnt"] for r in rows) == 5
+    assert all(0 <= r["feat"] < nb for r in rows)
+
+
+def test_scoring_plan_broadcasts_and_stays_jvm(spark):
+    docs = _mk_docs(spark, n=20)
+    model = classifier.train_hashed_logistic(docs, "y", epochs=3)
+    plan = (
+        classifier.score_hashed_logistic(docs, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_training_job_count_is_epoch_bound_not_data_bound(spark):
+    """The scale contract: one gradient round-trip per epoch (+ the
+    fixed setup jobs) — the fit must not launch per-feature or per-doc
+    driver work."""
+    docs = _mk_docs(spark, n=60)
+    docs.count()
+    sc = spark.sparkContext
+
+    def jobs_for(epochs):
+        group = f"clf-fit-{epochs}"
+        sc.setJobGroup(group, "classifier job-count pin")
+        try:
+            classifier.train_hashed_logistic(docs, "y", epochs=epochs)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j2, j6 = jobs_for(2), jobs_for(6)
+    per_epoch = (j6 - j2) / 4
+    # AQE materializes each exchange stage as its own job, so one
+    # epoch's two logical round-trips (gradient + bias) decompose into
+    # ~a dozen stage jobs — the pin is that the count is a CONSTANT per
+    # epoch (no per-feature/per-doc driver loops hiding anywhere)
+    assert per_epoch <= 20, (j2, j6)

@@ -1,0 +1,335 @@
+"""Model-based text classification: hashed n-gram features + logistic
+regression, trained AND scored as DataFrame algebra — the idiomatic
+Spark-native upgrade over the heuristic ``functions/text.py`` scorers
+(``quality_score``/``lang_id``), for when a labeled sample exists.
+
+No reference analog; training-pipeline extension mandate. The design is
+the public fastText / Vowpal-Wabbit recipe (Joulin et al. 2016,
+"Bag of Tricks for Efficient Text Classification"; Weinberger et al.
+2009 feature hashing): unigram + bigram terms hash into a FIXED bucket
+space, a linear model over those buckets separates quality/language
+classes at a fraction of an LM's cost, and the hashing trick is what
+makes the distributed fit scale-safe — the gradient/weight vector is
+bounded by ``n_buckets`` (a few hundred KB), never by the vocabulary.
+
+Scale shape:
+
+- **Features** (:func:`hashed_features`): tokens from the shared
+  ``dedup.token_arrays`` scan (one tokenize for the whole dedup/
+  classify family), bigrams via ``zip_with`` on the array — all
+  codegen; one (id, feat) groupBy.
+- **Training** (:func:`train_hashed_logistic`): full-batch gradient
+  descent, O(epochs) Spark jobs, independent of corpus size per the
+  usual data-parallel reduction: broadcast current weights → per-doc
+  margin (one doc-keyed agg) → per-doc error → per-feature gradient
+  (one feat-keyed agg, ≤ ``n_buckets`` rows collected). NOT an MLlib
+  wrapper — the whole fit is explicit DataFrame algebra.
+- **Scoring** (:func:`score_hashed_logistic`): features ⋈ BROADCAST
+  weight table → one doc-keyed sum. No Python anywhere in the row
+  path; the model ships as a vocabulary-sized table, so hot terms hit
+  a hash map, not a partitioned join (no skew surface) — the same
+  broadcast-model shape as ``operators/lm_score.py``.
+
+Determinism (module-wide contract): weights live as MICRO-scaled longs
+(1e-6 quanta), so per-doc margins are exact integer dot products and
+per-feature gradients are exact long sums — partition-order
+independent; per-doc errors quantize to micro before entering the
+gradient. Two fits on the same data are identical, replay-stable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_buckets: int = 1 << 18,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(id, feat, cnt): bag-of-hashed-terms counts per document.
+
+    Terms are unigram tokens plus (by default) space-joined bigrams —
+    fastText's n-gram trick, which is what lets a linear model see word
+    order; both hash into ``pmod(xxhash64(term), n_buckets)``.
+    Collisions are the accepted trade of feature hashing (weights of
+    colliding terms share a slot; at 2¹⁸ buckets and natural-language
+    vocabularies the accuracy cost is negligible — the public result
+    this recipe rests on). Counts stay RAW (integers): normalization
+    happens in model space, keeping every downstream aggregation an
+    exact long sum. Documents with no tokens produce no rows (their
+    margin is the bias alone — handled by the scorers' left join)."""
+    from . import dedup
+
+    if toks is None:
+        toks = dedup.token_arrays(docs, text_col, id_col)
+    terms = toks.select("id", F.explode("toks").alias("term"))
+    if bigrams:
+        n = F.size("toks")
+        big = toks.select(
+            "id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("term"),
+        )
+        terms = terms.unionAll(big)
+    return (
+        terms.select(
+            "id",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("feat"),
+        )
+        .groupBy("id", "feat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _margins(
+    feats: DataFrame, spark, w_micro: dict[int, int], bias_micro: int
+) -> DataFrame:
+    """(id, margin_micro): exact integer dot product of raw counts with
+    micro-quantized weights, via a BROADCAST weight join. Features whose
+    weight is still zero are absent from the table (left join + coalesce
+    keeps their contribution at 0 without shipping zeros)."""
+    if w_micro:
+        wtab = F.broadcast(
+            spark.createDataFrame(
+                list(w_micro.items()), "feat long, w_micro long"
+            )
+        )
+        joined = feats.join(wtab, "feat", "left")
+    else:
+        joined = feats.withColumn("w_micro", F.lit(None).cast("long"))
+    return joined.groupBy("id").agg(
+        (
+            F.sum(F.coalesce(F.col("w_micro"), F.lit(0)) * F.col("cnt"))
+            + F.lit(bias_micro)
+        ).alias("margin_micro")
+    )
+
+
+def train_hashed_logistic(
+    docs: DataFrame,
+    label_col: str,
+    n_buckets: int = 1 << 18,
+    epochs: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
+    bigrams: bool = True,
+) -> dict:
+    """Fit a binary logistic model (``label_col``: 0/1 int column) by
+    full-batch gradient descent over the hashed features. Returns
+    ``{"n_buckets", "bigrams", "bias_micro", "w_micro": {feat: long}}``
+    — plug into :func:`score_hashed_logistic`.
+
+    Per epoch (2 shuffles, O(1) jobs — epoch count, not data size,
+    bounds the job count): margins via the broadcast weight join →
+    per-doc error ``round((sigmoid(margin) − y)·10⁶)`` → per-feature
+    gradient ``Σ err_micro·cnt`` (exact long sums, one feat-keyed agg)
+    → collect ≤ ``n_buckets + 1`` gradient rows → driver-side update
+    with L2, re-quantized to micro. The learning rate is normalized by
+    the corpus's mean feature mass (Σcnt/doc) so the default works
+    across document lengths. The gradient collect is bounded by the
+    BUCKET space — the hashing trick's scale guarantee — never by
+    vocabulary or corpus size."""
+    spark = docs.sparkSession
+    feats = hashed_features(
+        docs, n_buckets, text_col, id_col, toks=toks, bigrams=bigrams
+    ).localCheckpoint(eager=False)
+    labels = docs.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
+    ).localCheckpoint(eager=False)
+    stats = labels.join(
+        feats.groupBy("id").agg(F.sum("cnt").alias("mass")), "id", "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.avg("mass"), F.lit(1.0)).alias("avg_mass"),
+    ).collect()[0]
+    n_docs, avg_mass = stats["n_docs"], max(float(stats["avg_mass"]), 1.0)
+    if n_docs == 0:
+        return {
+            "n_buckets": n_buckets,
+            "bigrams": bigrams,
+            "bias_micro": 0,
+            "w_micro": {},
+        }
+    # per-count step so lr is length-scale free
+    step = lr / (n_docs * avg_mass)
+
+    w_micro: dict[int, int] = {}
+    bias_micro = 0
+    sig = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-F.col("margin_micro").cast("double") / F.lit(1e6))
+    )
+    for _ in range(epochs):
+        m = _margins(feats, spark, w_micro, bias_micro)
+        errs = labels.join(m, "id", "left").select(
+            "id",
+            F.round(
+                (
+                    F.coalesce(
+                        sig,
+                        # docs with no features score the bias alone
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-F.lit(bias_micro / 1e6))),
+                    )
+                    - F.col("y")
+                )
+                * F.lit(MICRO)
+            )
+            .cast("long")
+            .alias("err_micro"),
+        )
+        grad_rows = (
+            feats.join(errs, "id")
+            .groupBy("feat")
+            .agg(F.sum(F.col("err_micro") * F.col("cnt")).alias("g"))
+            .collect()
+        )
+        bias_g = errs.agg(F.sum("err_micro").alias("g")).collect()[0]["g"] or 0
+        for r in grad_rows:
+            f_id, g = r["feat"], r["g"]
+            w = w_micro.get(f_id, 0) / MICRO
+            w -= step * (g / MICRO) + lr * l2 * w
+            q = round(w * MICRO)
+            if q:
+                w_micro[f_id] = q
+            else:
+                w_micro.pop(f_id, None)
+        b = bias_micro / MICRO - (lr / n_docs) * (bias_g / MICRO)
+        bias_micro = round(b * MICRO)
+    return {
+        "n_buckets": n_buckets,
+        "bigrams": bigrams,
+        "bias_micro": bias_micro,
+        "w_micro": w_micro,
+    }
+
+
+def score_hashed_logistic(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """(id_col, margin, prob): every document scored under the model —
+    features ⋈ broadcast weights, one doc-keyed exact integer sum, then
+    sigmoid. Documents with no tokens (or NULL text) score the bias
+    alone via the left join. No Python in the row path."""
+    spark = docs.sparkSession
+    feats = hashed_features(
+        docs,
+        model["n_buckets"],
+        text_col,
+        id_col,
+        toks=toks,
+        bigrams=model["bigrams"],
+    )
+    m = _margins(feats, spark, model["w_micro"], model["bias_micro"])
+    base = docs.select(F.col(id_col).alias("id"))
+    return (
+        base.join(m, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            (
+                F.coalesce(
+                    F.col("margin_micro"), F.lit(model["bias_micro"])
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("margin"),
+        )
+        .withColumn("prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))))
+    )
+
+
+def train_hashed_logistic_ovr(
+    docs: DataFrame,
+    label_col: str,
+    classes: list[str] | None = None,
+    **kwargs,
+) -> dict:
+    """One-vs-rest multiclass: one binary fit per class over the SAME
+    checkpointed feature frame (the tokenize/hash scan runs once, not
+    once per class). Returns ``{"classes": [...], "models": {cls:
+    model}}``. Class list defaults to the distinct labels, sorted —
+    deterministic."""
+    from . import dedup
+
+    id_col = kwargs.get("id_col", "doc_id")
+    text_col = kwargs.get("text_col", "text")
+    if classes is None:
+        classes = sorted(
+            r[label_col]
+            for r in docs.select(label_col).distinct().collect()
+            if r[label_col] is not None
+        )
+    toks = kwargs.pop("toks", None)
+    if toks is None:
+        toks = dedup.token_arrays(docs, text_col, id_col).localCheckpoint(
+            eager=False
+        )
+    models = {}
+    for cls in classes:
+        bin_docs = docs.withColumn(
+            "_y", (F.col(label_col) == cls).cast("int")
+        )
+        models[cls] = train_hashed_logistic(
+            bin_docs, "_y", toks=toks, **kwargs
+        )
+    return {"classes": classes, "models": models}
+
+
+def score_hashed_logistic_ovr(
+    docs: DataFrame,
+    ovr: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """(id_col, predicted, margin): argmax class per document over the
+    per-class margins (ties break toward the first class in the sorted
+    class list — deterministic). One scoring pass per class over a
+    shared tokenize; the per-class margin frames join on the doc id."""
+    from . import dedup
+
+    if toks is None:
+        toks = dedup.token_arrays(docs, text_col, id_col).localCheckpoint(
+            eager=False
+        )
+    out = docs.select(F.col(id_col).alias("id"))
+    cols = []
+    for i, cls in enumerate(ovr["classes"]):
+        s = score_hashed_logistic(
+            docs, ovr["models"][cls], text_col, id_col, toks=toks
+        ).select(
+            F.col(id_col).alias("id"), F.col("margin").alias(f"_m{i}")
+        )
+        out = out.join(s, "id", "left")
+        cols.append(f"_m{i}")
+    best = F.greatest(*[F.col(c) for c in cols]) if len(cols) > 1 else F.col(cols[0])
+    pred = F.coalesce(
+        *[
+            F.when(F.col(c) == best, F.lit(cls))
+            for c, cls in zip(cols, ovr["classes"])
+        ]
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        pred.alias("predicted"),
+        best.alias("margin"),
+    )

