@@ -310,3 +310,38 @@ def test_shuffle_order_is_deterministic_permutation(spark):
     # a different seed deals a different permutation (epoch reshuffle)
     other = [r["k"] for r in df.orderBy(*shuffle_order_expr("k", seed=43)).collect()]
     assert other != got and sorted(other) == sorted(got)
+
+
+def test_target_bucket_threshold_integer_exact():
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        target_bucket_threshold,
+    )
+
+    assert target_bucket_threshold(500, 500) == 10_000   # keep all
+    assert target_bucket_threshold(100, 500) == 10_000   # smaller than target
+    assert target_bucket_threshold(2000, 500) == 2_500   # exact quarter
+    assert target_bucket_threshold(6000, 500) == 833     # floor, not round
+    assert target_bucket_threshold(10**9, 500) == 0      # floors to nothing kept
+    with pytest.raises(ValueError):
+        target_bucket_threshold(-1, 5)
+
+
+def test_hash_sample_target_holds_size_and_subsets(spark):
+    """The constant-cost knob: 3x the corpus, ~the same sampled count —
+    and membership equals a plain hash_sample at the implied fraction
+    (same buckets, same seed: the threshold is the only difference)."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import sampling
+
+    small = spark.range(0, 2000).withColumnRenamed("id", "k")
+    big = spark.range(0, 6000).withColumnRenamed("id", "k")
+    s_small = sampling.hash_sample_target(small, "k", 500)
+    s_big = sampling.hash_sample_target(big, "k", 500)
+    n_small, n_big = s_small.count(), s_big.count()
+    # ~500 each despite 3x the corpus (hash uniformity: +-25%)
+    assert 375 <= n_small <= 625, n_small
+    assert 375 <= n_big <= 625, n_big
+    # threshold parity with the explicit-fraction form at 2000 rows
+    explicit = sampling.hash_sample(small, "k", 0.25)
+    assert {r["k"] for r in s_small.collect()} == {
+        r["k"] for r in explicit.collect()
+    }

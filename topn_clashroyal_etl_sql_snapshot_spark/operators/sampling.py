@@ -117,6 +117,46 @@ def hash_sample(
     return df.filter(bucket_expr(key, seed, buckets) < int(round(fraction * buckets)))
 
 
+def target_bucket_threshold(
+    total_rows: int, target_rows: int, buckets: int = DEFAULT_BUCKETS
+) -> int:
+    """The bucket threshold that keeps ≈``target_rows`` of
+    ``total_rows``: ``min(buckets, target·buckets // total)`` — pure
+    INTEGER floor arithmetic, so a SQL oracle computing the same
+    expression from ``COUNT(*)`` lands on the identical threshold
+    (``round()`` would put Python's half-even against SQL's half-away
+    at .5 boundaries). ``total_rows ≤ target_rows`` keeps everything."""
+    if target_rows < 0 or total_rows < 0:
+        raise ValueError("row counts must be non-negative")
+    if total_rows <= target_rows:
+        return buckets
+    return min(buckets, target_rows * buckets // total_rows)
+
+
+def hash_sample_target(
+    df: DataFrame,
+    key: str | Column,
+    target_rows: int,
+    seed: int = 42,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Keep ≈``target_rows`` rows regardless of corpus size — the
+    production form of the ``hash_sample`` fraction knob: as the corpus
+    grows, the implied fraction shrinks so downstream cost stays
+    CONSTANT instead of quadratic (the r7 sf0.3 measurement of
+    ``embedding_neardup_pairs`` at a FIXED fraction — 3× corpus ⇒ 6.6×
+    wall — is exactly the failure mode this closes).
+
+    Costs one ``count()`` job up front (the corpus size is the input
+    to the threshold). Membership stays a pure function of (key, seed,
+    threshold): replayable within a corpus snapshot; across corpus
+    GROWTH the threshold moves, so unlike plain ``hash_sample`` the
+    sample is NOT append-stable — pin ``hash_sample`` with an explicit
+    fraction where append-stability matters more than bounded cost."""
+    thr = target_bucket_threshold(df.count(), target_rows, buckets)
+    return df.filter(bucket_expr(key, seed, buckets) < thr)
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata: str | Column,

@@ -668,7 +668,18 @@ def embedding_ann_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-_NEARDUP_SAMPLE_BUCKETS = 2_500  # hash_sample fraction 0.25 of 10 000
+# Constant-SAMPLE-SIZE recipe (r7): the threshold derives from the
+# corpus count with pure integer floor arithmetic, so the sampled row
+# count — and therefore the all-pairs cost — stays ~fixed at every sf
+# (the r6 fixed-fraction form measured 6.6× wall at 3× corpus; this
+# form is flat by construction). Mirrors sampling.hash_sample_target.
+_NEARDUP_TARGET_ROWS = 500
+
+_NEARDUP_THR_SQL = (
+    f"LEAST(10000, CASE WHEN (SELECT COUNT(*) FROM embeddings) <= "
+    f"{_NEARDUP_TARGET_ROWS} THEN 10000 ELSE "
+    f"{_NEARDUP_TARGET_ROWS} * 10000 // (SELECT COUNT(*) FROM embeddings) END)"
+)
 
 _NEARDUP_SAMPLED_SQL = f"""
     WITH src AS (SELECT vec_id FROM embeddings),
@@ -677,7 +688,7 @@ _NEARDUP_SAMPLED_SQL = f"""
       SELECT e.vec_id, e.embedding
       FROM embeddings e
       JOIN _xxbkt b ON e.vec_id = b.vec_id
-      WHERE b._bucket < {_NEARDUP_SAMPLE_BUCKETS}
+      WHERE b._bucket < {_NEARDUP_THR_SQL}
     ),
     n AS (
       SELECT vec_id, embedding, {_VEC_NORM_SQL} AS nrm FROM samp
@@ -704,22 +715,25 @@ def embedding_neardup_pairs(spark, sf_dir):
     a 100 TB pipeline actually measures its near-dup rate: all-pairs on
     the full corpus is quadratic, and at θ ≈ 60-70° sign-bit LSH has
     nonzero expected misses vs an exact oracle, so a probabilistic plan
-    would fail deterministically. Sampling by ``hash_sample`` keeps the
-    input bounded (fraction scales down as the corpus grows — the
-    fraction is the knob; the operator's ``max_rows`` fuse stays as the
-    backstop so an unguarded all-pairs plan remains unreachable).
+    would fail deterministically. Sampling is
+    ``sampling.hash_sample_target`` (r7): the kept-bucket threshold
+    derives from the corpus COUNT with integer floor arithmetic, so
+    the sampled row count — and the quadratic pair cost — holds
+    ~constant at every corpus size. This is the production form of the
+    r6 fixed-fraction knob (which the sf0.3 measurement showed growing
+    6.6× at 3× corpus); the operator's ``max_rows`` fuse stays as the
+    backstop so an unguarded all-pairs plan remains unreachable.
 
     Oracle parity on the SAMPLE itself: the DuckDB side reproduces
     Spark's ``pmod(xxhash64(42L, vec_id), 10000)`` bucket math
-    bit-for-bit via the generated CTE chain (plans/xxh64_sql.py), so
-    the driver hash-checks sample membership AND the pair cosines. The
+    bit-for-bit via the generated CTE chain (plans/xxh64_sql.py) AND
+    the count-derived threshold (same integer expression), so the
+    driver hash-checks sample membership AND the pair cosines. The
     strict-threshold scale plan remains ``embedding_lsh_neardup``."""
     from ..operators import sampling
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    samp = sampling.hash_sample(
-        emb, "vec_id", _NEARDUP_SAMPLE_BUCKETS / 10_000
-    )
+    samp = sampling.hash_sample_target(emb, "vec_id", _NEARDUP_TARGET_ROWS)
     return similarity.brute_force_neardup_pairs(
         samp, threshold=0.35, max_rows=100_000
     ).orderBy("id1", "id2")
