@@ -247,3 +247,20 @@ def test_minhash_lsh_hash_math_matches_xxh64_twin(spark, corpus):
     assert got_pairs == want_pairs
     # the fixture's exact dups must be among the candidates
     assert {(0, 100), (1, 101)} <= got_pairs
+
+
+def test_simhash_chunks_for_scales_with_corpus():
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.dedup import (
+        simhash_chunks_for,
+    )
+
+    # small corpus: any split is cold -> max chunks, widest radius
+    assert simhash_chunks_for(100) == 64
+    # 5k docs at target 256 -> width >= 5 -> 12 chunks (radius 11)
+    assert simhash_chunks_for(5_000, 256) == 12
+    # 1M docs -> width >= 12 -> 5 chunks (radius 4)
+    assert simhash_chunks_for(1_000_000, 256) == 5
+    # 1B docs -> width >= 22 -> 2 chunks (floor)
+    assert simhash_chunks_for(10**9, 256) == 2
+    # a required radius floors the chunk count even when buckets go hot
+    assert simhash_chunks_for(10**9, 256, min_hamming=7) == 8

@@ -437,3 +437,18 @@ def test_kmeans_parallel_covers_20_clusters(spark, many_clustered):
         best = max(rows, key=lambda i: _cos(rows[i], vec))
         owners.append(best % 20)
     assert sorted(owners) == list(range(20))
+
+
+def test_centroids_for_corpus_sizes_k_and_recalls(spark, many_clustered):
+    """k derives from corpus size (300 docs / 15-per-cluster target =
+    20 centroids) and the resulting fit still covers every cluster —
+    the shipped SemDeDup scaling rule."""
+    cents = similarity.centroids_for_corpus(
+        many_clustered, target_cluster_size=15
+    )
+    assert len(cents) == 20
+    rows = {r["vec_id"]: list(r["embedding"]) for r in many_clustered.collect()}
+    owners = sorted(
+        max(rows, key=lambda i: _cos(rows[i], vec)) % 20 for _, vec, _ in cents
+    )
+    assert owners == list(range(20))

@@ -486,6 +486,31 @@ def simhash_fingerprints(
     return sums.select("id", fingerprint.alias("sh64"))
 
 
+def simhash_chunks_for(
+    n_docs: int, target_bucket: int = 256, min_hamming: int | None = None
+) -> int:
+    """The corpus-sized ``chunks`` knob for :func:`simhash_candidate_pairs`:
+    the LARGEST chunk count whose pieces are still wide enough that the
+    expected bucket population ``n / 2^w`` stays ≤ ``target_bucket`` —
+    in-bucket candidate volume is quadratic in bucket size (the r7
+    sf0.3 measurement: 3.7× wall at 3× corpus with chunks FIXED at 8),
+    so piece width must grow ~log n. The price is the guarantee radius
+    (``chunks − 1``): pass ``min_hamming`` to floor the radius you
+    need — if the corpus is too large to honor it with cold buckets,
+    that radius wins and ``max_bucket`` (the operator's cap) becomes
+    the volume bound instead. Always ≥ 2 chunks (radius ≥ 1)."""
+    import math
+
+    if n_docs <= target_bucket:
+        w = 1
+    else:
+        w = max(1, math.ceil(math.log2(n_docs / target_bucket)))
+    chunks = max(2, SIMHASH_BITS // w)
+    if min_hamming is not None:
+        chunks = max(chunks, min_hamming + 1)
+    return min(chunks, SIMHASH_BITS)
+
+
 def simhash_candidate_pairs(
     fingerprints: DataFrame,
     max_hamming: int = 3,
