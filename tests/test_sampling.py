@@ -345,3 +345,45 @@ def test_hash_sample_target_holds_size_and_subsets(spark):
     assert {r["k"] for r in s_small.collect()} == {
         r["k"] for r in explicit.collect()
     }
+
+
+def test_mixture_fractions_math():
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        mixture_fractions,
+    )
+
+    # corpus 80/20, target 50/50: the smaller group binds (c = 20/0.5)
+    f = mixture_fractions({"web": 80, "wiki": 20}, {"web": 0.5, "wiki": 0.5})
+    assert f == {"web": 0.25, "wiki": 1.0}
+    # unnormalized shares normalize
+    f2 = mixture_fractions({"web": 80, "wiki": 20}, {"web": 1, "wiki": 1})
+    assert f2 == f
+    # group not in target -> dropped; empty target group -> raises
+    f3 = mixture_fractions({"a": 10, "b": 10}, {"a": 1.0})
+    assert f3 == {"a": 1.0}
+    with pytest.raises(ValueError, match="no corpus weight"):
+        mixture_fractions({"a": 10}, {"a": 0.5, "missing": 0.5})
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import sampling
+
+    rows = [(i, "web" if i < 8000 else "wiki") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.mixture_sample(
+        df, "source", {"web": 0.5, "wiki": 0.5}, key="doc_id"
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["wiki"] == 2000  # binding group keeps everything
+    # web downsamples to ~2000 (hash granularity: +-15%)
+    assert 1700 <= counts["web"] <= 2300, counts
+    # deterministic: same call, same kept keys
+    again = sampling.mixture_sample(
+        df, "source", {"web": 0.5, "wiki": 0.5}, key="doc_id"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )

@@ -183,6 +183,67 @@ def stratified_hash_sample(
     return df.filter(keep)
 
 
+def mixture_fractions(
+    weights: Mapping[str, float], target_shares: Mapping[str, float]
+) -> dict[str, float]:
+    """Per-group keep-fractions that move a corpus to a TARGET mixture
+    by DOWNSAMPLING ONLY (the Pile/DoReMi-style domain re-weighting,
+    without duplication): kept weight of group g becomes ``c·s_g``
+    where ``c = min_g W_g/s_g`` — the largest total the target shares
+    admit without upsampling any group. Groups absent from
+    ``target_shares`` get fraction 0 (dropped); a target group absent
+    from the corpus raises (the mixture is unsatisfiable). Pure
+    arithmetic — the Spark work is one aggregation (the caller's) and
+    one stratified filter."""
+    total_s = float(sum(target_shares.values()))
+    if total_s <= 0:
+        raise ValueError("target shares must sum to a positive value")
+    shares = {g: s / total_s for g, s in target_shares.items()}
+    for g, s in shares.items():
+        if s > 0 and weights.get(g, 0) <= 0:
+            raise ValueError(
+                f"target group {g!r} has no corpus weight — the requested "
+                "mixture cannot be reached by downsampling"
+            )
+    c = min(weights[g] / s for g, s in shares.items() if s > 0)
+    return {
+        g: (min(1.0, c * s / weights[g]) if s > 0 else 0.0)
+        for g, s in shares.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    target_shares: Mapping[str, float],
+    key: str | Column = "doc_id",
+    weight_col: str | None = None,
+    seed: int = 42,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Deterministically downsample each group so the kept corpus's
+    per-group weight shares ≈ ``target_shares`` — the domain-mixture
+    stage of a training pipeline (rebalance crawl/books/code/wiki to a
+    recipe) as one aggregation + one stratified hash filter.
+
+    ``weight_col`` (e.g. ``n_tokens``/``n_chars``) weights the mixture
+    in that unit; ``None`` weights by document count. Shares land at
+    bucket granularity and whole KEYS move together (hash sampling —
+    replayable, leakage-safe), so realized shares carry the usual
+    per-group sampling noise; exactness improves with group size.
+    Groups not named in ``target_shares`` are dropped — name them
+    explicitly to keep them."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    rows = (
+        df.groupBy(group_col)
+        .agg(F.sum(w.cast("double")).alias("_w"))
+        .collect()
+    )
+    weights = {r[group_col]: r["_w"] or 0.0 for r in rows}
+    fracs = mixture_fractions(weights, target_shares)
+    return stratified_hash_sample(df, group_col, fracs, key, seed, buckets)
+
+
 def shuffle_order_expr(
     key: str | Column, seed: int = 42, tiebreak: str | Column | None = None
 ) -> list[Column]:
