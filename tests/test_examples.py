@@ -34,3 +34,21 @@ def test_curate_corpus_example(spark):
     # train dominates per the 90/5/5 weights
     assert out["splits"]["train"] > out["splits"].get("val", 0)
     assert out["splits"]["train"] > out["splits"].get("test", 0)
+
+
+def test_quality_classifier_example(spark):
+    path = (
+        Path(__file__).resolve().parent.parent
+        / "examples"
+        / "quality_classifier.py"
+    )
+    spec = importlib.util.spec_from_file_location("qc_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.run(spark, "/root/testdata/sf0.001")
+    assert out["n_train"] > 0 and out["n_holdout"] > 0
+    # the linear model must recover the weak signal far above chance
+    # on docs it never saw (the bootstrap's whole point)
+    assert out["agreement"] >= 0.8, out
+    assert 0 < out["kept"] <= out["n_holdout"]
