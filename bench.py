@@ -81,6 +81,7 @@ def main() -> None:
         # r7: new heaviest similarity entry (cluster-key candidates +
         # exact verify) — medians from day one, no single-shot noise
         "semantic_neardup_pairs": 3,
+        "lm_perplexity": 3,
     }
 
     timings: dict[str, float] = {}

@@ -387,3 +387,46 @@ def test_mixture_sample_hits_target_shares(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_per_group_quantile_cap_matches_duckdb(spark):
+    """Percentile gate vs a DuckDB window oracle: keep the top 30% per
+    source by score (ties broken by doc_id), ceil keeps >=1 per group."""
+    import duckdb
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        per_group_quantile_cap,
+    )
+
+    import random
+
+    rng = random.Random(4)
+    rows = [
+        (i, ["a", "b", "c"][i % 3], round(rng.random(), 6)) for i in range(100)
+    ] + [(100, "solo", 0.5)]  # single-row group survives any fraction
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = sorted(
+        r["doc_id"]
+        for r in per_group_quantile_cap(
+            df, ["source"], [F.desc("score"), F.asc("doc_id")], 0.3
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, source VARCHAR, score DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        r[0]
+        for r in con.execute("""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY score DESC, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM t
+            ) WHERE rn <= CAST(ceil(n * 0.3) AS BIGINT)
+        """).fetchall()
+    )
+    assert got == want
+    assert 100 in got  # the singleton group kept its row
+    with pytest.raises(ValueError, match="keep_frac"):
+        per_group_quantile_cap(df, ["source"], [F.asc("doc_id")], 0.0)

@@ -267,6 +267,40 @@ def shuffle_order_expr(
     return [F.xxhash64(F.lit(int(seed)).cast("long"), key_col), tb]
 
 
+def per_group_quantile_cap(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
+    keep_frac: float,
+) -> DataFrame:
+    """Keep the best ``keep_frac`` FRACTION of each group by
+    ``order_cols`` — the percentile gate of modern curation recipes
+    (FineWeb/DCLM-style: keep the top X% per domain by a quality or
+    perplexity score), where :func:`per_group_cap` keeps an absolute
+    count. ``ceil`` keeps at least one row from every non-empty group
+    (a gate should trim a domain, not erase it). Make the ordering
+    total (include a unique tiebreaker) or the cut line is
+    nondeterministic.
+
+    Plan: ONE window partitioned by the group key computing rank and
+    group size together — one exchange, rank-only state, and (like
+    ``per_group_cap``) the output's group sizes shrink, so this gate
+    removes downstream skew rather than creating it."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    wall = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .filter(
+            F.col("_rn")
+            <= F.ceil(F.col("_n") * F.lit(float(keep_frac))).cast("long")
+        )
+        .drop("_rn", "_n")
+    )
+
+
 def per_group_cap(
     df: DataFrame,
     group_cols: Sequence[str],
