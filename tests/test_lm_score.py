@@ -124,3 +124,40 @@ def test_scoring_plan_broadcasts_and_stays_jvm(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_expr_form_matches_join_form_exactly(spark):
+    """lm_avg_logprob_expr (the stateless streaming twin) must equal
+    lm_perplexity's avg_logprob BIT-FOR-BIT on every document shape —
+    same backoff, same micro-nat quantization, same division."""
+    ref = spark.createDataFrame([(1, REF)], "doc_id long, text string")
+    model = lm_score.train_char_lm(ref, n=3)
+    rng = random.Random(7)
+    docs = [
+        (1, "the rain in spain"),
+        (2, "zzxqj vvkpw qqqgh mmnb"),
+        (3, "ab"),
+        (4, None),
+        (5, ""),
+        (6, "".join(rng.choice("etaoin shrdlu") for _ in range(300))),
+        (7, "ünïcödé tëxt with odd chars €§"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    join_form = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm_score.lm_perplexity(df, model).collect()
+    }
+    expr_form = {
+        r["doc_id"]: r["avg"]
+        for r in df.select(
+            "doc_id", lm_score.lm_avg_logprob_expr(model).alias("avg")
+        ).collect()
+    }
+    assert expr_form == join_form  # exact, including the NULLs
+
+
+def test_expr_form_model_size_fuse(spark):
+    ref = spark.createDataFrame([(1, REF)], "doc_id long, text string")
+    model = lm_score.train_char_lm(ref, n=3)
+    with pytest.raises(ValueError, match="max_model_entries"):
+        lm_score.lm_avg_logprob_expr(model, max_model_entries=3)

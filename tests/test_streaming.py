@@ -296,3 +296,70 @@ def test_streaming_corpus_gates_match_batch(spark, tmp_path):
     assert len(got) == 3
     kept_ids = {r["doc_id"] for r in got}
     assert len(kept_ids & {1, 5}) == 1 and {2, 6} <= kept_ids
+
+
+def test_streaming_lm_gate_matches_batch(spark, tmp_path):
+    """The optional LM perplexity gate is part of the stateless stack:
+    stream and batch keep identical doc sets, gibberish is dropped by
+    the MODEL (it passes the heuristic gates), and short docs pass."""
+    import json as _json
+    from datetime import datetime
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import lm_score
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming import corpus
+
+    ref = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain stays mainly in the plain and the cat sat on the mat "
+    ) * 5
+    model = lm_score.fit_char_lm_counts([ref], n=3)
+
+    good = "the rain in spain falls mainly on the plain and the dog runs " * 4
+    # letters-and-spaces gibberish with marker words threaded through
+    # so it sails past the lang/quality heuristics — only the LM's
+    # character statistics can tell it is noise
+    gib = "the qzx jvk and wpq ghz of mnb is tkd rlw " * 8
+    docs = [
+        {"doc_id": 1, "text": good, "lang": "en", "source": "a"},
+        {"doc_id": 2, "text": gib, "lang": "en", "source": "a"},
+        {"doc_id": 3, "text": good + " and the fox", "lang": "en", "source": "b"},
+    ]
+    d = tmp_path / "lm_landing"
+    d.mkdir()
+    with open(d / "part0.jsonl", "w") as f:
+        for doc in docs:
+            row = dict(doc)
+            row["ingest_time"] = datetime(2026, 1, 1).isoformat()
+            f.write(_json.dumps(row) + "\n")
+
+    # pick the cut between good and gibberish from the batch scores
+    batch_docs = spark.read.schema(corpus.DOCUMENT_SCHEMA).json(str(d))
+    no_gate = corpus.curate_stream(batch_docs)
+    assert {r["doc_id"] for r in no_gate.collect()} == {1, 2, 3}
+    ppls = {
+        r["doc_id"]: r["ppl"]
+        for r in corpus.curate_stream(batch_docs, lm_model=model).collect()
+    }
+    assert ppls[2] > 3 * max(ppls[1], ppls[3])  # model separates
+    cut = (max(ppls[1], ppls[3]) + ppls[2]) / 2
+
+    batch_kept = {
+        r["doc_id"]
+        for r in corpus.curate_stream(
+            batch_docs, lm_model=model, max_ppl=cut
+        ).collect()
+    }
+    assert batch_kept == {1, 3}
+
+    stream = corpus.stream_documents(spark, str(d))
+    q = (
+        corpus.curate_stream(stream, lm_model=model, max_ppl=cut)
+        .writeStream.format("memory")
+        .queryName("lm_gate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM lm_gate_out").collect()}
+    assert got == batch_kept

@@ -110,6 +110,71 @@ def train_char_lm(
     return fit_char_lm_counts((r["t"] for r in s.collect()), n=n, add_k=add_k)
 
 
+def lm_avg_logprob_expr(
+    model: dict, text_col: str = "text", max_model_entries: int = 20_000
+):
+    """The per-ROW form of :func:`lm_perplexity`'s score: a single
+    stateless column expression (model as literal maps, gram fold via
+    ``transform``/``aggregate``) returning the SAME avg_logprob —
+    bit-for-bit, same three-level backoff, same micro-nat quantization
+    (exact-parity pinned in tests). NULL/short documents yield NULL.
+
+    Exists for STREAMING: the join+groupBy plan in
+    :func:`lm_perplexity` is the right batch shape (broadcast model,
+    map-side partial agg), but a per-doc groupBy on a stream is a
+    stateful aggregation; this expression gates documents inside the
+    stateless ingest stack (``streaming/corpus.py``) with batch ≡
+    stream parity by construction. The price is literal-map lookups
+    instead of a hash join — fine at gate time; prefer
+    ``lm_perplexity`` for batch scoring jobs.
+
+    ``max_model_entries`` fuses expression bloat: every model entry
+    becomes two literals in the plan, and a 10⁵-gram model would blow
+    Catalyst's expression tree — CCNet-style gate models are
+    vocabulary-sized (10³-10⁴ grams), which is the supported regime."""
+    n = model["n"]
+    logp, ctx_floor = model["logp"], model["ctx_floor"]
+    if len(logp) + len(ctx_floor) > max_model_entries:
+        raise ValueError(
+            f"model has {len(logp) + len(ctx_floor)} entries "
+            f"(> max_model_entries={max_model_entries}): a literal-map "
+            "expression this large would blow the plan — use "
+            "lm_perplexity (broadcast-join scoring) instead"
+        )
+    if not logp or not ctx_floor:
+        raise ValueError("model has no grams — fit it before scoring")
+    gmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in logp]),
+        F.array(*[F.lit(float(v)) for v in logp.values()]),
+    )
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in ctx_floor]),
+        F.array(*[F.lit(float(v)) for v in ctx_floor.values()]),
+    )
+    floor = float(model["floor"])
+    t = F.col(text_col)
+    n_g = F.length(t) - (n - 1)
+    micro_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n_g),
+            lambda i: F.round(
+                F.coalesce(
+                    F.element_at(gmap, t.substr(i, F.lit(n))),
+                    F.element_at(cmap, t.substr(i, F.lit(n - 1))),
+                    F.lit(floor),
+                )
+                * F.lit(1e6)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        t.isNotNull() & (n_g > 0),
+        micro_sum.cast("double") / (n_g.cast("long") * F.lit(1e6)),
+    )
+
+
 def lm_perplexity(
     docs: DataFrame,
     model: dict,

@@ -59,21 +59,45 @@ def stream_documents(spark: SparkSession, landing_dir: str) -> DataFrame:
 
 
 def curate_stream(
-    docs: DataFrame, min_quality: float = 0.5
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    lm_model: dict | None = None,
+    max_ppl: float | None = None,
 ) -> DataFrame:
-    """Hygiene → scrub → language gate → quality gate, all stateless
-    column algebra — identical semantics on a stream or a batch frame
-    (that identity IS the parity test). Adds ``predicted_lang`` and
-    ``quality``; drops 'und'-language and low-quality rows."""
+    """Hygiene → scrub → language gate → quality gate (→ optional LM
+    perplexity gate), all stateless column algebra — identical
+    semantics on a stream or a batch frame (that identity IS the
+    parity test). Adds ``predicted_lang`` and ``quality``; drops
+    'und'-language and low-quality rows.
+
+    Pass ``lm_model`` (a ``lm_score.train_char_lm`` /
+    ``fit_char_lm_counts`` dict) and ``max_ppl`` to also gate on model
+    perplexity: scoring uses ``lm_score.lm_avg_logprob_expr`` — the
+    literal-map per-row twin of the batch join plan, exact-parity
+    pinned — so the gate stays ONE stateless codegen stage on a
+    stream. Documents too short to score (NULL avg) PASS the LM gate:
+    the length/quality gates own them, mirroring ``lm_perplexity``'s
+    contract. Adds ``avg_logprob``/``ppl`` columns when enabled."""
     cleaned = docs.withColumn(
         "text", cl.scrub_pii(cl.clean_text(F.col("text")))
     )
     scored = cleaned.withColumn(
         "predicted_lang", tx.lang_id(F.col("text"))
     ).withColumn("quality", tx.quality_score(F.col("text")))
-    return scored.filter(
+    out = scored.filter(
         (F.col("predicted_lang") != "und") & (F.col("quality") >= min_quality)
     )
+    if lm_model is not None:
+        from ..operators.lm_score import lm_avg_logprob_expr
+
+        out = out.withColumn(
+            "avg_logprob", lm_avg_logprob_expr(lm_model)
+        ).withColumn("ppl", F.exp(-F.col("avg_logprob")))
+        if max_ppl is not None:
+            out = out.filter(
+                F.col("ppl").isNull() | (F.col("ppl") <= max_ppl)
+            )
+    return out
 
 
 def streaming_dedup_documents(
