@@ -157,3 +157,34 @@ def test_training_job_count_is_epoch_bound_not_data_bound(spark):
     # ~a dozen stage jobs — the pin is that the count is a CONSTANT per
     # epoch (no per-feature/per-doc driver loops hiding anywhere)
     assert per_epoch <= 20, (j2, j6)
+
+
+def test_margin_expr_matches_scorer_exactly(spark):
+    """margin_expr (the stateless streaming twin) must equal
+    score_hashed_logistic's margin bit-for-bit — same tokenize, same
+    hashing, same integer arithmetic; NULL/empty docs get the bias."""
+    docs = _mk_docs(spark, n=40)
+    model = classifier.train_hashed_logistic(docs, "y", epochs=8)
+    edge = spark.createDataFrame(
+        [(200, None), (201, ""), (202, "one unseen zork word")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionAll(edge)
+    join_form = {
+        r["doc_id"]: r["margin"]
+        for r in classifier.score_hashed_logistic(both, model).collect()
+    }
+    expr_form = {
+        r["doc_id"]: r["m"]
+        for r in both.select(
+            "doc_id", classifier.margin_expr(model).alias("m")
+        ).collect()
+    }
+    assert expr_form == join_form
+
+
+def test_margin_expr_weight_fuse(spark):
+    docs = _mk_docs(spark, n=20)
+    model = classifier.train_hashed_logistic(docs, "y", epochs=3)
+    with pytest.raises(ValueError, match="max_weights"):
+        classifier.margin_expr(model, max_weights=1)

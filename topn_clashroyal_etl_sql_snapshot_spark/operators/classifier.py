@@ -257,6 +257,67 @@ def score_hashed_logistic(
     )
 
 
+def margin_expr(model: dict, text_col: str = "text", max_weights: int = 20_000):
+    """The per-ROW form of :func:`score_hashed_logistic`'s margin: one
+    stateless column expression (sparse weights as a literal long→long
+    map, term fold via ``aggregate``) returning the SAME margin —
+    exact, same hashing, same micro arithmetic (parity pinned in
+    tests). NULL text yields the bias margin, like the scorer's left
+    join.
+
+    Exists for STREAMING, same reasoning as
+    ``lm_score.lm_avg_logprob_expr``: the join+groupBy scoring plan is
+    the right batch shape, but per-doc grouping on a stream is
+    stateful; this expression gates documents inside a stateless
+    ingest stack (compose with ``streaming/corpus.py``:
+    ``df.filter(1/(1+exp(-margin_expr(m))) >= 0.5)``). ``max_weights``
+    fuses expression bloat — trained gate models are sparse (hundreds
+    to thousands of non-zero buckets); for dense models use
+    :func:`score_hashed_logistic`."""
+    w_micro = model["w_micro"]
+    if len(w_micro) > max_weights:
+        raise ValueError(
+            f"model has {len(w_micro)} non-zero weights "
+            f"(> max_weights={max_weights}): a literal-map expression this "
+            "large would blow the plan — use score_hashed_logistic "
+            "(broadcast-join scoring) instead"
+        )
+    n_buckets = model["n_buckets"]
+    bias = int(model["bias_micro"])
+    t = F.col(text_col)
+    from ..functions import text as tx
+
+    toks = tx.tokens(t)
+    n = F.size(toks)
+    terms = F.concat(
+        toks,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        if model["bigrams"]
+        else F.array().cast("array<string>"),
+    )
+    if w_micro:
+        wmap = F.map_from_arrays(
+            F.array(*[F.lit(int(k)).cast("long") for k in w_micro]),
+            F.array(*[F.lit(int(v)).cast("long") for v in w_micro.values()]),
+        )
+        lookup = lambda term: F.coalesce(  # noqa: E731
+            F.element_at(wmap, F.pmod(F.xxhash64(term), F.lit(n_buckets))),
+            F.lit(0).cast("long"),
+        )
+        total = F.aggregate(
+            terms, F.lit(0).cast("long"), lambda acc, term: acc + lookup(term)
+        )
+    else:
+        total = F.lit(0).cast("long")
+    return (
+        F.coalesce(total, F.lit(0).cast("long")) + F.lit(bias).cast("long")
+    ).cast("double") / F.lit(1e6)
+
+
 def train_hashed_logistic_ovr(
     docs: DataFrame,
     label_col: str,
