@@ -264,3 +264,59 @@ def test_simhash_chunks_for_scales_with_corpus():
     assert simhash_chunks_for(10**9, 256) == 2
     # a required radius floors the chunk count even when buckets go hot
     assert simhash_chunks_for(10**9, 256, min_hamming=7) == 8
+
+
+def test_dedup_lines_corpus_matches_python_twin(spark):
+    """C4-style corpus-level line dedup vs a pure-Python twin: first
+    occurrence (min doc_id, line_idx) of every dedupable line survives,
+    later occurrences vanish corpus-wide, short lines are exempt, NULL
+    text keeps NULL output."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.dedup import (
+        dedup_lines_corpus,
+    )
+
+    boiler = "subscribe to our newsletter for the latest updates"
+    rows = [
+        (1, f"unique opening line of document one\n{boiler}\nmore original text here"),
+        (2, f"{boiler}\nanother document entirely with its own words"),
+        (3, f"short\n{boiler}\nshort"),          # short lines exempt (kept twice)
+        (4, None),
+        (5, ""),
+        (6, f"more original text here\nfresh content in document six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    min_chars = 10
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in dedup_lines_corpus(df, min_line_chars=min_chars).collect()
+    }
+
+    # python twin
+    seen: dict[str, tuple] = {}
+    for i, t in rows:
+        if t is None:
+            continue
+        for j, line in enumerate(t.replace("\r\n", "\n").split("\n")):
+            if len(line.strip()) >= min_chars and line not in seen:
+                seen[line] = (i, j)
+    want = {}
+    for i, t in rows:
+        if t is None:
+            want[i] = (None, 0, 0)
+            continue
+        kept = []
+        dropped = 0
+        for j, line in enumerate(t.replace("\r\n", "\n").split("\n")):
+            if len(line.strip()) < min_chars or seen.get(line) == (i, j):
+                kept.append(line)
+            else:
+                dropped += 1
+        want[i] = ("\n".join(kept), len(kept), dropped)
+    assert got == want
+    # the boilerplate line survived exactly once, in doc 1
+    assert boiler in got[1][0] and boiler not in got[2][0] and boiler not in got[3][0]
+    # doc 3's short lines both kept
+    assert got[3][0].count("short") == 2
+    # doc 6 lost its copy of doc 1's line
+    assert "more original text here" not in got[6][0]
+    assert "fresh content" in got[6][0]

@@ -80,6 +80,102 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def dedup_lines_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 10,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """CORPUS-level line deduplication (the C4 recipe, Raffel et al.
+    2020 §2.2: any line occurring more than once in the whole corpus
+    keeps exactly ONE occurrence): returns (id_col, out_col,
+    n_lines_kept, n_lines_dropped) with every document's duplicated
+    lines removed except the corpus-wide first occurrence — the
+    boilerplate killer (nav bars, cookie banners, license headers
+    repeat across thousands of pages; per-DOCUMENT dedup never sees
+    them).
+
+    Semantics: lines split on ``\\n`` after trailing-``\\r`` strip; the
+    canonical occurrence is the minimum (doc id, line index) — a total
+    order, so the keep decision is deterministic and replay-stable
+    (C4 keeps an arbitrary one; a distributed pipeline needs the
+    choice to be a pure function of the data). Lines shorter than
+    ``min_line_chars`` (after trim) are EXEMPT — always kept: short
+    lines ("", "1.", "yes") collide by coincidence, not provenance,
+    and deduping them mangles innocent documents. NULL text keeps a
+    NULL ``out_col``; the rebuilt text joins kept lines with ``\\n``
+    (trailing-empty-line structure within the kept set is preserved
+    by position).
+
+    Plan: posexplode the line array (narrow, inside the scan) → hash
+    lines to 64-bit keys → ONE groupBy(line_hash) computing the
+    min-(id, idx) canonical occurrence (partial agg absorbs hot
+    boilerplate hashes map-side — the agg is a min, so a line repeated
+    10⁸ times still reduces to one row per partition before the
+    exchange) → join occurrences back on the hash (no fan-out: each
+    occurrence matches exactly one canonical row) → per-doc rebuild
+    via sort_array over (idx, line) structs on the id the explode
+    already carried. Three exchanges total (line-hash agg, hash join,
+    doc rebuild), all key-partitioned, no driver state."""
+    base = _spread(docs, id_col).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    )
+    lines = base.select(
+        "id",
+        F.posexplode(
+            F.split(F.regexp_replace(F.col("_t"), "\r\n", "\n"), "\n")
+        ).alias("idx", "line"),
+    )
+    keyed = lines.withColumn(
+        "_dedupable", F.length(F.trim(F.col("line"))) >= min_line_chars
+    ).withColumn("h", F.xxhash64("line"))
+    firsts = (
+        keyed.filter(F.col("_dedupable"))
+        .groupBy("h")
+        .agg(F.min(F.struct("id", "idx")).alias("_first"))
+    )
+    kept = (
+        keyed.join(firsts, "h", "left")
+        .withColumn(
+            "_keep",
+            (~F.col("_dedupable"))
+            | (
+                (F.col("_first.id") == F.col("id"))
+                & (F.col("_first.idx") == F.col("idx"))
+            ),
+        )
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"), F.struct(F.col("idx"), F.col("line"))
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias(out_col),
+        F.count_if(F.col("_keep")).alias("n_lines_kept"),
+        F.count_if(~F.col("_keep")).alias("n_lines_dropped"),
+    )
+    out = base.select(
+        "id", F.col("_t").isNotNull().alias("_has_text")
+    ).join(rebuilt, "id", "left")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("_has_text"), F.coalesce(F.col(out_col), F.lit(""))).alias(
+            out_col
+        ),
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        F.coalesce("n_lines_dropped", F.lit(0)).alias("n_lines_dropped"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingle-Jaccard (exact) via inverted index
 # ---------------------------------------------------------------------------
