@@ -153,6 +153,9 @@ def curate(spark, sf_dir: str, budget: int = 2048):
     # (doc_id, chunk_idx) keeps provenance. chunk_by_tokens drops the
     # id arrays from its output by default — only the counts flow on.
     chunked = chunking.chunk_by_tokens(encoded, size=512, overlap=64)
+    # the packer consumes only n_tokens — dropping the id arrays keeps
+    # them out of its (split, source) window exchange
+    chunked = chunked.drop("chunk_ids")
     n_chunks = chunked.count()
     print(f"5_chunked        {n_chunks}  (from {sum(split_docs.values())} docs)")
 

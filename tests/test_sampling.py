@@ -321,7 +321,9 @@ def test_target_bucket_threshold_integer_exact():
     assert target_bucket_threshold(100, 500) == 10_000   # smaller than target
     assert target_bucket_threshold(2000, 500) == 2_500   # exact quarter
     assert target_bucket_threshold(6000, 500) == 833     # floor, not round
-    assert target_bucket_threshold(10**9, 500) == 0      # floors to nothing kept
+    # beyond bucket resolution the clamp over-keeps instead of
+    # keeping nothing (hash_sample_target grows buckets first)
+    assert target_bucket_threshold(10**9, 500) == 1
     with pytest.raises(ValueError):
         target_bucket_threshold(-1, 5)
 
@@ -430,3 +432,18 @@ def test_per_group_quantile_cap_matches_duckdb(spark):
     assert 100 in got  # the singleton group kept its row
     with pytest.raises(ValueError, match="keep_frac"):
         per_group_quantile_cap(df, ["source"], [F.asc("doc_id")], 0.0)
+
+
+def test_hash_sample_target_grows_buckets_at_scale(spark):
+    """>5M-row regime (here forced with a tiny bucket space): the
+    bucket space grows so the sampled count stays ~on target instead
+    of collapsing to zero (r7 review finding)."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import sampling
+
+    df = spark.range(0, 50_000).withColumnRenamed("id", "k")
+    # default 10^4 buckets: fine (threshold 100 exactly at the margin)
+    n = sampling.hash_sample_target(df, "k", 500).count()
+    assert 350 <= n <= 650, n
+    # tiny bucket space would floor to 0 without growth
+    n2 = sampling.hash_sample_target(df, "k", 500, buckets=100).count()
+    assert 350 <= n2 <= 650, n2

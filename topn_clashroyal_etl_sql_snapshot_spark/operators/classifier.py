@@ -130,11 +130,15 @@ def train_hashed_logistic(
     id_col: str = "doc_id",
     toks: DataFrame | None = None,
     bigrams: bool = True,
+    feats: DataFrame | None = None,
 ) -> dict:
     """Fit a binary logistic model (``label_col``: 0/1 int column) by
     full-batch gradient descent over the hashed features. Returns
     ``{"n_buckets", "bigrams", "bias_micro", "w_micro": {feat: long}}``
-    — plug into :func:`score_hashed_logistic`.
+    — plug into :func:`score_hashed_logistic`. Pass ``feats`` (a
+    checkpointed :func:`hashed_features` result built with the SAME
+    n_buckets/bigrams) to share one feature pass across fits — the
+    OVR trainer does; labels still come from ``docs``.
 
     Per epoch (2 shuffles, O(1) jobs — epoch count, not data size,
     bounds the job count): margins via the broadcast weight join →
@@ -147,9 +151,10 @@ def train_hashed_logistic(
     BUCKET space — the hashing trick's scale guarantee — never by
     vocabulary or corpus size."""
     spark = docs.sparkSession
-    feats = hashed_features(
-        docs, n_buckets, text_col, id_col, toks=toks, bigrams=bigrams
-    ).localCheckpoint(eager=False)
+    if feats is None:
+        feats = hashed_features(
+            docs, n_buckets, text_col, id_col, toks=toks, bigrams=bigrams
+        ).localCheckpoint(eager=False)
     labels = docs.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
     ).localCheckpoint(eager=False)
@@ -226,20 +231,24 @@ def score_hashed_logistic(
     text_col: str = "text",
     id_col: str = "doc_id",
     toks: DataFrame | None = None,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, margin, prob): every document scored under the model —
     features ⋈ broadcast weights, one doc-keyed exact integer sum, then
     sigmoid. Documents with no tokens (or NULL text) score the bias
-    alone via the left join. No Python in the row path."""
+    alone via the left join. No Python in the row path. ``feats``
+    shares one feature pass across models (see
+    :func:`train_hashed_logistic`)."""
     spark = docs.sparkSession
-    feats = hashed_features(
-        docs,
-        model["n_buckets"],
-        text_col,
-        id_col,
-        toks=toks,
-        bigrams=model["bigrams"],
-    )
+    if feats is None:
+        feats = hashed_features(
+            docs,
+            model["n_buckets"],
+            text_col,
+            id_col,
+            toks=toks,
+            bigrams=model["bigrams"],
+        )
     m = _margins(feats, spark, model["w_micro"], model["bias_micro"])
     base = docs.select(F.col(id_col).alias("id"))
     return (
@@ -325,12 +334,11 @@ def train_hashed_logistic_ovr(
     **kwargs,
 ) -> dict:
     """One-vs-rest multiclass: one binary fit per class over the SAME
-    checkpointed feature frame (the tokenize/hash scan runs once, not
-    once per class). Returns ``{"classes": [...], "models": {cls:
-    model}}``. Class list defaults to the distinct labels, sorted —
-    deterministic."""
-    from . import dedup
-
+    checkpointed FEATURE frame — the tokenize/hash/bigram/groupBy pass
+    runs once, not once per class (only the labels differ between
+    fits; r7 review finding). Returns ``{"classes": [...], "models":
+    {cls: model}}``. Class list defaults to the distinct labels,
+    sorted — deterministic."""
     id_col = kwargs.get("id_col", "doc_id")
     text_col = kwargs.get("text_col", "text")
     if classes is None:
@@ -340,17 +348,23 @@ def train_hashed_logistic_ovr(
             if r[label_col] is not None
         )
     toks = kwargs.pop("toks", None)
-    if toks is None:
-        toks = dedup.token_arrays(docs, text_col, id_col).localCheckpoint(
-            eager=False
-        )
+    feats = kwargs.pop("feats", None)
+    if feats is None:
+        feats = hashed_features(
+            docs,
+            kwargs.get("n_buckets", 1 << 18),
+            text_col,
+            id_col,
+            toks=toks,
+            bigrams=kwargs.get("bigrams", True),
+        ).localCheckpoint(eager=False)
     models = {}
     for cls in classes:
         bin_docs = docs.withColumn(
             "_y", (F.col(label_col) == cls).cast("int")
         )
         models[cls] = train_hashed_logistic(
-            bin_docs, "_y", toks=toks, **kwargs
+            bin_docs, "_y", feats=feats, **kwargs
         )
     return {"classes": classes, "models": models}
 
@@ -364,19 +378,23 @@ def score_hashed_logistic_ovr(
 ) -> DataFrame:
     """(id_col, predicted, margin): argmax class per document over the
     per-class margins (ties break toward the first class in the sorted
-    class list — deterministic). One scoring pass per class over a
-    shared tokenize; the per-class margin frames join on the doc id."""
-    from . import dedup
-
-    if toks is None:
-        toks = dedup.token_arrays(docs, text_col, id_col).localCheckpoint(
-            eager=False
-        )
+    class list — deterministic). ONE feature pass shared by every
+    class's scorer (all models share n_buckets/bigrams by
+    construction); the per-class margin frames join on the doc id."""
+    first = ovr["models"][ovr["classes"][0]]
+    feats = hashed_features(
+        docs,
+        first["n_buckets"],
+        text_col,
+        id_col,
+        toks=toks,
+        bigrams=first["bigrams"],
+    ).localCheckpoint(eager=False)
     out = docs.select(F.col(id_col).alias("id"))
     cols = []
     for i, cls in enumerate(ovr["classes"]):
         s = score_hashed_logistic(
-            docs, ovr["models"][cls], text_col, id_col, toks=toks
+            docs, ovr["models"][cls], text_col, id_col, feats=feats
         ).select(
             F.col(id_col).alias("id"), F.col("margin").alias(f"_m{i}")
         )

@@ -109,15 +109,20 @@ def dedup_lines_corpus(
     by position).
 
     Plan: posexplode the line array (narrow, inside the scan) → hash
-    lines to 64-bit keys → ONE groupBy(line_hash) computing the
-    min-(id, idx) canonical occurrence (partial agg absorbs hot
-    boilerplate hashes map-side — the agg is a min, so a line repeated
-    10⁸ times still reduces to one row per partition before the
-    exchange) → join occurrences back on the hash (no fan-out: each
-    occurrence matches exactly one canonical row) → per-doc rebuild
-    via sort_array over (idx, line) structs on the id the explode
-    already carried. Three exchanges total (line-hash agg, hash join,
-    doc rebuild), all key-partitioned, no driver state."""
+    lines to a 128-bit composite key (two independently seeded
+    xxhash64 lanes — a single 64-bit key reaches birthday-bound
+    collision odds at C4's own scale, ~5·10⁹ distinct lines, and a
+    collision here silently deletes an innocent line corpus-wide; at
+    128 bits the odds at 10¹¹ lines are ~10⁻¹⁸, and the exchanges
+    still ship 16 bytes instead of the line text) → ONE
+    groupBy(line_key) computing the min-(id, idx) canonical occurrence
+    (partial agg absorbs hot boilerplate keys map-side — the agg is a
+    min, so a line repeated 10⁸ times still reduces to one row per
+    partition before the exchange) → join occurrences back on the key
+    (no fan-out: each occurrence matches exactly one canonical row) →
+    per-doc rebuild via sort_array over (idx, line) structs on the id
+    the explode already carried. Three exchanges total (line-key agg,
+    key join, doc rebuild), all key-partitioned, no driver state."""
     base = _spread(docs, id_col).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_t")
     )
@@ -127,16 +132,20 @@ def dedup_lines_corpus(
             F.split(F.regexp_replace(F.col("_t"), "\r\n", "\n"), "\n")
         ).alias("idx", "line"),
     )
-    keyed = lines.withColumn(
-        "_dedupable", F.length(F.trim(F.col("line"))) >= min_line_chars
-    ).withColumn("h", F.xxhash64("line"))
+    keyed = (
+        lines.withColumn(
+            "_dedupable", F.length(F.trim(F.col("line"))) >= min_line_chars
+        )
+        .withColumn("h", F.xxhash64("line"))
+        .withColumn("h2", F.xxhash64(F.lit(1).cast("long"), F.col("line")))
+    )
     firsts = (
         keyed.filter(F.col("_dedupable"))
-        .groupBy("h")
+        .groupBy("h", "h2")
         .agg(F.min(F.struct("id", "idx")).alias("_first"))
     )
     kept = (
-        keyed.join(firsts, "h", "left")
+        keyed.join(firsts, ["h", "h2"], "left")
         .withColumn(
             "_keep",
             (~F.col("_dedupable"))

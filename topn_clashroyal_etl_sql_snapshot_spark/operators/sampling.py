@@ -125,12 +125,16 @@ def target_bucket_threshold(
     INTEGER floor arithmetic, so a SQL oracle computing the same
     expression from ``COUNT(*)`` lands on the identical threshold
     (``round()`` would put Python's half-even against SQL's half-away
-    at .5 boundaries). ``total_rows ≤ target_rows`` keeps everything."""
+    at .5 boundaries). ``total_rows ≤ target_rows`` keeps everything;
+    the floor is clamped to ≥ 1 so a corpus larger than
+    ``target·buckets`` over-keeps (≈ total/buckets rows) rather than
+    silently keeping NOTHING — callers needing resolution at that
+    scale must grow ``buckets`` (``hash_sample_target`` does)."""
     if target_rows < 0 or total_rows < 0:
         raise ValueError("row counts must be non-negative")
     if total_rows <= target_rows:
         return buckets
-    return min(buckets, target_rows * buckets // total_rows)
+    return min(buckets, max(1, target_rows * buckets // total_rows))
 
 
 def hash_sample_target(
@@ -147,13 +151,25 @@ def hash_sample_target(
     ``embedding_neardup_pairs`` at a FIXED fraction — 3× corpus ⇒ 6.6×
     wall — is exactly the failure mode this closes).
 
+    The bucket space GROWS with the corpus when the default can't
+    resolve the implied fraction: at ``total > target·buckets/100``
+    the 10⁴-bucket default would floor the threshold under 100 (±1%
+    granularity), so buckets scale to keep threshold ≈ 100 — without
+    this, a >5M-row corpus at target 500 floors the threshold to the
+    clamp and the 'constant size' contract breaks (r7 review finding).
+
     Costs one ``count()`` job up front (the corpus size is the input
     to the threshold). Membership stays a pure function of (key, seed,
-    threshold): replayable within a corpus snapshot; across corpus
-    GROWTH the threshold moves, so unlike plain ``hash_sample`` the
-    sample is NOT append-stable — pin ``hash_sample`` with an explicit
-    fraction where append-stability matters more than bounded cost."""
-    thr = target_bucket_threshold(df.count(), target_rows, buckets)
+    buckets, threshold): replayable within a corpus snapshot; across
+    corpus GROWTH the threshold (and possibly the bucket space) moves,
+    so unlike plain ``hash_sample`` the sample is NOT append-stable —
+    pin ``hash_sample`` with an explicit fraction where
+    append-stability matters more than bounded cost."""
+    total = df.count()
+    if target_rows > 0 and total > target_rows * (buckets // 100 or 1):
+        # keep ~1% granularity: threshold lands near 100
+        buckets = 100 * ((total + target_rows - 1) // target_rows)
+    thr = target_bucket_threshold(total, target_rows, buckets)
     return df.filter(bucket_expr(key, seed, buckets) < thr)
 
 
@@ -241,6 +257,18 @@ def mixture_sample(
     )
     weights = {r[group_col]: r["_w"] or 0.0 for r in rows}
     fracs = mixture_fractions(weights, target_shares)
+    # a positive-share group whose fraction floors below one bucket
+    # would contribute ZERO rows — a silently-wrong mixture, worse
+    # than the error an absent group raises (r7 review finding)
+    too_fine = {
+        g: f for g, f in fracs.items() if 0 < f and int(round(f * buckets)) < 1
+    }
+    if too_fine:
+        raise ValueError(
+            f"mixture fractions below bucket resolution (1/{buckets}) for "
+            f"{sorted(too_fine)}: these groups would contribute zero rows. "
+            "Raise `buckets`, or rethink a mixture this extreme."
+        )
     return stratified_hash_sample(df, group_col, fracs, key, seed, buckets)
 
 

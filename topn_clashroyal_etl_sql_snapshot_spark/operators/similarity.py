@@ -545,7 +545,15 @@ def _weighted_kmeanspp(cands, weights, k: int, lloyd_iters: int = 10):
         d2 = np.minimum(d2, 2.0 * np.clip(1.0 - X @ X[nxt], 0.0, None))
     C = X[chosen].copy()
     for _ in range(lloyd_iters):
-        assign = np.argmax(X @ C.T, axis=1)
+        # assign by COSINE (divide by center norms): after the first
+        # weighted-mean update centers are interior points with UNEQUAL
+        # norms, and a raw-dot argmax would pull boundary candidates
+        # toward whichever center has the larger norm — a different
+        # objective than _nearest_centroids' cosine assignment
+        # (r7 review finding)
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        assign = np.argmax((X @ C.T) / cn, axis=1)
         newC = C.copy()
         for j in range(k):
             mask = assign == j

@@ -729,7 +729,10 @@ def embedding_neardup_pairs(spark, sf_dir):
     bit-for-bit via the generated CTE chain (plans/xxh64_sql.py) AND
     the count-derived threshold (same integer expression), so the
     driver hash-checks sample membership AND the pair cosines. The
-    strict-threshold scale plan remains ``embedding_lsh_neardup``."""
+    oracle models the FIXED-bucket regime, valid while count(embeddings)
+    ≤ 100·target = 50 000 — every driver sf sits ≥ 8× under that bound
+    (the operator's bucket-space growth above it is pytest-pinned).
+    The strict-threshold scale plan remains ``embedding_lsh_neardup``."""
     from ..operators import sampling
 
     emb = read_testdata(spark, sf_dir, "embeddings")

@@ -78,6 +78,12 @@ def curate_stream(
     stream. Documents too short to score (NULL avg) PASS the LM gate:
     the length/quality gates own them, mirroring ``lm_perplexity``'s
     contract. Adds ``avg_logprob``/``ppl`` columns when enabled."""
+    if max_ppl is not None and lm_model is None:
+        raise ValueError(
+            "max_ppl was set but lm_model is None — the perplexity gate "
+            "needs a model; without this check the gate would silently "
+            "not exist"
+        )
     cleaned = docs.withColumn(
         "text", cl.scrub_pii(cl.clean_text(F.col("text")))
     )
