@@ -793,18 +793,6 @@ def docs_with_split(spark, sf_dir):
     )
 
 
-@register(
-    "docs_per_group_cap",
-    """
-    SELECT doc_id, source, n_chars FROM (
-      SELECT doc_id, source, n_chars,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY n_chars DESC, doc_id) AS rn
-      FROM documents
-    ) t WHERE rn <= 5
-    ORDER BY source, doc_id
-    """,
-)
 def docs_per_group_cap(spark, sf_dir):
     """Per-group contribution cap: at most 5 documents per source,
     keeping the longest (ties broken by doc_id — the ordering is total,
@@ -812,7 +800,15 @@ def docs_per_group_cap(spark, sf_dir):
     assembly: no one domain/source dominates the training mix. One
     exchange on the group key; rank-only window, and post-cap every
     group is ≤ k rows — the operator REMOVES downstream skew
-    (operators/sampling.py per_group_cap)."""
+    (operators/sampling.py per_group_cap).
+
+    UNREGISTERED in r7 (50-row cap rotation): its row_number-top-k
+    window shape is already driver-checked by
+    ``window_top_orders_per_customer`` (same plan, orders table), and
+    the richer fractional form (`per_group_quantile_cap`) carries a
+    DuckDB window oracle in tests/test_sampling.py. Slot went to
+    ``docs_dedup_lines`` — a whole operator family (C4 corpus-level
+    line dedup) the driver had never checked."""
     from ..operators.sampling import per_group_cap
 
     docs = read_testdata(spark, sf_dir, "documents")
@@ -820,6 +816,106 @@ def docs_per_group_cap(spark, sf_dir):
         docs, ["source"], [F.desc("n_chars"), F.asc("doc_id")], k=5
     )
     return capped.select("doc_id", "source", "n_chars").orderBy("source", "doc_id")
+
+
+_LINES_MIN_CHARS = 10
+_LINES_COPY_OFFSET = 1_000_000
+
+# The synthetic documents carry no newlines and no corpus-duplicated
+# lines, so the registered query CONSTRUCTS the regime the operator
+# exists for, deterministically, from the table itself: each non-null
+# document becomes four lines — its full text (unique), a per-source
+# banner (duplicated across every doc of that source — the kill path),
+# a short "--" separator (exempt), and its 40-char prefix (shared
+# whenever templated texts share prefixes) — and the whole corpus is
+# unioned with an id-shifted copy, so every line of the copy is a
+# corpus-level duplicate. NULL-concat propagates NULLs identically in
+# both engines (F.concat, not concat_ws, which SKIPS nulls).
+_LINES_DOC_SQL = (
+    "text || chr(10) || 'source banner for ' || source || chr(10) || "
+    "'--' || chr(10) || substring(text, 1, 40)"
+)
+
+_DEDUP_LINES_SQL = f"""
+    WITH docs2 AS (
+      SELECT doc_id, {_LINES_DOC_SQL} AS text FROM documents
+      UNION ALL
+      SELECT doc_id + {_LINES_COPY_OFFSET} AS doc_id, {_LINES_DOC_SQL} AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i - 1 AS idx, ls[i] AS line
+      FROM (
+        SELECT doc_id,
+               string_split(replace(text, chr(13) || chr(10), chr(10)), chr(10)) AS ls
+        FROM docs2 WHERE text IS NOT NULL
+      ), UNNEST(generate_series(1, len(ls))) AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, idx,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+      FROM lines WHERE length(trim(line)) >= {_LINES_MIN_CHARS}
+    ),
+    kept AS (
+      SELECT l.doc_id, l.idx, l.line,
+             (r.rn IS NULL OR r.rn = 1) AS keep
+      FROM lines l
+      LEFT JOIN ranked r ON l.doc_id = r.doc_id AND l.idx = r.idx
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx)
+               FILTER (WHERE keep) AS clean_text,
+             COUNT(*) FILTER (WHERE keep) AS n_lines_kept,
+             COUNT(*) FILTER (WHERE NOT keep) AS n_lines_dropped
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NOT NULL
+                THEN md5(COALESCE(r.clean_text, '')) END AS clean_md5,
+           COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+           COALESCE(r.n_lines_dropped, 0) AS n_lines_dropped
+    FROM docs2 d LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@register("docs_dedup_lines", _DEDUP_LINES_SQL)
+def docs_dedup_lines(spark, sf_dir):
+    """C4-style corpus-level line dedup (dedup.dedup_lines_corpus) over
+    a constructed multi-line corpus (see the SQL constant's comment):
+    every rebuilt document's full content is md5-checked, so the
+    min-(doc, idx) keep decision, the short-line exemption, the kill
+    of every cross-copy duplicate, and the positional rebuild are all
+    hash-verified line-for-line. Scale: one line-key min-aggregation
+    (128-bit composite key; partial agg absorbs the banner's hot key
+    map-side), a no-fan-out key join, a doc-keyed rebuild."""
+    from ..operators import dedup as dd
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.lit("source banner for "),
+            F.col("source"),
+            F.lit("\n--\n"),
+            F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    corpus = built.unionAll(
+        built.select(
+            (F.col("doc_id") + _LINES_COPY_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    out = dd.dedup_lines_corpus(corpus, min_line_chars=_LINES_MIN_CHARS)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    ).orderBy("doc_id")
 
 
 @register(
