@@ -193,3 +193,50 @@ def test_per_group_cap_single_exchange_no_python(spark):
     shuffles = re.findall(r"[+:]- Exchange", plan)
     assert len(shuffles) == 1, f"expected 1 shuffle in per-group cap:\n{plan}"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r7_registered_rows_plan_pins(spark):
+    """Registered-query-level plan audit for the r7 rows: no cartesian
+    anywhere, no Python eval nodes in any row path, the LM row's model
+    joins broadcast, and the quantile gate is a one-exchange window."""
+    import re
+
+    from topn_clashroyal_etl_sql_snapshot_spark.plans import llm_queries as q
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (
+        q.semantic_neardup_pairs,
+        q.lm_perplexity,
+        q.chunk_by_chars,
+        q.docs_dedup_lines,
+    ):
+        plan = _plan(fn(spark, sf))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
+    lm_plan = _plan(q.lm_perplexity(spark, sf))
+    assert "BroadcastHashJoin" in lm_plan
+
+
+def test_per_group_quantile_cap_single_exchange_no_python(spark):
+    """The fractional gate computes rank AND group size in ONE window
+    exchange — adding the count must not buy a second shuffle."""
+    import re
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        per_group_quantile_cap,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("source"),
+        (F.col("id") % 977).alias("score"),
+    )
+    out = per_group_quantile_cap(
+        docs, ["source"], [F.desc("score"), F.asc("doc_id")], 0.3
+    )
+    plan = _plan(out)
+    shuffles = re.findall(r"[+:]- Exchange", plan)
+    assert len(shuffles) == 1, f"expected 1 shuffle in quantile cap:\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
