@@ -188,3 +188,85 @@ def test_margin_expr_weight_fuse(spark):
     model = classifier.train_hashed_logistic(docs, "y", epochs=3)
     with pytest.raises(ValueError, match="max_weights"):
         classifier.margin_expr(model, max_weights=1)
+
+
+def test_batched_ovr_equals_sequential_fits_exactly(spark):
+    """The batched OVR trainer advances every class per epoch in two
+    shared aggregations; because the per-class problems are
+    independent, its models must equal per-class train_hashed_logistic
+    runs EXACTLY — same integer weights, same biases."""
+    rng = random.Random(13)
+    vocabs = {
+        "en": "the and of to in".split(),
+        "de": "der die und das ist".split(),
+    }
+    rows = []
+    i = 0
+    for lang, words in vocabs.items():
+        for _ in range(20):
+            rows.append((i, " ".join(rng.choice(words) for _ in range(10)), lang))
+            i += 1
+    rows.append((i, None, "en"))  # NULL doc exercises the bias path
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    nb = 1 << 12
+    ovr = classifier.train_hashed_logistic_ovr(
+        docs, "lang", epochs=5, n_buckets=nb
+    )
+    feats = classifier.hashed_features(docs, nb)
+    for cls in ovr["classes"]:
+        seq = classifier.train_hashed_logistic(
+            docs.withColumn("_y", (F.col("lang") == cls).cast("int")),
+            "_y",
+            epochs=5,
+            n_buckets=nb,
+            feats=feats,
+        )
+        assert ovr["models"][cls] == seq, cls
+
+
+def test_ovr_job_count_independent_of_class_count(spark):
+    """The batched trainer's scale contract: doubling the class count
+    must not grow the number of Spark jobs (sequential OVR would)."""
+    rng = random.Random(21)
+    rows = [
+        (i, " ".join(rng.choice("aa bb cc dd ee ff gg hh".split()) for _ in range(8)),
+         f"c{i % 6}")
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    docs.count()
+    sc = spark.sparkContext
+
+    def jobs_for(classes):
+        group = f"ovr-{len(classes)}"
+        sc.setJobGroup(group, "ovr job-count pin")
+        try:
+            classifier.train_hashed_logistic_ovr(
+                docs, "lang", classes=classes, epochs=3, n_buckets=1 << 10
+            )
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j2 = jobs_for(["c0", "c1"])
+    j6 = jobs_for(["c0", "c1", "c2", "c3", "c4", "c5"])
+    assert j6 <= j2 + 2, (j2, j6)
+
+
+def test_ovr_grad_rows_fuse(spark):
+    docs = _mk_docs(spark, n=20)
+    with pytest.raises(ValueError, match="max_grad_rows"):
+        classifier.train_hashed_logistic_ovr(
+            docs, "y", classes=[0, 1], epochs=1, max_grad_rows=10
+        )
+
+
+def test_ovr_scorer_rejects_mismatched_models(spark):
+    docs = _mk_docs(spark, n=20)
+    ovr = classifier.train_hashed_logistic_ovr(
+        docs, "y", classes=[0, 1], epochs=2, n_buckets=1 << 10
+    )
+    ovr["models"][1]["n_buckets"] = 1 << 11
+    with pytest.raises(ValueError, match="different feature parameters"):
+        classifier.score_hashed_logistic_ovr(docs, ovr)

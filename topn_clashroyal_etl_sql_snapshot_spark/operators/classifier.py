@@ -331,42 +331,153 @@ def train_hashed_logistic_ovr(
     docs: DataFrame,
     label_col: str,
     classes: list[str] | None = None,
-    **kwargs,
+    n_buckets: int = 1 << 18,
+    epochs: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
+    bigrams: bool = True,
+    feats: DataFrame | None = None,
+    max_grad_rows: int = 10_000_000,
 ) -> dict:
-    """One-vs-rest multiclass: one binary fit per class over the SAME
-    checkpointed FEATURE frame — the tokenize/hash/bigram/groupBy pass
-    runs once, not once per class (only the labels differ between
-    fits; r7 review finding). Returns ``{"classes": [...], "models":
-    {cls: model}}``. Class list defaults to the distinct labels,
-    sorted — deterministic."""
-    id_col = kwargs.get("id_col", "doc_id")
-    text_col = kwargs.get("text_col", "text")
+    """One-vs-rest multiclass, BATCHED: every class's binary problem
+    advances through each epoch in the SAME two aggregations — the
+    per-(doc, class) error pass and the per-(class, feature) gradient
+    pass — so job count is O(epochs), independent of the class count
+    (a sequential per-class loop is O(C·epochs) driver round-trips; a
+    50-language gate would pay 1500 rounds). The per-class problems
+    are mathematically independent, so this produces EXACTLY the
+    models the sequential loop would — same integer arithmetic, same
+    update order — which the tests pin by equality against per-class
+    :func:`train_hashed_logistic` runs.
+
+    Returns ``{"classes": [...], "models": {cls: model}}``; class list
+    defaults to the distinct labels, sorted — deterministic. The
+    feature pass runs ONCE (shared checkpointed frame). Driver pulls
+    per epoch are bounded by C × observed-buckets gradient rows —
+    fused up front via ``max_grad_rows`` (one distinct-count job);
+    beyond it, shard the class list across calls."""
+    spark = docs.sparkSession
     if classes is None:
         classes = sorted(
             r[label_col]
             for r in docs.select(label_col).distinct().collect()
             if r[label_col] is not None
         )
-    toks = kwargs.pop("toks", None)
-    feats = kwargs.pop("feats", None)
     if feats is None:
         feats = hashed_features(
-            docs,
-            kwargs.get("n_buckets", 1 << 18),
-            text_col,
-            id_col,
-            toks=toks,
-            bigrams=kwargs.get("bigrams", True),
+            docs, n_buckets, text_col, id_col, toks=toks, bigrams=bigrams
         ).localCheckpoint(eager=False)
-    models = {}
-    for cls in classes:
-        bin_docs = docs.withColumn(
-            "_y", (F.col(label_col) == cls).cast("int")
+    n_observed = feats.select("feat").distinct().count()
+    if len(classes) * n_observed > max_grad_rows:
+        raise ValueError(
+            f"{len(classes)} classes x {n_observed} observed feature buckets "
+            f"= {len(classes) * n_observed} gradient rows per epoch "
+            f"(> max_grad_rows={max_grad_rows}): shard the class list "
+            "across train_hashed_logistic_ovr calls, or shrink n_buckets."
         )
-        models[cls] = train_hashed_logistic(
-            bin_docs, "_y", feats=feats, **kwargs
+    labels = docs.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("_lbl")
+    ).localCheckpoint(eager=False)
+    stats = labels.join(
+        feats.groupBy("id").agg(F.sum("cnt").alias("mass")), "id", "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.avg("mass"), F.lit(1.0)).alias("avg_mass"),
+    ).collect()[0]
+    n_docs, avg_mass = stats["n_docs"], max(float(stats["avg_mass"]), 1.0)
+    empty = {
+        "n_buckets": n_buckets, "bigrams": bigrams,
+        "bias_micro": 0, "w_micro": {},
+    }
+    if n_docs == 0 or not classes:
+        return {"classes": classes, "models": {c: dict(empty) for c in classes}}
+    step = lr / (n_docs * avg_mass)
+
+    cls_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(classes)], "ci int, cls string"
+    )
+    ylab = (
+        labels.crossJoin(F.broadcast(cls_df))
+        .select(
+            "id", "ci", (F.col("_lbl") == F.col("cls")).cast("int").alias("y")
         )
-    return {"classes": classes, "models": models}
+        .localCheckpoint(eager=False)
+    )
+    w_micro: list[dict[int, int]] = [dict() for _ in classes]
+    bias_micro: list[int] = [0 for _ in classes]
+    for _ in range(epochs):
+        wrows = [
+            (ci, f_id, w)
+            for ci, wm in enumerate(w_micro)
+            for f_id, w in wm.items()
+        ]
+        if wrows:
+            wtab = F.broadcast(
+                spark.createDataFrame(wrows, "ci int, feat long, w_micro long")
+            )
+            margins = (
+                feats.join(wtab, "feat")
+                .groupBy("id", "ci")
+                .agg(F.sum(F.col("w_micro") * F.col("cnt")).alias("_mm"))
+            )
+            joined = ylab.join(margins, ["id", "ci"], "left")
+        else:
+            joined = ylab.withColumn("_mm", F.lit(None).cast("long"))
+        bias_tab = F.broadcast(
+            spark.createDataFrame(
+                list(enumerate(bias_micro)), "ci int, _bias long"
+            )
+        )
+        margin_micro = F.coalesce(F.col("_mm"), F.lit(0)) + F.col("_bias")
+        sig = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-margin_micro.cast("double") / F.lit(1e6))
+        )
+        errs = joined.join(bias_tab, "ci").select(
+            "id",
+            "ci",
+            F.round((sig - F.col("y")) * F.lit(MICRO))
+            .cast("long")
+            .alias("err_micro"),
+        ).localCheckpoint(eager=False)
+        grad_rows = (
+            feats.join(errs, "id")
+            .groupBy("ci", "feat")
+            .agg(F.sum(F.col("err_micro") * F.col("cnt")).alias("g"))
+            .collect()
+        )
+        bias_rows = {
+            r["ci"]: r["g"] or 0
+            for r in errs.groupBy("ci").agg(F.sum("err_micro").alias("g")).collect()
+        }
+        for r in grad_rows:
+            ci, f_id, g = r["ci"], r["feat"], r["g"]
+            w = w_micro[ci].get(f_id, 0) / MICRO
+            w -= step * (g / MICRO) + lr * l2 * w
+            q = round(w * MICRO)
+            if q:
+                w_micro[ci][f_id] = q
+            else:
+                w_micro[ci].pop(f_id, None)
+        for ci in range(len(classes)):
+            b = bias_micro[ci] / MICRO - (lr / n_docs) * (
+                bias_rows.get(ci, 0) / MICRO
+            )
+            bias_micro[ci] = round(b * MICRO)
+    return {
+        "classes": classes,
+        "models": {
+            cls: {
+                "n_buckets": n_buckets,
+                "bigrams": bigrams,
+                "bias_micro": bias_micro[ci],
+                "w_micro": dict(w_micro[ci]),
+            }
+            for ci, cls in enumerate(classes)
+        },
+    }
 
 
 def score_hashed_logistic_ovr(
@@ -382,6 +493,17 @@ def score_hashed_logistic_ovr(
     class's scorer (all models share n_buckets/bigrams by
     construction); the per-class margin frames join on the doc id."""
     first = ovr["models"][ovr["classes"][0]]
+    for cls in ovr["classes"]:
+        m = ovr["models"][cls]
+        if (m["n_buckets"], m["bigrams"]) != (
+            first["n_buckets"],
+            first["bigrams"],
+        ):
+            raise ValueError(
+                f"model for class {cls!r} was fit with different feature "
+                "parameters (n_buckets/bigrams) — the shared feature pass "
+                "would silently score it wrong"
+            )
     feats = hashed_features(
         docs,
         first["n_buckets"],
