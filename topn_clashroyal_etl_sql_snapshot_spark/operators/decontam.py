@@ -138,29 +138,8 @@ def contamination_spans(
     )
     bench_sh = benchmark_ngrams(benchmark, text_col, id_col, n)
     hits = grams.join(F.broadcast(bench_sh), "sh", "left_semi")
-
-    # gaps-and-islands: running max end over PRECEDING matches; a hit
-    # whose pos exceeds it starts a new island
-    w_prev = W.partitionBy("id").orderBy("pos").rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    w_run = W.partitionBy("id").orderBy("pos")
-    marked = hits.withColumn(
-        "_new",
-        F.when(
-            F.col("pos") > F.coalesce(F.max(F.col("pos") + n).over(w_prev), F.lit(-1)),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn("_island", F.sum("_new").over(w_run))
-    return (
-        marked.groupBy(F.col("id").alias(id_col), "_island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + n).alias("span_end"),
-            F.count(F.lit(1)).alias("n_grams_in_span"),
-        )
-        .drop("_island")
-    )
+    # gaps-and-islands merge shared with exact-substring dedup
+    return dedup.merge_position_islands(hits.select("id", "pos"), n, id_col)
 
 
 def excise_contaminated(
@@ -197,52 +176,9 @@ def excise_contaminated(
     token text an empty one, both with zero counts (without this,
     such docs silently vanished — r6 ADVICE finding)."""
     spans = contamination_spans(corpus, benchmark, text_col, id_col, n, toks=toks)
-    stream = dedup.token_stream(corpus, text_col, id_col, toks=toks)
-    joined = stream.join(
-        spans.select(
-            F.col(id_col).alias("id"), "span_start", "span_end"
-        ),
-        "id",
-        "left",
-    )
-    per_token = joined.groupBy("id", "pos").agg(
-        F.first("tok").alias("tok"),
-        F.max(
-            F.when(
-                (F.col("pos") >= F.col("span_start"))
-                & (F.col("pos") < F.col("span_end")),
-                1,
-            ).otherwise(0)
-        ).alias("covered"),
-    )
-    rebuilt = per_token.groupBy(F.col("id").alias(id_col)).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.when(
-                            F.col("covered") == 0,
-                            F.struct(F.col("pos"), F.col("tok")),
-                        )
-                    )
-                ),
-                lambda s: s["tok"],
-            ),
-        ).alias(out_col),
-        F.count_if(F.col("covered") == 0).alias("n_tokens_kept"),
-        F.count_if(F.col("covered") == 1).alias("n_tokens_dropped"),
-    )
-    base = corpus.select(
-        F.col(id_col), F.col(text_col).isNotNull().alias("_has_text")
-    )
-    return base.join(rebuilt, id_col, "left").select(
-        id_col,
-        F.when(
-            F.col("_has_text"), F.coalesce(F.col(out_col), F.lit(""))
-        ).alias(out_col),
-        F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
-        F.coalesce("n_tokens_dropped", F.lit(0)).alias("n_tokens_dropped"),
+    # excision tail shared with dedup.exact_substring_excise
+    return dedup.excise_token_spans(
+        corpus, spans, text_col, id_col, toks, out_col
     )
 
 

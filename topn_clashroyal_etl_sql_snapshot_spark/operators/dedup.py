@@ -185,6 +185,195 @@ def dedup_lines_corpus(
     )
 
 
+def merge_position_islands(hits: DataFrame, n: int, id_col: str = "id") -> DataFrame:
+    """(id_col, span_start, span_end, n_grams_in_span) from an
+    (id, pos) hit stream where each hit covers token interval
+    [pos, pos+n): the classic gaps-and-islands merge as window algebra
+    — a hit opens a new island iff its position exceeds the running
+    max span end of earlier hits. One doc-keyed exchange; shared by
+    benchmark-decontamination spans and exact-substring dedup spans."""
+    from pyspark.sql import Window as W
+
+    w_prev = W.partitionBy("id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_run = W.partitionBy("id").orderBy("pos")
+    marked = hits.withColumn(
+        "_new",
+        F.when(
+            F.col("pos") > F.coalesce(F.max(F.col("pos") + n).over(w_prev), F.lit(-1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_island", F.sum("_new").over(w_run))
+    return (
+        marked.groupBy(F.col("id").alias(id_col), "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams_in_span"),
+        )
+        .drop("_island")
+    )
+
+
+def excise_token_spans(
+    corpus: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """(id_col, out_col, n_tokens_kept, n_tokens_dropped): every corpus
+    document rebuilt from its token stream minus the tokens covered by
+    ``spans`` (``(id_col, span_start, span_end)`` token intervals,
+    end-exclusive). The shared excision tail of span-producing
+    operators (benchmark decontamination, exact-substring dedup);
+    fidelity caveat and full-row contract as documented at
+    ``decontam.excise_contaminated`` (NULL text → NULL out_col,
+    zero-token text → empty, both zero counts)."""
+    stream = token_stream(corpus, text_col, id_col, toks=toks)
+    joined = stream.join(
+        spans.select(F.col(id_col).alias("id"), "span_start", "span_end"),
+        "id",
+        "left",
+    )
+    per_token = joined.groupBy("id", "pos").agg(
+        F.first("tok").alias("tok"),
+        F.max(
+            F.when(
+                (F.col("pos") >= F.col("span_start"))
+                & (F.col("pos") < F.col("span_end")),
+                1,
+            ).otherwise(0)
+        ).alias("covered"),
+    )
+    rebuilt = per_token.groupBy(F.col("id").alias(id_col)).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("covered") == 0,
+                            F.struct(F.col("pos"), F.col("tok")),
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias(out_col),
+        F.count_if(F.col("covered") == 0).alias("n_tokens_kept"),
+        F.count_if(F.col("covered") == 1).alias("n_tokens_dropped"),
+    )
+    base = corpus.select(
+        F.col(id_col), F.col(text_col).isNotNull().alias("_has_text")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.when(
+            F.col("_has_text"), F.coalesce(F.col(out_col), F.lit(""))
+        ).alias(out_col),
+        F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+        F.coalesce("n_tokens_dropped", F.lit(0)).alias("n_tokens_dropped"),
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_grams_in_span): the merged
+    token intervals of every NON-CANONICAL occurrence of a repeated
+    ≥ ``min_tokens``-token substring, corpus-wide — the ExactSubstr
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed relationally: their
+    suffix-array pass finds substrings of ≥ 50 tokens that repeat
+    anywhere in the corpus and keeps one copy; here, a substring of
+    length M ≥ L repeats iff all of its M−L+1 positional L-grams
+    repeat, so duplicated-gram positions ARE the repeated regions, and
+    the gaps-and-islands merge recovers the maximal spans without any
+    suffix array.
+
+    Canonical copy: for each duplicated gram, the minimum (doc id,
+    position) occurrence is exempt, so exactly one copy of every
+    repeated region survives excision (deterministic, replay-stable —
+    Lee et al. keep an arbitrary one). When a region repeats 3+ times
+    with partial overlaps, canonical grams can spread across documents
+    and excision is slightly conservative (keeps a little more than
+    one copy) — never destructive. Self-repeats WITHIN a document
+    excise the same way (their first occurrence is the canonical).
+
+    Plan: positional L-grams via the window-lead stream (one doc-keyed
+    exchange) keyed by a 128-bit two-lane hash (the line-dedup
+    collision argument, squared — gram count ≈ corpus token count) →
+    ONE groupBy over the gram key computing (count, min (id, pos)) —
+    partial agg absorbs hot boilerplate grams map-side → inner join
+    back (no fan-out) filtered to non-canonical occurrences of
+    count > 1 grams → shared islands merge. Memory note: at L = 50 the
+    gram string itself never ships — only its two hash lanes."""
+    stream = token_stream(docs, text_col, id_col, toks=toks)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, min_tokens)
+    ]
+    g = F.concat_ws(" ", *leads)
+    grams = (
+        stream.select(
+            "id",
+            "pos",
+            F.xxhash64(g).alias("h"),
+            F.xxhash64(F.lit(1).cast("long"), g).alias("h2"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("id", "pos", "h", "h2")
+    )
+    grams = grams.localCheckpoint(eager=False)
+    dup = (
+        grams.groupBy("h", "h2")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("id", "pos")).alias("_first"),
+        )
+        .filter(F.col("_n") > 1)
+    )
+    hits = (
+        grams.join(dup, ["h", "h2"])
+        .filter(
+            (F.col("_first.id") != F.col("id"))
+            | (F.col("_first.pos") != F.col("pos"))
+        )
+        .select("id", "pos")
+    )
+    return merge_position_islands(hits, min_tokens, id_col)
+
+
+def exact_substring_excise(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """ExactSubstr dedup end-to-end (Lee et al. 2022): every corpus
+    document with its non-canonical repeated-substring spans REMOVED —
+    (doc_id, out_col, n_tokens_kept, n_tokens_dropped), one output row
+    per input document. Composes :func:`exact_substring_spans` with
+    the shared span-excision tail; tokenized-text fidelity caveat as
+    at ``decontam.excise_contaminated``."""
+    if toks is None:
+        toks = token_arrays(docs, text_col, id_col).localCheckpoint(eager=False)
+    spans = exact_substring_spans(docs, min_tokens, text_col, id_col, toks=toks)
+    return excise_token_spans(docs, spans, text_col, id_col, toks, out_col)
+
+
 # ---------------------------------------------------------------------------
 # Shingle-Jaccard (exact) via inverted index
 # ---------------------------------------------------------------------------
