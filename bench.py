@@ -54,6 +54,9 @@ def main() -> None:
     # nothing) but stays in the bench: it times the sketch+bucket-join
     # pruning regime that the sampled-exact query doesn't exercise.
     qs["embedding_lsh_neardup"] = llm_queries.embedding_lsh_neardup
+    # ExactSubstr dedup: pytest-oracled (registry is at cap), timed here
+    # so the new family's cost is on record per round.
+    qs["docs_exact_substring"] = llm_queries.docs_exact_substring
 
     # Warm the JVM/codegen path once so per-query timings measure the
     # queries, not first-call JIT + parquet footer reads.

@@ -1154,3 +1154,18 @@ def semantic_neardup_pairs(spark, sf_dir):
     return similarity.semantic_neardup_pairs(
         emb, threshold=_SEM_THRESHOLD, n_assign=1, centroids=cents
     ).orderBy("id1", "id2")
+
+
+def docs_exact_substring(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022) over the documents corpus at
+    a 13-token threshold (the synthetic docs run ~30-60 tokens, so the
+    paper's 50-token default would find nothing to measure). NOT
+    registered for the driver — the registry is at its 50-row cap and
+    the operator's semantics are pinned against a pure-Python oracle
+    in tests/test_exact_substring.py — but timed in the bench so the
+    gram-aggregation + islands + excision cost is on record per round.
+    Shares the session tokenize cache with the dedup family."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dedup.exact_substring_excise(
+        docs, min_tokens=13, toks=_toks_cached(spark, sf_dir)
+    ).orderBy("doc_id")
