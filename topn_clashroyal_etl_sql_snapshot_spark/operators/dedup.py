@@ -307,28 +307,44 @@ def exact_substring_spans(
     one copy) — never destructive. Self-repeats WITHIN a document
     excise the same way (their first occurrence is the canonical).
 
-    Plan: positional L-grams via the window-lead stream (one doc-keyed
-    exchange) keyed by a 128-bit two-lane hash (the line-dedup
-    collision argument, squared — gram count ≈ corpus token count) →
+    Plan: each token hashes ONCE to two independent 64-bit lanes, and
+    the positional L-gram key is xxhash64 over the L lead values of
+    each lane — L long leads per position instead of an L-token string
+    concat (at the paper's L = 50 the concat form allocates ~300
+    bytes/position and re-reads every token 50×; the long form
+    processes a fixed 8 bytes/lead with no string churn). The key is
+    128-bit by construction (a false gram match needs simultaneous
+    collisions in two independently-seeded lanes — the line-dedup
+    argument, squared, since gram count ≈ corpus token count). Then
     ONE groupBy over the gram key computing (count, min (id, pos)) —
     partial agg absorbs hot boilerplate grams map-side → inner join
     back (no fan-out) filtered to non-canonical occurrences of
-    count > 1 grams → shared islands merge. Memory note: at L = 50 the
-    gram string itself never ships — only its two hash lanes."""
+    count > 1 grams → shared islands merge. One doc-keyed exchange
+    serves the lead window; the gram text never exists, let alone
+    ships."""
     stream = token_stream(docs, text_col, id_col, toks=toks)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("id").orderBy("pos")
-    leads = [F.col("tok")] + [
-        F.lead("tok", j).over(w) for j in range(1, min_tokens)
+    th = stream.select(
+        "id",
+        "pos",
+        F.struct(
+            F.xxhash64("tok").alias("a"),
+            F.xxhash64(F.lit(1).cast("long"), F.col("tok")).alias("b"),
+        ).alias("_th"),
+    )
+    leads = [F.col("_th")] + [
+        F.lead("_th", j).over(w) for j in range(1, min_tokens)
     ]
-    g = F.concat_ws(" ", *leads)
     grams = (
-        stream.select(
+        th.select(
             "id",
             "pos",
-            F.xxhash64(g).alias("h"),
-            F.xxhash64(F.lit(1).cast("long"), g).alias("h2"),
+            F.xxhash64(*[ld["a"] for ld in leads]).alias("h"),
+            F.xxhash64(F.lit(1).cast("long"), *[ld["b"] for ld in leads]).alias(
+                "h2"
+            ),
             leads[-1].alias("_last"),
         )
         .filter(F.col("_last").isNotNull())
