@@ -686,3 +686,79 @@ def test_decoders_never_raise_on_fuzzed_bytes():
     for payload in payloads:
         for dec in decoders:
             dec(payload)  # must not raise; return value unconstrained
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (pHash)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_pixels(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Low-frequency test image (pHash is a low-frequency descriptor —
+    white noise has no structure for it to hold on to)."""
+    coarse = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    return np.repeat(np.repeat(coarse, h // 8, axis=0), w // 8, axis=1)
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_invariances_and_separation():
+    rng = np.random.default_rng(23)
+    base = _smooth_pixels(rng, 32, 32)
+    h_base = mm.phash64(base)
+
+    # identical pixels, different container: identical hash
+    assert mm.phash64(base.copy()) == h_base
+
+    # mild noise: a few bits at most
+    noised = base.astype(np.int16) + rng.integers(-8, 9, size=base.shape)
+    noised = noised.clip(0, 255).astype(np.uint8)
+    assert _hamming(mm.phash64(noised), h_base) <= 10
+
+    # global brightness shift: DC-excluded median keeps the hash close
+    brighter = (base.astype(np.int16) + 40).clip(0, 255).astype(np.uint8)
+    assert _hamming(mm.phash64(brighter), h_base) <= 10
+
+    # resize (same content at another resolution): close
+    big = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
+    assert _hamming(mm.phash64(big), h_base) <= 10
+
+    # distinct structured images: far apart
+    other = _smooth_pixels(rng, 32, 32)
+    assert _hamming(mm.phash64(other), h_base) > 16
+
+
+def test_image_neardup_pairs_finds_planted_pair(spark):
+    rng = np.random.default_rng(31)
+    base = _smooth_pixels(rng, 32, 32)
+    noised = (
+        (base.astype(np.int16) + rng.integers(-4, 5, size=base.shape))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    others = [_smooth_pixels(rng, 32, 32) for _ in range(6)]
+    rows = [
+        (1, "image", "image/bmp", _encode_bmp(base), 32, 32, None),
+        (2, "image", "image/bmp", _encode_bmp(noised), 32, 32, None),
+        (3, "image", "image/bmp", b"\x00corrupt", None, None, None),
+        (4, "audio", "audio/wav", b"RIFF", None, None, 100),
+    ] + [
+        (10 + i, "image", "image/bmp", _encode_bmp(o), 32, 32, None)
+        for i, o in enumerate(others)
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    hashes = {r["media_id"]: r["phash"] for r in mm.image_phashes(media).collect()}
+    assert hashes[3] is None  # corrupt -> NULL, never a crash
+    assert 4 not in hashes    # non-image rows never decode
+    assert hashes[1] is not None and hashes[2] is not None
+
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in mm.image_neardup_pairs(media, max_hamming=10, chunks=11).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 10
+    # unrelated images don't pair with the planted ones
+    assert all({a, b} == {1, 2} for a, b in got), got

@@ -860,3 +860,117 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (pHash)
+# ---------------------------------------------------------------------------
+
+_PHASH_DCT = None
+
+
+def _phash_dct_matrix() -> np.ndarray:
+    """Orthonormal 32×32 DCT-II basis (same construction as jpeg._A at
+    8×8), cached — the pHash transform is two matrix products."""
+    global _PHASH_DCT
+    if _PHASH_DCT is None:
+        n = 32
+        A = np.zeros((n, n))
+        for u in range(n):
+            cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+            for x in range(n):
+                A[u, x] = cu * np.sqrt(2.0 / n) * np.cos(
+                    (2 * x + 1) * u * np.pi / (2 * n)
+                )
+        _PHASH_DCT = A
+    return _PHASH_DCT
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (the public pHash scheme, as in the
+    pHash.org / imagehash formulation): grayscale → 32×32 block-average
+    → 2D DCT-II → the top-left 8×8 low-frequency block → each bit is
+    that coefficient vs the MEDIAN of the 63 non-DC coefficients (DC is
+    pure brightness; excluding it from the median makes the hash
+    brightness-shift tolerant, the property LAION-style image dedup
+    relies on). Returns a SIGNED 64-bit int (bit 63 rides the sign) so
+    the value drops straight into a Spark LongType column and
+    ``dedup.simhash_candidate_pairs``' pigeonhole machinery."""
+    gray = _to_rgb(arr).astype(np.float64).mean(axis=2)
+    # block-average to 32x32 with the same reduceat pooling as
+    # downsample_pixels, kept in float (rounding to uint8 first would
+    # quantize away low-contrast structure)
+    h, w = gray.shape
+    r_edges = (np.arange(32) * h) // 32
+    c_edges = (np.arange(32) * w) // 32
+    pooled = np.add.reduceat(
+        np.add.reduceat(gray, r_edges, axis=0), c_edges, axis=1
+    )
+    r_sizes = np.diff(np.append(r_edges, h)).clip(min=1)
+    c_sizes = np.diff(np.append(c_edges, w)).clip(min=1)
+    small = pooled / np.outer(r_sizes, c_sizes)
+    A = _phash_dct_matrix()
+    coef = (A @ small @ A.T)[:8, :8].flatten()
+    med = np.median(coef[1:])
+    bits = coef > med
+    v = 0
+    for i in range(64):
+        if bits[i]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_phashes(media: DataFrame) -> DataFrame:
+    """(media_id, phash): perceptual hash per decodable image row;
+    undecodable payloads get NULL. Same Arrow ``mapInPandas`` shape as
+    the other decoders — per-row CPU, no shuffle."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("phash", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                arr = decode_image_pixels(p)
+                out.append(None if arr is None else phash64(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    img = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return img.mapInPandas(run, schema)
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    chunks: int = 8,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs (id1, id2, hamming ≤
+    ``max_hamming``): pHash fingerprints fed through the SAME
+    pigeonhole candidate machinery as text SimHash
+    (``dedup.simhash_candidate_pairs`` — any pair within hamming ≤
+    chunks−1 is guaranteed a shared exact chunk; ``max_bucket`` bounds
+    hot-bucket volume). Unlike text SimHash there is no second verify
+    stage: pHash hamming IS the similarity verdict (the public pHash
+    dedup contract — re-encodes, mild noise, brightness shifts land
+    within a few bits; distinct images average ~32). The decode is the
+    expensive stage and runs once; candidates join on 8-bit chunk
+    keys. Defaults lean precision (hamming ≤ 6, radius-7 guarantee);
+    recall-leaning dedup uses ``max_hamming=10, chunks=11`` — the
+    pigeonhole guarantee needs chunks ≥ max_hamming+1."""
+    from . import dedup as dd
+
+    fps = image_phashes(media).filter(F.col("phash").isNotNull()).select(
+        F.col("media_id").alias("id"), F.col("phash").alias("sh64")
+    )
+    fps = fps.localCheckpoint(eager=False)
+    return dd.simhash_candidate_pairs(fps, max_hamming, chunks, max_bucket)
