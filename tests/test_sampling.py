@@ -447,3 +447,19 @@ def test_hash_sample_target_grows_buckets_at_scale(spark):
     # tiny bucket space would floor to 0 without growth
     n2 = sampling.hash_sample_target(df, "k", 500, buckets=100).count()
     assert 350 <= n2 <= 650, n2
+
+
+def test_unregistered_per_group_cap_query_still_runs(spark):
+    """docs_per_group_cap rotated out of the driver registry in r7 but
+    stays a callable query surface — keep it exercised so it cannot
+    silently rot (review finding)."""
+    from topn_clashroyal_etl_sql_snapshot_spark.plans.llm_queries import (
+        docs_per_group_cap,
+    )
+
+    rows = docs_per_group_cap(spark, "/root/testdata/sf0.001").collect()
+    assert rows and set(rows[0].asDict()) == {"doc_id", "source", "n_chars"}
+    per_source: dict[str, int] = {}
+    for r in rows:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert all(n <= 5 for n in per_source.values())

@@ -435,13 +435,19 @@ def train_hashed_logistic_ovr(
         sig = F.lit(1.0) / (
             F.lit(1.0) + F.exp(-margin_micro.cast("double") / F.lit(1e6))
         )
+        # NOT checkpointed: the two consumers below recompute the error
+        # pass, exactly like the sequential trainer — a per-epoch
+        # localCheckpoint would pin `epochs` materialized
+        # (n_docs × n_classes)-row frames in the block manager until
+        # GC + ContextCleaner caught up (review finding), and
+        # checkpoint blocks aren't releasable via DataFrame.unpersist
         errs = joined.join(bias_tab, "ci").select(
             "id",
             "ci",
             F.round((sig - F.col("y")) * F.lit(MICRO))
             .cast("long")
             .alias("err_micro"),
-        ).localCheckpoint(eager=False)
+        )
         grad_rows = (
             feats.join(errs, "id")
             .groupBy("ci", "feat")

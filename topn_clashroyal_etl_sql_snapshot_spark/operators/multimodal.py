@@ -566,10 +566,14 @@ def decode_image_pixels(payload: bytes | None) -> np.ndarray | None:
     return None
 
 
-def downsample_pixels(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Block-average resize (area interpolation) via two ``reduceat``
-    passes — exact mean over each output cell's source block, no codec
-    library. Upsampling repeats source pixels (blocks of size 1)."""
+def _block_mean(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Float block-average pooling via two ``reduceat`` passes — exact
+    mean over each output cell's source block, no codec library.
+    Upsampling repeats source pixels (blocks of size 1). Shared by
+    :func:`downsample_pixels` (uint8 thumbnails) and :func:`phash64`
+    (which must stay float: rounding to uint8 before the DCT would
+    quantize away low-contrast structure). Works on 2-D (gray) and
+    3-D (channel-last) arrays."""
     h, w = arr.shape[:2]
     r_edges = (np.arange(out_h) * h) // out_h
     c_edges = (np.arange(out_w) * w) // out_w
@@ -578,8 +582,16 @@ def downsample_pixels(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     )
     r_sizes = np.diff(np.append(r_edges, h)).clip(min=1)
     c_sizes = np.diff(np.append(c_edges, w)).clip(min=1)
-    counts = np.outer(r_sizes, c_sizes)[:, :, None]
-    return np.rint(pooled / counts).astype(np.uint8)
+    counts = np.outer(r_sizes, c_sizes)
+    if arr.ndim == 3:
+        counts = counts[:, :, None]
+    return pooled / counts
+
+
+def downsample_pixels(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Block-average resize (area interpolation) to uint8 — see
+    :func:`_block_mean` for the pooling."""
+    return np.rint(_block_mean(arr, out_h, out_w)).astype(np.uint8)
 
 
 def _to_rgb(arr: np.ndarray) -> np.ndarray:
@@ -897,18 +909,7 @@ def phash64(arr: np.ndarray) -> int:
     the value drops straight into a Spark LongType column and
     ``dedup.simhash_candidate_pairs``' pigeonhole machinery."""
     gray = _to_rgb(arr).astype(np.float64).mean(axis=2)
-    # block-average to 32x32 with the same reduceat pooling as
-    # downsample_pixels, kept in float (rounding to uint8 first would
-    # quantize away low-contrast structure)
-    h, w = gray.shape
-    r_edges = (np.arange(32) * h) // 32
-    c_edges = (np.arange(32) * w) // 32
-    pooled = np.add.reduceat(
-        np.add.reduceat(gray, r_edges, axis=0), c_edges, axis=1
-    )
-    r_sizes = np.diff(np.append(r_edges, h)).clip(min=1)
-    c_sizes = np.diff(np.append(c_edges, w)).clip(min=1)
-    small = pooled / np.outer(r_sizes, c_sizes)
+    small = _block_mean(gray, 32, 32)
     A = _phash_dct_matrix()
     coef = (A @ small @ A.T)[:8, :8].flatten()
     med = np.median(coef[1:])
