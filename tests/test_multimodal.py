@@ -762,3 +762,73 @@ def test_image_neardup_pairs_finds_planted_pair(spark):
     assert (1, 2) in got and got[(1, 2)] <= 10
     # unrelated images don't pair with the planted ones
     assert all({a, b} == {1, 2} for a, b in got), got
+
+
+# ---------------------------------------------------------------------------
+# Perceptual audio dedup (spectral band signature)
+# ---------------------------------------------------------------------------
+
+
+def _tone_mix(rng: np.random.Generator, rate: int, secs: float = 0.5) -> np.ndarray:
+    """Random 16-tone mixture — enough spectral structure that distinct
+    clips occupy distinct band patterns (4 sparse tones left most bands
+    at the noise floor and unrelated clips within a few bits)."""
+    t = np.arange(int(rate * secs)) / rate
+    freqs = rng.uniform(60, 3800, size=16)
+    amps = rng.uniform(0.05, 0.3, size=16)
+    x = sum(a * np.sin(2 * np.pi * f * t) for a, f in zip(amps, freqs))
+    return x.reshape(-1, 1)
+
+
+def test_audio_fingerprint_invariances_and_separation():
+    rng = np.random.default_rng(41)
+    rate = 16000
+    base = _tone_mix(rng, rate)
+    h_base = mm.audio_fingerprint64(base, rate)
+
+    # exact volume invariance: every band energy scales together
+    assert mm.audio_fingerprint64(base * 0.3, rate) == h_base
+
+    # s16 quantization (a re-encode): at most a couple of border bits
+    q = np.round(base * 32767) / 32767
+    assert _hamming(mm.audio_fingerprint64(q, rate), h_base) <= 4
+
+    # mild additive noise: close
+    noised = base + rng.normal(0, 0.01, size=base.shape)
+    assert _hamming(mm.audio_fingerprint64(noised, rate), h_base) <= 8
+
+    # different tone mixture: far
+    other = _tone_mix(rng, rate)
+    assert _hamming(mm.audio_fingerprint64(other, rate), h_base) > 8
+
+    # too short to frame
+    assert mm.audio_fingerprint64(base[:100], rate) is None
+
+
+def test_audio_neardup_pairs_finds_planted_pair(spark):
+    rng = np.random.default_rng(43)
+    rate = 16000
+    base = _tone_mix(rng, rate)
+    noised = base + rng.normal(0, 0.005, size=base.shape)
+    others = [_tone_mix(rng, rate) for _ in range(5)]
+    rows = [
+        (1, "audio", "audio/wav", _encode_wav(base, rate), None, None, 500),
+        (2, "audio", "audio/wav", _encode_wav(noised, rate), None, None, 500),
+        (3, "audio", "audio/wav", b"RIFFcorrupt", None, None, None),
+        (4, "image", "image/bmp", b"BMnope", None, None, None),
+    ] + [
+        (10 + i, "audio", "audio/wav", _encode_wav(o, rate), None, None, 500)
+        for i, o in enumerate(others)
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    fps = {r["media_id"]: r["afp"] for r in mm.audio_fingerprints(media).collect()}
+    assert fps[3] is None and 4 not in fps
+    assert fps[1] is not None and fps[2] is not None
+
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in mm.audio_neardup_pairs(media, max_hamming=6).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 6
+    assert all({a, b} == {1, 2} for a, b in got), got
