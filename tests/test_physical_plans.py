@@ -217,6 +217,36 @@ def test_r7_registered_rows_plan_pins(spark):
             assert "BroadcastHashJoin" in plan
 
 
+def test_r8_registered_rows_plan_pins(spark):
+    """Registered-query-level plan audit for the r8 rows: no cartesian,
+    no Python eval nodes; the wordlist scorer's weight table broadcasts;
+    bm25's only nested-loop join is the 1-row stats cross."""
+    from topn_clashroyal_etl_sql_snapshot_spark.plans import llm_queries as q
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (
+        q.docs_containment,
+        q.docs_term_quality,
+        q.docs_corpus_profile,
+        q.docs_bm25_topk,
+    ):
+        plan = _plan(fn(spark, sf))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
+        if fn is q.docs_term_quality:
+            assert "BroadcastHashJoin" in plan
+        if fn is q.docs_bm25_topk:
+            # formatted explain lists each node twice (tree + detail
+            # section) — one physical BNLJ node = the 1-row stats cross
+            import re
+
+            nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+            assert len(nodes) <= 1, plan
+        else:
+            assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
 def test_per_group_quantile_cap_single_exchange_no_python(spark):
     """The fractional gate computes rank AND group size in ONE window
     exchange — adding the count must not buy a second shuffle."""

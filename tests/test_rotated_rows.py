@@ -1,0 +1,93 @@
+"""Oracle parity for queries ROTATED OUT of the driver registry at the
+50-row cap (r8: dedup_trigram_jaccard, events_hourly_rollup,
+percentile_order_prices made room for the r7-crop rows). Rotation must
+not weaken verification: each rotated query keeps running here against
+the IDENTICAL DuckDB SQL it used to register with, at the same sf0.01
+the driver uses."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from topn_clashroyal_etl_sql_snapshot_spark.plans import (
+    llm_queries,
+    testdata_queries,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+_TRIGRAM_SQL = llm_queries._JACCARD_PAIRS_SQL
+
+_HOURLY_SQL = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+_PCTL_SQL = """
+    SELECT o_orderpriority,
+           CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+_WINDOW_SQL = """
+    SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) t
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """
+
+CASES = {
+    "window_top_orders_per_customer": (
+        testdata_queries.window_top_orders_per_customer,
+        _WINDOW_SQL,
+    ),
+    "dedup_trigram_jaccard": (llm_queries.dedup_trigram_jaccard, _TRIGRAM_SQL),
+    "events_hourly_rollup": (
+        testdata_queries.events_hourly_rollup,
+        _HOURLY_SQL,
+    ),
+    "percentile_order_prices": (
+        testdata_queries.percentile_order_prices,
+        _PCTL_SQL,
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("events", "orders", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_rotated_row_matches_oracle(spark, duck, name):
+    fn, sql = CASES[name]
+    spdf = fn(spark, SF_DIR).toPandas()
+    dpdf = duck.execute(sql).df()
+    assert sorted(spdf.columns) == sorted(dpdf.columns)
+    cols = sorted(spdf.columns)
+    s = spdf[cols].sort_values(cols).reset_index(drop=True)
+    d = dpdf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(s) == len(d), f"{name}: {len(s)} vs {len(d)} rows"
+    pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)

@@ -327,6 +327,82 @@ def margin_expr(model: dict, text_col: str = "text", max_weights: int = 20_000):
     ).cast("double") / F.lit(1e6)
 
 
+def score_term_weights(
+    docs: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
+    bigrams: bool = False,
+) -> DataFrame:
+    """(id_col, n_hits, margin_micro, margin): every document scored
+    against a CURATED term→weight list — the interpretable sibling of
+    :func:`score_hashed_logistic` for when the model is a hand-audited
+    wordlist rather than a trained weight vector (C4's badword filter,
+    Dolma's taxonomy gates, domain allow/deny lexicons). Same plan
+    shape as the hashed scorer: exploded terms ⋈ BROADCAST weight
+    table → one doc-keyed exact integer sum (weights quantized to
+    micro longs on the driver, so margins are partition-order
+    independent) → left join back so empty/NULL-text documents score
+    the bias alone with ``n_hits = 0``.
+
+    Unlike the hashed path the join key is the raw term STRING — no
+    collision surface, every contribution attributable to a listed
+    term (``n_hits`` counts matched term occurrences). Wordlists are
+    102-105 terms, so the broadcast is trivially small; hot terms cost
+    a hash-map probe, not a skewed shuffle. ``bigrams=True`` extends
+    matching to space-joined token bigrams ("hash table"), same as
+    :func:`hashed_features`."""
+    from . import dedup
+
+    spark = docs.sparkSession
+    if toks is None:
+        toks = dedup.token_arrays(docs, text_col, id_col)
+    terms = toks.select("id", F.explode("toks").alias("term"))
+    if bigrams:
+        n = F.size("toks")
+        big = toks.select(
+            "id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("term"),
+        )
+        terms = terms.unionAll(big)
+    bias_micro = int(round(bias * MICRO))
+    wtab = F.broadcast(
+        spark.createDataFrame(
+            [(t, int(round(w * MICRO))) for t, w in weights.items()],
+            "term string, w_micro long",
+        )
+    )
+    sums = (
+        terms.join(wtab, "term")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum("w_micro").alias("w_sum"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(sums, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            (
+                F.coalesce(F.col("w_sum"), F.lit(0).cast("long"))
+                + F.lit(bias_micro)
+            ).alias("margin_micro"),
+        )
+        .withColumn("margin", F.col("margin_micro").cast("double") / F.lit(1e6))
+    )
+
+
 def train_hashed_logistic_ovr(
     docs: DataFrame,
     label_col: str,

@@ -315,6 +315,210 @@ def text_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(docs, k=3, window=4).orderBy("doc_id")
 
 
+# Curated wordlist for the interpretable term-weight scorer row: terms
+# chosen from the synthetic corpus vocabulary so matches are dense at
+# every driver sf; the bigram entry exercises the bigram leg. Single
+# source of truth for BOTH sides — the Spark query passes the float
+# weights, the oracle inlines the identical micro quantization.
+_TERM_WEIGHTS = {
+    "fast": 2.0,
+    "slow": -2.0,
+    "small": 0.5,
+    "big": -0.5,
+    "spark": 1.0,
+    "customer": -0.25,
+    "hash table": 1.5,
+}
+_TERM_BIAS = 0.25
+
+
+def _term_quality_oracle_sql() -> str:
+    vals = ", ".join(
+        f"('{t}', {int(round(w * 1_000_000))})" for t, w in _TERM_WEIGHTS.items()
+    )
+    bias_micro = int(round(_TERM_BIAS * 1_000_000))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, toks[i] AS term
+      FROM base, UNNEST(generate_series(1, len(toks))) AS t(i)
+    ),
+    big AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS term
+      FROM base, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2
+    ),
+    terms AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+    w(term, w_micro) AS (VALUES {vals}),
+    s AS (
+      SELECT doc_id, COUNT(*) AS n_hits, SUM(w_micro) AS w_sum
+      FROM terms JOIN w USING (term) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_hits, 0) AS n_hits,
+           CAST(COALESCE(s.w_sum, 0) + {bias_micro} AS BIGINT) AS margin_micro,
+           CAST(COALESCE(s.w_sum, 0) + {bias_micro} AS DOUBLE) / 1000000.0
+               AS margin
+    FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("docs_term_quality", _term_quality_oracle_sql())
+def docs_term_quality(spark, sf_dir):
+    """Interpretable curated-wordlist quality scoring
+    (``classifier.score_term_weights``): exploded unigram+bigram terms
+    ⋈ broadcast term→micro-weight table → one exact integer doc-keyed
+    sum — the C4-badword/Dolma-lexicon gate as relational algebra, and
+    the string-keyed sibling of the hashed logistic scorer (which
+    stays pytest-pinned: its xxhash64-of-string bucketing has no SQL
+    twin). Registered r8 to put the r7 classifier family's scoring
+    plan under the driver's independent oracle."""
+    from ..operators import classifier
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return classifier.score_term_weights(
+        docs,
+        _TERM_WEIGHTS,
+        bias=_TERM_BIAS,
+        toks=_toks_cached(spark, sf_dir),
+        bigrams=True,
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_corpus_profile",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS total_chars,
+           CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS total_tokens,
+           quantile_cont(length(text), 0.1) AS chars_p10,
+           quantile_cont(length(text), 0.5) AS chars_p50,
+           quantile_cont(length(text), 0.9) AS chars_p90,
+           CAST(COUNT(CASE WHEN NOT regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]')
+                            AND len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['en']})) <= 0
+                            AND len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['es']})) <= 0
+                            AND len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['fr']})) <= 0
+                            AND len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['de']})) <= 0
+                       THEN 1 END) AS BIGINT) AS und_docs,
+           CAST(COUNT(DISTINCT md5({_NORM_SQL})) AS BIGINT) AS unique_docs,
+           CAST(COUNT(CASE WHEN NOT regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]')
+                            AND len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['en']})) <= 0
+                            AND len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['es']})) <= 0
+                            AND len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['fr']})) <= 0
+                            AND len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['de']})) <= 0
+                       THEN 1 END) AS DOUBLE) / COUNT(*) AS pct_und,
+           CAST(COUNT(*) - COUNT(DISTINCT md5({_NORM_SQL})) AS DOUBLE)
+               / COUNT(*) AS dup_rate,
+           CAST(SUM(COALESCE(length(text), 0)) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    """,
+)
+def docs_corpus_profile(spark, sf_dir):
+    """One-pass corpus profile (``profile.corpus_profile``) projected to
+    its deterministically-reproducible columns: integer counts/sums,
+    exact length percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, both linear interpolation — bit parity pinned in
+    tests/test_profile.py), and single-division rates. The float-MEAN
+    columns (quality_mean, quality percentiles, replacement_char_rate)
+    stay OUT of the registered projection — a double SUM's value is
+    partition-order dependent, the same hazard every driver row in this
+    repo avoids — and remain tolerance-checked against the DuckDB
+    oracle in pytest. Catalyst prunes the unprojected aggregates, so
+    the registered plan is still the operator's one-scan one-shuffle
+    shape. Registered r8 to put the r7 profiling operator under the
+    driver's independent oracle."""
+    from ..operators import profile
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    prof = profile.corpus_profile(docs)
+    # array → scalar columns: the driver's value hash treats a Spark
+    # list and a DuckDB array differently; three doubles are unambiguous
+    return prof.select(
+        "docs",
+        "total_chars",
+        "total_tokens",
+        F.element_at("chars_p10_p50_p90", 1).alias("chars_p10"),
+        F.element_at("chars_p10_p50_p90", 2).alias("chars_p50"),
+        F.element_at("chars_p10_p50_p90", 3).alias("chars_p90"),
+        "und_docs",
+        "unique_docs",
+        "pct_und",
+        "dup_rate",
+        "avg_chars",
+    )
+
+
+# BM25 driver row: query terms chosen from the synthetic vocabulary so
+# every term matches hundreds of documents at any driver sf. The oracle
+# transcribes the EXACT expression tree (operand order preserved —
+# IEEE double arithmetic is association-sensitive); per-(doc, term)
+# contributions micro-quantize before the doc sum, per the house
+# determinism contract, so the top-k cut is an integer comparison.
+_BM25_QUERY = "fast spark query join"
+_BM25_K = 15
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY.split())
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    term_stream AS (
+      SELECT doc_id, toks[i] AS term
+      FROM base, UNNEST(generate_series(1, len(toks))) AS t(i)
+    ),
+    postings AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM term_stream WHERE term IN ({terms})
+      GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, COALESCE(len(toks), 0) AS dl FROM base),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(COALESCE(len({_TOKS_SQL}), 0)) AS DOUBLE) / COUNT(*)
+                 AS avgdl
+      FROM documents
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    contrib AS (
+      SELECT p.doc_id,
+             CAST(round(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+               * 1000000.0) AS BIGINT) AS c_micro
+      FROM postings p
+      JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(c_micro) AS BIGINT) AS score_micro,
+           CAST(SUM(c_micro) AS DOUBLE) / 1000000.0 AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {_BM25_K}
+    """
+
+
+@register("docs_bm25_topk", _bm25_oracle_sql())
+def docs_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-k (``search.bm25_topk``): inverted term index ⋈
+    broadcast query-term set → per-term idf/tf-norm contributions →
+    one exact micro-integer doc sum → TakeOrderedAndProject cut. The
+    query-driven data-selection primitive of the curation toolbox
+    (pull benchmark-adjacent documents, audit filter survivors by
+    keyword). Registered r8 alongside the operator's introduction."""
+    from ..operators import search
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return search.bm25_topk(
+        docs, _BM25_QUERY, k=_BM25_K, toks=_toks_cached(spark, sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -377,13 +581,69 @@ _JACCARD_PAIRS_SQL = f"""
     """
 
 
-@register("dedup_trigram_jaccard", _JACCARD_PAIRS_SQL)
 def dedup_trigram_jaccard(spark, sf_dir):
     """Exact word-trigram Jaccard near-dup pairs via the inverted-index
     self-join — the ground-truth dedup plan (df-capped; at 100 TB run
     the MinHash path instead). Serves from the session pair cache shared
-    with dedup_components / curation_funnel."""
+    with dedup_components / curation_funnel.
+
+    NOT registered for the driver as of r8 (50-row cap): its exact
+    relation IS the shared oracle that both dedup_minhash_lsh and
+    dedup_simhash are hash-checked against every round, so the plan's
+    semantics stay driver-pinned through those rows; the slot went to
+    docs_containment, which covers the r7 overlap family instead. Its
+    own plan stays oracled in pytest via tests/test_rotated_rows.py
+    with the identical DuckDB SQL."""
     return _jaccard_pairs_cached(spark, sf_dir).orderBy("id1", "id2")
+
+
+@register(
+    "docs_containment",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM base, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+      WHERE len(toks) >= 3
+    ),
+    kept AS (
+      SELECT doc_id, sh FROM tri
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 1000
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2, c AS n_common, s1.n AS n1, s2.n AS n2,
+           CAST(c AS DOUBLE) / LEAST(s1.n, s2.n) AS containment,
+           CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+    WHERE CAST(c AS DOUBLE) / LEAST(s1.n, s2.n) >= 0.5
+    ORDER BY id1, id2
+    """,
+)
+def docs_containment(spark, sf_dir):
+    """Asymmetric n-gram containment (|A∩B| / min(|A|,|B|)) alongside
+    Jaccard — the overlap shape whole-document Jaccard structurally
+    misses (a short document embedded in a long one). Inverted-index
+    join over the dedup family's shared hashed postings with the same
+    df≤1000 boilerplate cap; the oracle recomputes the identical counts
+    over string trigrams (the Spark side joins on 64-bit shingle hashes
+    — collision odds ~n²/2⁶⁴, immaterial at any driver sf). Registered
+    r8 to put the r7 overlap family (operators/overlap.py) under the
+    driver's independent oracle."""
+    from ..operators import overlap
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return overlap.containment_pairs(
+        docs, n=3, threshold=0.5, max_df=1000, toks=_toks_cached(spark, sf_dir)
+    ).orderBy("id1", "id2")
 
 
 @register("dedup_minhash_lsh", _JACCARD_PAIRS_SQL)

@@ -342,24 +342,16 @@ def anti_customers_without_orders(spark, sf_dir):
     )
 
 
-@register(
-    "window_top_orders_per_customer",
-    """
-    SELECT o_custkey, o_orderkey, rn FROM (
-        SELECT o_custkey, o_orderkey,
-               ROW_NUMBER() OVER (
-                   PARTITION BY o_custkey
-                   ORDER BY o_totalprice DESC, o_orderkey
-               ) AS rn
-        FROM orders
-    ) t
-    WHERE rn <= 3
-    ORDER BY o_custkey, rn
-    """,
-)
 def window_top_orders_per_customer(spark, sf_dir):
     """Window top-K per group — the idiomatic-Spark extension of the
-    reference's sort-based rankings (SURVEY.md §2.H)."""
+    reference's sort-based rankings (SURVEY.md §2.H).
+
+    NOT registered for the driver as of r8 (50-row cap): the
+    rank-per-group shape is already hash-checked end-to-end by the
+    cr_* TopN rows (top_players_df's row_number ≤ N feeds
+    cr_f3_player_summary / cr_player_decks every round); the slot went
+    to docs_bm25_topk. Stays oracled in pytest via
+    tests/test_rotated_rows.py with the identical DuckDB SQL."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.col("o_orderkey")
@@ -372,21 +364,17 @@ def window_top_orders_per_customer(spark, sf_dir):
     )
 
 
-@register(
-    "events_hourly_rollup",
-    """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-           event_type,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    ORDER BY 1, 2
-    """,
-)
 def events_hourly_rollup(spark, sf_dir):
     """Time-bucketed rollup over the event stream table (batch form of the
-    streaming windowed agg in streaming/)."""
+    streaming windowed agg in streaming/).
+
+    NOT registered for the driver as of r8 (50-row cap): a plain
+    date_trunc groupBy whose bucketing+agg shape is already pinned by
+    the windowed/sessionized event rows and the streaming twins; the
+    slot went to the r7-crop rows (docs_containment /
+    docs_term_quality / docs_corpus_profile). Stays oracled in pytest:
+    tests/test_rotated_rows.py runs it against the identical DuckDB
+    SQL it used to register with."""
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy(
@@ -701,20 +689,15 @@ def events_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
-@register(
-    "percentile_order_prices",
-    """
-    SELECT o_orderpriority,
-           CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50,
-           CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90
-    FROM orders
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-)
 def percentile_order_prices(spark, sf_dir):
     """Exact continuous percentiles per group (Spark `percentile` ≡
-    DuckDB `quantile_cont` — both linear interpolation on sorted values)."""
+    DuckDB `quantile_cont` — both linear interpolation on sorted values).
+
+    NOT registered for the driver as of r8 (50-row cap): the exact
+    percentile ≡ quantile_cont parity this row pinned is now carried by
+    docs_corpus_profile's chars_p10_p50_p90 column; the slot went to
+    the r7-crop rows. Stays oracled in pytest via
+    tests/test_rotated_rows.py with the identical DuckDB SQL."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
