@@ -66,6 +66,12 @@ CASES = {
         testdata_queries.percentile_order_prices,
         _PCTL_SQL,
     ),
+    # rotated out for docs_dsir_weights: the get_json_object surface
+    # keeps the driver's oracle bar here
+    "events_props_json": (
+        testdata_queries.events_props_json,
+        testdata_queries.EVENTS_PROPS_JSON_SQL,
+    ),
 }
 
 

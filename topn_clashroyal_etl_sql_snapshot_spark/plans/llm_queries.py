@@ -1429,3 +1429,90 @@ def docs_exact_substring(spark, sf_dir):
     return dedup.exact_substring_excise(
         docs, min_tokens=13, toks=_toks_cached(spark, sf_dir)
     ).orderBy("doc_id")
+
+
+# The DSIR-row model is fit from FIXED seed corpora at import time
+# (pure Python, no Spark — operators/dsir.py::fit_term_importance) so
+# the DuckDB oracle can embed the ratio table as literal VALUES — the
+# same fixed-reference pattern as the lm_perplexity row. The TERM kind
+# is the SQL-reproducible one (raw term strings as join keys); the
+# hashed kind — DSIR's bounded-state production form — stays
+# pytest-pinned (tests/test_dsir.py) for the same reason as the hashed
+# classifier: Spark's xxhash64-of-string has no SQL twin. Seed vocab
+# deliberately overlaps the synthetic corpus ("spark window agg join"
+# side vs "slow batch scan row" side) so BOTH legs of the scoring join
+# fire at every sf: matched terms hit the ratio table, the corpus's
+# other terms/bigrams fall to the default ratio.
+_DSIR_TARGET = [
+    "spark window agg join group query vector hash",
+    "window agg spark query join column sort merge",
+    "group window spark agg vector join query table",
+]
+_DSIR_RAW = [
+    "slow batch scan row line small big value",
+    "batch slow row scan value line part stream",
+    "scan slow batch line row big stream filter",
+]
+
+
+def _dsir_model():
+    from ..operators import dsir
+
+    return dsir.fit_term_importance(_DSIR_TARGET, _DSIR_RAW, add_k=0.5)
+
+
+def _dsir_oracle_sql() -> str:
+    m = _dsir_model()
+    vals = ", ".join(
+        f"('{t}', {v})" for t, v in sorted(m["ratio_micro"].items())
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, toks[i] AS term
+      FROM base, UNNEST(generate_series(1, len(toks))) AS t(i)
+    ),
+    big AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS term
+      FROM base, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2
+    ),
+    terms AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+    r(term, r_micro) AS (VALUES {vals}),
+    s AS (
+      SELECT doc_id, COUNT(*) AS n_feats,
+             SUM(COALESCE(r.r_micro, {m["default_micro"]})) AS lw
+      FROM terms LEFT JOIN r USING (term) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_feats, 0) AS n_feats,
+           CAST(COALESCE(s.lw, 0) AS BIGINT) AS logw_micro,
+           CAST(COALESCE(s.lw, 0) AS DOUBLE) / 1000000.0 AS logw
+    FROM documents d LEFT JOIN s USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@register("docs_dsir_weights", _dsir_oracle_sql())
+def docs_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py, Xie et al. 2023):
+    every document's target-vs-raw log-likelihood ratio under a fixed
+    seed-corpus model — the corpus-composition scorer that feeds
+    Gumbel top-k selection (selection itself is pytest-pinned; scoring
+    EVERY doc is the stronger driver check). Exact end to end: the
+    ratio table is micro-nat longs as literals on both sides, scoring
+    is exploded terms ⋈ BROADCAST table → one doc-keyed integer sum,
+    and the oracle reproduces tokenize + join + default-fallback + sum
+    bit-for-bit. Scale: model broadcast is vocabulary-bounded, the
+    corpus never shuffles except the doc-keyed aggregation, no skew
+    surface on hot terms (hash-map probe). Registered r8 by rotating
+    out the 5-row events_props_json projection (its get_json_object
+    surface stays pinned against the same SQL in pytest)."""
+    from ..operators import dsir
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dsir.importance_logweights(
+        docs, _dsir_model(), toks=_toks_cached(spark, sf_dir)
+    ).orderBy("doc_id")
