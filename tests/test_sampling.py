@@ -463,3 +463,168 @@ def test_unregistered_per_group_cap_query_still_runs(spark):
     for r in rows:
         per_source[r["source"]] = per_source.get(r["source"], 0) + 1
     assert all(n <= 5 for n in per_source.values())
+
+
+# ------------------------------------------------- upsampling mixtures
+
+
+def _py_bucket(key: int, seed: int = 42, buckets: int = DEFAULT_BUCKETS) -> int:
+    return spark_xxhash64([("long", seed), ("long", key)]) % buckets
+
+
+def _mix_corpus(spark, sizes: dict[str, int]):
+    rows, i = [], 0
+    for g, n in sorted(sizes.items()):
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mixture_multipliers_anchors_and_budget():
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        mixture_multipliers,
+    )
+
+    w = {"wiki": 100.0, "crawl": 900.0}
+    tgt = {"wiki": 0.5, "crawl": 0.5}
+    down = mixture_multipliers(w, tgt, anchor="max")
+    assert down["wiki"] == 1.0 and abs(down["crawl"] - 100 / 900) < 1e-12
+    up = mixture_multipliers(w, tgt, anchor="min")
+    assert up["crawl"] == 1.0 and abs(up["wiki"] - 9.0) < 1e-12
+    budget = mixture_multipliers(w, tgt, total=500.0)
+    # kept weight per group = 250 each
+    assert abs(budget["wiki"] - 2.5) < 1e-12
+    assert abs(budget["crawl"] - 250 / 900) < 1e-12
+    # dropped / unsatisfiable / bad params
+    assert mixture_multipliers(w, {"wiki": 1.0})["crawl"] == 0.0
+    with pytest.raises(ValueError):
+        mixture_multipliers(w, {"books": 1.0})
+    with pytest.raises(ValueError):
+        mixture_multipliers(w, tgt, anchor="median")
+    with pytest.raises(ValueError):
+        mixture_multipliers(w, tgt, total=0.0)
+
+
+def test_replicate_by_multiplier_matches_python_twin(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        replicate_by_multiplier,
+    )
+
+    df = _mix_corpus(spark, {"a": 40, "b": 40})
+    mult = {"a": 2.25, "b": 0.5}
+    out = replicate_by_multiplier(df, mult, "source", key="doc_id").collect()
+    got: dict[int, list[int]] = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    for r in df.collect():
+        rg = mult[r["source"]]
+        whole = int(rg)
+        thr = int(round((rg - whole) * DEFAULT_BUCKETS))
+        n = whole + (1 if _py_bucket(r["doc_id"]) < thr else 0)
+        if n == 0:
+            assert r["doc_id"] not in got
+        else:
+            assert sorted(got[r["doc_id"]]) == list(range(n)), r["doc_id"]
+
+
+def test_replicate_fuse_and_validation(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        replicate_by_multiplier,
+    )
+
+    df = _mix_corpus(spark, {"a": 3})
+    with pytest.raises(ValueError):
+        replicate_by_multiplier(df, {"a": 101.0}, "source")
+    with pytest.raises(ValueError):
+        replicate_by_multiplier(df, {"a": -0.5}, "source")
+    # raising the fuse deliberately works
+    n = replicate_by_multiplier(
+        df, {"a": 101.0}, "source", max_multiplier=200.0
+    ).count()
+    assert n >= 3 * 101
+
+
+def test_mixture_resample_hits_target_shares(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    df = _mix_corpus(spark, {"wiki": 200, "crawl": 1800})
+    out = mixture_resample(
+        df, "source", {"wiki": 0.5, "crawl": 0.5}, key="doc_id"
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # anchor="min": crawl intact, wiki replicated ~9x; realized shares
+    # carry bucket-granularity noise
+    assert counts["crawl"] == 1800
+    assert abs(counts["wiki"] - 1800) <= 1800 * 0.07
+    # every crawl doc exactly once, epoch 0
+    assert (
+        out.filter((F.col("source") == "crawl") & (F.col("epoch") != 0)).count()
+        == 0
+    )
+
+
+def test_mixture_resample_downsample_anchor_matches_mixture_sample(spark):
+    """anchor="max" (downsample-only) keeps the SAME key set as
+    mixture_sample for the same target — the two operators share the
+    bucket-membership rule, so the unified replicate form really is a
+    superset of the fraction form."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        mixture_resample,
+        mixture_sample,
+    )
+
+    df = _mix_corpus(spark, {"wiki": 300, "crawl": 700})
+    tgt = {"wiki": 0.4, "crawl": 0.6}
+    a = {
+        r["doc_id"]
+        for r in mixture_resample(
+            df, "source", tgt, key="doc_id", anchor="max"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in mixture_sample(df, "source", tgt, key="doc_id").collect()
+    }
+    assert a == b
+
+
+def test_mixture_resample_deterministic_and_replayable(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    df = _mix_corpus(spark, {"a": 50, "b": 150})
+    tgt = {"a": 0.5, "b": 0.5}
+    r1 = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mixture_resample(df, "source", tgt).collect()
+    )
+    r2 = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mixture_resample(df, "source", tgt).collect()
+    )
+    assert r1 == r2
+
+
+def test_replicate_plan_is_narrow(spark):
+    """The replicate projection must not shuffle: no Exchange in the
+    plan (scan → filter/project/generate only)."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        replicate_by_multiplier,
+    )
+
+    df = _mix_corpus(spark, {"a": 5, "b": 5})
+    plan = (
+        replicate_by_multiplier(df, {"a": 1.5, "b": 0.5}, "source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert "BatchEvalPython" not in plan

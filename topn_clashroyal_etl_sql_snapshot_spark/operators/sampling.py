@@ -272,6 +272,158 @@ def mixture_sample(
     return stratified_hash_sample(df, group_col, fracs, key, seed, buckets)
 
 
+def mixture_multipliers(
+    weights: Mapping[str, float],
+    target_shares: Mapping[str, float],
+    anchor: str = "max",
+    total: float | None = None,
+) -> dict[str, float]:
+    """Per-group REPLICATION multipliers that move a corpus to a target
+    mixture, allowing UPSAMPLING (the epochs-style domain re-weighting
+    of public training recipes — GPT-3/Llama-class data tables repeat
+    small high-quality domains >1 epoch while crawl runs <1): group g
+    gets ``r_g = c·s_g/W_g``, so kept weight ∝ target share exactly,
+    with the free scale ``c`` pinned by ``anchor``:
+
+    - ``"max"``: largest multiplier = 1 — downsample-only (the
+      :func:`mixture_fractions` regime, corpus shrinks).
+    - ``"min"``: smallest positive multiplier = 1 — no group loses
+      data; over-represented groups replicate ≥ 1x (corpus grows).
+    - ``total=T``: kept weight sums to T in the weight unit (token
+      budget form); anchor is ignored.
+
+    Groups absent from ``target_shares`` get multiplier 0 (dropped); a
+    positive-share group with no corpus weight raises (unsatisfiable
+    with or without upsampling)."""
+    total_s = float(sum(target_shares.values()))
+    if total_s <= 0:
+        raise ValueError("target shares must sum to a positive value")
+    shares = {g: s / total_s for g, s in target_shares.items()}
+    for g, s in shares.items():
+        if s > 0 and weights.get(g, 0) <= 0:
+            raise ValueError(
+                f"target group {g!r} has no corpus weight — the requested "
+                "mixture is unsatisfiable"
+            )
+    ratios = {g: s / weights[g] for g, s in shares.items() if s > 0}
+    if total is not None:
+        if total <= 0:
+            raise ValueError(f"total budget must be positive, got {total}")
+        c = total
+    elif anchor == "max":
+        c = 1.0 / max(ratios.values())
+    elif anchor == "min":
+        c = 1.0 / min(ratios.values())
+    else:
+        raise ValueError(f"anchor must be 'max' or 'min', got {anchor!r}")
+    out = {g: (c * ratios[g] if s > 0 else 0.0) for g, s in shares.items()}
+    for g in weights:
+        out.setdefault(g, 0.0)
+    return out
+
+
+def replicate_by_multiplier(
+    df: DataFrame,
+    multipliers: Mapping[str, float],
+    group_col: str,
+    key: str | Column = "doc_id",
+    seed: int = 42,
+    buckets: int = DEFAULT_BUCKETS,
+    epoch_col: str = "epoch",
+    max_multiplier: float = 100.0,
+) -> DataFrame:
+    """Replicate each group's rows ``r_g`` times IN EXPECTATION,
+    deterministically: every row gets ``⌊r⌋`` copies plus one more iff
+    its key-bucket falls under ``frac(r)`` — the same xxhash64-bucket
+    membership as :func:`hash_sample` (replayable, append-stable,
+    whole keys move together), and ``r < 1`` degenerates to exactly
+    :func:`stratified_hash_sample`'s keep rule, so ONE operator covers
+    both directions of re-weighting. Copies carry ``epoch_col``
+    (0..n-1): downstream shuffles (``shuffle_order_expr`` seeded by
+    epoch) decorrelate the repeats, and token pipelines can treat each
+    epoch as a separate pass.
+
+    Plan shape: a when-chain multiplier lookup + ``explode(sequence)``
+    — a narrow projection inside the scan stage, zero shuffle, output
+    rows ∝ Σ r_g·n_g. ``max_multiplier`` fuses accidental blowups (a
+    tiny group pulled to a large share replicates catastrophically;
+    raise the fuse deliberately if a >100x repeat is really wanted —
+    public recipes rarely exceed single digits)."""
+    groups = sorted(multipliers)
+    bad = {g: r for g, r in multipliers.items() if r < 0}
+    if bad:
+        raise ValueError(f"negative multipliers: {bad}")
+    worst = max(multipliers.values(), default=0.0)
+    if worst > max_multiplier:
+        raise ValueError(
+            f"multiplier {worst} exceeds max_multiplier={max_multiplier}: "
+            "a replication this large is usually a mis-specified mixture "
+            "(tiny group pulled to a huge share). Raise the fuse if meant."
+        )
+    gcol = F.col(group_col)
+    b = bucket_expr(key, seed, buckets)
+    n_copies: Column = F.lit(0)
+    for g in groups:
+        r = float(multipliers[g])
+        whole = int(r)
+        frac_threshold = int(round((r - whole) * buckets))
+        n_copies = F.when(
+            gcol == F.lit(g),
+            F.lit(whole) + (b < frac_threshold).cast("int"),
+        ).otherwise(n_copies)
+    return (
+        df.withColumn("_nc", n_copies)
+        .filter(F.col("_nc") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
+        .drop("_nc")
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    target_shares: Mapping[str, float],
+    key: str | Column = "doc_id",
+    weight_col: str | None = None,
+    anchor: str = "min",
+    total: float | None = None,
+    seed: int = 42,
+    buckets: int = DEFAULT_BUCKETS,
+    epoch_col: str = "epoch",
+    max_multiplier: float = 100.0,
+) -> DataFrame:
+    """The UPSAMPLING-capable sibling of :func:`mixture_sample`: move
+    the corpus to ``target_shares`` by replicating under-represented
+    groups and hash-thinning over-represented ones, in one aggregation
+    + one narrow replicate projection. Default ``anchor="min"`` keeps
+    every group's full data (training recipes repeat wiki/books rather
+    than discard crawl); ``total`` pins an absolute kept-weight budget
+    instead. Output rows carry ``epoch_col`` — dedupe-sensitive stages
+    must run BEFORE this operator (the copies are intentional)."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    rows = (
+        df.groupBy(group_col)
+        .agg(F.sum(w.cast("double")).alias("_w"))
+        .collect()
+    )
+    weights = {r[group_col]: r["_w"] or 0.0 for r in rows}
+    mult = mixture_multipliers(weights, target_shares, anchor, total)
+    too_fine = {
+        g: r
+        for g, r in mult.items()
+        if 0 < r and int(r) == 0 and int(round((r % 1) * buckets)) < 1
+    }
+    if too_fine:
+        raise ValueError(
+            f"multipliers below bucket resolution (1/{buckets}) for "
+            f"{sorted(too_fine)}: these groups would contribute zero rows. "
+            "Raise `buckets`, or rethink a mixture this extreme."
+        )
+    return replicate_by_multiplier(
+        df, mult, group_col, key, seed, buckets, epoch_col, max_multiplier
+    )
+
+
 def shuffle_order_expr(
     key: str | Column, seed: int = 42, tiebreak: str | Column | None = None
 ) -> list[Column]:
