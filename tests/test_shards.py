@@ -1,0 +1,139 @@
+"""Training-shard sink tests (sinks/shards.py): round-trip fidelity,
+deterministic assignment vs the Python xxh64 twin, manifest integrity
+(tamper detection on altered/lost/duplicated rows), worker-subset reads
+with partition pruning, balance, and weight accounting."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from topn_clashroyal_etl_sql_snapshot_spark.sinks import shards
+from topn_clashroyal_etl_sql_snapshot_spark.testing.xxh64 import spark_xxhash64
+
+
+@pytest.fixture()
+def tmp_out(tmp_path):
+    out = str(tmp_path / "shards")
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _docs(spark, n=200):
+    rows = [(i, f"doc text {i} " * (1 + i % 5), 10 + i % 7) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string, n_tokens long")
+
+
+def test_round_trip_and_assignment_matches_twin(spark, tmp_out):
+    df = _docs(spark)
+    shards.write_training_shards(df, tmp_out, "doc_id", 8, weight_col="n_tokens")
+    back = shards.read_training_shards(spark, tmp_out)
+    got = {r["doc_id"]: (r["text"], r["n_tokens"], r["shard_id"]) for r in back.collect()}
+    assert len(got) == 200
+    for r in df.collect():
+        expect_shard = spark_xxhash64([("long", 42), ("long", r["doc_id"])]) % 8
+        assert got[r["doc_id"]] == (r["text"], r["n_tokens"], expect_shard)
+
+
+def test_manifest_counts_weights_and_verify_green(spark, tmp_out):
+    df = _docs(spark)
+    shards.write_training_shards(df, tmp_out, "doc_id", 4, weight_col="n_tokens")
+    m = shards.read_manifest(spark, tmp_out).collect()
+    assert sorted(r["shard_id"] for r in m) == sorted({r["shard_id"] for r in m})
+    assert sum(r["n_rows"] for r in m) == 200
+    assert sum(r["n_weight"] for r in m) == sum(
+        r["n_tokens"] for r in df.collect()
+    )
+    rep = shards.verify_shards(spark, tmp_out, weight_col="n_tokens").collect()
+    assert all(r["ok"] for r in rep) and len(rep) == len(m)
+
+
+def test_two_writes_produce_identical_manifests(spark, tmp_path):
+    df = _docs(spark, n=80)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    shards.write_training_shards(df, a, "doc_id", 5)
+    # different row order in — same shards, same checksums out
+    shards.write_training_shards(df.orderBy(F.desc("doc_id")), b, "doc_id", 5)
+    ma = sorted(map(tuple, shards.read_manifest(spark, a).collect()))
+    mb = sorted(map(tuple, shards.read_manifest(spark, b).collect()))
+    assert ma == mb
+
+
+def test_tampered_shard_detected(spark, tmp_out):
+    df = _docs(spark, n=100)
+    shards.write_training_shards(df, tmp_out, "doc_id", 4, weight_col="n_tokens")
+    # tamper: rewrite one shard directory with one text altered
+    # materialize first: Spark refuses to overwrite a path it is reading
+    rows = (
+        shards.read_training_shards(spark, tmp_out)
+        .filter(F.col("shard_id") == 1)
+        .drop("shard_id")
+        .collect()
+    )
+    doomed = rows[0]["doc_id"]
+    tampered = [
+        (r["doc_id"], "TAMPERED" if r["doc_id"] == doomed else r["text"], r["n_tokens"])
+        for r in rows
+    ]
+    spark.createDataFrame(
+        tampered, "doc_id long, text string, n_tokens long"
+    ).write.mode("overwrite").parquet(f"{tmp_out}/shard_id=1")
+    rep = {
+        r["shard_id"]: r["ok"]
+        for r in shards.verify_shards(spark, tmp_out, weight_col="n_tokens").collect()
+    }
+    assert rep[1] is False
+    assert all(ok for s, ok in rep.items() if s != 1)
+
+
+def test_lost_rows_detected(spark, tmp_out):
+    df = _docs(spark, n=100)
+    shards.write_training_shards(df, tmp_out, "doc_id", 4)
+    rows = (
+        shards.read_training_shards(spark, tmp_out)
+        .filter(F.col("shard_id") == 2)
+        .drop("shard_id")
+        .collect()
+    )
+    kept = [
+        (r["doc_id"], r["text"], r["n_tokens"]) for r in rows[1:]
+    ]
+    spark.createDataFrame(
+        kept, "doc_id long, text string, n_tokens long"
+    ).write.mode("overwrite").parquet(f"{tmp_out}/shard_id=2")
+    rep = {
+        r["shard_id"]: (r["ok"], r["stored_rows"], r["actual_rows"])
+        for r in shards.verify_shards(spark, tmp_out).collect()
+    }
+    ok, stored, actual = rep[2]
+    assert ok is False and actual == stored - 1
+
+
+def test_worker_subset_read_prunes_partitions(spark, tmp_out):
+    df = _docs(spark, n=120)
+    shards.write_training_shards(df, tmp_out, "doc_id", 6)
+    sub = shards.read_training_shards(spark, tmp_out, shard_ids=[0, 3])
+    assert set(r["shard_id"] for r in sub.collect()) <= {0, 3}
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan, not run as a post-filter
+    assert "PartitionFilters: [" in plan
+    assert "shard_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_balance_is_hash_uniform(spark, tmp_out):
+    df = _docs(spark, n=2000)
+    shards.write_training_shards(df, tmp_out, "doc_id", 4)
+    m = {r["shard_id"]: r["n_rows"] for r in shards.read_manifest(spark, tmp_out).collect()}
+    assert len(m) == 4
+    assert max(m.values()) <= 1.2 * min(m.values())
+
+
+def test_bad_params(spark):
+    df = _docs(spark, n=3)
+    with pytest.raises(ValueError):
+        shards.shard_expr("doc_id", 0)
+    with pytest.raises(ValueError):
+        shards.shard_manifest(df.select(F.lit(0).alias("shard_id")))

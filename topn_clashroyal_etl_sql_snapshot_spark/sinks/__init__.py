@@ -1,3 +1,4 @@
+from . import shards
 from .snapshot import write_snapshot
 
-__all__ = ["write_snapshot"]
+__all__ = ["shards", "write_snapshot"]
