@@ -9,12 +9,14 @@ this engine's operators:
       → repetition/boilerplate gate    (textstats.repetition_stats)
       → near-dup dedup, KEEP/DROP      (MinHash-LSH → components)
       → benchmark decontamination      (operators/decontam.py)
+      → DSIR domain targeting          (operators/dsir.py)
       → deterministic train/val/test   (operators/sampling.py)
       → per-source contribution cap    (sampling.per_group_cap)
       → BPE tokenize (train + encode)  (operators/bpe.py)
       → token-budget chunking          (operators/chunking.py)
       → sequence packing on REAL
         per-chunk token counts         (operators/packing.py)
+      → sharded output + manifest      (sinks/shards.py)
 
 Run:  python examples/curate_corpus.py [sf_dir]   (default sf0.001)
 
@@ -27,6 +29,7 @@ components) and the final counts.
 from __future__ import annotations
 
 import sys
+import tempfile
 from pathlib import Path
 
 _REPO = Path(__file__).resolve().parent.parent
@@ -42,6 +45,7 @@ from topn_clashroyal_etl_sql_snapshot_spark.operators import (  # noqa: E402
     chunking,
     decontam,
     dedup,
+    dsir,
 )
 from topn_clashroyal_etl_sql_snapshot_spark.operators.packing import (  # noqa: E402
     pack_greedy,
@@ -51,6 +55,7 @@ from topn_clashroyal_etl_sql_snapshot_spark.operators.profile import (  # noqa: 
     corpus_profile,
 )
 from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (  # noqa: E402
+    hash_sample,
     per_group_cap,
     with_split,
 )
@@ -59,6 +64,7 @@ from topn_clashroyal_etl_sql_snapshot_spark.operators.textstats import (  # noqa
     repetition_stats,
 )
 from topn_clashroyal_etl_sql_snapshot_spark.session import get_spark  # noqa: E402
+from topn_clashroyal_etl_sql_snapshot_spark.sinks import shards  # noqa: E402
 from topn_clashroyal_etl_sql_snapshot_spark.sources.readers import (  # noqa: E402
     read_testdata,
 )
@@ -127,6 +133,26 @@ def curate(spark, sf_dir: str, budget: int = 2048):
     n_decon = flagged.count()
     print(f"4_decontam       {n_decon}")
 
+    # Domain targeting (DSIR): fit a hashed-ngram importance model —
+    # target = a deterministic sample of the sources whose style the
+    # recipe wants more of (stand-ins for a wiki/books exemplar set),
+    # raw = a sample of the whole corpus — then keep 80% of the
+    # decontaminated survivors by Gumbel top-k (sampling without
+    # replacement ∝ exp(importance)). Both fit inputs are hash samples:
+    # replayable, and the fit cost is bounded regardless of corpus size.
+    survivors = docs.join(flagged.select("doc_id"), "doc_id", "left_semi")
+    target = hash_sample(
+        docs.filter(F.col("source").isin("src0", "src1", "src2")), "doc_id", 0.5
+    )
+    raw_sample = hash_sample(docs, "doc_id", 0.5)
+    imp_model = dsir.fit_hashed_importance(target, raw_sample, n_buckets=1 << 14)
+    scored = dsir.importance_logweights(survivors, imp_model)
+    k_keep = max(1, int(n_decon * 0.8))
+    selected = dsir.importance_resample(scored, k_keep, seed=13)
+    flagged = flagged.join(selected.select("doc_id"), "doc_id", "left_semi")
+    n_dsir = flagged.count()
+    print(f"5_dsir_select    {n_dsir}")
+
     # Deterministic split + per-source cap + packing.
     kept = docs.join(flagged.select("doc_id"), "doc_id", "left_semi")
     kept = with_split(kept, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
@@ -157,7 +183,7 @@ def curate(spark, sf_dir: str, budget: int = 2048):
     # them out of its (split, source) window exchange
     chunked = chunked.drop("chunk_ids")
     n_chunks = chunked.count()
-    print(f"5_chunked        {n_chunks}  (from {sum(split_docs.values())} docs)")
+    print(f"6_chunked        {n_chunks}  (from {sum(split_docs.values())} docs)")
 
     packed = pack_greedy(
         chunked,
@@ -176,19 +202,41 @@ def curate(spark, sf_dir: str, budget: int = 2048):
         )
         .orderBy("split")
     )
-    print("6_packed (split, bins, chunks, avg_fill):")
+    print("7_packed (split, bins, chunks, avg_fill):")
     rows = summary.collect()
     for r in rows:
         print(f"    {r['split']:6s} {r['bins']:6d} {r['chunks']:6d} {r['avg_fill']}")
+
+    # Hand-off: write the packed chunks as training shards keyed on the
+    # BIN identity (a bin is one training sequence — its chunks must
+    # co-locate in one shard), with the per-shard integrity manifest.
+    shard_dir = tempfile.mkdtemp(prefix="curated_shards_")
+    shards.write_training_shards(
+        packed,
+        shard_dir,
+        key=F.concat_ws("|", "split", "source", F.col("bin_id")),
+        n_shards=8,
+        weight_col="n_tokens",
+    )
+    mrows = shards.read_manifest(spark, shard_dir).collect()
+    n_shards_written = len(mrows)
+    print(
+        f"8_shards         {n_shards_written} shards at {shard_dir}  "
+        f"(rows={sum(r['n_rows'] for r in mrows)}, "
+        f"tokens={sum(r['n_weight'] for r in mrows)})"
+    )
     return {
         "all": n_all,
         "lang_quality": n_quality,
         "repetition": n_rep,
         "dedup": n_dedup,
         "decontam": n_decon,
+        "dsir": n_dsir,
         "chunks": n_chunks,
         "splits": split_docs,
         "packed_chunks": {r["split"]: r["chunks"] for r in rows},
+        "shard_dir": shard_dir,
+        "shards": n_shards_written,
     }
 
 

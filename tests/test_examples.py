@@ -18,14 +18,16 @@ def test_curate_corpus_example(spark):
     # funnel is monotone non-increasing
     assert (
         out["all"] >= out["lang_quality"] >= out["repetition"]
-        >= out["dedup"] >= out["decontam"]
+        >= out["dedup"] >= out["decontam"] >= out["dsir"]
     )
     assert out["decontam"] > 0
     # decontamination dropped the contaminated slice (doc_id % 20 == 0
     # benchmark docs flag themselves, so the stage must remove some)
     assert out["decontam"] < out["dedup"]
+    # DSIR keeps exactly the requested 80% of decontam survivors
+    assert out["dsir"] == max(1, int(out["decontam"] * 0.8))
     # every surviving doc lands in exactly one split (cap may trim)
-    assert 0 < sum(out["splits"].values()) <= out["decontam"]
+    assert 0 < sum(out["splits"].values()) <= out["dsir"]
     assert set(out["splits"]) <= {"train", "val", "test"}
     # chunking sits between BPE and packing: at least one chunk per
     # surviving doc, and every chunk reaches the packer
@@ -34,6 +36,21 @@ def test_curate_corpus_example(spark):
     # train dominates per the 90/5/5 weights
     assert out["splits"]["train"] > out["splits"].get("val", 0)
     assert out["splits"]["train"] > out["splits"].get("test", 0)
+    # the shard hand-off wrote a verifiable manifest covering every chunk
+    import shutil
+
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import shards
+
+    try:
+        assert out["shards"] >= 1
+        mrows = shards.read_manifest(spark, out["shard_dir"]).collect()
+        assert sum(r["n_rows"] for r in mrows) == out["chunks"]
+        rep = shards.verify_shards(
+            spark, out["shard_dir"], weight_col="n_tokens"
+        ).collect()
+        assert all(r["ok"] for r in rep)
+    finally:
+        shutil.rmtree(out["shard_dir"], ignore_errors=True)
 
 
 def test_quality_classifier_example(spark):
