@@ -363,3 +363,91 @@ def test_streaming_lm_gate_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM lm_gate_out").collect()}
     assert got == batch_kept
+
+
+def test_stream_stream_annotation_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream enrichment join: document feed ⋈
+    annotation feed within max_delay. The SAME function on batch frames
+    is the oracle (the condition is plain column algebra); the stream
+    run must produce the identical inner-join row set, including
+    annotations landing in a LATER micro-batch file than their
+    document (cross-batch buffering) and annotations outside the delay
+    bound (dropped on both sides)."""
+    import json as _json
+    from datetime import datetime
+
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming import corpus
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def iso(minutes):
+        return datetime(2026, 1, 1, 12, minutes, 0).isoformat()
+
+    docs = [
+        {"doc_id": 1, "text": "alpha", "lang": "en", "source": "a",
+         "ingest_time": iso(0)},
+        {"doc_id": 2, "text": "beta", "lang": "en", "source": "a",
+         "ingest_time": iso(1)},
+        {"doc_id": 3, "text": "gamma", "lang": "en", "source": "b",
+         "ingest_time": iso(2)},
+    ]
+    anns = [
+        # in-bound annotation, same batch as its doc
+        {"doc_id": 1, "score": 0.9, "ann_time": iso(3)},
+        # in-bound annotation landing in a LATER file than doc 2
+        {"doc_id": 2, "score": 0.7, "ann_time": iso(5)},
+        # OUT of the 10-minute bound for doc 3 — must not join
+        {"doc_id": 3, "score": 0.1, "ann_time": iso(20)},
+        # BEFORE doc 1's ingest — must not join
+        {"doc_id": 1, "score": 0.2, "ann_time": datetime(2026, 1, 1, 11, 0).isoformat()},
+        # second in-bound annotation for doc 1 (both rows join)
+        {"doc_id": 1, "score": 0.95, "ann_time": iso(8)},
+    ]
+    ddir, adir = tmp_path / "docs_l", tmp_path / "anns_l"
+    ddir.mkdir(), adir.mkdir()
+    with open(ddir / "d0.jsonl", "w") as f:
+        for r in docs:
+            f.write(_json.dumps(r) + "\n")
+    with open(adir / "a0.jsonl", "w") as f:
+        for r in anns[:1]:
+            f.write(_json.dumps(r) + "\n")
+    with open(adir / "a1.jsonl", "w") as f:
+        for r in anns[1:]:
+            f.write(_json.dumps(r) + "\n")
+
+    batch_docs = spark.read.schema(corpus.DOCUMENT_SCHEMA).json(str(ddir))
+    batch_anns = spark.read.schema(corpus.ANNOTATION_SCHEMA).json(str(adir))
+    expected = sorted(
+        (r["doc_id"], r["score"])
+        for r in corpus.join_stream_annotations(batch_docs, batch_anns).collect()
+    )
+    assert expected == [(1, 0.9), (1, 0.95), (2, 0.7)]
+
+    q = (
+        corpus.join_stream_annotations(
+            corpus.stream_documents(spark, str(ddir)),
+            corpus.stream_annotations(spark, str(adir)),
+        )
+        .writeStream.format("memory")
+        .queryName("ann_join_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["score"])
+        for r in spark.sql("SELECT * FROM ann_join_out").collect()
+    )
+    assert got == expected
+
+
+def test_stream_stream_join_rejects_unsupported_how(spark, tmp_path):
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming import corpus
+
+    d = spark.createDataFrame([], corpus.DOCUMENT_SCHEMA)
+    a = spark.createDataFrame([], corpus.ANNOTATION_SCHEMA)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.join_stream_annotations(d, a, how="full_outer")

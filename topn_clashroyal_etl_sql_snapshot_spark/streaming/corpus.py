@@ -130,3 +130,82 @@ def streaming_dedup_documents(
     return fp.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
+
+
+ANNOTATION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("ann_time", T.TimestampType()),
+    ]
+)
+
+
+def stream_annotations(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over an annotation landing zone (JSONL):
+    (doc_id, score, ann_time) — the async enrichment feed (a scoring
+    service emitting toxicity/quality/embedding-distance verdicts per
+    document, minutes behind the text feed)."""
+    return (
+        spark.readStream.schema(ANNOTATION_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .json(landing_dir)
+    )
+
+
+def join_stream_annotations(
+    docs: DataFrame,
+    anns: DataFrame,
+    max_delay: str = "10 minutes",
+    doc_watermark: str = "30 minutes",
+    ann_watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM join: each document row pairs with the
+    annotation rows for its id that arrive within ``max_delay`` of the
+    document's ingest time — the enrichment join of a two-feed ingest
+    stack (text lands in one topic, model annotations trail in
+    another).
+
+    The event-time RANGE condition is load-bearing, not decoration:
+    Spark can only evict stream-stream join state when a watermark plus
+    a time bound proves no future match exists — an unbounded equi-join
+    on id would buffer both streams forever. With the bound, each
+    side's state is ``rate × (watermark + max_delay)`` rows, constant
+    in stream lifetime. ``how="left_outer"`` additionally emits
+    unmatched documents with NULL annotation columns — but only once
+    the watermark passes their join bound, so late tail documents of a
+    finite run (availableNow backfills) may never emit their NULL form;
+    inner is the default for exactly that determinism reason.
+
+    Both inputs may also be BATCH frames: the condition is plain
+    column algebra, so the same function is its own batch twin (the
+    parity test feeds both sides identical rows — the
+    ``curate_stream`` pattern)."""
+    if how not in ("inner", "left_outer", "leftOuter"):
+        raise ValueError(
+            f"how must be inner/left_outer, got {how!r} — stream-stream "
+            "right/full outer would need the mirror-image time bound"
+        )
+    streaming = docs.isStreaming
+    d = docs.withWatermark("ingest_time", doc_watermark) if streaming else docs
+    a = anns.withWatermark("ann_time", ann_watermark) if streaming else anns
+    d, a = d.alias("d"), a.alias("a")
+    cond = (
+        (F.col("d.doc_id") == F.col("a.doc_id"))
+        & (F.col("a.ann_time") >= F.col("d.ingest_time"))
+        & (
+            F.col("a.ann_time")
+            <= F.col("d.ingest_time") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    joined = d.join(a, cond, how)
+    return joined.select(
+        F.col("d.doc_id").alias("doc_id"),
+        F.col("d.text").alias("text"),
+        F.col("d.lang").alias("lang"),
+        F.col("d.source").alias("source"),
+        F.col("d.ingest_time").alias("ingest_time"),
+        F.col("a.score").alias("score"),
+        F.col("a.ann_time").alias("ann_time"),
+    )
