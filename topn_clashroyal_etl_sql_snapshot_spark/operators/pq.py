@@ -1,0 +1,400 @@
+"""Product quantization (PQ) for embedding search at corpus scale.
+
+Public recipe: Jégou, Douze, Schmid 2011, "Product Quantization for
+Nearest Neighbor Search" (and the IVF-PQ composition every large ANN
+system ships). Split each D-dim vector into M subvectors; fit a K-entry
+codebook per subspace; a vector compresses to M small codes (here
+``array<int>``; at K=256 that is M BYTES — a 64-dim float vector goes
+256 B → 4 B at M=4). Queries stay full precision and score encoded
+vectors ASYMMETRICALLY (ADC): dot(q, v) ≈ Σ_m dot(q_m, c_{m,code_m}) —
+a table lookup per subspace, never a decode.
+
+Why this matters at 100 TB: IVF-flat (``similarity.ivf_topk``) prunes
+CANDIDATES but still ships full vectors into the scoring join; IVF-PQ
+scores candidates from the code columns alone — the shuffled payload
+shrinks ~64x, and only the final re-rank touches true vectors for the
+handful of survivors per query. Reference repo has no similarity
+surface at all (its schema is relational rollups); this extends the
+mandated ANN family.
+
+Spark-first shape (no model objects, no UDFs):
+
+- **Fit** (:func:`fit_pq_codebooks`) — Lloyd iterations where ONE
+  assignment pass and ONE mean-recompute pass advance ALL M codebooks
+  simultaneously (the exploded (id, dim, x) stream already carries the
+  subspace index, so M is a grouping key, not a loop bound): job count
+  is O(lloyd_rounds), independent of both M and K. Plain L2 k-means —
+  PQ quantizes magnitudes too, so inputs are NOT unit-normalized
+  (deliberately unlike the spherical ``kmeans_parallel_centroids``).
+- **Encode** (:func:`pq_encode`) — nearest code per subspace as
+  integer-scaled codegen (argmin ‖x−c‖² ≡ argmax⟨x,c⟩−½‖c‖², the same
+  literal-matrix machinery as ``similarity._nearest_centroids``), one
+  doc-keyed aggregation.
+- **Search** (:func:`pq_topk`) — IVF coarse pruning (reusing the
+  similarity module's deterministic pivots) → ADC scoring of
+  candidates from codes + per-query lookup tables → exact cosine
+  re-rank of the top ``rerank·k`` — so the returned cosines are TRUE
+  cosines (PQ only decides which pairs are worth exact scoring).
+
+Determinism (module contract): codebook init is hash-ordered sampling,
+Lloyd means aggregate integer-scaled, assignment argmax is
+integer-scaled with index tie-break — two fits on the same corpus are
+assert-identical (tests/test_pq.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as vx
+from .similarity import _nearest_centroids, _spread_vectors, _with_norm, ivf_centroids
+
+_TERM_SCALE = float(1 << 40)
+_MEAN_SCALE = float(1 << 30)
+
+
+def _check_model(model: dict) -> None:
+    if model["dim"] != model["m"] * model["sub_dim"]:
+        raise ValueError("inconsistent PQ model: dim != m * sub_dim")
+
+
+def _code_matrix(model: dict):
+    """Literal array-of-array-of-array: cmat[s+1][j+1][t+1] plus the
+    per-code squared norms n2[s+1][j+1] — the whole model ships inside
+    the plan (M·K·sub_dim doubles: at M=8, K=256, D=768 that is ~1.5 MB
+    of literals — fine; far beyond that, move the model to a broadcast
+    join, same trade as ``classifier.margin_expr``)."""
+    cmat = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in code]) for code in book])
+            for book in model["codebooks"]
+        ]
+    )
+    n2 = F.array(
+        *[
+            F.array(*[F.lit(float(n)) for n in book])
+            for book in model["norms2"]
+        ]
+    )
+    return cmat, n2
+
+
+def _subspace_terms(
+    vecs: DataFrame, model: dict, id_alias: str = "id"
+) -> DataFrame:
+    """(id, s, j, dot_scaled): integer-scaled ⟨x_s, c_sj⟩ for every
+    (vector, subspace, code) triple — the shared kernel of encoding and
+    query-LUT construction. Exploded narrow stream, one aggregation."""
+    cmat, _ = _code_matrix(model)
+    sd, k = model["sub_dim"], model["k"]
+    dims = vecs.select(
+        F.col("id").alias(id_alias), F.posexplode("v").alias("d", "x")
+    ).select(
+        id_alias,
+        (F.col("d") / sd).cast("int").alias("s"),
+        (F.col("d") % sd).alias("t"),
+        "x",
+    )
+    terms = dims.select(
+        id_alias,
+        "s",
+        "t",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+    ).select(
+        id_alias,
+        "s",
+        "j",
+        F.round(
+            F.col("x").cast("double")
+            * F.element_at(
+                F.element_at(F.element_at(cmat, F.col("s") + 1), F.col("j") + 1),
+                F.col("t") + 1,
+            )
+            * F.lit(_TERM_SCALE)
+        )
+        .cast("long")
+        .alias("term"),
+    )
+    return terms.groupBy(id_alias, "s", "j").agg(
+        F.sum("term").alias("dot_scaled")
+    )
+
+
+def _assign_codes(vecs: DataFrame, model: dict) -> DataFrame:
+    """(id, s, code): nearest codebook entry per subspace —
+    argmin ‖x−c‖² as argmax of the integer-scaled ⟨x,c⟩ − ½‖c‖²
+    (the ‖x‖² term is constant per (id, s) and drops out). Ties break
+    toward the lower code index — replay-deterministic."""
+    _, n2 = _code_matrix(model)
+    scored = _subspace_terms(vecs, model).withColumn(
+        "score",
+        F.col("dot_scaled")
+        - F.round(
+            F.lit(0.5)
+            * F.element_at(F.element_at(n2, F.col("s") + 1), F.col("j") + 1)
+            * F.lit(_TERM_SCALE)
+        ).cast("long"),
+    )
+    w = Window.partitionBy("id", "s").orderBy(F.desc("score"), F.col("j"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("id", "s", F.col("j").alias("code"))
+    )
+
+
+def _vec_frame(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return _spread_vectors(embeddings, id_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+
+def fit_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    lloyd_rounds: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fit M codebooks of K entries each. Init: the K hash-minimal
+    corpus vectors seed code j of EVERY subspace with their j-th
+    subvector (deterministic, no RNG). Each Lloyd round advances all
+    M·K codes in two passes — one assignment, one (s, code, t)-keyed
+    integer-scaled mean — so the whole fit is O(lloyd_rounds) jobs
+    regardless of M and K; the collected statistics are bounded by the
+    MODEL size (M·K·sub_dim longs), never the corpus. Empty codes keep
+    their previous center. Returns ``{"m", "k", "sub_dim", "dim",
+    "codebooks": [s][j][t], "norms2": [s][j]}``."""
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("cannot fit PQ codebooks on an empty corpus")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sd = dim // m
+    vecs = _vec_frame(embeddings, id_col, vec_col).localCheckpoint(eager=False)
+    seeds = (
+        vecs.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(k).collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"corpus has {len(seeds)} vectors < k={k} codes")
+    books = [
+        [[float(x) for x in r["v"][s * sd : (s + 1) * sd]] for r in seeds]
+        for s in range(m)
+    ]
+
+    def _model(bs):
+        return {
+            "m": m,
+            "k": k,
+            "sub_dim": sd,
+            "dim": dim,
+            "codebooks": bs,
+            "norms2": [[sum(x * x for x in c) for c in book] for book in bs],
+        }
+
+    for _ in range(lloyd_rounds):
+        assign = _assign_codes(vecs, _model(books))
+        stats = (
+            vecs.select("id", F.posexplode("v").alias("d", "x"))
+            .withColumn("s", (F.col("d") / sd).cast("int"))
+            .withColumn("t", F.col("d") % sd)
+            .join(assign, ["id", "s"])
+            .groupBy("s", "code", "t")
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * F.lit(_MEAN_SCALE)).cast("long")
+                ).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in stats:
+            acc.setdefault((r["s"], r["code"]), {})[r["t"]] = r["sx"] / (
+                r["n"] * _MEAN_SCALE
+            )
+        new_books = [
+            [
+                [acc[(s, j)][t] for t in range(sd)]
+                if (s, j) in acc
+                else books[s][j]
+                for j in range(k)
+            ]
+            for s in range(m)
+        ]
+        if new_books == books:
+            break
+        books = new_books
+    return _model(books)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, codes: array<int>): every vector compressed to its M
+    nearest-code indices (codes[s] is subspace s's entry). One exploded
+    codegen pass + one doc-keyed aggregation; the model rides as plan
+    literals. This frame IS the compressed index — persist it instead
+    of the vectors and the search path never reloads the corpus
+    embeddings except for the final re-rank survivors."""
+    _check_model(model)
+    vecs = _vec_frame(embeddings, id_col, vec_col)
+    return (
+        _assign_codes(vecs, model)
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda p: p["code"],
+            ).alias("codes")
+        )
+        .select(F.col("id").alias(id_col), "codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    model: dict,
+    k: int = 10,
+    n_coarse: int = 16,
+    nprobe: int = 4,
+    rerank: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+    coarse_centroids: list[tuple[int, list[float], float]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k: coarse pruning → ADC approximate scoring from
+    codes → exact cosine re-rank. Returns (query_id, neighbor_id,
+    cosine, rank) with TRUE cosines (rank ties at 9 decimals break by
+    neighbor id, matching ``ivf_topk``'s contract).
+
+    1. Coarse quantizer: the similarity module's deterministic IVF
+       pivots (or a ``kmeans_parallel_centroids`` fit via
+       ``coarse_centroids``); corpus assigns to 1 list, queries probe
+       ``nprobe`` — candidates come from a (bucket)-keyed join, never
+       query × corpus.
+    2. ADC: candidates explode to M rows, join the per-query lookup
+       table on (query_id, s, code) — approx cosine =
+       Σ_m ⟨q_m, c_m,code⟩ / (‖q‖·‖v̂‖), with ‖v̂‖² = Σ_m ‖c_m,code‖²
+       EXACT from the subspace decomposition. No corpus vectors in
+       this stage — the payload is M ints per candidate.
+    3. Re-rank: top ``rerank·k`` per query by approx score fetch true
+       vectors for an exact cosine; final window keeps k.
+
+    ``codes`` accepts a persisted :func:`pq_encode` frame (the
+    compressed index) so repeated searches never re-encode. Recall has
+    two knobs: ``nprobe`` (coarse misses) and ``rerank`` (ADC ranking
+    noise); at ``nprobe = n_coarse`` and ``rerank·k ≥`` corpus size
+    the result equals ``brute_force_topk`` exactly (test-pinned)."""
+    _check_model(model)
+    if k < 1 or rerank < 1:
+        raise ValueError(f"k and rerank must be ≥ 1, got k={k} rerank={rerank}")
+    cents = (
+        coarse_centroids
+        if coarse_centroids is not None
+        else ivf_centroids(embeddings, n_coarse, id_col, vec_col)
+    )
+    corpus_assign = _nearest_centroids(embeddings, cents, 1, id_col, vec_col)
+    q = embeddings if query_filter is None else embeddings.filter(query_filter)
+    query_probe = _nearest_centroids(q, cents, nprobe, id_col, vec_col)
+    cand = (
+        query_probe.withColumnRenamed("id", "query_id")
+        .join(corpus_assign.withColumnRenamed("id", "neighbor_id"), "cidx")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    if codes is None:
+        codes = pq_encode(embeddings, model, id_col, vec_col)
+    _, n2 = _code_matrix(model)
+    ncodes = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("s", "code"),
+    ).withColumn(
+        "vnorm2_part",
+        F.element_at(F.element_at(n2, F.col("s") + 1), F.col("code") + 1),
+    )
+
+    qvecs = _vec_frame(q, id_col, vec_col)
+    lut = _subspace_terms(qvecs, model, id_alias="query_id").select(
+        "query_id",
+        "s",
+        F.col("j").alias("code"),
+        (F.col("dot_scaled").cast("double") / F.lit(_TERM_SCALE)).alias("qdot"),
+    )
+    qnorms = _with_norm(q, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_norm").alias("qnorm")
+    )
+
+    approx = (
+        cand.join(ncodes, "neighbor_id")
+        .join(lut, ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum("qdot").alias("adot"),
+            F.sqrt(F.sum("vnorm2_part")).alias("vnorm"),
+        )
+        .join(qnorms, "query_id")
+        .withColumn(
+            "approx_cos",
+            F.round(
+                F.col("adot")
+                / F.when(
+                    (F.col("qnorm") > 0) & (F.col("vnorm") > 0),
+                    F.col("qnorm") * F.col("vnorm"),
+                ),
+                9,
+            ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("approx_cos"), F.col("neighbor_id")
+    )
+    survivors = (
+        approx.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+
+    vecs = _with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vv"),
+        F.col("_norm").alias("nn"),
+    )
+    exact = (
+        survivors.join(
+            vecs.withColumnsRenamed({"id": "query_id", "vv": "v1", "nn": "n1"}),
+            "query_id",
+        )
+        .join(
+            vecs.withColumnsRenamed(
+                {"id": "neighbor_id", "vv": "v2", "nn": "n2"}
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                vx.cosine_prenormed(
+                    vx.dot(F.col("v1"), F.col("v2")), F.col("n1"), F.col("n2")
+                ),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
