@@ -57,6 +57,9 @@ def main() -> None:
     # ExactSubstr dedup: pytest-oracled (registry is at cap), timed here
     # so the new family's cost is on record per round.
     qs["docs_exact_substring"] = llm_queries.docs_exact_substring
+    # IVF-PQ ANN: pytest-pinned on clustered data (registry at cap),
+    # timed here — fit + encode + ADC search from codes.
+    qs["embedding_pq_topk"] = llm_queries.embedding_pq_topk
 
     # Warm the JVM/codegen path once so per-query timings measure the
     # queries, not first-call JIT + parquet footer reads.
@@ -85,6 +88,9 @@ def main() -> None:
         # exact verify) — medians from day one, no single-shot noise
         "semantic_neardup_pairs": 3,
         "lm_perplexity": 3,
+        # r8: new heaviest similarity entry (sampled fit + encode + ADC
+        # search) — medians from day one, no single-shot noise
+        "embedding_pq_topk": 3,
     }
 
     timings: dict[str, float] = {}

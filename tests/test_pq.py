@@ -237,3 +237,32 @@ def test_codes_frame_reuse(spark):
         )
     )
     assert a == b
+
+
+def test_sampled_fit_is_deterministic_and_usable(spark):
+    """sample_rows fits on a hash sample (constant fit cost in corpus
+    size) — still deterministic, still a full-shape model, and search
+    built on it still matches brute force under full probe + full
+    re-rank (sampling degrades codebook QUALITY only, and exact
+    re-rank doesn't care)."""
+    df, _, _ = _clustered(spark, n=120)
+    m1 = pq.fit_pq_codebooks(df, m=4, k=8, lloyd_rounds=2, sample_rows=60)
+    m2 = pq.fit_pq_codebooks(df, m=4, k=8, lloyd_rounds=2, sample_rows=60)
+    assert m1 == m2
+    assert len(m1["codebooks"]) == 4 and all(len(b) == 8 for b in m1["codebooks"])
+    full = pq.fit_pq_codebooks(df, m=4, k=8, lloyd_rounds=2)
+    assert full != m1  # the sample really changed the fit input
+    bf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.brute_force_topk(
+            df, k=2, query_filter=F.col("vec_id") < 5
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in pq.pq_topk(
+            df, m1, k=2, n_coarse=6, nprobe=6, rerank=60,
+            query_filter=F.col("vec_id") < 5,
+        ).collect()
+    }
+    assert got == bf

@@ -1516,3 +1516,30 @@ def docs_dsir_weights(spark, sf_dir):
     return dsir.importance_logweights(
         docs, _dsir_model(), toks=_toks_cached(spark, sf_dir)
     ).orderBy("doc_id")
+
+
+def embedding_pq_topk(spark, sf_dir):
+    """IVF-PQ ANN (operators/pq.py) over the embeddings table — NOT
+    registered (registry at cap; PQ's guarantees are pytest-pinned on
+    clustered data, tests/test_pq.py) but timed in the bench so the
+    fit + encode + ADC-search cost is on record per round. The
+    synthetic embeddings are isotropic (no honest coarse pruning —
+    same adjudication as ivf_topk), so the timed configuration probes
+    every coarse cell and lets the ADC stage + exact re-rank do the
+    work; the measured cost is fit (O(lloyd_rounds) jobs) + encode +
+    candidate scoring from codes."""
+    from ..operators import pq
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    model = pq.fit_pq_codebooks(
+        emb, m=4, k=16, lloyd_rounds=2, sample_rows=1000
+    )
+    return pq.pq_topk(
+        emb,
+        model,
+        k=5,
+        n_coarse=16,
+        nprobe=16,
+        rerank=4,
+        query_filter=F.col("vec_id") < 40,
+    ).orderBy("query_id", "rank")
