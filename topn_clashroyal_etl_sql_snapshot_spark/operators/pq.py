@@ -61,14 +61,10 @@ def _check_model(model: dict) -> None:
 def _flat_codes(model: dict):
     """The codebooks as ONE FLAT literal array indexed
     ``(s·K + j)·sub_dim + t`` (1-based at the element_at call site).
-    Flat-with-computed-index beats the nested array-of-array-of-array
-    form ~6x (measured 0.4 s vs 2.7 s on the same aggregation): a
-    single-level ``element_at`` on a folded literal stays a cheap
-    indexed load inside codegen, where chained element_at on nested
-    runtime indices does not. The whole model ships inside the plan
-    (M·K·sub_dim doubles: at M=8, K=256, D=768 that is ~1.5 MB of
-    literals — fine; far beyond that, move the model to a broadcast
-    join, same trade as ``classifier.margin_expr``)."""
+    The whole model ships inside the plan (M·K·sub_dim doubles: at
+    M=8, K=256, D=768 that is ~1.5 MB of literals — fine; far beyond
+    that, move the model to a broadcast join, same trade as
+    ``classifier.margin_expr``)."""
     flat = [
         float(x)
         for book in model["codebooks"]
@@ -91,14 +87,17 @@ def _dot_frame(
     """(id, s, dots: array<long>): integer-scaled ⟨x_s, c_sj⟩ for ALL K
     codes — the shared kernel of encoding and query-LUT construction.
 
-    Formulation matters: the obvious plan explodes a (vector, dim,
-    code) stream — n·D·K rows. This one explodes only (vector, dim) —
-    n·D rows — and folds the K dots as K compiled SUM columns in ONE
-    (id, s) aggregation (the conditional-sum shape that already beat
-    the HOF and join alternatives 4x+ for SimHash fingerprints, see
-    operators/dedup.py). Measured 16x fewer materialized rows at
-    K = 16; shuffle payload per group is K longs, bounded by the model,
-    not the dimension."""
+    Formulation (measured in ONE session on the sf0.1 embeddings,
+    D=64/M=4/K=16 — cross-session timings mislead, ±3x drift): K
+    compiled SUM columns over the exploded (vector, dim) stream with
+    the flat-literal lookup, 0.23 s steady-state, vs 0.30 s for the
+    exploded (vector, dim, code) stream with nested literals and
+    0.42 s exploded-with-flat. The win is SHAPE-SPECIFIC: for the
+    centroid-assignment shape (group = whole vector, not subspace)
+    the exploded+nested form wins 5x instead — which is why
+    ``similarity._nearest_centroids`` deliberately keeps it. Shuffle
+    payload per group here is K longs, bounded by the model, not the
+    dimension."""
     flat = _flat_codes(model)
     sd, k = model["sub_dim"], model["k"]
     dims = vecs.select(

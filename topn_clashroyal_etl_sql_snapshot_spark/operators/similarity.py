@@ -292,72 +292,29 @@ def ivf_centroids(
     return out
 
 
-# above this many centroids, the per-centroid-column aggregation would
-# generate an unwieldy number of agg expressions — fall back to the
-# exploded (id, d, x, cidx) stream, which handles any m
-_DOT_COL_LIMIT = 256
-
-
-def _dot_scaled_stream(
-    dims: DataFrame, centroids, id_alias: str = "id"
+def _nearest_centroids(
+    vecs: DataFrame, centroids, n_keep: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(id, cidx, dot_scaled): integer-scaled dot of every vector with
-    every centroid, from an exploded (id, d, x) stream.
+    """(id, cidx) — each vector's ``n_keep`` nearest centroids by cosine.
 
-    Two formulations, same values to the bit (identical per-term
-    ``round(x·c·2⁴⁰)`` then exact long sum — the registered semantic
-    oracle reproduces exactly this arithmetic in SQL, so plan shape is
-    free but values are not):
-
-    - m ≤ ``_DOT_COL_LIMIT``: m compiled SUM columns over the n·D
-      stream, centroid components in ONE FLAT literal array with a
-      computed index — measured ~6x faster than chained element_at on
-      nested literals, and the stream is m-times smaller than the
-      exploded form (the PQ kernel finding, operators/pq.py).
-    - m > limit (the 50k-cluster k-means regimes): the original
-      exploded (id, d, x, cidx) stream — unbounded in m."""
-    m = len(centroids)
-    if m <= _DOT_COL_LIMIT:
-        dim = len(centroids[0][1])
-        flat = F.array(
-            *[F.lit(float(x)) for _, vec, _ in centroids for x in vec]
-        )
-        sums = [
-            F.sum(
-                F.round(
-                    F.col("x").cast("double")
-                    * F.when(
-                        F.col("d") < F.lit(dim),
-                        F.element_at(
-                            flat,
-                            (F.lit(i * dim) + F.col("d") + 1).cast("int"),
-                        ),
-                    )
-                    * F.lit(float(1 << 40))
-                ).cast("long")
-            ).alias(f"_s{i}")
-            for i in range(m)
-        ]
-        return (
-            dims.groupBy(id_alias)
-            .agg(*sums)
-            .select(
-                id_alias,
-                F.posexplode(
-                    F.array(*[F.col(f"_s{i}") for i in range(m)])
-                ).alias("cidx", "dot_scaled"),
-            )
-        )
+    Centroid components are LITERALS (array-of-arrays) so the per-row
+    dot is narrow codegen over an exploded (id, d, x, cidx) stream —
+    no join, no HOFs; integer-scaled terms keep the argmax replay-
+    deterministic. Ties break toward the lower centroid index."""
     cmat = F.array(
         *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec, _ in centroids]
     )
+    cnorms = F.array(*[F.lit(float(nrm)) for _, _, nrm in centroids])
+    dims = _spread_vectors(vecs, id_col).select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x")
+    )
     terms = dims.select(
-        id_alias,
+        "id",
         "d",
         "x",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("cidx"),
+        F.explode(F.sequence(F.lit(0), F.lit(len(centroids) - 1))).alias("cidx"),
     ).select(
-        id_alias,
+        "id",
         "cidx",
         F.round(
             F.col("x").cast("double")
@@ -367,26 +324,14 @@ def _dot_scaled_stream(
         .cast("long")
         .alias("t"),
     )
-    return terms.groupBy(id_alias, "cidx").agg(F.sum("t").alias("dot_scaled"))
-
-
-def _nearest_centroids(
-    vecs: DataFrame, centroids, n_keep: int, id_col: str, vec_col: str
-) -> DataFrame:
-    """(id, cidx) — each vector's ``n_keep`` nearest centroids by cosine.
-
-    Centroid components are LITERALS so the per-row dot is narrow
-    codegen with no join and no HOFs (:func:`_dot_scaled_stream`);
-    integer-scaled terms keep the argmax replay-deterministic. Ties
-    break toward the lower centroid index."""
-    cnorms = F.array(*[F.lit(float(nrm)) for _, _, nrm in centroids])
-    dims = _spread_vectors(vecs, id_col).select(
-        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x")
-    )
-    scored = _dot_scaled_stream(dims, centroids).withColumn(
-        "cos",
-        F.col("dot_scaled").cast("double")
-        / F.element_at(cnorms, F.col("cidx") + 1),
+    scored = (
+        terms.groupBy("id", "cidx")
+        .agg(F.sum("t").alias("dot_scaled"))
+        .withColumn(
+            "cos",
+            F.col("dot_scaled").cast("double")
+            / F.element_at(cnorms, F.col("cidx") + 1),
+        )
     )
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.col("cidx"))
     return (
@@ -525,22 +470,36 @@ def _best_cosine_vs_batch(cur: DataFrame, batch: list[list[float]]) -> DataFrame
     """Update ``cur`` (id, v, best) — ``v`` UNIT vectors — so ``best``
     becomes max(best, cosine to any vector in ``batch``).
 
-    The batch ships as LITERALS and the per-row max-dot is the same
-    integer-scaled stream as :func:`_nearest_centroids`
-    (:func:`_dot_scaled_stream` — m compiled sum columns over the
-    (id, d, x) stream at small m, exploded cidx stream beyond) —
-    narrow codegen, no join against a centroid table,
-    replay-deterministic argmax/max. One shuffle (the per-id partial
-    sums), one self-join back on id."""
-    cents = [
-        (i, vec, float(sum(x * x for x in vec) ** 0.5) or 1.0)
-        for i, vec in enumerate(batch)
-    ]
-    cnorms = F.array(*[F.lit(nrm) for _, _, nrm in cents])
+    The batch ships as a LITERAL array-of-arrays and the per-row max-dot
+    is the same exploded (id, d, x, cidx) integer-scaled stream as
+    :func:`_nearest_centroids` — narrow codegen, no join against a
+    centroid table, replay-deterministic argmax/max. One shuffle
+    (the (id, cidx) partial-sum), one self-join back on id."""
+    m = len(batch)
+    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in vec]) for vec in batch])
+    cnorms = F.array(
+        *[F.lit(float(sum(x * x for x in vec) ** 0.5) or 1.0) for vec in batch]
+    )
     dims = cur.select("id", F.posexplode(F.col("v")).alias("d", "x"))
+    terms = dims.select(
+        "id",
+        "d",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("cidx"),
+    ).select(
+        "id",
+        "cidx",
+        F.round(
+            F.col("x").cast("double")
+            * F.element_at(cmat, F.col("cidx") + 1)[F.col("d")]
+            * F.lit(float(1 << 40))
+        )
+        .cast("long")
+        .alias("t"),
+    )
     bmax = (
-        _dot_scaled_stream(dims, cents)
-        .withColumnRenamed("dot_scaled", "s")
+        terms.groupBy("id", "cidx")
+        .agg(F.sum("t").alias("s"))
         .withColumn(
             "cos",
             F.col("s").cast("double")
