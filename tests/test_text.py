@@ -441,3 +441,98 @@ def test_scrub_preserves_dates_and_amounts(spark):
     assert got[1] == keep[1]
     for i in (2, 3, 4):
         assert "<PHONE>" in got[i], got[i]
+
+
+def test_ngram_repetition_stats_matches_python_oracle(spark):
+    """Gopher Table-A1 n-gram filters (textstats.ngram_repetition_stats)
+    vs a pure-Python twin: top-n occurrence-weighted char fractions and
+    the UNION-of-positions duplicated-n-gram coverage, incl. the
+    overlap case ('a a a a ...') where naive per-occurrence counting
+    would double-count characters."""
+    import re
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.textstats import (
+        ngram_repetition_stats,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat the cat sat on a hat"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # no repeats
+        (3, "a a a a a a a a"),  # maximal overlap
+        (4, "one two three four five one two three four five one two"),
+        (5, None),
+        (6, ""),
+        (7, "x y " * 30),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def tokens(text):
+        return [
+            t
+            for t in re.sub(r"[^a-zA-Z0-9 ]", " ", text or "").lower().split()
+            if t
+        ]
+
+    def py_stats(text, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+        toks = tokens(text)
+        total = sum(len(t) for t in toks)
+        out = {"token_chars": total}
+        for n in top_ns:
+            grams = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                grams[g] = grams.get(g, 0) + 1
+            if not grams or total == 0:
+                out[f"top_{n}gram_char_frac"] = 0.0
+            else:
+                # max by (count, gram) — ties toward the LARGER gram
+                # string, mirroring max_by's struct ordering
+                best = max(grams.items(), key=lambda kv: (kv[1], kv[0]))
+                chars = best[1] * (len(best[0]) - (n - 1))
+                out[f"top_{n}gram_char_frac"] = min(1.0, chars / total)
+        for n in dup_ns:
+            grams = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                grams.setdefault(g, []).append(i)
+            covered = set()
+            for g, positions in grams.items():
+                if len(positions) > 1:
+                    for p in positions:
+                        covered.update(range(p, p + n))
+            chars = sum(len(toks[p]) for p in covered)
+            out[f"dup_{n}gram_char_frac"] = (
+                chars / total if total > 0 else 0.0
+            )
+        return out
+
+    got = {r["doc_id"]: r.asDict() for r in ngram_repetition_stats(df).collect()}
+    assert set(got) == {d[0] for d in docs}
+    for doc_id, text in docs:
+        expect = py_stats(text)
+        row = got[doc_id]
+        assert row["token_chars"] == expect["token_chars"], doc_id
+        for key, val in expect.items():
+            if key == "token_chars":
+                continue
+            assert abs(row[key] - val) < 1e-12, (doc_id, key, row[key], val)
+    # the overlap doc: every position covered by dup 5-grams → frac 1.0
+    assert got[3]["dup_5gram_char_frac"] == 1.0
+    # no-repeat doc: all dup fracs zero
+    assert all(got[2][f"dup_{n}gram_char_frac"] == 0.0 for n in (5, 6, 7))
+
+
+def test_ngram_repetition_plan_no_python(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.textstats import (
+        ngram_repetition_stats,
+    )
+
+    df = spark.createDataFrame([(1, "a b c a b c a b")], "doc_id long, text string")
+    plan = (
+        ngram_repetition_stats(df, top_ns=(2,), dup_ns=(5,))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -276,3 +276,137 @@ def repetition_stats(
             F.coalesce(F.col("_token_chars"), F.lit(0)).alias("token_chars"),
         ]
     return out.select(*cols)
+
+
+def ngram_repetition_stats(
+    docs: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """The REST of Gopher Table A1's repetition filters
+    (:func:`repetition_stats` covers lines + the top bigram):
+
+    - ``top_{n}gram_char_frac`` (n ∈ ``top_ns``) — characters of ALL
+      occurrences of the single most frequent n-gram over total token
+      characters (capped at 1.0 — overlapping occurrences can exceed
+      the total, same cap rationale as the bigram column);
+    - ``dup_{n}gram_char_frac`` (n ∈ ``dup_ns``) — fraction of token
+      characters COVERED by any n-gram that occurs more than once in
+      the document. Coverage is a UNION of token positions (Gopher's
+      definition: overlapping duplicated n-grams must not double-count
+      a character), computed relationally as explode-the-span →
+      DISTINCT (doc, position) → sum of covered token lengths — no
+      interval algebra needed, the distinct IS the union.
+
+    Plan per n: grams come from the shared token-ARRAY scan
+    (``dedup.token_arrays``) via slice+join inside a transform (arrays
+    are document-sized, so the per-row HOF touches ~100 elements, not
+    the corpus); duplicated-gram detection is one (doc, gram) groupBy;
+    coverage is one explode + distinct + join keyed on the doc id.
+    Every shuffle is doc-keyed or (doc, gram)-keyed — high cardinality,
+    no skew surface. Costs scale with Σ|ns| passes over the token
+    stream; that is Gopher's price, and each pass is
+    partial-aggregated map-side.
+
+    Empty/NULL docs surface with zero fractions via the final left
+    joins (no NULL poisoning). Reference: Rae et al. 2021, Table A1;
+    thresholds are the caller's policy."""
+    from .dedup import token_arrays
+
+    if toks is None:
+        toks = token_arrays(docs, text_col, id_col)
+    toks = toks.select(F.col("id"), F.col("toks"))
+
+    # (id, p, len): the 0-based token-position stream with lengths —
+    # the coverage unit every dup_n pass joins against.
+    tokstream = toks.select(
+        "id", F.posexplode("toks").alias("p", "tok")
+    ).select("id", "p", F.length("tok").alias("len"))
+    totals = tokstream.groupBy("id").agg(
+        F.sum("len").alias("_token_chars")
+    )
+
+    def grams_of(n: int) -> DataFrame:
+        # sequence(1, 0) DESCENDS in Spark (it never returns empty), so
+        # docs shorter than n need an explicit empty-array branch
+        idx = F.when(
+            F.size("toks") >= n,
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return toks.select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    idx,
+                    lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+                )
+            ).alias("pos", "gram"),
+        )
+
+    out = docs.select(F.col(id_col).alias("id"))
+    safe_div = lambda a, b: F.when(  # noqa: E731
+        b > 0, a.cast("double") / b
+    ).otherwise(F.lit(0.0))
+
+    stats_cols: list = []
+    for n in top_ns:
+        grams = grams_of(n)
+        top = (
+            grams.groupBy("id", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    F.col("cnt") * (F.length("gram") - (n - 1)),
+                    F.struct(F.col("cnt"), F.col("gram")),
+                ).alias(f"_top{n}")
+            )
+        )
+        out = out.join(top, "id", "left")
+        stats_cols.append(
+            F.least(
+                F.lit(1.0),
+                safe_div(
+                    F.coalesce(F.col(f"_top{n}"), F.lit(0)),
+                    F.coalesce(F.col("_token_chars"), F.lit(0)),
+                ),
+            ).alias(f"top_{n}gram_char_frac")
+        )
+
+    for n in dup_ns:
+        grams = grams_of(n)
+        dup_keys = (
+            grams.groupBy("id", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 1)
+            .select("id", "gram")
+        )
+        covered = (
+            grams.join(dup_keys, ["id", "gram"])
+            .select(
+                "id",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+                ).alias("p"),
+            )
+            .distinct()
+            .join(tokstream, ["id", "p"])
+            .groupBy("id")
+            .agg(F.sum("len").alias(f"_dup{n}"))
+        )
+        out = out.join(covered, "id", "left")
+        stats_cols.append(
+            safe_div(
+                F.coalesce(F.col(f"_dup{n}"), F.lit(0)),
+                F.coalesce(F.col("_token_chars"), F.lit(0)),
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+
+    return out.join(totals, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("_token_chars"), F.lit(0)).alias("token_chars"),
+        *stats_cols,
+    )
