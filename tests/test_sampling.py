@@ -628,3 +628,58 @@ def test_replicate_plan_is_narrow(spark):
     )
     assert "Exchange" not in plan.replace("BroadcastExchange", "")
     assert "BatchEvalPython" not in plan
+
+
+def test_mixture_resample_matches_duckdb_oracle(spark):
+    """Upsampling to the driver's oracle bar: an independent DuckDB
+    query reproduces every (doc_id, epoch) copy — the xxh64 bucket
+    recomputed bit-for-bit via the generated CTE chain
+    (plans/xxh64_sql.py), the floor/fractional copy rule in SQL
+    arithmetic, epochs via generate_series."""
+    import duckdb
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        mixture_resample,
+    )
+    from topn_clashroyal_etl_sql_snapshot_spark.plans.xxh64_sql import (
+        xxh64_bucket_ctes,
+    )
+
+    df = _mix_corpus(spark, {"wiki": 80, "crawl": 320})
+    tgt = {"wiki": 0.5, "crawl": 0.5}
+    got = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mixture_resample(df, "source", tgt, key="doc_id").collect()
+    )
+
+    # multipliers recomputed in the test (anchor="min"): crawl 1.0,
+    # wiki 320/80 = 4.0 — embed as floor + fractional threshold
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        DEFAULT_BUCKETS,
+        mixture_multipliers,
+    )
+
+    weights = {"wiki": 80.0, "crawl": 320.0}
+    mult = mixture_multipliers(weights, tgt, anchor="min")
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {int(r)} + "
+        f"(CASE WHEN _bucket < {int(round((r - int(r)) * DEFAULT_BUCKETS))} "
+        f"THEN 1 ELSE 0 END)"
+        for g, r in mult.items()
+    )
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    sql = f"""
+    WITH {xxh64_bucket_ctes("docs", "doc_id", DEFAULT_BUCKETS)},
+    nc AS (
+      SELECT d.doc_id, (CASE {cases} ELSE 0 END) AS n_copies
+      FROM docs d JOIN _xxbkt USING (doc_id)
+    )
+    SELECT doc_id, CAST(e AS BIGINT) AS epoch
+    FROM nc, UNNEST(generate_series(0, n_copies - 1)) AS t(e)
+    WHERE n_copies > 0
+    ORDER BY doc_id, epoch
+    """
+    oracle = [(r[0], r[1]) for r in con.execute(sql).fetchall()]
+    assert got == oracle

@@ -1,4 +1,4 @@
-from . import cleaning, exprs, text, vectors
+from . import cleaning, exprs, text, urls, vectors
 from .exprs import (
     RANKED_MODE_IDS,
     battle_result,
@@ -17,6 +17,7 @@ __all__ = [
     "cleaning",
     "exprs",
     "text",
+    "urls",
     "vectors",
     "RANKED_MODE_IDS",
     "battle_result",
