@@ -536,3 +536,121 @@ def test_ngram_repetition_plan_no_python(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_quality_gates_decisions_and_reasons(spark):
+    """Gopher Table-A1 gate verdicts: each constructed doc fails
+    exactly its intended gate(s), the reasons column names them, and
+    the clean doc passes everything."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.textstats import (
+        gopher_quality_gates,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog while rain falls on "
+        "green hills and children play near the old stone bridge in "
+        "warm summer light as birds circle high above the quiet valley "
+    ) * 2
+    docs = [
+        (1, good),
+        (2, "short text only"),  # word_count (too few)
+        (3, "a b c d e f g h i j " * 10 + "the of"),  # mean_word_length low
+        (4, " ".join(["supercalifragilisticexpialidocious"] * 60) + " the of"),  # mean_word_length high
+        (5, good + " " + "# " * 40),  # symbol_word_ratio
+        (6, "\n".join(["- bullet item the of and is"] * 20)),  # bullet_lines
+        (7, "\n".join([f"line {i} trails off the of..." for i in range(20)])),  # ellipsis_lines
+        (8, good + " " + "12345 " * 120),  # alpha_words
+        (9, " ".join(["zormak" if i % 2 else "plinth" for i in range(80)])),  # stopwords
+        (10, None),  # NULL → word_count
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["keep"], list(r["reasons"]))
+        for r in gopher_quality_gates(df).collect()
+    }
+    assert got[1] == (True, [])
+    assert got[2][0] is False and "word_count" in got[2][1]
+    assert got[3][0] is False and "mean_word_length" in got[3][1]
+    assert got[4][0] is False and "mean_word_length" in got[4][1]
+    assert got[5][0] is False and "symbol_word_ratio" in got[5][1]
+    assert got[6][0] is False and "bullet_lines" in got[6][1]
+    assert got[7][0] is False and "ellipsis_lines" in got[7][1]
+    assert got[8][0] is False and "alpha_words" in got[8][1]
+    assert got[9][0] is False and "stopwords" in got[9][1]
+    assert got[10] == (False, ["stopwords", "word_count"]) or (
+        got[10][0] is False and "word_count" in got[10][1]
+    )
+
+
+def test_gopher_gates_match_python_twin(spark):
+    """The verdict equals an independent Python recomputation of every
+    threshold on mixed real-ish documents."""
+    import re
+
+    from topn_clashroyal_etl_sql_snapshot_spark.functions.text import (
+        EN_STOPWORDS,
+    )
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.textstats import (
+        gopher_quality_gates,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    vocab = (
+        "the of and to in data spark table window query join filter "
+        "sort merge batch stream value part group order line"
+    ).split()
+    docs = []
+    for i in range(30):
+        n = rng.randrange(5, 300)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if i % 5 == 0:
+            words += ["###"] * rng.randrange(0, 30)
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["keep"])
+        for r in gopher_quality_gates(df).collect()
+    }
+
+    def py_verdict(text):
+        words = [w for w in re.split(r"\s+", text) if w]
+        n = len(words)
+        lines = [l.strip() for l in text.split("\n") if l.strip()]
+        toks = [
+            t
+            for t in re.sub(r"[^a-zA-Z0-9 ]", " ", text).lower().split()
+            if t
+        ]
+        mean_wlen = sum(len(w) for w in words) / n if n else 0.0
+        n_sym = len(re.findall(r"#|\.\.\.|…", text))
+        checks = [
+            50 <= n <= 100_000,
+            3.0 <= mean_wlen <= 10.0,
+            (n_sym / n if n else 0.0) <= 0.1,
+            (sum(bool(re.match(r"^[-*•▪◦]", l)) for l in lines) / len(lines) if lines else 0.0) <= 0.9,
+            (sum(bool(re.search(r"(\.\.\.|…)$", l)) for l in lines) / len(lines) if lines else 0.0) <= 0.3,
+            (sum(bool(re.search("[A-Za-z]", w)) for w in words) / n if n else 0.0) >= 0.8,
+            len(set(toks) & set(EN_STOPWORDS)) >= 2,
+        ]
+        return n, all(checks)
+
+    for i, text in docs:
+        assert got[i] == py_verdict(text), i
+
+
+def test_gopher_gates_plan_is_scan_stage_only(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.textstats import (
+        gopher_quality_gates,
+    )
+
+    df = spark.createDataFrame([(1, "a b the of c")], "doc_id long, text string")
+    plan = (
+        gopher_quality_gates(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

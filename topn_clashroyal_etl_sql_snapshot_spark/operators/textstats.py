@@ -410,3 +410,125 @@ def ngram_repetition_stats(
         F.coalesce(F.col("_token_chars"), F.lit(0)).alias("token_chars"),
         *stats_cols,
     )
+
+
+def gopher_quality_gates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher Table-A1 QUALITY gate as one decision function
+    (Rae et al. 2021; the same rule set FineWeb/Dolma re-use): word
+    count in [50, 100k], mean word length in [3, 10], `#`/`…` symbols
+    per word ≤ 0.1, ≤ 90% of lines bullet-started, ≤ 30% of lines
+    ellipsis-ended, ≥ 80% of words containing a letter, and ≥ 2 hits
+    from a required-stopword list. Defaults are the paper's published
+    thresholds; every one is a keyword for policy tuning.
+
+    Returns (id_col, n_words, keep, reasons): ``keep`` is the AND of
+    all gates, ``reasons`` the sorted array of failed gate names —
+    curation pipelines log WHY a document died (reject-reason
+    telemetry drives threshold tuning), so the reasons column is the
+    product, not a debug extra.
+
+    Plan: ONE projection computes every signal from three compiled
+    token/line splits (raw-whitespace words for the length stats —
+    Gopher counts words before any normalization — plus raw lines,
+    plus normalized tokens for the stopword probe); no explode, no
+    join, no shuffle: the gate runs inside the scan stage and composes
+    with ``streaming/corpus.py`` unchanged (stateless).
+    NULL text fails the word-count gate (n_words = 0), surfacing as
+    keep = false with that reason — never a NULL verdict."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.array_remove(F.split(t, r"\s+"), "")
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wlen = F.when(
+        n_words > 0, word_chars.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.length(t) - F.length(F.regexp_replace(t, r"#|\.\.\.|…", ""))
+    )
+    lines = F.array_remove(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)), ""
+    )
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^([-*•▪◦])"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    toks = tx.tokens(t)
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in tx.EN_STOPWORDS]))
+    )
+
+    checks = [
+        ("word_count", (n_words >= min_words) & (n_words <= max_words)),
+        (
+            "mean_word_length",
+            (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len),
+        ),
+        (
+            "symbol_word_ratio",
+            F.when(n_words > 0, n_symbols.cast("double") / n_words).otherwise(
+                F.lit(0.0)
+            )
+            <= max_symbol_word_ratio,
+        ),
+        (
+            "bullet_lines",
+            F.when(
+                n_lines > 0, bullet_lines.cast("double") / n_lines
+            ).otherwise(F.lit(0.0))
+            <= max_bullet_line_frac,
+        ),
+        (
+            "ellipsis_lines",
+            F.when(
+                n_lines > 0, ellipsis_lines.cast("double") / n_lines
+            ).otherwise(F.lit(0.0))
+            <= max_ellipsis_line_frac,
+        ),
+        (
+            "alpha_words",
+            F.when(
+                n_words > 0, alpha_words.cast("double") / n_words
+            ).otherwise(F.lit(0.0))
+            >= min_alpha_word_frac,
+        ),
+        ("stopwords", stop_hits >= min_stopword_hits),
+    ]
+    reasons = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+                    for name, cond in checks
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    keep = checks[0][1]
+    for _, cond in checks[1:]:
+        keep = keep & cond
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        keep.alias("keep"),
+        reasons.alias("reasons"),
+    )
