@@ -457,9 +457,10 @@ def gopher_quality_gates(
     mean_wlen = F.when(
         n_words > 0, word_chars.cast("double") / n_words
     ).otherwise(F.lit(0.0))
-    n_symbols = (
-        F.length(t) - F.length(F.regexp_replace(t, r"#|\.\.\.|…", ""))
-    )
+    # OCCURRENCES, not characters: '...' is one symbol hit (the
+    # chars-removed shortcut would count it as 3 and triple-weight
+    # ellipses against the ratio)
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
     lines = F.array_remove(
         F.transform(F.split(t, "\n"), lambda l: F.trim(l)), ""
     )

@@ -1543,3 +1543,93 @@ def embedding_pq_topk(spark, sf_dir):
         rerank=4,
         query_filter=F.col("vec_id") < 40,
     ).orderBy("query_id", "rank")
+
+
+def _gopher_oracle_sql() -> str:
+    from ..functions.text import EN_STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    sym = r"#|\.\.\.|…"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS words,
+             list_filter(list_transform(string_split(t, chr(10)),
+                                        l -> trim(l)), l -> l <> '') AS lines,
+             len(regexp_extract_all(t, '{sym}')) AS n_sym,
+             list_filter(string_split_regex(lower(regexp_replace(t,
+                 '[^a-zA-Z0-9 ]', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+      FROM base
+    ),
+    m AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             CASE WHEN len(words) > 0 THEN
+               CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                 / len(words) ELSE 0.0 END AS mean_wlen,
+             CASE WHEN len(words) > 0 THEN
+               CAST(n_sym AS DOUBLE) / len(words) ELSE 0.0 END AS sym_ratio,
+             CASE WHEN len(lines) > 0 THEN
+               CAST(len(list_filter(lines, l -> regexp_matches(l,
+                 '^[-*•▪◦]'))) AS DOUBLE) / len(lines) ELSE 0.0 END AS bullet_frac,
+             CASE WHEN len(lines) > 0 THEN
+               CAST(len(list_filter(lines, l -> regexp_matches(l,
+                 '(\\.\\.\\.|…)$'))) AS DOUBLE) / len(lines) ELSE 0.0 END AS ellipsis_frac,
+             CASE WHEN len(words) > 0 THEN
+               CAST(len(list_filter(words, w -> regexp_matches(w,
+                 '[A-Za-z]'))) AS DOUBLE) / len(words) ELSE 0.0 END AS alpha_frac,
+             len(list_filter(list_distinct(toks),
+                 x -> list_contains([{stop_list}], x))) AS stop_hits
+      FROM sig
+    ),
+    v AS (
+      SELECT doc_id, n_words,
+             (n_words >= 50 AND n_words <= 100000) AS c_words,
+             (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS c_wlen,
+             (sym_ratio <= 0.1) AS c_sym,
+             (bullet_frac <= 0.9) AS c_bullet,
+             (ellipsis_frac <= 0.3) AS c_ellipsis,
+             (alpha_frac >= 0.8) AS c_alpha,
+             (stop_hits >= 2) AS c_stop
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           (c_words AND c_wlen AND c_sym AND c_bullet AND c_ellipsis
+            AND c_alpha AND c_stop) AS keep,
+           list_sort(list_filter([
+             CASE WHEN NOT c_words THEN 'word_count' END,
+             CASE WHEN NOT c_wlen THEN 'mean_word_length' END,
+             CASE WHEN NOT c_sym THEN 'symbol_word_ratio' END,
+             CASE WHEN NOT c_bullet THEN 'bullet_lines' END,
+             CASE WHEN NOT c_ellipsis THEN 'ellipsis_lines' END,
+             CASE WHEN NOT c_alpha THEN 'alpha_words' END,
+             CASE WHEN NOT c_stop THEN 'stopwords' END
+           ], x -> x IS NOT NULL)) AS reasons
+    FROM v
+    ORDER BY doc_id
+    """
+
+
+@register("docs_gopher_gates", _gopher_oracle_sql())
+def docs_gopher_gates(spark, sf_dir):
+    """Gopher Table-A1 quality-gate verdicts
+    (textstats.gopher_quality_gates) for EVERY document: keep boolean
+    plus the failed-gate reasons array, at the paper's published
+    thresholds. The oracle recomputes all seven gates independently in
+    DuckDB (same regex classes, same integer-count → double-division
+    arithmetic, same reason names sorted) — so word counting, line
+    splitting, symbol occurrences, alpha-word detection, distinct-
+    stopword hits, and the verdict conjunction are all hash-checked.
+    Registered r8 by rotating out q3_shipping_priority (TPC-H joins
+    stay covered by q1 + q5; Q3 keeps its oracle bar in
+    tests/test_rotated_rows.py). Scale: one shuffle-free scan-stage
+    projection — the gate costs a column expression at any corpus
+    size."""
+    from ..operators import textstats
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return textstats.gopher_quality_gates(docs).orderBy("doc_id")
