@@ -217,3 +217,79 @@ def test_pack_ffd_invariants_property(spark, items):
     for members in fill.values():
         # budget respected unless a lone oversized document
         assert sum(members) <= BUDGET or (len(members) == 1 and members[0] > BUDGET)
+
+
+def test_assemble_bins_sequences_and_boundaries(spark):
+    """assemble_bins materializes pack_greedy's assignment into
+    loader-ready sequences: ids concatenate in pack order, doc_lens
+    partitions input_ids exactly, and the result is independent of the
+    input's row order (the in-row sort, not collect_list order, decides)."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.packing import (
+        assemble_bins,
+        pack_greedy,
+    )
+
+    rows = [
+        # (doc_id, chunk_idx, ids)
+        (1, 0, [1, 2, 3]),
+        (1, 1, [4, 5]),
+        (2, 0, [6]),
+        (3, 0, [7, 8, 9, 10]),
+        (4, 0, [11, 12]),
+    ]
+    df = spark.createDataFrame(
+        [(d, c, ids, len(ids), "g") for d, c, ids in rows],
+        "doc_id long, chunk_idx int, chunk_ids array<int>, n_tokens long, grp string",
+    )
+    packed = pack_greedy(
+        df, ["grp"], [F.asc("doc_id"), F.asc("chunk_idx")], "n_tokens", budget=6
+    )
+    out = {
+        (r["grp"], r["bin_id"]): r
+        for r in assemble_bins(
+            packed, ["grp"], ["doc_id", "chunk_idx"]
+        ).collect()
+    }
+    # greedy fill at budget 6: [3,2,1] → bin0, [4,2] → bin1
+    b0, b1 = out[("g", 0)], out[("g", 1)]
+    assert b0["input_ids"] == [1, 2, 3, 4, 5, 6]
+    assert b0["doc_lens"] == [3, 2, 1] and b0["n_docs"] == 3
+    assert b1["input_ids"] == [7, 8, 9, 10, 11, 12]
+    assert b1["doc_lens"] == [4, 2]
+    for r in out.values():
+        assert sum(r["doc_lens"]) == r["n_tokens"] == len(r["input_ids"])
+
+    # row-order independence
+    shuffled = assemble_bins(
+        packed.orderBy(F.desc("doc_id")),
+        ["grp"],
+        ["doc_id", "chunk_idx"],
+    ).collect()
+    assert {
+        (r["grp"], r["bin_id"]): r["input_ids"] for r in shuffled
+    } == {k: v["input_ids"] for k, v in out.items()}
+
+
+def test_assemble_bins_plan_single_shuffle_no_python(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.packing import (
+        assemble_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, [1], 1, "g", 0)],
+        "doc_id long, chunk_idx int, chunk_ids array<int>, n_tokens long, grp string, bin_id long",
+    )
+    plan = (
+        assemble_bins(df, ["grp"], ["doc_id", "chunk_idx"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.replace("BroadcastExchange", "").count("Exchange") <= 2  # partial+final agg pair
+    assert "BatchEvalPython" not in plan
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        assemble_bins(df, [], ["doc_id"])
+    with _p.raises(ValueError):
+        assemble_bins(df, ["grp"], [F.asc("doc_id")])

@@ -135,3 +135,58 @@ def pack_ffd(
     return df.select(*group_cols, id_col, token_col).groupBy(*group_cols).applyInPandas(
         fit, schema
     )
+
+
+def assemble_bins(
+    packed: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
+    ids_col: str = "chunk_ids",
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Materialize packed bins into TRAINING SEQUENCES: one row per
+    (group, bin) with the concatenated token ids and the per-document
+    boundary metadata a loader needs to reset attention/loss masks at
+    document joins (the standard packed-pretraining contract — without
+    ``doc_lens`` the trainer cannot avoid cross-document attention).
+
+    Returns group_cols + (bin_col, input_ids: array, n_tokens, n_docs,
+    doc_lens: array) where ``doc_lens[i]`` is the i-th packed chunk's
+    length in ``input_ids`` order (``posexplode(doc_lens)`` rebuilds
+    offsets; Σ doc_lens = n_tokens by construction).
+
+    Determinism: chunks collect as (order_cols…, ids) STRUCTS and sort
+    BEFORE flattening — ``collect_list`` order is partition-dependent,
+    so the sort inside the row is what makes two runs byte-identical
+    (make ``order_cols`` total, same contract as :func:`pack_greedy`).
+    ``order_cols`` must be PLAIN columns/names, ascending (they become
+    struct fields for ``array_sort`` — a ``F.asc()``/``F.desc()``
+    SortOrder is not a value and is rejected here; the packer's fill
+    order is ascending by convention anyway). Plan: ONE groupBy on
+    (group, bin) — the same key the packer shuffled on — then pure
+    array algebra (sort/transform/flatten) in the projection; no
+    second shuffle, no Python, no window."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (see pack_greedy)")
+    ocols = []
+    for c in order_cols:
+        col = F.col(c) if isinstance(c, str) else c
+        if "ASC" in str(col) or "DESC" in str(col):
+            raise ValueError(
+                f"order_cols entry {col} is a SortOrder — pass the bare "
+                "column; assemble_bins sorts ascending by construction"
+            )
+        ocols.append(col)
+    bundle = F.struct(*ocols, F.col(ids_col).alias("_ids"))
+    agg = packed.groupBy(*group_cols, bin_col).agg(
+        F.array_sort(F.collect_list(bundle)).alias("_chunks")
+    )
+    sorted_ids = F.transform(F.col("_chunks"), lambda c: c["_ids"])
+    return agg.select(
+        *group_cols,
+        bin_col,
+        F.flatten(sorted_ids).alias("input_ids"),
+        F.size(F.flatten(sorted_ids)).alias("n_tokens"),
+        F.size("_chunks").alias("n_docs"),
+        F.transform(sorted_ids, lambda ids: F.size(ids)).alias("doc_lens"),
+    )
