@@ -48,6 +48,7 @@ from topn_clashroyal_etl_sql_snapshot_spark.operators import (  # noqa: E402
     dsir,
 )
 from topn_clashroyal_etl_sql_snapshot_spark.operators.packing import (  # noqa: E402
+    assemble_bins,
     pack_greedy,
     pack_stats,
 )
@@ -179,14 +180,15 @@ def curate(spark, sf_dir: str, budget: int = 2048):
     # (doc_id, chunk_idx) keeps provenance. chunk_by_tokens drops the
     # id arrays from its output by default — only the counts flow on.
     chunked = chunking.chunk_by_tokens(encoded, size=512, overlap=64)
-    # the packer consumes only n_tokens — dropping the id arrays keeps
-    # them out of its (split, source) window exchange
-    chunked = chunked.drop("chunk_ids")
-    n_chunks = chunked.count()
+    # the packer consumes only n_tokens — packing on the NARROW frame
+    # keeps the id arrays out of its (split, source) window exchange;
+    # assembly joins them back afterwards by chunk identity
+    chunk_meta = chunked.drop("chunk_ids")
+    n_chunks = chunk_meta.count()
     print(f"6_chunked        {n_chunks}  (from {sum(split_docs.values())} docs)")
 
     packed = pack_greedy(
-        chunked,
+        chunk_meta,
         ["split", "source"],
         [F.asc("doc_id"), F.asc("chunk_idx")],
         "n_tokens",
@@ -207,12 +209,22 @@ def curate(spark, sf_dir: str, budget: int = 2048):
     for r in rows:
         print(f"    {r['split']:6s} {r['bins']:6d} {r['chunks']:6d} {r['avg_fill']}")
 
-    # Hand-off: write the packed chunks as training shards keyed on the
-    # BIN identity (a bin is one training sequence — its chunks must
-    # co-locate in one shard), with the per-shard integrity manifest.
+    # Assemble each bin into a loader-ready SEQUENCE (concatenated
+    # token ids + doc_lens boundary metadata for attention/loss-mask
+    # resets), re-joining the id arrays the packer didn't carry, then
+    # write the sequences as training shards keyed on bin identity —
+    # a bin is one training sequence; its row must live in one shard.
+    sequences = assemble_bins(
+        packed.join(
+            chunked.select("doc_id", "chunk_idx", "chunk_ids"),
+            ["doc_id", "chunk_idx"],
+        ),
+        ["split", "source"],
+        ["doc_id", "chunk_idx"],
+    )
     shard_dir = tempfile.mkdtemp(prefix="curated_shards_")
     shards.write_training_shards(
-        packed,
+        sequences,
         shard_dir,
         key=F.concat_ws("|", "split", "source", F.col("bin_id")),
         n_shards=8,
@@ -220,9 +232,10 @@ def curate(spark, sf_dir: str, budget: int = 2048):
     )
     mrows = shards.read_manifest(spark, shard_dir).collect()
     n_shards_written = len(mrows)
+    n_sequences = sum(r["n_rows"] for r in mrows)
     print(
         f"8_shards         {n_shards_written} shards at {shard_dir}  "
-        f"(rows={sum(r['n_rows'] for r in mrows)}, "
+        f"(sequences={n_sequences}, "
         f"tokens={sum(r['n_weight'] for r in mrows)})"
     )
     return {
@@ -237,6 +250,7 @@ def curate(spark, sf_dir: str, budget: int = 2048):
         "packed_chunks": {r["split"]: r["chunks"] for r in rows},
         "shard_dir": shard_dir,
         "shards": n_shards_written,
+        "sequences": n_sequences,
     }
 
 

@@ -43,8 +43,13 @@ def test_curate_corpus_example(spark):
 
     try:
         assert out["shards"] >= 1
-        mrows = shards.read_manifest(spark, out["shard_dir"]).collect()
-        assert sum(r["n_rows"] for r in mrows) == out["chunks"]
+        # one shard row per PACKED SEQUENCE (bins, not chunks)
+        assert 1 <= out["sequences"] <= out["chunks"]
+        seqs = shards.read_training_shards(spark, out["shard_dir"])
+        rows = seqs.collect()
+        assert len(rows) == out["sequences"]
+        for r in rows:
+            assert sum(r["doc_lens"]) == r["n_tokens"] == len(r["input_ids"])
         rep = shards.verify_shards(
             spark, out["shard_dir"], weight_col="n_tokens"
         ).collect()
