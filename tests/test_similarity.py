@@ -452,3 +452,66 @@ def test_centroids_for_corpus_sizes_k_and_recalls(spark, many_clustered):
         max(rows, key=lambda i: _cos(rows[i], vec)) % 20 for _, vec, _ in cents
     )
     assert owners == list(range(20))
+
+
+def test_random_projection_preserves_distances_and_is_deterministic(spark):
+    """JL contract on random vectors: projected pairwise distances
+    track the originals within the usual JL tolerance at this scale;
+    two runs (and a different partitioning) are byte-identical; a new
+    seed yields a different projection."""
+    import math
+    import random as _r
+
+    rng = _r.Random(17)
+    D, N, K = 64, 60, 32
+    rows = [(i, [rng.gauss(0, 1) for _ in range(D)]) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    proj = {
+        r["vec_id"]: list(r["projected"])
+        for r in similarity.random_projection(df, K).collect()
+    }
+    assert all(len(v) == K for v in proj.values())
+    orig = {i: v for i, v in rows}
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ratios = []
+    pairs = [(i, j) for i in range(0, 20) for j in range(i + 1, 20)]
+    for i, j in pairs:
+        d0 = dist(orig[i], orig[j])
+        d1 = dist(proj[i], proj[j])
+        ratios.append(d1 / d0)
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2
+    assert max(ratios) < 1.8 and min(ratios) > 0.45
+
+    again = {
+        r["vec_id"]: list(r["projected"])
+        for r in similarity.random_projection(
+            df.repartition(7), 32
+        ).collect()
+    }
+    assert again == proj
+    other = {
+        r["vec_id"]: list(r["projected"])
+        for r in similarity.random_projection(df, 32, seed=7).collect()
+    }
+    assert other != proj
+
+
+def test_random_projection_plan_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    plan = (
+        similarity.random_projection(df, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        similarity.random_projection(df, 0)

@@ -876,3 +876,75 @@ def semantic_dedup(
         F.col("comp").alias("component"),
         (F.col("id") == F.col("comp")).alias("keep"),
     )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """(id_col, out_col): Johnson-Lindenstrauss random projection to
+    ``out_dim`` dimensions with the database-friendly ±1 matrix
+    (Achlioptas 2001: r_{jd} ∈ {−1, +1} uniformly preserves pairwise
+    distances within the JL bound, no Gaussians needed) — the
+    dimensionality-reduction stage in front of LSH / IVF / PQ when the
+    source embeddings are wide (project 768 → 64, then index: every
+    downstream candidate structure gets ~12x cheaper per vector).
+
+    The projection matrix is never materialized: the sign of entry
+    (j, d) is the parity of ``xxhash64(seed, j·D_max + d)`` — a pure
+    function of (seed, j, d), so every executor, run, and replay
+    projects identically (the module's no-RNG contract), and the plan
+    is the exploded (id, d, x, j) integer-scaled stream the centroid
+    kernel uses (narrow codegen, one (id, j) aggregation, one per-id
+    array rebuild — two doc-keyed exchanges). Output scale is
+    ``1/√out_dim`` so expected norms are preserved. Rounded to 9
+    decimals for cross-engine determinism, like every cosine in this
+    module."""
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be ≥ 1, got {out_dim}")
+    # D_max folds (j, d) into one hash lane; any bound ≥ the real
+    # dimension works and 1<<20 dwarfs every embedding width
+    dmax = 1 << 20
+    dims = _spread_vectors(embeddings, id_col).select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x")
+    )
+    terms = dims.select(
+        "id",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias("j"),
+        "d",
+    ).select(
+        "id",
+        "j",
+        (
+            F.col("x").cast("double")
+            * F.when(
+                F.pmod(
+                    F.xxhash64(
+                        F.lit(int(seed)).cast("long"),
+                        (F.col("j").cast("long") * dmax + F.col("d")),
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+        ).alias("t"),
+    )
+    comps = terms.groupBy("id", "j").agg(
+        F.round(F.sum("t") / F.sqrt(F.lit(float(out_dim))), 9).alias("y")
+    )
+    return (
+        comps.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "y"))),
+                lambda p: p["y"].cast("float"),
+            ).alias(out_col)
+        )
+        .select(F.col("id").alias(id_col), out_col)
+    )
