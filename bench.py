@@ -60,6 +60,9 @@ def main() -> None:
     # IVF-PQ ANN: pytest-pinned on clustered data (registry at cap),
     # timed here — fit + encode + ADC search from codes.
     qs["embedding_pq_topk"] = llm_queries.embedding_pq_topk
+    # Gopher n-gram repetition sweep: pytest-pinned, timed here — the
+    # most scan-intensive text operator (9 token-stream passes).
+    qs["text_ngram_repetition"] = llm_queries.text_ngram_repetition
 
     # Warm the JVM/codegen path once so per-query timings measure the
     # queries, not first-call JIT + parquet footer reads.

@@ -1633,3 +1633,20 @@ def docs_gopher_gates(spark, sf_dir):
 
     docs = read_testdata(spark, sf_dir, "documents")
     return textstats.gopher_quality_gates(docs).orderBy("doc_id")
+
+
+def text_ngram_repetition(spark, sf_dir):
+    """Gopher n-gram repetition sweep (textstats.ngram_repetition_stats)
+    over the documents table — NOT registered (registry at cap; the
+    union-of-positions semantics are pytest-pinned against a Python
+    twin in tests/test_text.py) but timed in the bench: the operator
+    makes Σ|ns| passes over the token stream (here 3 top-n + 6 dup-n =
+    9), which is the most scan-intensive text operator in the repo —
+    its per-round cost belongs on record. Shares the session tokenize
+    cache with the dedup family."""
+    from ..operators import textstats
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return textstats.ngram_repetition_stats(
+        docs, toks=_toks_cached(spark, sf_dir)
+    ).orderBy("doc_id")
