@@ -293,3 +293,18 @@ def test_assemble_bins_plan_single_shuffle_no_python(spark):
         assemble_bins(df, [], ["doc_id"])
     with _p.raises(ValueError):
         assemble_bins(df, ["grp"], [F.asc("doc_id")])
+
+
+def test_assemble_bins_accepts_columns_named_like_sort_tokens(spark):
+    """Review regression: a column NAMED 'ASCII_rank' is a plain
+    column, not a SortOrder — it must be accepted."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.packing import (
+        assemble_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1, 2], "g", 0), (1, [3], "g", 0)],
+        "ASCII_rank long, chunk_ids array<int>, grp string, bin_id long",
+    )
+    out = assemble_bins(df, ["grp"], ["ASCII_rank"]).collect()
+    assert out[0]["input_ids"] == [1, 2, 3]

@@ -266,3 +266,26 @@ def test_sampled_fit_is_deterministic_and_usable(spark):
         ).collect()
     }
     assert got == bf
+
+
+def test_null_and_mismatched_vectors_guarded(spark):
+    """Review regression: a NULL-first-row corpus raises a descriptive
+    error, and wrong-width vectors are EXCLUDED from encode/search
+    rather than silently under-summed."""
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pq.fit_pq_codebooks(allnull, m=2, k=1)
+
+    df, _, _ = _clustered(spark, n=40)
+    model = pq.fit_pq_codebooks(df, m=4, k=4, lloyd_rounds=1)
+    mixed = df.unionAll(
+        spark.createDataFrame(
+            [(999, [1.0, 2.0]), (998, None)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    codes = pq.pq_encode(mixed, model)
+    ids = {r["vec_id"] for r in codes.collect()}
+    assert 999 not in ids and 998 not in ids and len(ids) == 40

@@ -155,3 +155,38 @@ def test_blocklist_plan_broadcast_no_python(spark):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tracking_strip_never_corrupts_suffix_named_params(spark):
+    """Review regression: a param whose NAME merely ends with a
+    tracking name must survive byte-for-byte."""
+    cases = {
+        "https://e.com/p?notutm_source=a&x=1": "https://e.com/p?notutm_source=a&x=1",
+        "https://e.com/p?myfbclid=2": "https://e.com/p?myfbclid=2",
+        "https://e.com/p?href_src=x&utm_source=y": "https://e.com/p?href_src=x",
+    }
+    df = _df(spark, list(cases))
+    got = [
+        r["s"]
+        for r in df.orderBy("doc_id")
+        .select(urls.strip_tracking_params(F.col("url")).alias("s"))
+        .collect()
+    ]
+    assert got == list(cases.values())
+
+
+def test_normalize_keeps_cross_scheme_nondefault_ports(spark):
+    """Review regression: :443 is NOT default for http (nor :80 for
+    https) — normalization must keep them distinct origins."""
+    cases = {
+        "http://e.com:443/x": "http://e.com:443/x",
+        "https://e.com:80/x": "https://e.com:80/x",
+    }
+    df = _df(spark, list(cases))
+    got = [
+        r["s"]
+        for r in df.orderBy("doc_id")
+        .select(urls.url_normalize(F.col("url")).alias("s"))
+        .collect()
+    ]
+    assert got == list(cases.values())

@@ -50,6 +50,20 @@ def tokens(col: Column) -> Column:
     return F.array_remove(F.split(normalize_text(col), "\\s+"), "")
 
 
+def py_tokens(text: str | None) -> list[str]:
+    """THE driver-side Python twin of :func:`tokens` (same character
+    class, lowercasing, empty-token drop). Single source of truth:
+    every operator that tokenizes on the driver (DSIR term fits, BM25
+    query normalization) and every test twin must use this — two
+    independent mirrors of one Spark tokenizer drift, and a drift here
+    silently breaks the term-keyed DuckDB oracle rows."""
+    import re
+
+    return [
+        t for t in re.sub(r"[^a-zA-Z0-9 ]", " ", text or "").lower().split() if t
+    ]
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 

@@ -31,9 +31,14 @@ from pyspark.sql import functions as F
 _HOST_RE = r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)"
 
 # the tracking params every major pipeline strips (utm_* family plus
-# the click-id params); applied repeatedly so runs of tracked params
-# collapse.
-_TRACKING_RE = r"(?:utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)=[^&#]*"
+# the click-id params). ANCHORED to the [?&] delimiter (captured and
+# kept by the replacement) so a non-tracking param whose NAME merely
+# ends with a tracking name — ``notutm_source=a``, ``myfbclid=2`` —
+# is never corrupted (review finding: the unanchored form matched the
+# embedded substring and invented bogus params).
+_TRACKING_RE = (
+    r"([?&])(?:utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)=[^&#]*"
+)
 
 
 def url_host(col: Column) -> Column:
@@ -71,7 +76,7 @@ def strip_tracking_params(col: Column) -> Column:
     """Remove utm_*/click-id query parameters, then normalize the
     leftover separators (``?&`` → ``?``, trailing ``?``/``&`` dropped).
     Fragment and every non-tracking param survive byte-for-byte."""
-    c = F.regexp_replace(col, _TRACKING_RE, "")
+    c = F.regexp_replace(col, _TRACKING_RE, "$1")
     c = F.regexp_replace(c, r"([?&])&+", "$1")
     c = F.regexp_replace(c, r"\?&", "?")
     return F.regexp_replace(c, r"[?&]+(#|$)", "$1")
@@ -89,7 +94,11 @@ def url_normalize(col: Column) -> Column:
     # substring via length arithmetic keeps this join-free and codegen
     rest = F.substring(c, F.length(prefix) + 1, F.lit(1 << 30))
     c = F.concat(F.lower(prefix), rest)
-    c = F.regexp_replace(c, r"^(https?://[^/:?#]+):(?:80|443)(?=[/?#]|$)", "$1")
+    # scheme-SPECIFIC default ports: :443 is NOT default for http (nor
+    # :80 for https) — a combined https?/80|443 rule would conflate two
+    # distinct origins into one canonical URL (review finding)
+    c = F.regexp_replace(c, r"^(http://[^/:?#]+):80(?=[/?#]|$)", "$1")
+    c = F.regexp_replace(c, r"^(https://[^/:?#]+):443(?=[/?#]|$)", "$1")
     c = strip_tracking_params(c)
     c = F.regexp_replace(c, r"#.*$", "")
     return F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")

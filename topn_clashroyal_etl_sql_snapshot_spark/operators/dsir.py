@@ -46,7 +46,6 @@ the one doc-keyed agg, and top-k state is O(k) per partition.
 from __future__ import annotations
 
 import math
-import re
 from collections.abc import Iterable, Mapping
 
 from pyspark.sql import Column, DataFrame
@@ -54,14 +53,11 @@ from pyspark.sql import functions as F
 
 MICRO = 1_000_000
 
-# Python twin of functions/text.py::tokens (lower, non-alnum → space,
-# whitespace split, empties dropped) — the term-kind fit runs driver-side
-# on seed text lists, so it tokenizes here, not in Spark.
-_NON_ALNUM = re.compile(r"[^a-zA-Z0-9 ]")
-
-
-def py_tokens(text: str) -> list[str]:
-    return [t for t in _NON_ALNUM.sub(" ", text).lower().split() if t]
+# The term-kind fit runs driver-side on seed text lists, so it
+# tokenizes in Python — via the ONE shared twin of
+# functions/text.py::tokens (a private re-implementation here could
+# drift from the Spark tokenizer and break the oracle row).
+from ..functions.text import py_tokens  # noqa: E402  (re-exported)
 
 
 def py_terms(text: str, bigrams: bool = True) -> list[str]:

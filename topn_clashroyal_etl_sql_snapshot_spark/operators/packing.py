@@ -171,7 +171,14 @@ def assemble_bins(
     ocols = []
     for c in order_cols:
         col = F.col(c) if isinstance(c, str) else c
-        if "ASC" in str(col) or "DESC" in str(col):
+        # detect a SortOrder expression precisely (its string form ends
+        # with the direction + null-ordering tokens) — a bare substring
+        # test would reject legitimate columns NAMED e.g. 'ASCII_rank'
+        # (review finding)
+        rendered = str(col)
+        if rendered.rstrip("'>").endswith(
+            ("NULLS FIRST", "NULLS LAST", " ASC", " DESC")
+        ):
             raise ValueError(
                 f"order_cols entry {col} is a SortOrder — pass the bare "
                 "column; assemble_bins sorts ascending by construction"

@@ -165,11 +165,20 @@ def _assign_codes(vecs: DataFrame, model: dict) -> DataFrame:
     )
 
 
-def _vec_frame(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return _spread_vectors(embeddings, id_col).select(
+def _vec_frame(
+    embeddings: DataFrame, id_col: str, vec_col: str, dim: int | None = None
+) -> DataFrame:
+    """(id, v): the double-cast vector stream. With ``dim``, rows whose
+    vector is NULL or the wrong width are EXCLUDED — a short vector
+    would otherwise emit fewer subspaces and silently under-sum its
+    codes/ADC scores (review finding), which is worse than absence."""
+    out = _spread_vectors(embeddings, id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    if dim is not None:
+        out = out.filter(F.size("v") == dim)
+    return out
 
 
 def fit_pq_codebooks(
@@ -201,14 +210,20 @@ def fit_pq_codebooks(
         from .sampling import hash_sample_target
 
         embeddings = hash_sample_target(embeddings, id_col, sample_rows)
-    first = embeddings.select(vec_col).first()
+    first = (
+        embeddings.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    )
     if first is None:
-        raise ValueError("cannot fit PQ codebooks on an empty corpus")
+        raise ValueError(
+            "cannot fit PQ codebooks: corpus is empty or every vector is NULL"
+        )
     dim = len(first[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sd = dim // m
-    vecs = _vec_frame(embeddings, id_col, vec_col).localCheckpoint(eager=False)
+    vecs = _vec_frame(embeddings, id_col, vec_col, dim=dim).localCheckpoint(
+        eager=False
+    )
     seeds = (
         vecs.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(k).collect()
     )
@@ -284,7 +299,7 @@ def pq_encode(
     of the vectors and the search path never reloads the corpus
     embeddings except for the final re-rank survivors."""
     _check_model(model)
-    vecs = _vec_frame(embeddings, id_col, vec_col)
+    vecs = _vec_frame(embeddings, id_col, vec_col, dim=model["dim"])
     return (
         _assign_codes(vecs, model)
         .groupBy("id")
@@ -366,7 +381,7 @@ def pq_topk(
         ),
     )
 
-    qvecs = _vec_frame(q, id_col, vec_col)
+    qvecs = _vec_frame(q, id_col, vec_col, dim=model["dim"])
     lut = _dot_frame(qvecs, model, id_alias="query_id").select(
         "query_id",
         "s",

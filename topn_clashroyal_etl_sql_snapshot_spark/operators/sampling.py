@@ -199,6 +199,21 @@ def stratified_hash_sample(
     return df.filter(keep)
 
 
+def _group_weights(
+    df: DataFrame, group_col: str, weight_col: str | None
+) -> dict:
+    """group → total weight (one aggregation + bounded collect — group
+    cardinality is a label set). Shared by both mixing entry points so
+    the weight definition cannot drift between them."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    rows = (
+        df.groupBy(group_col)
+        .agg(F.sum(w.cast("double")).alias("_w"))
+        .collect()
+    )
+    return {r[group_col]: r["_w"] or 0.0 for r in rows}
+
+
 def mixture_fractions(
     weights: Mapping[str, float], target_shares: Mapping[str, float]
 ) -> dict[str, float]:
@@ -208,24 +223,15 @@ def mixture_fractions(
     where ``c = min_g W_g/s_g`` — the largest total the target shares
     admit without upsampling any group. Groups absent from
     ``target_shares`` get fraction 0 (dropped); a target group absent
-    from the corpus raises (the mixture is unsatisfiable). Pure
-    arithmetic — the Spark work is one aggregation (the caller's) and
-    one stratified filter."""
-    total_s = float(sum(target_shares.values()))
-    if total_s <= 0:
-        raise ValueError("target shares must sum to a positive value")
-    shares = {g: s / total_s for g, s in target_shares.items()}
-    for g, s in shares.items():
-        if s > 0 and weights.get(g, 0) <= 0:
-            raise ValueError(
-                f"target group {g!r} has no corpus weight — the requested "
-                "mixture cannot be reached by downsampling"
-            )
-    c = min(weights[g] / s for g, s in shares.items() if s > 0)
-    return {
-        g: (min(1.0, c * s / weights[g]) if s > 0 else 0.0)
-        for g, s in shares.items()
-    }
+    from the corpus raises (the mixture is unsatisfiable).
+
+    Exactly :func:`mixture_multipliers` at ``anchor="max"`` (where
+    every multiplier is ≤ 1 and therefore a fraction) restricted to
+    the target groups — DELEGATED, not re-derived, so the two mixing
+    paths can never drift apart (review finding; the
+    anchor-max ≡ mixture_sample key-set invariant is test-pinned)."""
+    mult = mixture_multipliers(weights, target_shares, anchor="max")
+    return {g: mult[g] for g in target_shares}
 
 
 def mixture_sample(
@@ -249,13 +255,7 @@ def mixture_sample(
     per-group sampling noise; exactness improves with group size.
     Groups not named in ``target_shares`` are dropped — name them
     explicitly to keep them."""
-    w = F.col(weight_col) if weight_col else F.lit(1)
-    rows = (
-        df.groupBy(group_col)
-        .agg(F.sum(w.cast("double")).alias("_w"))
-        .collect()
-    )
-    weights = {r[group_col]: r["_w"] or 0.0 for r in rows}
+    weights = _group_weights(df, group_col, weight_col)
     fracs = mixture_fractions(weights, target_shares)
     # a positive-share group whose fraction floors below one bucket
     # would contribute ZERO rows — a silently-wrong mixture, worse
@@ -400,13 +400,7 @@ def mixture_resample(
     than discard crawl); ``total`` pins an absolute kept-weight budget
     instead. Output rows carry ``epoch_col`` — dedupe-sensitive stages
     must run BEFORE this operator (the copies are intentional)."""
-    w = F.col(weight_col) if weight_col else F.lit(1)
-    rows = (
-        df.groupBy(group_col)
-        .agg(F.sum(w.cast("double")).alias("_w"))
-        .collect()
-    )
-    weights = {r[group_col]: r["_w"] or 0.0 for r in rows}
+    weights = _group_weights(df, group_col, weight_col)
     mult = mixture_multipliers(weights, target_shares, anchor, total)
     too_fine = {
         g: r

@@ -45,7 +45,6 @@ ties in the top-k cut break on ``doc_id``.
 
 from __future__ import annotations
 
-import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -58,7 +57,9 @@ def _normalize_query(query: str) -> list[str]:
     string: same character class, same lowercasing, empties dropped,
     deduplicated (BM25 over distinct query terms) in first-seen order
     so generated plans and oracles are stable."""
-    words = re.sub(r"[^a-zA-Z0-9 ]", " ", query).lower().split()
+    from ..functions.text import py_tokens
+
+    words = py_tokens(query)
     seen: dict[str, None] = {}
     for w in words:
         seen.setdefault(w, None)

@@ -912,6 +912,11 @@ def random_projection(
     dims = _spread_vectors(embeddings, id_col).select(
         F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x")
     )
+    # per-term INTEGER scaling before the sum — a double sum would make
+    # the 9th decimal partition-order dependent and break the
+    # byte-identical replay contract (same device as _nearest_centroids;
+    # review finding: the first version summed raw doubles)
+    scale = float(1 << 40)
     terms = dims.select(
         "id",
         "x",
@@ -920,7 +925,7 @@ def random_projection(
     ).select(
         "id",
         "j",
-        (
+        F.round(
             F.col("x").cast("double")
             * F.when(
                 F.pmod(
@@ -933,10 +938,18 @@ def random_projection(
                 == 0,
                 F.lit(1.0),
             ).otherwise(F.lit(-1.0))
-        ).alias("t"),
+            * F.lit(scale)
+        )
+        .cast("long")
+        .alias("t"),
     )
     comps = terms.groupBy("id", "j").agg(
-        F.round(F.sum("t") / F.sqrt(F.lit(float(out_dim))), 9).alias("y")
+        F.round(
+            F.sum("t").cast("double")
+            / F.lit(scale)
+            / F.sqrt(F.lit(float(out_dim))),
+            9,
+        ).alias("y")
     )
     return (
         comps.groupBy("id")

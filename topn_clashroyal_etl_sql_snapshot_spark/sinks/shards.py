@@ -42,14 +42,14 @@ MANIFEST_DIR = "_manifest"
 
 
 def shard_expr(key: str | Column, n_shards: int, seed: int = 42) -> Column:
-    """Deterministic shard id in [0, n_shards) — same xxhash64-bucket
-    rule as ``sampling.bucket_expr`` (seed widened to LongType so the
-    hash input is width-stable)."""
+    """Deterministic shard id in [0, n_shards) — IS
+    ``sampling.bucket_expr`` (delegated, not re-implemented, so shard
+    assignment can never silently diverge from sample membership)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be ≥ 1, got {n_shards}")
-    key_col = F.col(key) if isinstance(key, str) else key
-    h = F.xxhash64(F.lit(int(seed)).cast("long"), key_col)
-    return F.pmod(h, F.lit(int(n_shards)))
+    from ..operators.sampling import bucket_expr
+
+    return bucket_expr(key, seed, n_shards)
 
 
 def with_shard(
