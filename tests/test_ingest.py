@@ -42,3 +42,41 @@ def test_unwrap_and_tag_normalization():
     assert ingest._unwrap_items({"items": [3]}) == [3]
     assert ingest._unwrap_items({"nope": 1}) == []
     assert ingest.normalize_tag_str(" abc ") == "#ABC"
+
+
+def test_read_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
+    """Quarantining corpus reader (sources/readers.py): good rows parse
+    against DOCUMENT_SCHEMA, malformed lines land in the quarantine
+    frame with their raw bytes, the split conserves the line count, and
+    gzip landing files read transparently."""
+    import gzip
+    import json as _json
+
+    from topn_clashroyal_etl_sql_snapshot_spark.sources.readers import (
+        read_jsonl_corpus,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "hello world", "lang": "en", "source": "a",
+         "ingest_time": "2026-01-01T00:00:00"},
+        {"doc_id": 3, "text": "ok", "lang": "en", "source": "b",
+         "ingest_time": "2026-01-01T00:00:01"},
+    ]
+    with open(d / "p0.jsonl", "w") as f:
+        f.write(_json.dumps(rows[0]) + "\n")
+        f.write('{"doc_id": 2, "text": "trunca\n')  # truncated record
+        f.write("not json at all\n")
+    with gzip.open(d / "p1.jsonl.gz", "wt") as f:
+        f.write(_json.dumps(rows[1]) + "\n")
+
+    good, bad = read_jsonl_corpus(spark, str(d))
+    good_rows = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert good_rows == {1: "hello world", 3: "ok"}
+    assert "_corrupt_record" not in good.columns
+    bad_lines = sorted(r["raw_line"] for r in bad.collect())
+    assert bad_lines == sorted(
+        ['{"doc_id": 2, "text": "trunca', "not json at all"]
+    )
+    assert good.count() + bad.count() == 4

@@ -98,3 +98,64 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             read_testdata(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    corrupt_col: str = "_corrupt_record",
+):
+    """Document-corpus landing zone reader with QUARANTINE: returns
+    ``(good, bad)`` where ``good`` rows parsed fully against the schema
+    and ``bad`` carries the raw malformed line for triage. A web-scale
+    JSONL drop ALWAYS contains broken lines (truncated uploads,
+    encoding damage, concatenated records); silently nulling them
+    (PERMISSIVE alone) under-counts the corpus, and FAILFAST kills a
+    100 TB job for one bad byte — the split keeps ingest total:
+    ``count(good) + count(bad) = lines``, and the quarantine frame is
+    the retry/alerting input.
+
+    Spark-first shape: TEXT source → ``from_json`` with a
+    corrupt-record field in the parse schema. Deliberately NOT the raw
+    JSON file source with ``columnNameOfCorruptRecord``: that path
+    forbids any query whose pruned column set is just the corrupt
+    column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — a
+    plain ``bad.count()`` throws, and Spark's documented workaround is
+    caching the whole scan, a non-starter at 100 TB). ``from_json`` on
+    a text column carries no such restriction, parses in the same
+    codegen stage, and each half pushes its own filter. Compressed
+    landing files (.gz etc. per Spark's codec support) decompress
+    transparently in the text source; blank lines are dropped, not
+    quarantined. Schema defaults to the streaming ingest's
+    ``DOCUMENT_SCHEMA`` (same landing zone, batch or stream).
+
+    Caveat baked into the split predicate: the corrupt field populates
+    ONLY for unparseable lines; a parseable object with missing fields
+    is a GOOD row with nulls (schema-drift detection is the validation
+    suite's job, not the parser's)."""
+    from pyspark.sql import types as T
+
+    if schema is None:
+        from ..streaming.corpus import DOCUMENT_SCHEMA
+
+        schema = DOCUMENT_SCHEMA
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    lines = spark.read.text(path).filter(F.trim("value") != "")
+    parsed = lines.select(
+        "value",
+        F.from_json(
+            "value", full, {"columnNameOfCorruptRecord": corrupt_col}
+        ).alias("_r"),
+    )
+    good = (
+        parsed.filter(F.col(f"_r.{corrupt_col}").isNull())
+        .select("_r.*")
+        .drop(corrupt_col)
+    )
+    bad = parsed.filter(F.col(f"_r.{corrupt_col}").isNotNull()).select(
+        F.col("value").alias("raw_line")
+    )
+    return good, bad
