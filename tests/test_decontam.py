@@ -258,3 +258,52 @@ def test_excise_keeps_null_and_empty_docs(spark, corpus_and_bench):
     assert got[2] == ("", 0, 0)
     assert got[3] == ("", 0, 0)
     assert got[4][1] > 0 and got[4][2] == 0
+
+
+def test_split_leakage_report(spark):
+    """Cross-split leakage audit: planted near-duplicate content across
+    train/val is detected, clean eval docs are not, fractions and
+    n-gram totals match a Python recomputation, and the shared-toks
+    path equals the fresh-tokenize path."""
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lambda mu nu xi omicron"
+    rows = [
+        (1, leak + " train tail words here", "train"),
+        (2, "completely different training text about spark windows "
+            "and aggregate pushdown plans for the engine", "train"),
+        (3, leak + " val copy with its own suffix", "val"),      # leaks
+        (4, "pristine validation document with unique words "
+            "nowhere else repeated in any split at all", "val"),  # clean
+        (5, leak + " test flavored duplicate content", "test"),   # leaks
+        (6, "another clean test doc totally disjoint vocabulary "
+            "guaranteed unique tokens forever", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    rep = {
+        r["split"]: (r["eval_docs"], r["leaked_docs"], r["leaked_frac"],
+                     r["total_shared_ngrams"])
+        for r in decontam.split_leakage_report(df, n=13).collect()
+    }
+    assert set(rep) == {"val", "test"}
+    assert rep["val"][0] == 2 and rep["val"][1] == 1
+    assert rep["val"][2] == 0.5
+    assert rep["test"][0] == 2 and rep["test"][1] == 1
+    # shared 13-grams: the leak prefix is 15 tokens; doc 3 shares its
+    # 13-grams drawn from the common 15-token run with doc 1 → 3 shared
+    # positions in the eval doc (15 - 13 + 1)
+    assert rep["val"][3] == 3
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import dedup
+
+    toks = dedup.token_arrays(df)
+    rep2 = {
+        r["split"]: (r["eval_docs"], r["leaked_docs"], r["leaked_frac"],
+                     r["total_shared_ngrams"])
+        for r in decontam.split_leakage_report(df, n=13, toks=toks).collect()
+    }
+    assert rep2 == rep
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        decontam.split_leakage_report(df.filter(F.col("split") == "train"))

@@ -207,3 +207,89 @@ def decontamination_report(
         "total_hits",
         "max_hits",
     )
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    split_col: str = "split",
+    train_label: str = "train",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-SPLIT contamination audit: for every non-train split, how
+    many of ITS documents share an ``n``-gram with the TRAIN split —
+    the eval-integrity check a pipeline runs after
+    ``sampling.with_split`` (hash splitting guarantees disjoint DOC
+    IDS, but near-duplicate documents that survived dedup leak the
+    same CONTENT into both sides, silently inflating eval scores; this
+    measures exactly that residue).
+
+    Returns one row per non-train split: (split, eval_docs,
+    leaked_docs, leaked_frac, total_shared_ngrams). Composition, not
+    new machinery: each eval split plays the 'benchmark' role against
+    the train corpus via :func:`contamination_hits` — REVERSED from
+    benchmark decontamination on purpose: there the corpus is big and
+    the benchmark broadcast-small; here train is the big side and each
+    eval slice is the small one, so the broadcast side stays the
+    small frame in both uses. The n-gram set of EACH split is built
+    once per call from the shared tokenize (pass ``toks`` to reuse the
+    session's).
+
+    Driver-side loop over splits is bounded by the SPLIT COUNT (2-3),
+    not data — each iteration is one broadcast join job. Acting on the
+    report is policy: drop the leaked eval docs (never train docs —
+    shrinking train to protect eval inverts the trade) or tighten
+    upstream dedup."""
+    splits = [
+        r[split_col]
+        for r in docs.select(split_col).distinct().collect()
+        if r[split_col] is not None and r[split_col] != train_label
+    ]
+    if not splits:
+        raise ValueError(
+            f"no non-{train_label!r} splits present — nothing to audit"
+        )
+    train = docs.filter(F.col(split_col) == train_label)
+    spark = docs.sparkSession
+    out = None
+    for s in sorted(splits):
+        eval_side = docs.filter(F.col(split_col) == s)
+        # a shared token_arrays frame covers the WHOLE corpus — restrict
+        # it to this split's ids or train rows would pose as eval docs
+        toks_eval = (
+            toks.join(
+                eval_side.select(F.col(id_col).alias("id")), "id", "left_semi"
+            )
+            if toks is not None
+            else None
+        )
+        hits = contamination_hits(
+            eval_side, train, text_col, id_col, n, toks=toks_eval
+        )
+        row = (
+            eval_side.agg(F.count(F.lit(1)).alias("eval_docs"))
+            .crossJoin(
+                hits.agg(
+                    F.count(F.lit(1)).alias("leaked_docs"),
+                    F.coalesce(F.sum("n_hits"), F.lit(0)).alias(
+                        "total_shared_ngrams"
+                    ),
+                )
+            )
+            .select(
+                F.lit(s).alias(split_col),
+                "eval_docs",
+                "leaked_docs",
+                F.when(
+                    F.col("eval_docs") > 0,
+                    F.col("leaked_docs").cast("double") / F.col("eval_docs"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("leaked_frac"),
+                F.col("total_shared_ngrams").cast("long"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
