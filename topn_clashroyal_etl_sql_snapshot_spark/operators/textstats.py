@@ -450,32 +450,56 @@ def gopher_quality_gates(
     keep = false with that reason — never a NULL verdict."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.array_remove(F.split(t, r"\s+"), "")
-    n_words = F.size(words)
-    word_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
-    mean_wlen = F.when(
-        n_words > 0, word_chars.cast("double") / n_words
-    ).otherwise(F.lit(0.0))
-    # OCCURRENCES, not characters: '...' is one symbol hit (the
-    # chars-removed shortcut would count it as 3 and triple-weight
-    # ellipses against the ratio)
-    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
     lines = F.array_remove(
         F.transform(F.split(t, "\n"), lambda l: F.trim(l)), ""
     )
-    n_lines = F.size(lines)
-    bullet_lines = F.size(
-        F.filter(lines, lambda l: l.rlike(r"^([-*•▪◦])"))
+    # STAGED projections: materialize each array ONCE, then reduce —
+    # expressing every signal directly off the text would re-split it
+    # per reference (Spark's subexpression elimination doesn't reach
+    # into the interpreted HOF lambdas; measured ~2x on the registered
+    # row), and the arrays referenced below would each re-compute.
+    staged = docs.select(
+        F.col(id_col),
+        t.alias("_t"),
+        words.alias("_w"),
+        lines.alias("_l"),
+        tx.tokens(t).alias("_k"),
+    ).select(
+        id_col,
+        F.size("_w").alias("_nw"),
+        F.aggregate(
+            "_w", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("_wchars"),
+        # OCCURRENCES, not characters: '...' is one symbol hit (the
+        # chars-removed shortcut would count it as 3 and triple-weight
+        # ellipses against the ratio)
+        F.regexp_count(F.col("_t"), F.lit(r"#|\.\.\.|…")).alias("_nsym"),
+        F.size("_l").alias("_nl"),
+        F.size(
+            F.filter(F.col("_l"), lambda l: l.rlike(r"^([-*•▪◦])"))
+        ).alias("_bl"),
+        F.size(
+            F.filter(F.col("_l"), lambda l: l.rlike(r"(\.\.\.|…)$"))
+        ).alias("_el"),
+        F.size(
+            F.filter(F.col("_w"), lambda w: w.rlike("[A-Za-z]"))
+        ).alias("_aw"),
+        F.size(
+            F.array_intersect(
+                F.col("_k"), F.array(*[F.lit(s) for s in tx.EN_STOPWORDS])
+            )
+        ).alias("_sh"),
     )
-    ellipsis_lines = F.size(
-        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
-    )
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    toks = tx.tokens(t)
-    stop_hits = F.size(
-        F.array_intersect(toks, F.array(*[F.lit(s) for s in tx.EN_STOPWORDS]))
-    )
+    n_words = F.col("_nw")
+    mean_wlen = F.when(
+        n_words > 0, F.col("_wchars").cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.col("_nsym")
+    n_lines = F.col("_nl")
+    bullet_lines = F.col("_bl")
+    ellipsis_lines = F.col("_el")
+    alpha_words = F.col("_aw")
+    stop_hits = F.col("_sh")
 
     checks = [
         ("word_count", (n_words >= min_words) & (n_words <= max_words)),
@@ -527,7 +551,7 @@ def gopher_quality_gates(
     keep = checks[0][1]
     for _, cond in checks[1:]:
         keep = keep & cond
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         n_words.alias("n_words"),
         keep.alias("keep"),
