@@ -130,3 +130,84 @@ def test_chunking_validation_and_plan(spark):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # narrow generator, no shuffle
+
+
+def test_chunk_by_sentences_matches_python_twin(spark):
+    """Sentence-boundary chunking vs a Python twin implementing the
+    same floor-of-running-sum grouping: reconstruction (joined chunks
+    ≡ joined sentences), pack_greedy-style budget semantics (overflow
+    by < one sentence), over-budget single sentences alone, NULL/empty
+    docs absent."""
+    import re as _re
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.chunking import (
+        chunk_by_sentences,
+    )
+
+    docs = [
+        (1, "Short one. Another short. A third sentence here! Done? Yes."),
+        (2, "One enormous sentence that just keeps going and going and "
+            "going without any boundary at all"),
+        (3, "Tiny. " * 40),
+        (4, None),
+        (5, ""),
+        (6, "Mixed! " + "x" * 120 + ". Short tail."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    max_chars = 50
+    got: dict[int, list] = {}
+    for r in chunk_by_sentences(df, max_chars).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["chunk_chars"], r["n_sentences"])
+        )
+    for v in got.values():
+        v.sort()
+
+    def py_chunks(text):
+        if not text:
+            return []
+        sents = [s.strip() for s in _re.split(r"(?<=[.!?])\s+", text) if s.strip()]
+        bins: dict[int, list] = {}
+        cum = 0
+        for s in sents:
+            bins.setdefault(cum // max_chars, []).append(s)
+            cum += len(s) + 1
+        out = []
+        for i, b in enumerate(sorted(bins)):
+            txt = " ".join(bins[b])
+            out.append((i, txt, len(txt), len(bins[b])))
+        return out
+
+    for doc_id, text in docs:
+        expect = py_chunks(text)
+        assert got.get(doc_id, []) == expect, doc_id
+    # structure assertions on the twin-verified output
+    assert 4 not in got and 5 not in got
+    assert len(got[2]) == 1 and got[2][0][2] > max_chars  # over-budget alone
+    # reconstruction: chunks rejoin to the sentence stream
+    joined = " ".join(c[1] for c in got[3])
+    assert joined == " ".join(s.strip() for s in docs[2][1].split() if s)
+    # budget: every chunk ≤ max + longest sentence it contains
+    for doc_id, chunks in got.items():
+        for _, txt, chars, _n in chunks:
+            longest = max(len(s) for s in _re.split(r"(?<=[.!?])\s+", txt))
+            assert chars <= max_chars + longest
+
+
+def test_chunk_by_sentences_plan_and_validation(spark):
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.chunking import (
+        chunk_by_sentences,
+    )
+
+    df = spark.createDataFrame([(1, "A b. C d.")], "doc_id long, text string")
+    plan = (
+        chunk_by_sentences(df, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        chunk_by_sentences(df, 0)

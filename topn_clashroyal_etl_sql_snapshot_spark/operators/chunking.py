@@ -116,3 +116,93 @@ def chunk_by_tokens(
         "n_tokens", F.size(chunk)
     )
     return out if keep_source else out.drop(ids_col)
+
+
+def chunk_by_sentences(
+    docs: DataFrame,
+    max_chars: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-BOUNDARY chunking: split on sentence enders, then
+    greedily group consecutive sentences into chunks of ≤ ``max_chars``
+    — the fixed-window variants cut mid-sentence, which retrieval /
+    embedding pipelines specifically avoid (a chunk that starts
+    mid-thought embeds poorly; this is the standard RAG chunking
+    contract).
+
+    Budget semantics = ``pack_greedy``'s, deliberately: a sentence
+    whose span crosses the boundary stays in the chunk where it STARTS,
+    so a chunk may exceed ``max_chars`` by less than one sentence
+    (and a single over-budget sentence is its own over-budget chunk).
+    The STRICT no-overflow grouping is inherently sequential (each
+    chunk's start depends on every earlier restart) — it cannot be
+    floor-of-running-sum window algebra; route pathological docs
+    through ``pack_ffd``-style per-doc Python or ``chunk_by_chars``
+    if a hard cap matters more than sentence boundaries.
+
+    Sentence boundary = ``[.!?]+`` followed by whitespace (Java-regex
+    lookbehind keeps the punctuation with its sentence). Grouping:
+    exclusive running char-sum (with +1 per joining space) over a
+    doc-keyed window → ``bin = floor(cum / max_chars)``. One doc-keyed
+    shuffle (the window), then one groupBy re-assembling chunk text in
+    sentence order.
+
+    Returns (id_col, chunk_idx, chunk_text, chunk_chars, n_sentences).
+    Empty/NULL text yields no rows (nothing to retrieve). Chunk
+    identity is deterministic — same replayability contract as the
+    fixed-window variants."""
+    if max_chars < 1:
+        raise ValueError(f"max_chars must be ≥ 1, got {max_chars}")
+    from pyspark.sql import Window as W
+
+    sents = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.split(F.col(text_col), r"(?<=[.!?])\s+"),
+                    lambda s: F.trim(s),
+                ),
+                lambda s: s != "",
+            )
+        ).alias("pos", "sent"),
+    )
+    w = (
+        W.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # +1 per preceding sentence accounts for the single joining space
+    # re-inserted at assembly, so chunk_chars ≤ max_chars holds for the
+    # ASSEMBLED text, not just the sentence-length sum
+    cum_before = F.coalesce(
+        F.sum(F.length("sent") + 1).over(w), F.lit(0).cast("long")
+    )
+    binned = sents.withColumn(
+        "bin", (cum_before / F.lit(max_chars)).cast("long")
+    )
+    agg = (
+        binned.groupBy("_id", "bin")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "sent"))
+            ).alias("_parts")
+        )
+        .select(
+            "_id",
+            "bin",
+            F.array_join(
+                F.transform(F.col("_parts"), lambda p: p["sent"]), " "
+            ).alias("chunk_text"),
+            F.size("_parts").alias("n_sentences"),
+        )
+    )
+    w2 = W.partitionBy("_id").orderBy("bin")
+    return agg.select(
+        F.col("_id").alias(id_col),
+        (F.row_number().over(w2) - 1).alias("chunk_idx"),
+        "chunk_text",
+        F.length("chunk_text").alias("chunk_chars"),
+        "n_sentences",
+    )
