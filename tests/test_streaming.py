@@ -451,3 +451,75 @@ def test_stream_stream_join_rejects_unsupported_how(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         corpus.join_stream_annotations(d, a, how="full_outer")
+
+
+def test_streaming_dsir_gate_matches_batch(spark, tmp_path):
+    """The DSIR importance gate inside curate_stream: the stateless
+    logweight_expr keeps exactly the documents the batch broadcast-join
+    scorer would keep at the same threshold — stream run ≡ batch
+    function ≡ operator-level scoring."""
+    import json as _json
+    from datetime import datetime
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import dsir
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming import corpus
+
+    model = dsir.fit_term_importance(
+        ["the quick brown fox jumps over the lazy dog and runs on grass",
+         "the rain in spain stays mainly in the plain with the sun"],
+        ["click here to buy cheap deals and subscribe for offers now",
+         "winner winner limited offer subscribe today click buy"],
+    )
+    docs = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog "
+                              "and runs across the green grass all day long",
+         "lang": "en", "source": "a"},
+        {"doc_id": 2, "text": "click here to buy cheap deals and subscribe "
+                              "for the best offers now and win the prize",
+         "lang": "en", "source": "b"},
+    ]
+    d = tmp_path / "dsir_landing"
+    d.mkdir()
+    with open(d / "p0.jsonl", "w") as f:
+        for i, doc in enumerate(docs):
+            row = dict(doc, ingest_time=datetime(2026, 1, 1, 0, 0, i).isoformat())
+            f.write(_json.dumps(row) + "\n")
+
+    batch_docs = spark.read.schema(corpus.DOCUMENT_SCHEMA).json(str(d))
+    # threshold between the two docs' batch scores
+    scores = {
+        r["doc_id"]: r["logw"]
+        for r in dsir.importance_logweights(batch_docs, model).collect()
+    }
+    assert scores[1] > scores[2]
+    cut = (scores[1] + scores[2]) / 2
+
+    batch_kept = corpus.curate_stream(
+        batch_docs, dsir_model=model, min_logw=cut
+    )
+    assert {r["doc_id"] for r in batch_kept.collect()} == {1}
+    # expr scoring equals the operator's scoring exactly (scrub/clean
+    # rewrote nothing in these texts)
+    assert {
+        r["doc_id"]: r["dsir_logw"]
+        for r in corpus.curate_stream(batch_docs, dsir_model=model).collect()
+    } == scores
+
+    q = (
+        corpus.curate_stream(
+            corpus.stream_documents(spark, str(d)), dsir_model=model, min_logw=cut
+        )
+        .writeStream.format("memory")
+        .queryName("dsir_gate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id FROM dsir_gate_out").collect()
+    assert {r["doc_id"] for r in got} == {1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.curate_stream(batch_docs, min_logw=0.0)

@@ -63,6 +63,8 @@ def curate_stream(
     min_quality: float = 0.5,
     lm_model: dict | None = None,
     max_ppl: float | None = None,
+    dsir_model: dict | None = None,
+    min_logw: float | None = None,
 ) -> DataFrame:
     """Hygiene → scrub → language gate → quality gate (→ optional LM
     perplexity gate), all stateless column algebra — identical
@@ -77,12 +79,27 @@ def curate_stream(
     pinned — so the gate stays ONE stateless codegen stage on a
     stream. Documents too short to score (NULL avg) PASS the LM gate:
     the length/quality gates own them, mirroring ``lm_perplexity``'s
-    contract. Adds ``avg_logprob``/``ppl`` columns when enabled."""
+    contract. Adds ``avg_logprob``/``ppl`` columns when enabled.
+
+    Pass ``dsir_model`` (a TERM-kind ``dsir.fit_term_importance`` dict)
+    and ``min_logw`` to additionally gate on DOMAIN importance at
+    ingest: scoring uses ``dsir.logweight_expr`` — the stateless
+    literal-map twin of the batch broadcast-join scorer, exact-parity
+    pinned — so stream-time domain targeting stays inside the same
+    single codegen stage (Gumbel top-k selection is corpus-global and
+    stays a batch pass over bronze; a THRESHOLD is the streamable
+    form). Adds a ``dsir_logw`` column when enabled."""
     if max_ppl is not None and lm_model is None:
         raise ValueError(
             "max_ppl was set but lm_model is None — the perplexity gate "
             "needs a model; without this check the gate would silently "
             "not exist"
+        )
+    if min_logw is not None and dsir_model is None:
+        raise ValueError(
+            "min_logw was set but dsir_model is None — the importance "
+            "gate needs a model; without this check the gate would "
+            "silently not exist"
         )
     cleaned = docs.withColumn(
         "text", cl.scrub_pii(cl.clean_text(F.col("text")))
@@ -103,6 +120,12 @@ def curate_stream(
             out = out.filter(
                 F.col("ppl").isNull() | (F.col("ppl") <= max_ppl)
             )
+    if dsir_model is not None:
+        from ..operators.dsir import logweight_expr
+
+        out = out.withColumn("dsir_logw", logweight_expr(dsir_model))
+        if min_logw is not None:
+            out = out.filter(F.col("dsir_logw") >= min_logw)
     return out
 
 
