@@ -289,3 +289,23 @@ def test_null_and_mismatched_vectors_guarded(spark):
     codes = pq.pq_encode(mixed, model)
     ids = {r["vec_id"] for r in codes.collect()}
     assert 999 not in ids and 998 not in ids and len(ids) == 40
+
+
+def test_fit_dim_is_majority_width_not_first_row(spark):
+    """Review regression: a corrupt short vector must not set the model
+    dim — the majority width wins, the outlier is excluded (with a
+    warning), and the real corpus encodes fully."""
+    import warnings as _w
+
+    df, _, _ = _clustered(spark, n=30)
+    corrupt = spark.createDataFrame(
+        [(-1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    mixed = corrupt.unionAll(df)  # corrupt row ordered first
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        model = pq.fit_pq_codebooks(mixed, m=4, k=4, lloyd_rounds=1)
+    assert model["dim"] == DIM
+    assert any("majority" in str(c.message) for c in caught)
+    ids = {r["vec_id"] for r in pq.pq_encode(mixed, model).collect()}
+    assert len(ids) == 30 and -1 not in ids

@@ -227,21 +227,28 @@ def split_leakage_report(
     measures exactly that residue).
 
     Returns one row per non-train split: (split, eval_docs,
-    leaked_docs, leaked_frac, total_shared_ngrams). Composition, not
-    new machinery: each eval split plays the 'benchmark' role against
-    the train corpus via :func:`contamination_hits` — REVERSED from
-    benchmark decontamination on purpose: there the corpus is big and
-    the benchmark broadcast-small; here train is the big side and each
-    eval slice is the small one, so the broadcast side stays the
-    small frame in both uses. The n-gram set of EACH split is built
-    once per call from the shared tokenize (pass ``toks`` to reuse the
-    session's).
+    leaked_docs, leaked_frac, total_shared_ngrams).
 
-    Driver-side loop over splits is bounded by the SPLIT COUNT (2-3),
-    not data — each iteration is one broadcast join job. Acting on the
-    report is policy: drop the leaked eval docs (never train docs —
-    shrinking train to protect eval inverts the trade) or tighten
-    upstream dedup."""
+    Plan — the broadcast side must be the EVAL slice, never train
+    (train is ~98% of a web-scale corpus; ``contamination_hits`` would
+    broadcast its 'benchmark' argument, so the obvious composition
+    inverts the sizes and OOMs — r8 review finding). Per eval split,
+    two map-side passes over the train postings with ZERO train
+    shuffle:
+
+    1. ``shared = train_postings ⋉ broadcast(eval n-gram set)`` →
+       distinct — the shared-gram set, ≤ the EVAL gram count by
+       construction (the distinct aggregates only the semi-filtered
+       matched stream, partial map-side);
+    2. ``eval_postings ⋉ broadcast(shared)`` → per-doc count.
+
+    Train postings build ONCE before the loop (from the shared
+    tokenize when ``toks`` is passed, id-restricted per side) and are
+    lazily checkpointed so the 2-3 split iterations reuse the
+    materialized stream instead of re-tokenizing ~the whole corpus per
+    split. Acting on the report is policy: drop the leaked eval docs
+    (never train docs — shrinking train to protect eval inverts the
+    trade) or tighten upstream dedup."""
     splits = [
         r[split_col]
         for r in docs.select(split_col).distinct().collect()
@@ -251,22 +258,38 @@ def split_leakage_report(
         raise ValueError(
             f"no non-{train_label!r} splits present — nothing to audit"
         )
+
+    def _side_toks(side):
+        if toks is None:
+            return None
+        # a shared token_arrays frame covers the WHOLE corpus —
+        # restrict to this side's ids or the other split's rows would
+        # pose as its documents
+        return toks.join(
+            side.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+
     train = docs.filter(F.col(split_col) == train_label)
-    spark = docs.sparkSession
+    train_sh = dedup.hashed_postings(
+        train, text_col, id_col, n, toks=_side_toks(train)
+    ).localCheckpoint(eager=False)
     out = None
     for s in sorted(splits):
         eval_side = docs.filter(F.col(split_col) == s)
-        # a shared token_arrays frame covers the WHOLE corpus — restrict
-        # it to this split's ids or train rows would pose as eval docs
-        toks_eval = (
-            toks.join(
-                eval_side.select(F.col(id_col).alias("id")), "id", "left_semi"
+        eval_sh = dedup.hashed_postings(
+            eval_side, text_col, id_col, n, toks=_side_toks(eval_side)
+        ).localCheckpoint(eager=False)
+        shared = (
+            train_sh.join(
+                F.broadcast(eval_sh.select("sh").distinct()), "sh", "left_semi"
             )
-            if toks is not None
-            else None
+            .select("sh")
+            .distinct()
         )
-        hits = contamination_hits(
-            eval_side, train, text_col, id_col, n, toks=toks_eval
+        hits = (
+            eval_sh.join(F.broadcast(shared), "sh", "left_semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
         )
         row = (
             eval_side.agg(F.count(F.lit(1)).alias("eval_docs"))

@@ -210,14 +210,29 @@ def fit_pq_codebooks(
         from .sampling import hash_sample_target
 
         embeddings = hash_sample_target(embeddings, id_col, sample_rows)
-    first = (
-        embeddings.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
-    )
-    if first is None:
+    # MAJORITY width, not the first row's: .first() is partition-order
+    # dependent, and one corrupt short vector ordered first would set a
+    # bogus dim whose filter then silently discards the entire real
+    # corpus (review finding). F.mode is deterministic here up to ties,
+    # which only occur in a corpus that is itself ambiguous about its
+    # width — and the dominant width is the only defensible choice.
+    present = embeddings.filter(F.col(vec_col).isNotNull())
+    dim_row = present.agg(F.mode(F.size(vec_col)).alias("dim")).first()
+    if dim_row is None or dim_row["dim"] is None:
         raise ValueError(
             "cannot fit PQ codebooks: corpus is empty or every vector is NULL"
         )
-    dim = len(first[0])
+    dim = int(dim_row["dim"])
+    off_width = present.filter(F.size(vec_col) != dim).count()
+    if off_width:
+        import warnings
+
+        warnings.warn(
+            f"fit_pq_codebooks: {off_width} vectors differ from the majority "
+            f"width {dim} and are excluded from the fit (and from "
+            "encode/search under this model)",
+            stacklevel=2,
+        )
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sd = dim // m

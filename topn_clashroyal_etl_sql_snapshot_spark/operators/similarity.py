@@ -914,9 +914,13 @@ def random_projection(
     )
     # per-term INTEGER scaling before the sum — a double sum would make
     # the 9th decimal partition-order dependent and break the
-    # byte-identical replay contract (same device as _nearest_centroids;
-    # review finding: the first version summed raw doubles)
-    scale = float(1 << 40)
+    # byte-identical replay contract (review finding: the first version
+    # summed raw doubles). Scale 2^30, not the centroid kernel's 2^40:
+    # long addition WRAPS silently, so headroom is the contract — at
+    # 2^30 the per-component sum stays exact up to Σ|x_d| ≈ 8.6e9
+    # (second review finding; any real embedding is orders of magnitude
+    # below that, where 2^40 left only ~8.4e6).
+    scale = float(1 << 30)
     terms = dims.select(
         "id",
         "x",
