@@ -94,6 +94,13 @@ def main() -> None:
         # r8: new heaviest similarity entry (sampled fit + encode + ADC
         # search) — medians from day one, no single-shot noise
         "embedding_pq_topk": 3,
+        # r8 close: single-shot docs_exact_substring read 9.9 s in one
+        # bench run vs a steady 3.6-3.8 s isolated median — in-bench
+        # drift needs samples to adjudicate (the cr_pipeline lesson);
+        # same treatment for the two newest multi-pass text entries
+        "docs_exact_substring": 3,
+        "text_ngram_repetition": 3,
+        "docs_bm25_topk": 3,
     }
 
     timings: dict[str, float] = {}
