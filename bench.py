@@ -217,17 +217,23 @@ def main() -> None:
         errors["cr_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
+    # Two lines, deliberately: the driver captures only the LAST ~2,000
+    # chars of output, and r7's single fat line (37 entries + per-sample
+    # arrays) overflowed that window, amputating total_query_sec and
+    # leaving BENCH_r07 unparseable. Diagnostics (per-sample arrays,
+    # repeat counts) go on their own earlier line; the FINAL line is the
+    # compact driver contract with medians only.
+    diag = {"repeats": repeats, "samples": raw_samples}
+    if errors:
+        diag["errors"] = errors
+    print("BENCH_DIAG " + json.dumps(diag))
     out = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "repeats": repeats,
-        "samples": raw_samples,
         "sf": sf,
     }
-    if errors:
-        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 

@@ -78,6 +78,24 @@ def main() -> int:
             continue
         try:
             sdf = qs[name](spark, SF_DIR)
+            # Registry contract: SCALAR columns only. The driver's
+            # canonicalizer sorts result frames with pandas, which
+            # cannot factorize list/struct/map/binary values — an
+            # array column passes this local checker's _norm but ERRs
+            # in the driver (r7 docs_gopher_gates). Reject here so
+            # local green predicts driver green.
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName()
+                in ("array", "struct", "map", "binary")
+            ]
+            if bad:
+                raise TypeError(
+                    f"non-scalar registered column(s) {bad}: the driver "
+                    "harness cannot canonicalize them — project to a "
+                    "scalar (e.g. array_join) in the registered row"
+                )
             srows = sdf.collect()
             scols = sdf.columns
             if name not in oracles:

@@ -1600,7 +1600,9 @@ def _gopher_oracle_sql() -> str:
            CAST(n_words AS BIGINT) AS n_words,
            (c_words AND c_wlen AND c_sym AND c_bullet AND c_ellipsis
             AND c_alpha AND c_stop) AS keep,
-           list_sort(list_filter([
+           -- COALESCE: DuckDB's array_to_string([]) is NULL; Spark's
+           -- array_join on an empty array is '' — align on ''
+           COALESCE(array_to_string(list_sort(list_filter([
              CASE WHEN NOT c_words THEN 'word_count' END,
              CASE WHEN NOT c_wlen THEN 'mean_word_length' END,
              CASE WHEN NOT c_sym THEN 'symbol_word_ratio' END,
@@ -1608,7 +1610,7 @@ def _gopher_oracle_sql() -> str:
              CASE WHEN NOT c_ellipsis THEN 'ellipsis_lines' END,
              CASE WHEN NOT c_alpha THEN 'alpha_words' END,
              CASE WHEN NOT c_stop THEN 'stopwords' END
-           ], x -> x IS NOT NULL)) AS reasons
+           ], x -> x IS NOT NULL)), '|'), '') AS reasons
     FROM v
     ORDER BY doc_id
     """
@@ -1628,11 +1630,20 @@ def docs_gopher_gates(spark, sf_dir):
     stay covered by q1 + q5; Q3 keeps its oracle bar in
     tests/test_rotated_rows.py). Scale: one shuffle-free scan-stage
     projection — the gate costs a column expression at any corpus
-    size."""
+    size.
+
+    Registry contract: the driver's pandas canonicalizer cannot
+    factorize list-valued columns (r7 red row), so the registered
+    projection joins the already-sorted reasons array to a '|' scalar
+    — the operator API (gopher_quality_gates) keeps the array form."""
     from ..operators import textstats
 
     docs = read_testdata(spark, sf_dir, "documents")
-    return textstats.gopher_quality_gates(docs).orderBy("doc_id")
+    return (
+        textstats.gopher_quality_gates(docs)
+        .withColumn("reasons", F.array_join("reasons", "|"))
+        .orderBy("doc_id")
+    )
 
 
 def text_ngram_repetition(spark, sf_dir):
