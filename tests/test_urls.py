@@ -94,6 +94,13 @@ def test_url_normalize(spark):
         "https://e.com/p?utm_source=x#sec": "https://e.com/p",
         "https://e.com/": "https://e.com",
         "https://e.com/a/": "https://e.com/a/",  # only the bare-host slash drops
+        # scheme-less / protocol-relative hosts lowercase like url_host
+        # does (r7 ADVICE: schemed and bare spellings must share a key)
+        "Example.COM/Path?q=Kept": "example.com/Path?q=Kept",
+        "//Example.COM/X": "//example.com/X",
+        "Example.COM/": "example.com",
+        # no scheme → no default-port fact; port survives
+        "Example.COM:80/a": "example.com:80/a",
     }
     df = _df(spark, list(cases))
     got = [

@@ -87,10 +87,21 @@ def url_normalize(col: Column) -> Column:
     (path/query case PRESERVED — paths are case-significant), default
     ports dropped, tracking params stripped, fragment removed,
     trailing slash on a bare host-path removed. Pure regexp chain —
-    one codegen projection."""
+    one codegen projection.
+
+    Scheme-less and protocol-relative forms (``Example.COM/x``,
+    ``//Example.COM/x``) lowercase their host prefix too, matching
+    what :func:`url_host` extracts — without this, the schemed and
+    scheme-less spellings of one URL produced distinct canonical keys
+    (r7 ADVICE). Default-port stripping stays schemed-only: with no
+    scheme there is no fact of the matter about which port is
+    default."""
     c = F.trim(col)
-    # lowercase scheme://host[:port] prefix only
-    prefix = F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    # lowercase the <scheme://|//|(bare)>host[:port] prefix only —
+    # everything before the first /?#, like _HOST_RE's host scan
+    prefix = F.regexp_extract(
+        c, r"^((?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?[^/?#]*)", 1
+    )
     # substring via length arithmetic keeps this join-free and codegen
     rest = F.substring(c, F.length(prefix) + 1, F.lit(1 << 30))
     c = F.concat(F.lower(prefix), rest)
@@ -101,7 +112,9 @@ def url_normalize(col: Column) -> Column:
     c = F.regexp_replace(c, r"^(https://[^/:?#]+):443(?=[/?#]|$)", "$1")
     c = strip_tracking_params(c)
     c = F.regexp_replace(c, r"#.*$", "")
-    return F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")
+    return F.regexp_replace(
+        c, r"^((?:[a-z][a-z0-9+.-]*://|//)?[^/?#]+)/$", "$1"
+    )
 
 
 def host_suffixes(col: Column, max_labels: int = 6) -> Column:

@@ -20,10 +20,12 @@ mandated ANN family.
 Spark-first shape (no model objects, no UDFs):
 
 - **Fit** (:func:`fit_pq_codebooks`) — Lloyd iterations where ONE
-  assignment pass and ONE mean-recompute pass advance ALL M codebooks
-  simultaneously (the exploded (id, dim, x) stream already carries the
-  subspace index, so M is a grouping key, not a loop bound): job count
-  is O(lloyd_rounds), independent of both M and K. Plain L2 k-means —
+  fused job advances ALL M codebooks simultaneously (the exploded
+  (id, dim, x) stream already carries the subspace index, so M is a
+  grouping key, not a loop bound; the assignment aggregation carries
+  the subvector so the mean recompute stacks on it without a second
+  corpus pass): job count is O(lloyd_rounds), independent of both
+  M and K. Plain L2 k-means —
   PQ quantizes magnitudes too, so inputs are NOT unit-normalized
   (deliberately unlike the spherical ``kmeans_parallel_centroids``).
 - **Encode** (:func:`pq_encode`) — nearest code per subspace as
@@ -49,7 +51,20 @@ from pyspark.sql import functions as F
 from ..functions import vectors as vx
 from .similarity import _nearest_centroids, _spread_vectors, _with_norm, ivf_centroids
 
-_TERM_SCALE = float(1 << 40)
+# Integer-scale headroom contracts (same analysis as
+# similarity.random_projection's 2^30, which this matches — ADVICE r7):
+# _TERM_SCALE: the (id, s) dot kernel sums sub_dim rounded terms, so it
+#   wraps only when Σ_t |x_t·c_t| exceeds 2^63/2^30 ≈ 8.6e9 per
+#   subspace — embeddings with coordinate magnitudes into the tens of
+#   thousands stay safe (the old 2^40 wrapped at Σ ≈ 8.4e6, within
+#   reach of large-magnitude corpora; PQ deliberately does NOT
+#   unit-normalize). Rounding noise is ~sd/2 units of 2^-30 on the
+#   scaled dot — far below the 9-decimal cosine tie-break.
+# _MEAN_SCALE: the Lloyd mean sums n_cluster rounded coordinates, so
+#   n_cluster·|x| must stay under 8.6e9 — guaranteed when the fit is
+#   sample-bounded (``sample_rows``, the production setting); an
+#   unsampled fit on billions of rows per code should lower the scale.
+_TERM_SCALE = float(1 << 30)
 _MEAN_SCALE = float(1 << 30)
 
 
@@ -82,7 +97,10 @@ def _flat_norms2(model: dict):
 
 
 def _dot_frame(
-    vecs: DataFrame, model: dict, id_alias: str = "id"
+    vecs: DataFrame,
+    model: dict,
+    id_alias: str = "id",
+    with_subvec: bool = False,
 ) -> DataFrame:
     """(id, s, dots: array<long>): integer-scaled ⟨x_s, c_sj⟩ for ALL K
     codes — the shared kernel of encoding and query-LUT construction.
@@ -97,7 +115,14 @@ def _dot_frame(
     the exploded+nested form wins 5x instead — which is why
     ``similarity._nearest_centroids`` deliberately keeps it. Shuffle
     payload per group here is K longs, bounded by the model, not the
-    dimension."""
+    dimension.
+
+    ``with_subvec`` additionally carries the t-ordered subvector
+    values through the same aggregation (``xs: array<double>``) —
+    the Lloyd fit's fusion hook: the mean-recompute stage reads the
+    coordinates straight off the assignment frame instead of joining
+    a second exploded corpus pass (adds sd doubles per group to the
+    map-side partial, removes an N·dim shuffle join per round)."""
     flat = _flat_codes(model)
     sd, k = model["sub_dim"], model["k"]
     dims = vecs.select(
@@ -123,18 +148,24 @@ def _dot_frame(
         ).alias(f"_d{j}")
         for j in range(k)
     ]
-    return (
-        dims.groupBy(id_alias, "s")
-        .agg(*sums)
-        .select(
-            id_alias,
-            "s",
-            F.array(*[F.col(f"_d{j}") for j in range(k)]).alias("dots"),
+    aggs = list(sums)
+    if with_subvec:
+        aggs.append(
+            F.array_sort(F.collect_list(F.struct("t", "x"))).alias("_tx")
         )
-    )
+    sel = [
+        F.col(id_alias),
+        F.col("s"),
+        F.array(*[F.col(f"_d{j}") for j in range(k)]).alias("dots"),
+    ]
+    if with_subvec:
+        sel.append(F.transform("_tx", lambda p: p["x"]).alias("xs"))
+    return dims.groupBy(id_alias, "s").agg(*aggs).select(*sel)
 
 
-def _assign_codes(vecs: DataFrame, model: dict) -> DataFrame:
+def _assign_codes(
+    vecs: DataFrame, model: dict, with_subvec: bool = False
+) -> DataFrame:
     """(id, s, code): nearest codebook entry per subspace —
     argmin ‖x−c‖² as argmax of the integer-scaled ⟨x,c⟩ − ½‖c‖²
     (the ‖x‖² term is constant per (id, s) and drops out). The argmax
@@ -160,9 +191,10 @@ def _assign_codes(vecs: DataFrame, model: dict) -> DataFrame:
             (-j).alias("nj"),
         ),
     )
-    return _dot_frame(vecs, model).select(
-        "id", "s", (-F.array_max(scored)["nj"]).cast("int").alias("code")
-    )
+    cols = ["id", "s", (-F.array_max(scored)["nj"]).cast("int").alias("code")]
+    if with_subvec:
+        cols.append(F.col("xs"))
+    return _dot_frame(vecs, model, with_subvec=with_subvec).select(*cols)
 
 
 def _vec_frame(
@@ -193,10 +225,12 @@ def fit_pq_codebooks(
     """Fit M codebooks of K entries each. Init: the K hash-minimal
     corpus vectors seed code j of EVERY subspace with their j-th
     subvector (deterministic, no RNG). Each Lloyd round advances all
-    M·K codes in two passes — one assignment, one (s, code, t)-keyed
-    integer-scaled mean — so the whole fit is O(lloyd_rounds) jobs
-    regardless of M and K; the collected statistics are bounded by the
-    MODEL size (M·K·sub_dim longs), never the corpus. Empty codes keep
+    M·K codes in ONE fused job — the assignment aggregation carries
+    the subvectors, and the (s, code, t)-keyed integer-scaled mean
+    aggregates directly on top of it — so the whole fit is
+    O(lloyd_rounds) jobs regardless of M and K; the collected
+    statistics are bounded by the MODEL size (M·K·sub_dim longs),
+    never the corpus. Empty codes keep
     their previous center. Returns ``{"m", "k", "sub_dim", "dim",
     "codebooks": [s][j][t], "norms2": [s][j]}``.
 
@@ -206,24 +240,35 @@ def fit_pq_codebooks(
     FAISS-style practice trains PQ on a 10⁵-ish sample regardless of
     index size), making fit cost CONSTANT in corpus size while encode
     and search stay full-corpus."""
-    if sample_rows is not None:
-        from .sampling import hash_sample_target
-
-        embeddings = hash_sample_target(embeddings, id_col, sample_rows)
     # MAJORITY width, not the first row's: .first() is partition-order
     # dependent, and one corrupt short vector ordered first would set a
     # bogus dim whose filter then silently discards the entire real
-    # corpus (review finding). F.mode is deterministic here up to ties,
-    # which only occur in a corpus that is itself ambiguous about its
-    # width — and the dominant width is the only defensible choice.
-    present = embeddings.filter(F.col(vec_col).isNotNull())
-    dim_row = present.agg(F.mode(F.size(vec_col)).alias("dim")).first()
-    if dim_row is None or dim_row["dim"] is None:
+    # corpus (review finding). ONE full-corpus width-histogram job
+    # yields the mode, the off-width count, AND the total row count
+    # the sampler needs (r7 verdict: the separate sampler count() +
+    # F.mode agg + filter().count() triple was three scan jobs on the
+    # fit's fixed-cost floor; NULL vectors land in the histogram's
+    # NULL-width group, so the sampler total includes them exactly as
+    # its own count() did). Width stats now describe the corpus, not
+    # the sample — strictly stronger for the warning, since encode and
+    # search under this model run full-corpus. Ties break (higher
+    # count, then smaller width) — deterministic where F.mode's tie
+    # choice is arbitrary.
+    hist = embeddings.groupBy(F.size(vec_col).alias("w")).count().collect()
+    total = sum(int(r["count"]) for r in hist)
+    widths = [r for r in hist if r["w"] is not None]
+    if not widths:
         raise ValueError(
             "cannot fit PQ codebooks: corpus is empty or every vector is NULL"
         )
-    dim = int(dim_row["dim"])
-    off_width = present.filter(F.size(vec_col) != dim).count()
+    dim = int(max(widths, key=lambda r: (r["count"], -r["w"]))["w"])
+    off_width = sum(int(r["count"]) for r in widths if r["w"] != dim)
+    if sample_rows is not None:
+        from .sampling import hash_sample_target
+
+        embeddings = hash_sample_target(
+            embeddings, id_col, sample_rows, total_rows=total
+        )
     if off_width:
         import warnings
 
@@ -259,19 +304,19 @@ def fit_pq_codebooks(
             "norms2": [[sum(x * x for x in c) for c in book] for book in bs],
         }
 
-    # the exploded (id, s, t, x) stream is round-invariant: materialize
-    # it once so each Lloyd round's stats pass pays a join + agg, not a
-    # re-explode (measured: the recompute dominated the round cost)
-    dimsx = (
-        vecs.select("id", F.posexplode("v").alias("d", "x"))
-        .withColumn("s", (F.col("d") / sd).cast("int"))
-        .withColumn("t", F.col("d") % sd)
-        .localCheckpoint(eager=False)
-    )
+    # ONE fused lineage per Lloyd round (r7 verdict item 3): the
+    # assignment frame carries the t-ordered subvector through its own
+    # aggregation (``with_subvec``), so the mean-recompute explodes
+    # THAT — explode → (id,s) agg → re-explode → (s,code,t) agg →
+    # collect, a single job with two model-bounded shuffles. The prior
+    # shape kept a checkpointed (id,s,t,x) corpus explode and shuffle-
+    # joined it against the assignment every round — an extra N·dim
+    # shuffle per round plus the checkpoint materialization, which at
+    # sf0.1 was most of the fit's 12 s fixed-cost floor.
     for _ in range(lloyd_rounds):
-        assign = _assign_codes(vecs, _model(books))
+        assign = _assign_codes(vecs, _model(books), with_subvec=True)
         stats = (
-            dimsx.join(assign, ["id", "s"])
+            assign.select("s", "code", F.posexplode("xs").alias("t", "x"))
             .groupBy("s", "code", "t")
             .agg(
                 F.sum(
@@ -375,12 +420,17 @@ def pq_topk(
     corpus_assign = _nearest_centroids(embeddings, cents, 1, id_col, vec_col)
     q = embeddings if query_filter is None else embeddings.filter(query_filter)
     query_probe = _nearest_centroids(q, cents, nprobe, id_col, vec_col)
+    # No distinct: corpus vectors assign to exactly ONE coarse list
+    # (n_keep=1) and a query's probed cells are distinct by
+    # construction (row_number over the centroid ranking), so the join
+    # emits each (query, neighbor) pair at most once — the dedup the
+    # r7 shape paid a full extra shuffle for on the LARGEST
+    # intermediate of the search was structurally vacuous.
     cand = (
         query_probe.withColumnRenamed("id", "query_id")
         .join(corpus_assign.withColumnRenamed("id", "neighbor_id"), "cidx")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
 
     if codes is None:

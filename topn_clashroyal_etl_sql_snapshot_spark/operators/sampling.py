@@ -143,6 +143,7 @@ def hash_sample_target(
     target_rows: int,
     seed: int = 42,
     buckets: int = DEFAULT_BUCKETS,
+    total_rows: int | None = None,
 ) -> DataFrame:
     """Keep ≈``target_rows`` rows regardless of corpus size — the
     production form of the ``hash_sample`` fraction knob: as the corpus
@@ -159,13 +160,16 @@ def hash_sample_target(
     clamp and the 'constant size' contract breaks (r7 review finding).
 
     Costs one ``count()`` job up front (the corpus size is the input
-    to the threshold). Membership stays a pure function of (key, seed,
+    to the threshold) — unless the caller already holds the size from
+    an adjacent aggregation and passes ``total_rows`` (e.g. the PQ fit
+    reads it off its width histogram), which makes the sample free of
+    extra jobs. Membership stays a pure function of (key, seed,
     buckets, threshold): replayable within a corpus snapshot; across
     corpus GROWTH the threshold (and possibly the bucket space) moves,
     so unlike plain ``hash_sample`` the sample is NOT append-stable —
     pin ``hash_sample`` with an explicit fraction where
     append-stability matters more than bounded cost."""
-    total = df.count()
+    total = df.count() if total_rows is None else total_rows
     if target_rows > 0 and total > target_rows * (buckets // 100 or 1):
         # keep ~1% granularity: threshold lands near 100
         buckets = 100 * ((total + target_rows - 1) // target_rows)
