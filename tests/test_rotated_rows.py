@@ -78,6 +78,18 @@ CASES = {
         testdata_queries.q3_shipping_priority,
         testdata_queries.Q3_SHIPPING_PRIORITY_SQL,
     ),
+    # rotated out r9 for docs_exact_substring (1-row aggregate check;
+    # float-mean columns stay tolerance-checked in tests/test_profile.py)
+    "docs_corpus_profile": (
+        llm_queries.docs_corpus_profile,
+        llm_queries.DOCS_CORPUS_PROFILE_SQL,
+    ),
+    # rotated out r9 for embedding_pq_adc (two-boolean contract row;
+    # the tighter empirical bound lives in tests/test_sketches.py)
+    "approx_distinct_sketch": (
+        testdata_queries.approx_distinct_sketch,
+        testdata_queries.APPROX_DISTINCT_SKETCH_SQL,
+    ),
 }
 
 

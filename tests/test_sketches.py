@@ -26,7 +26,9 @@ def test_approx_distinct_within_tight_bound(spark):
 
 
 def test_sketch_query_reports_within_bound(spark):
-    row = testdata_queries.queries()["approx_distinct_sketch"](
+    # direct module ref: the row rotated out of the driver registry in
+    # r9 (slot ceded to embedding_pq_adc) but keeps its contract here
+    row = testdata_queries.approx_distinct_sketch(
         spark, "/root/testdata/sf0.01"
     ).first()
     assert row["parts_within_bound"] is True

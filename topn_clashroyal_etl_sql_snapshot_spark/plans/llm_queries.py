@@ -388,8 +388,12 @@ def docs_term_quality(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@register(
-    "docs_corpus_profile",
+# Rotated out of the driver registry in r9 to free a slot for the
+# docs_exact_substring row (r7 verdict item 4): a 1-row aggregate check
+# — it keeps this SAME SQL bar in tests/test_rotated_rows.py (plus the
+# tolerance-checked float columns in tests/test_profile.py). Still
+# timed in the bench.
+DOCS_CORPUS_PROFILE_SQL = (
     f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS docs,
            CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS total_chars,
@@ -414,8 +418,10 @@ def docs_term_quality(spark, sf_dir):
                / COUNT(*) AS dup_rate,
            CAST(SUM(COALESCE(length(text), 0)) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents
-    """,
+    """
 )
+
+
 def docs_corpus_profile(spark, sf_dir):
     """One-pass corpus profile (``profile.corpus_profile``) projected to
     its deterministically-reproducible columns: integer counts/sums,
@@ -428,8 +434,9 @@ def docs_corpus_profile(spark, sf_dir):
     repo avoids — and remain tolerance-checked against the DuckDB
     oracle in pytest. Catalyst prunes the unprojected aggregates, so
     the registered plan is still the operator's one-scan one-shuffle
-    shape. Registered r8 to put the r7 profiling operator under the
-    driver's independent oracle."""
+    shape. Registered r8; rotated out r9 for docs_exact_substring (the
+    1-row check cedes its slot) — the identical SQL bar continues in
+    tests/test_rotated_rows.py, and the bench series continues."""
     from ..operators import profile
 
     docs = read_testdata(spark, sf_dir, "documents")
@@ -928,6 +935,66 @@ def embedding_ann_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+@register(
+    "embedding_pq_adc",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {_VEC_NORM_SQL} AS nrm FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(q.embedding)),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / NULLIF(q.nrm * e.nrm, 0.0), 9) AS cosine
+      FROM n q JOIN n e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 12
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) t
+    WHERE rank <= 4
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_pq_adc(spark, sf_dir):
+    """IVF-PQ end to end under the driver's independent oracle
+    (operators/pq.py; registered r9 per r7 verdict item 4, rotating out
+    approx_distinct_sketch's two-boolean contract row). Configuration
+    is full-probe (nprobe = n_coarse: every coarse cell scanned) and
+    full-rerank (rerank·k = 500 ≥ the 500-vector sf0.01 corpus, so
+    every ADC-scored candidate reaches the exact stage) — in that
+    regime IVF-PQ's contract says the result EQUALS brute-force cosine
+    top-k exactly, with true cosines and the (cosine DESC, neighbor)
+    tie-break. The oracle is therefore plain brute-force SQL with no
+    model replica: a hash-free independent check that the whole chain
+    — deterministic sampled codebook fit, two-lane integer-scaled
+    Lloyd rounds, encode, per-query ADC LUTs, candidate pruning,
+    re-rank — never drops, duplicates, or mis-ranks a neighbor (any
+    fit/encode/ADC defect that perturbs candidate survival or final
+    ordering breaks the hash). pytest (tests/test_pq.py) pins the same
+    identity on clustered data plus determinism; the driver row makes
+    it independently checked, closing the r7 'heaviest operators are
+    pytest-only' gap."""
+    from ..operators import pq
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    model = pq.fit_pq_codebooks(
+        emb, m=4, k=16, lloyd_rounds=2, sample_rows=1000
+    )
+    return pq.pq_topk(
+        emb,
+        model,
+        k=4,
+        n_coarse=8,
+        nprobe=8,
+        rerank=125,
+        query_filter=F.col("vec_id") < 12,
+    ).orderBy("query_id", "rank")
+
+
 # Constant-SAMPLE-SIZE recipe (r7): the threshold derives from the
 # corpus count with pure integer floor arithmetic, so the sampled row
 # count — and therefore the all-pairs cost — stays ~fixed at every sf
@@ -1416,19 +1483,104 @@ def semantic_neardup_pairs(spark, sf_dir):
     ).orderBy("id1", "id2")
 
 
+_EXSUB_L = 13
+
+_EXSUB_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, text, {{toks}} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+      FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i : i + {_EXSUB_L} - 1], chr(1)) AS g
+      FROM t, UNNEST(generate_series(1, len(toks) - {_EXSUB_L} + 1)) AS u(i)
+    ),
+    dup AS (
+      SELECT g, min({{{{'id': doc_id, 'pos': pos}}}}) AS first
+      FROM grams GROUP BY g HAVING COUNT(*) > 1
+    ),
+    hits AS (
+      SELECT gr.doc_id, gr.pos
+      FROM grams gr JOIN dup d USING (g)
+      WHERE gr.doc_id <> d.first.id OR gr.pos <> d.first.pos
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(max(pos + {_EXSUB_L}) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + {_EXSUB_L} AS span_end
+      FROM isl GROUP BY doc_id, island
+    ),
+    covered AS (
+      SELECT p.doc_id, p.pos, p.tok,
+             max(CASE WHEN p.pos >= s.span_start AND p.pos < s.span_end
+                 THEN 1 ELSE 0 END) AS cov
+      FROM pos p LEFT JOIN spans s ON p.doc_id = s.doc_id
+      GROUP BY p.doc_id, p.pos, p.tok
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN cov = 0 THEN tok END, ' '
+                        ORDER BY pos) AS clean_text,
+             COUNT(CASE WHEN cov = 0 THEN 1 END) AS n_kept,
+             COUNT(CASE WHEN cov = 1 THEN 1 END) AS n_dropped
+      FROM covered GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NOT NULL
+                THEN md5(COALESCE(r.clean_text, '')) END AS clean_md5,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(COALESCE(r.n_dropped, 0) AS BIGINT) AS n_tokens_dropped
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@register("docs_exact_substring", _EXSUB_SQL.format(toks=_TOKS_SQL))
 def docs_exact_substring(spark, sf_dir):
     """ExactSubstr dedup (Lee et al. 2022) over the documents corpus at
     a 13-token threshold (the synthetic docs run ~30-60 tokens, so the
-    paper's 50-token default would find nothing to measure). NOT
-    registered for the driver — the registry is at its 50-row cap and
-    the operator's semantics are pinned against a pure-Python oracle
-    in tests/test_exact_substring.py — but timed in the bench so the
-    gram-aggregation + islands + excision cost is on record per round.
+    paper's 50-token default would find nothing to measure). Registered
+    r9 (r7 verdict item 4, rotating out the 1-row docs_corpus_profile):
+    the span semantics are positional-gram algebra, so the DuckDB
+    oracle recomputes them with NO hashing at all — it groups the
+    ACTUAL L-token sequences (chr(1)-joined), takes min (doc, pos) as
+    the canonical copy, re-derives the gaps-and-islands span merge in
+    window SQL, and rebuilds every document minus its covered tokens —
+    independently checking the engine's two-lane xxhash64 gram keys,
+    canonical exemption, island merge, and excision end to end (a
+    hash-equality vs sequence-equality divergence would need a 128-bit
+    collision). Every rebuilt doc is md5-checked (the docs_dedup_lines
+    convention; NULL text stays NULL). The operator's API keeps the
+    full clean_text; the pure-Python oracle in
+    tests/test_exact_substring.py continues to pin span-level detail.
     Shares the session tokenize cache with the dedup family."""
     docs = read_testdata(spark, sf_dir, "documents")
-    return dedup.exact_substring_excise(
-        docs, min_tokens=13, toks=_toks_cached(spark, sf_dir)
-    ).orderBy("doc_id")
+    return (
+        dedup.exact_substring_excise(
+            docs, min_tokens=_EXSUB_L, toks=_toks_cached(spark, sf_dir)
+        )
+        .select(
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_tokens_kept",
+            "n_tokens_dropped",
+        )
+        .orderBy("doc_id")
+    )
 
 
 # The DSIR-row model is fit from FIXED seed corpora at import time
