@@ -90,6 +90,12 @@ CASES = {
         testdata_queries.approx_distinct_sketch,
         testdata_queries.APPROX_DISTINCT_SKETCH_SQL,
     ),
+    # rotated out r9 for docs_classifier_margin (its tokenize twin is
+    # load-bearing in a dozen other registered oracles)
+    "text_token_stats": (
+        llm_queries.text_token_stats,
+        llm_queries.TEXT_TOKEN_STATS_SQL,
+    ),
 }
 
 

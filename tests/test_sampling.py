@@ -127,6 +127,59 @@ def test_xxh64_bucket_sql_matches_spark_and_twin(spark):
         ) % (1 << 64)
 
 
+def test_xxh64_ascii_sql_matches_spark_strings(spark):
+    """The byte-level string-hash CTE chain
+    (plans/xxh64_sql.py::xxh64_ascii_ctes) must equal Spark's
+    single-argument xxhash64(varchar) byte-for-byte — it is what makes
+    hashed-feature operators driver-oracle-able
+    (docs_classifier_margin). Cases cover every code path: empty
+    string, each tail-byte count, the 4-byte chunk, 1-3 trailing
+    words, the 32-byte stripe boundary (31/32/33), multi-stripe
+    inputs, and 400 random ASCII strings of length 0-80."""
+    import random
+    import string as pystr
+
+    from pyspark.sql import functions as F
+
+    from topn_clashroyal_etl_sql_snapshot_spark.plans.xxh64_sql import (
+        xxh64_ascii_ctes,
+    )
+
+    rng = random.Random(1234)
+    cases = (
+        ["", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "hello wo",
+         "123456789", "0123456789abc", "0123456789abcdef",
+         "0123456789abcdef01234567",
+         "0123456789abcdef0123456789abcde",
+         "0123456789abcdef0123456789abcdef",
+         "0123456789abcdef0123456789abcdef0",
+         "x" * 40, "y" * 63, "z" * 64, "q" * 65, "w" * 100]
+        + [
+            "".join(
+                rng.choice(pystr.ascii_lowercase + pystr.digits + " ")
+                for _ in range(rng.randint(0, 80))
+            )
+            for _ in range(400)
+        ]
+    )
+    cases = sorted(set(cases))
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    want = {
+        r["s"]: r["h"]
+        for r in df.select("s", F.xxhash64("s").alias("h")).collect()
+    }
+    sql = (
+        "WITH src AS (SELECT UNNEST(?) AS s),\n"
+        + xxh64_ascii_ctes("src", "s")
+        + "\nSELECT s, _hash FROM _xxstr"
+    )
+    got = dict(duckdb.connect().execute(sql, [cases]).fetchall())
+    assert got == want
+    # and against the independent pure-Python twin
+    for c in cases[:50]:
+        assert got[c] == spark_xxhash64([("string", c)])
+
+
 def test_with_split_labels_match_twin_and_are_exhaustive(spark):
     weights = {"train": 0.8, "val": 0.1, "test": 0.1}
     keys = _keys(2000)

@@ -2,10 +2,14 @@
 search over the ``documents``/``embeddings`` tables — registered for the
 driver with DuckDB oracles wherever the operator is SQL-expressible.
 
-Hash-based operators (MinHash-LSH, SimHash) are engine-specific
-(xxhash64 seeds) and cannot be oracled in SQL — they register rows-only
-here and are verified in pytest against exact-Jaccard ground truth
-(tests/test_dedup.py).
+Hash-based operators: since r9 Spark's ``xxhash64`` has DuckDB twins
+for BOTH integer keys and ASCII strings (plans/xxh64_sql.py — the
+string chain powers docs_classifier_margin), so "engine-specific hash"
+is no longer an oracle blocker per se. MinHash-LSH and SimHash still
+register with Jaccard-level oracles rather than signature-level ones —
+their registered outputs are exact-verified pairs, which the oracle
+checks against true Jaccard directly (stronger than re-deriving the
+sketches); the sketch internals stay pytest-pinned (tests/test_dedup.py).
 """
 
 from __future__ import annotations
@@ -77,8 +81,12 @@ _NORM_SQL = "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))"
 _BPE_SQL_PATTERN = tx.BPE_PRETOKEN_PATTERN.replace("'", "''")
 
 
-@register(
-    "text_token_stats",
+# Rotated out of the driver registry in r9 to free a slot for the
+# docs_classifier_margin row: a 5-row per-language aggregate whose
+# tokenize twin is load-bearing in a dozen other registered oracles —
+# it keeps this SAME SQL bar in tests/test_rotated_rows.py. Still
+# timed in the bench.
+TEXT_TOKEN_STATS_SQL = (
     f"""
     SELECT lang,
            COUNT(*) AS docs,
@@ -92,8 +100,10 @@ _BPE_SQL_PATTERN = tx.BPE_PRETOKEN_PATTERN.replace("'", "''")
     FROM documents
     GROUP BY lang
     ORDER BY lang
-    """,
+    """
 )
+
+
 def text_token_stats(spark, sf_dir):
     """Token accounting per language label, both granularities in ONE
     corpus scan: whitespace tokens + chars (the basic corpus stats) and
@@ -372,10 +382,11 @@ def docs_term_quality(spark, sf_dir):
     (``classifier.score_term_weights``): exploded unigram+bigram terms
     ⋈ broadcast term→micro-weight table → one exact integer doc-keyed
     sum — the C4-badword/Dolma-lexicon gate as relational algebra, and
-    the string-keyed sibling of the hashed logistic scorer (which
-    stays pytest-pinned: its xxhash64-of-string bucketing has no SQL
-    twin). Registered r8 to put the r7 classifier family's scoring
-    plan under the driver's independent oracle."""
+    the string-keyed sibling of the hashed logistic scorer (oracled
+    separately as docs_classifier_margin since r9, when the
+    xxhash64-of-string SQL twin landed). Registered r8 to put the r7
+    classifier family's scoring plan under the driver's independent
+    oracle."""
     from ..operators import classifier
 
     docs = read_testdata(spark, sf_dir, "documents")
@@ -386,6 +397,126 @@ def docs_term_quality(spark, sf_dir):
         toks=_toks_cached(spark, sf_dir),
         bigrams=True,
     ).orderBy("doc_id")
+
+
+# Fixed hashed-logistic gate model for the driver row: term→weight
+# pairs chosen to overlap the synthetic corpus vocabulary on both
+# signs (so positive, negative, bigram, and absent-term legs all fire
+# at every sf), micro-quantized and folded into xxhash64 feature
+# buckets at import time via the pure-Python hash twin
+# (testing/xxh64.py — dependency-free arithmetic, no Spark session at
+# import; the same fixed-reference pattern as the DSIR and
+# term-quality rows). TRAINING stays pytest-pinned
+# (tests/test_classifier.py margin parity); what the driver row
+# independently checks is the full production SCORING path.
+_CLF_BUCKETS = 1 << 18
+_CLF_BIAS_MICRO = -250_000
+_CLF_TERM_WEIGHTS = {
+    "spark": 0.9,
+    "window": 0.55,
+    "agg": 0.4,
+    "join": 0.35,
+    "fast": 0.6,
+    "scan": -0.5,
+    "slow": -0.8,
+    "batch": -0.2,
+    "row": -0.25,
+    "dup": -1.1,
+    "spark window": 1.2,
+    "batch scan": -0.9,
+    "hash join": 0.7,
+    "slow batch": -0.6,
+}
+
+
+def _clf_model() -> dict:
+    from ..testing.xxh64 import spark_xxhash64
+
+    w: dict[int, int] = {}
+    for term, wt in _CLF_TERM_WEIGHTS.items():
+        feat = spark_xxhash64([("string", term)]) % _CLF_BUCKETS
+        w[feat] = w.get(feat, 0) + int(round(wt * 1e6))
+    return {
+        "n_buckets": _CLF_BUCKETS,
+        "bigrams": True,
+        "w_micro": w,
+        "bias_micro": _CLF_BIAS_MICRO,
+    }
+
+
+def _clf_oracle_sql() -> str:
+    from .xxh64_sql import xxh64_ascii_ctes
+
+    model = _clf_model()
+    vals = ", ".join(
+        f"({feat}, {w})" for feat, w in sorted(model["w_micro"].items())
+    )
+    d = _CLF_BUCKETS
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, UNNEST(toks) AS term FROM base
+    ),
+    big AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS term
+      FROM base, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2
+    ),
+    terms AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+    src AS (SELECT DISTINCT term FROM terms),
+    {xxh64_ascii_ctes('src', 'term')},
+    feat_of AS (
+      SELECT term, ((_hash % {d}) + {d}) % {d} AS feat FROM _xxstr
+    ),
+    w(feat, w_micro) AS (VALUES {vals}),
+    m AS (
+      SELECT t.doc_id,
+             SUM(COALESCE(w.w_micro, 0)) AS w_sum
+      FROM terms t
+      JOIN feat_of f ON f.term = t.term
+      LEFT JOIN w ON w.feat = f.feat
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(m.w_sum, 0) + {_CLF_BIAS_MICRO} AS DOUBLE)
+               / 1000000.0 AS margin
+    FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("docs_classifier_margin", _clf_oracle_sql())
+def docs_classifier_margin(spark, sf_dir):
+    """Hashed-logistic quality-gate margins
+    (``classifier.score_hashed_logistic``) for EVERY document under a
+    fixed micro-quantized model — the fastText-style hashing-trick
+    scorer that was pytest-only through r8 because Spark's
+    xxhash64-of-STRING had no SQL twin. r9 closes that: the oracle
+    pushes every distinct unigram+bigram term through the byte-level
+    xxHash64 CTE chain (plans/xxh64_sql.py::xxh64_ascii_ctes —
+    stripes, words, tail bytes, avalanche, validated bit-for-bit
+    against F.xxhash64), buckets with signed pmod, joins the literal
+    weight VALUES, and reproduces the exact integer margin sum + bias
+    per document. Feature hashing, bigram construction, the broadcast
+    weight join, the left-join bias fallback for token-less docs, and
+    the micro→double conversion are all hash-checked. ``prob`` is
+    deliberately NOT registered (libm ``exp`` may differ across
+    engines in the last ulp; the margin is the exact contract —
+    sigmoid is monotone, so gating decisions depend only on margin).
+    Scale: scoring is exploded terms ⋈ BROADCAST weights → one
+    doc-keyed integer sum; zero corpus shuffle beyond the doc key."""
+    from ..operators import classifier
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return (
+        classifier.score_hashed_logistic(
+            docs, _clf_model(), toks=_toks_cached(spark, sf_dir)
+        )
+        .select("doc_id", "margin")
+        .orderBy("doc_id")
+    )
 
 
 # Rotated out of the driver registry in r9 to free a slot for the

@@ -145,3 +145,157 @@ def xxh64_signed_ctes(src: str, key: str, seed: int = 42) -> str:
         ),
     ]
     return ",\n".join(f"{name} AS ({q})" for name, q in steps)
+
+
+def _le_word(b: str, off: str, nbytes: int) -> str:
+    """Little-endian integer of ``nbytes`` bytes of byte-list ``b``
+    starting at 0-based offset expression ``off`` (SQL, HUGEINT)."""
+    terms = " + ".join(
+        f"{b}[CAST(({off}) + {j + 1} AS INT)] * {1 << (8 * j)}::HUGEINT"
+        for j in range(nbytes)
+    )
+    return f"({terms})"
+
+
+def _lane_round(v: str, w: str) -> str:
+    """XXH64 stripe round: rotl(v + w*P2, 31) * P1 (mod 2^64)."""
+    return _mulmod(_rotl(f"((({v}) + {_mulmod(w, _P2)}) % {_M})", 31), _P1)
+
+
+def xxh64_ascii_ctes(src: str, col: str, seed: int = 42) -> str:
+    """CTE chain text: given relation ``src`` with an ASCII (single-byte
+    chars, non-NULL) VARCHAR column ``col``, defines
+    ``_xxstr({col}, _hash)`` where ``_hash`` equals Spark's
+    single-argument ``xxhash64({col})`` as a signed BIGINT — the full
+    byte-level xxHash64 (Yann Collet's public spec; Spark's
+    ``XXH64.hashUnsafeBytes``): 32-byte stripes into four lanes for
+    long inputs, then 8-byte words, one 4-byte chunk, tail bytes, and
+    the avalanche mix. Little-endian lane loads become positional
+    byte-list arithmetic; the variable-length stripe/word/byte folds —
+    inexpressible as a fixed CTE chain — run as ``list_reduce``
+    left-folds seeded by prepending the init accumulator (the stripe
+    fold's 4-lane state rides as a 4-element HUGEINT list). Splice into
+    a WITH list; validated byte-for-byte against ``F.xxhash64`` and
+    ``testing/xxh64.spark_xxhash64`` in tests/test_sampling.py.
+
+    This is the twin that makes xxhash64-of-STRING operators (hashed
+    classifier features; term/shingle keys) driver-oracle-able — the
+    long-lane chains above cover only integer keys."""
+    v1i = (seed + _P1 + _P2) & _MASK
+    v2i = (seed + _P2) & _MASK
+    v3i = seed & _MASK
+    v4i = (seed - _P1) & _MASK
+    h_small = (seed + _P5) & _MASK
+
+    # stripe fold: acc = [v1, v2, v3, v4]; items = [offset]
+    lane_steps = ", ".join(
+        _lane_round(f"acc[{i + 1}]", _le_word("_b", f"x[1] + {8 * i}", 8))
+        for i in range(4)
+    )
+    stripe_fold = (
+        f"list_reduce([[{v1i}::HUGEINT, {v2i}::HUGEINT, {v3i}::HUGEINT, "
+        f"{v4i}::HUGEINT]] || list_transform("
+        f"generate_series(0, CAST(_ns - 1 AS BIGINT)), "
+        f"k -> [CAST(k * 32 AS HUGEINT)]), (acc, x) -> [{lane_steps}])"
+    )
+
+    def merge_round(h: str, v: str) -> str:
+        round0 = _mulmod(_rotl(_mulmod(v, _P2), 31), _P1)
+        return f"({_mulmod(_xor(h, round0), _P1)} + {_P4}) % {_M}"
+
+    # 8-byte word step: acc = running hash, x = 0-based byte offset
+    word_round0 = _mulmod(_rotl(_mulmod(_le_word("_b", "x", 8), _P2), 31), _P1)
+    word_step = (
+        f"({_mulmod(_rotl(_xor('acc', word_round0), 27), _P1)} + {_P4}) % {_M}"
+    )
+    word_fold = (
+        f"list_reduce([(_h0 + _n) % {_M}] || "
+        f"list_transform(generate_series(0, CAST((_n - _o0) // 8 - 1 AS BIGINT)), "
+        f"k -> CAST(_o0 + k * 8 AS HUGEINT)), (acc, x) -> {word_step})"
+    )
+
+    u32 = _le_word("_b", "_o1", 4)
+    four_step = (
+        f"({_mulmod(_rotl(_xor('_h1', _mulmod(u32, _P1)), 23), _P2)} "
+        f"+ {_P3}) % {_M}"
+    )
+
+    byte_step = _mulmod(
+        _rotl(
+            _xor("acc", _mulmod("_b[CAST(x AS INT)]", _P5)), 11
+        ),
+        _P1,
+    )
+    byte_fold = (
+        f"list_reduce([_h2] || list_transform("
+        f"generate_series(CAST(_o2 + 1 AS BIGINT), CAST(_n AS BIGINT)), "
+        f"i -> i), (acc, x) -> {byte_step})"
+    )
+
+    steps = [
+        (
+            "_tb",
+            f"SELECT {col}, CAST(length({col}) AS HUGEINT) AS _n, "
+            f"list_transform(generate_series(1, length({col})), "
+            f"i -> CAST(ascii(substr({col}, i, 1)) AS HUGEINT)) AS _b "
+            f"FROM {src}",
+        ),
+        (
+            "_ts",
+            f"SELECT {col}, _n, _b, CASE WHEN _n >= 32 "
+            f"THEN (_n - 32) // 32 + 1 ELSE 0 END AS _ns FROM _tb",
+        ),
+        (
+            "_tv",
+            f"SELECT {col}, _n, _b, _ns, CASE WHEN _n >= 32 "
+            f"THEN {stripe_fold} ELSE NULL END AS _v FROM _ts",
+        ),
+        # merged stripe hash, one merge round per CTE (keeps the
+        # generated text linear — inlining all four would square it)
+        (
+            "_tm0",
+            f"SELECT {col}, _n, _b, _ns, _v, CASE WHEN _n >= 32 THEN "
+            f"({_rotl('_v[1]', 1)} + {_rotl('_v[2]', 7)} + "
+            f"{_rotl('_v[3]', 12)} + {_rotl('_v[4]', 18)}) % {_M} "
+            f"ELSE {h_small}::HUGEINT END AS _h FROM _tv",
+        ),
+        *[
+            (
+                f"_tm{i + 1}",
+                f"SELECT {col}, _n, _b, _ns, _v, CASE WHEN _n >= 32 THEN "
+                f"{merge_round('_h', f'_v[{i + 1}]')} ELSE _h END AS _h "
+                f"FROM _tm{i}",
+            )
+            for i in range(4)
+        ],
+        (
+            "_tw",
+            f"SELECT {col}, _n, _b, _h AS _h0, "
+            f"CASE WHEN _n >= 32 THEN _ns * 32 ELSE 0::HUGEINT END AS _o0 "
+            f"FROM _tm4",
+        ),
+        (
+            "_tw2",
+            f"SELECT {col}, _n, _b, {word_fold} AS _h1, "
+            f"_o0 + ((_n - _o0) // 8) * 8 AS _o1 FROM _tw",
+        ),
+        (
+            "_t4",
+            f"SELECT {col}, _n, _b, "
+            f"CASE WHEN _o1 + 4 <= _n THEN {four_step} ELSE _h1 END AS _h2, "
+            f"CASE WHEN _o1 + 4 <= _n THEN _o1 + 4 ELSE _o1 END AS _o2 "
+            f"FROM _tw2",
+        ),
+        ("_tf0", f"SELECT {col}, {byte_fold} AS v FROM _t4"),
+        ("_tf1", f"SELECT {col}, {_xor('v', _shr('v', 33))} AS v FROM _tf0"),
+        ("_tf2", f"SELECT {col}, {_mulmod('v', _P2)} AS v FROM _tf1"),
+        ("_tf3", f"SELECT {col}, {_xor('v', _shr('v', 29))} AS v FROM _tf2"),
+        ("_tf4", f"SELECT {col}, {_mulmod('v', _P3)} AS v FROM _tf3"),
+        ("_tf5", f"SELECT {col}, {_xor('v', _shr('v', 32))} AS v FROM _tf4"),
+        (
+            "_xxstr",
+            f"SELECT {col}, CAST(CASE WHEN v >= 9223372036854775808::HUGEINT "
+            f"THEN v - {_M}::HUGEINT ELSE v END AS BIGINT) AS _hash FROM _tf5",
+        ),
+    ]
+    return ",\n".join(f"{name} AS ({q})" for name, q in steps)
