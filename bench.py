@@ -58,17 +58,16 @@ def main() -> None:
     # from codes at the pruning configuration (the correctness-gated
     # registry row is embedding_pq_adc below).
     qs["embedding_pq_topk"] = llm_queries.embedding_pq_topk
-    # Gopher n-gram repetition sweep: pytest-pinned, timed here — the
-    # most scan-intensive text operator (9 token-stream passes).
-    qs["text_ngram_repetition"] = llm_queries.text_ngram_repetition
     # r9 rotation bookkeeping: docs_corpus_profile,
-    # approx_distinct_sketch and text_token_stats left the driver
-    # registry (slots ceded to docs_exact_substring / embedding_pq_adc
-    # / docs_classifier_margin) but keep their bench series —
+    # approx_distinct_sketch, text_token_stats and dedup_exact_summary
+    # left the driver registry (slots ceded to docs_exact_substring /
+    # embedding_pq_adc / docs_classifier_margin /
+    # text_ngram_repetition) but keep their bench series —
     # cross-round comparability outlives registry rotation.
     qs["docs_corpus_profile"] = llm_queries.docs_corpus_profile
     qs["approx_distinct_sketch"] = testdata_queries.approx_distinct_sketch
     qs["text_token_stats"] = llm_queries.text_token_stats
+    qs["dedup_exact_summary"] = llm_queries.dedup_exact_summary
     # embedding_pq_adc is a CORRECTNESS row (full-probe/full-rerank ≡
     # brute force); its timed code path is embedding_pq_topk's, already
     # benched median-of-3 — excluded so the bench total stays

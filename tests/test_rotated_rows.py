@@ -96,6 +96,12 @@ CASES = {
         llm_queries.text_token_stats,
         llm_queries.TEXT_TOKEN_STATS_SQL,
     ),
+    # rotated out r9 for text_ngram_repetition (1-row accounting check;
+    # fingerprint ≡ md5 parity also rides curation_funnel's dedup stage)
+    "dedup_exact_summary": (
+        llm_queries.dedup_exact_summary,
+        llm_queries.DEDUP_EXACT_SUMMARY_SQL,
+    ),
 }
 
 

@@ -661,15 +661,21 @@ def docs_bm25_topk(spark, sf_dir):
 # Dedup family
 # ---------------------------------------------------------------------------
 
-@register(
-    "dedup_exact_summary",
+# Rotated out of the driver registry in r9 to free a slot for the
+# text_ngram_repetition row: a 1-row fingerprint-accounting check whose
+# content_fingerprint ≡ md5 parity also rides the (registered, green)
+# curation_funnel dedup stage — it keeps this SAME SQL bar in
+# tests/test_rotated_rows.py. Still timed in the bench.
+DEDUP_EXACT_SUMMARY_SQL = (
     f"""
     SELECT COUNT(*) AS total_docs,
            COUNT(DISTINCT md5({_NORM_SQL})) AS unique_docs,
            COUNT(*) - COUNT(DISTINCT md5({_NORM_SQL})) AS dup_docs
     FROM documents
-    """,
+    """
 )
+
+
 def dedup_exact_summary(spark, sf_dir):
     """Exact-dedup accounting: total vs distinct normalized
     fingerprints, plus the redundant-copy count. This single row
@@ -1929,15 +1935,109 @@ def docs_gopher_gates(spark, sf_dir):
     )
 
 
+_NGRAM_TOP_NS = (2, 3, 4)
+_NGRAM_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _ngram_repetition_oracle_sql() -> str:
+    """Gopher repetition sweep re-derived independently in DuckDB: one
+    gram CTE per n; the top-n champion picked by arg_max over the SAME
+    (count, gram) tie-break struct; dup-n coverage as the identical
+    DISTINCT-position union (explode each duplicated gram's span, sum
+    covered token lengths once). Single-division doubles both sides."""
+    parts = [
+        "WITH base AS (",
+        f"  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents",
+        "),",
+        "tokstream AS (",
+        "  SELECT doc_id, i - 1 AS p, length(toks[i]) AS len",
+        "  FROM base, UNNEST(generate_series(1, len(toks))) AS t(i)",
+        "),",
+        "totals AS (",
+        "  SELECT doc_id, SUM(len) AS token_chars FROM tokstream GROUP BY doc_id",
+        "),",
+    ]
+    for n in sorted(set(_NGRAM_TOP_NS) | set(_NGRAM_DUP_NS)):
+        parts += [
+            f"g{n} AS (",
+            f"  SELECT doc_id, i - 1 AS pos,",
+            f"         array_to_string(toks[i : i + {n} - 1], ' ') AS gram",
+            f"  FROM base, UNNEST(generate_series(1, len(toks) - {n} + 1)) AS t(i)",
+            "),",
+        ]
+    for n in _NGRAM_TOP_NS:
+        # Spark's max_by(value, struct(cnt, gram)) champions the
+        # largest (cnt, gram) pair — highest count, ties to the
+        # lexicographically LAST gram; DuckDB 1.0's arg_max rejects
+        # struct keys, so the same pick runs as a two-key window
+        parts += [
+            f"t{n} AS (",
+            "  SELECT doc_id, v FROM (",
+            f"    SELECT doc_id, cnt * (length(gram) - {n - 1}) AS v,",
+            "           ROW_NUMBER() OVER (PARTITION BY doc_id"
+            " ORDER BY cnt DESC, gram DESC) AS rn",
+            f"    FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM g{n}"
+            f" GROUP BY doc_id, gram) _",
+            "  ) _ WHERE rn = 1",
+            "),",
+        ]
+    for n in _NGRAM_DUP_NS:
+        parts += [
+            f"d{n} AS (",
+            "  SELECT cov.doc_id, SUM(ts.len) AS v FROM (",
+            f"    SELECT DISTINCT g.doc_id, g.pos + u.o AS p",
+            f"    FROM g{n} g",
+            f"    JOIN (SELECT doc_id, gram FROM (SELECT doc_id, gram,"
+            f" COUNT(*) AS c FROM g{n} GROUP BY doc_id, gram) _ WHERE c > 1) dk",
+            "      ON dk.doc_id = g.doc_id AND dk.gram = g.gram,",
+            f"    UNNEST(generate_series(0, {n} - 1)) AS u(o)",
+            "  ) cov JOIN tokstream ts",
+            "    ON ts.doc_id = cov.doc_id AND ts.p = cov.p",
+            "  GROUP BY cov.doc_id",
+            "),",
+        ]
+    sel = [
+        "SELECT d.doc_id,",
+        "       CAST(COALESCE(tt.token_chars, 0) AS BIGINT) AS token_chars,",
+    ]
+    for n in _NGRAM_TOP_NS:
+        sel.append(
+            f"       LEAST(1.0, CASE WHEN COALESCE(tt.token_chars, 0) > 0"
+            f" THEN CAST(COALESCE(t{n}.v, 0) AS DOUBLE) / tt.token_chars"
+            f" ELSE 0.0 END) AS top_{n}gram_char_frac,"
+        )
+    for n in _NGRAM_DUP_NS:
+        comma = "," if n != _NGRAM_DUP_NS[-1] else ""
+        sel.append(
+            f"       CASE WHEN COALESCE(tt.token_chars, 0) > 0"
+            f" THEN CAST(COALESCE(d{n}.v, 0) AS DOUBLE) / tt.token_chars"
+            f" ELSE 0.0 END AS dup_{n}gram_char_frac{comma}"
+        )
+    joins = ["FROM documents d", "LEFT JOIN totals tt ON tt.doc_id = d.doc_id"]
+    for n in _NGRAM_TOP_NS:
+        joins.append(f"LEFT JOIN t{n} ON t{n}.doc_id = d.doc_id")
+    for n in _NGRAM_DUP_NS:
+        joins.append(f"LEFT JOIN d{n} ON d{n}.doc_id = d.doc_id")
+    joins.append("ORDER BY d.doc_id")
+    # drop the trailing comma of the last CTE
+    parts[-1] = parts[-1].rstrip(",")
+    parts[-1] += ""
+    return "\n".join(parts[:-1] + [parts[-1]] ) + "\n" + "\n".join(sel + joins)
+
+
+@register("text_ngram_repetition", _ngram_repetition_oracle_sql())
 def text_ngram_repetition(spark, sf_dir):
     """Gopher n-gram repetition sweep (textstats.ngram_repetition_stats)
-    over the documents table — NOT registered (registry at cap; the
-    union-of-positions semantics are pytest-pinned against a Python
-    twin in tests/test_text.py) but timed in the bench: the operator
-    makes Σ|ns| passes over the token stream (here 3 top-n + 6 dup-n =
-    9), which is the most scan-intensive text operator in the repo —
-    its per-round cost belongs on record. Shares the session tokenize
-    cache with the dedup family."""
+    over the documents table — the most scan-intensive text operator in
+    the repo (Σ|ns| = 9 token-stream passes: 3 top-n + 6 dup-n).
+    Registered r9 (closing the last of the r7 'heaviest operators are
+    pytest-only' list; dedup_exact_summary's 1-row check ceded the
+    slot): the DuckDB oracle re-derives every pass — per-n gram
+    streams, the top-gram champion under the identical (count, gram)
+    tie-break, and Gopher's union-of-positions duplicate coverage as
+    the same DISTINCT-position sum — so all 10 columns hash-check per
+    document. The Python-twin pins in tests/test_text.py stay. Shares
+    the session tokenize cache with the dedup family."""
     from ..operators import textstats
 
     docs = read_testdata(spark, sf_dir, "documents")
