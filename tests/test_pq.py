@@ -212,6 +212,10 @@ def test_search_plan_no_python_no_cartesian(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # the query-batch-bounded tables (ADC LUT, query norms, survivors)
+    # ride BROADCAST joins — the candidate stream and the corpus
+    # vector table must never shuffle for them (r9 contract hints)
+    assert plan.count("BroadcastHashJoin") >= 3
 
 
 def test_codes_frame_reuse(spark):

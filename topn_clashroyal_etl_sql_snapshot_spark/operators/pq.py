@@ -458,15 +458,22 @@ def pq_topk(
         F.col(id_col).alias("query_id"), F.col("_norm").alias("qnorm")
     )
 
+    # Query-side tables BROADCAST by contract: pq_topk serves a QUERY
+    # BATCH against a corpus index (the ANN shape), so lut is
+    # |Q|·M·K rows and qnorms |Q| rows — both bounded by the batch,
+    # never the corpus. Hinting them explicitly removes two shuffles
+    # of the candidate stream (the largest search intermediate); for
+    # corpus-scale all-pairs self-search, don't use this API — that is
+    # the neardup family's job (lsh/semantic_neardup_pairs).
     approx = (
         cand.join(ncodes, "neighbor_id")
-        .join(lut, ["query_id", "s", "code"])
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(
             F.sum("qdot").alias("adot"),
             F.sqrt(F.sum("vnorm2_part")).alias("vnorm"),
         )
-        .join(qnorms, "query_id")
+        .join(F.broadcast(qnorms), "query_id")
         .withColumn(
             "approx_cos",
             F.round(
@@ -493,10 +500,19 @@ def pq_topk(
         F.col(vec_col).alias("vv"),
         F.col("_norm").alias("nn"),
     )
+    # survivors (≤ |Q|·rerank·k pairs) broadcast against the corpus
+    # vector table — the re-rank never shuffles corpus vectors. Both
+    # fetch joins hint the pair side (the second hint re-marks the
+    # pairs+query-vector result, still batch-bounded: |Q|·rerank·k
+    # rows of one vector each); same contract as lut/qnorms above.
     exact = (
-        survivors.join(
-            vecs.withColumnsRenamed({"id": "query_id", "vv": "v1", "nn": "n1"}),
-            "query_id",
+        F.broadcast(
+            F.broadcast(survivors).join(
+                vecs.withColumnsRenamed(
+                    {"id": "query_id", "vv": "v1", "nn": "n1"}
+                ),
+                "query_id",
+            )
         )
         .join(
             vecs.withColumnsRenamed(
