@@ -247,6 +247,28 @@ def test_r8_registered_rows_plan_pins(spark):
             assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
 
 
+def test_r9_registered_rows_plan_pins(spark):
+    """Registered-query-level plan audit for the r9 rotation crop: no
+    cartesian, no Python eval nodes anywhere; the hashed classifier's
+    weight table broadcasts (model-bounded, zero corpus shuffle)."""
+    from topn_clashroyal_etl_sql_snapshot_spark.plans import llm_queries as q
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (
+        q.docs_exact_substring,
+        q.docs_classifier_margin,
+        q.text_ngram_repetition,
+        q.embedding_pq_adc,
+    ):
+        plan = _plan(fn(spark, sf))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
+        if fn is q.docs_classifier_margin:
+            assert "BroadcastHashJoin" in plan
+
+
 def test_per_group_quantile_cap_single_exchange_no_python(spark):
     """The fractional gate computes rank AND group size in ONE window
     exchange — adding the count must not buy a second shuffle."""

@@ -379,12 +379,16 @@ def ivf_topk(
     q = embeddings if query_filter is None else embeddings.filter(query_filter)
     query_probe = _nearest_centroids(q, cents, nprobe, id_col, vec_col)
 
+    # No distinct: corpus vectors assign to exactly ONE list (n_keep=1)
+    # and a query's probed cells are distinct by construction, so the
+    # join emits each (query, neighbor) pair at most once — the dedup
+    # was a full extra shuffle on the largest search intermediate
+    # (same r9 finding as pq_topk's candidate stage).
     cand = (
         query_probe.withColumnRenamed("id", "query_id")
         .join(corpus_assign.withColumnRenamed("id", "neighbor_id"), "cidx")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     vecs = _with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
