@@ -213,9 +213,22 @@ def test_search_plan_no_python_no_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     # the query-batch-bounded tables (ADC LUT, query norms, survivors)
-    # ride BROADCAST joins — the candidate stream and the corpus
-    # vector table must never shuffle for them (r9 contract hints)
-    assert plan.count("BroadcastHashJoin") >= 3
+    # ride BROADCAST joins when the call declares a batch via
+    # query_filter — the candidate stream and the corpus vector table
+    # must never shuffle for them (r9 contract hints, gated so the
+    # unfiltered self-search path never force-broadcasts the corpus)
+    from pyspark.sql import functions as F
+
+    batch_plan = (
+        pq.pq_topk(
+            df, model, k=2, n_coarse=4, nprobe=2, rerank=2,
+            query_filter=F.col("vec_id") < 5,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert batch_plan.count("BroadcastHashJoin") >= 3
 
 
 def test_codes_frame_reuse(spark):

@@ -254,7 +254,20 @@ def fit_pq_codebooks(
     # search under this model run full-corpus. Ties break (higher
     # count, then smaller width) — deterministic where F.mode's tie
     # choice is arbitrary.
-    hist = embeddings.groupBy(F.size(vec_col).alias("w")).count().collect()
+    # null-SAFE width key: a bare F.size(NULL) is -1 under Spark 3.x
+    # defaults (spark.sql.legacy.sizeOfNull=true) and NULL under 4.x —
+    # the guarded form lands NULL vectors in the NULL group on every
+    # config, so the every-vector-NULL ValueError and the off-width
+    # accounting are cluster-portable (r9 review finding).
+    hist = (
+        embeddings.groupBy(
+            F.when(
+                F.col(vec_col).isNotNull(), F.size(vec_col)
+            ).alias("w")
+        )
+        .count()
+        .collect()
+    )
     total = sum(int(r["count"]) for r in hist)
     widths = [r for r in hist if r["w"] is not None]
     if not widths:
@@ -458,22 +471,26 @@ def pq_topk(
         F.col(id_col).alias("query_id"), F.col("_norm").alias("qnorm")
     )
 
-    # Query-side tables BROADCAST by contract: pq_topk serves a QUERY
-    # BATCH against a corpus index (the ANN shape), so lut is
-    # |Q|·M·K rows and qnorms |Q| rows — both bounded by the batch,
-    # never the corpus. Hinting them explicitly removes two shuffles
-    # of the candidate stream (the largest search intermediate); for
-    # corpus-scale all-pairs self-search, don't use this API — that is
-    # the neardup family's job (lsh/semantic_neardup_pairs).
+    # Query-side tables BROADCAST when the call declares a query BATCH
+    # (query_filter given — the ANN serving shape): lut is |Q|·M·K
+    # rows and qnorms |Q| rows, bounded by the batch, and the hints
+    # remove two shuffles of the candidate stream (the largest search
+    # intermediate). With NO filter the query set IS the corpus
+    # (self-search) — a forced broadcast there would ship corpus-sized
+    # frames to every executor (r9 review finding), so the unfiltered
+    # path leaves join strategy to Catalyst/AQE. Corpus-scale
+    # all-pairs similarity belongs to the neardup family anyway
+    # (lsh/semantic_neardup_pairs).
+    batch_hint = F.broadcast if query_filter is not None else (lambda df: df)
     approx = (
         cand.join(ncodes, "neighbor_id")
-        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .join(batch_hint(lut), ["query_id", "s", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(
             F.sum("qdot").alias("adot"),
             F.sqrt(F.sum("vnorm2_part")).alias("vnorm"),
         )
-        .join(F.broadcast(qnorms), "query_id")
+        .join(batch_hint(qnorms), "query_id")
         .withColumn(
             "approx_cos",
             F.round(
@@ -504,10 +521,11 @@ def pq_topk(
     # vector table — the re-rank never shuffles corpus vectors. Both
     # fetch joins hint the pair side (the second hint re-marks the
     # pairs+query-vector result, still batch-bounded: |Q|·rerank·k
-    # rows of one vector each); same contract as lut/qnorms above.
+    # rows of one vector each); same batch-gated contract as
+    # lut/qnorms above.
     exact = (
-        F.broadcast(
-            F.broadcast(survivors).join(
+        batch_hint(
+            batch_hint(survivors).join(
                 vecs.withColumnsRenamed(
                     {"id": "query_id", "vv": "v1", "nn": "n1"}
                 ),

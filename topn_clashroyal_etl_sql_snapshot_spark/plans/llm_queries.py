@@ -1101,8 +1101,9 @@ def embedding_pq_adc(spark, sf_dir):
     (operators/pq.py; registered r9 per r7 verdict item 4, rotating out
     approx_distinct_sketch's two-boolean contract row). Configuration
     is full-probe (nprobe = n_coarse: every coarse cell scanned) and
-    full-rerank (rerank·k = 500 ≥ the 500-vector sf0.01 corpus, so
-    every ADC-scored candidate reaches the exact stage) — in that
+    full-rerank (rerank derived from a corpus COUNT so rerank·k ≥ the
+    corpus at ANY sf — the exactness claim is self-enforcing, not an
+    sf0.01 coincidence; r9 review finding) — in that
     regime IVF-PQ's contract says the result EQUALS brute-force cosine
     top-k exactly, with true cosines and the (cosine DESC, neighbor)
     tie-break. The oracle is therefore plain brute-force SQL with no
@@ -1121,13 +1122,15 @@ def embedding_pq_adc(spark, sf_dir):
     model = pq.fit_pq_codebooks(
         emb, m=4, k=16, lloyd_rounds=2, sample_rows=1000
     )
+    k = 4
+    rerank = -(-emb.count() // k)  # rerank·k ≥ corpus ⇒ PQ ≡ brute force
     return pq.pq_topk(
         emb,
         model,
-        k=4,
+        k=k,
         n_coarse=8,
         nprobe=8,
-        rerank=125,
+        rerank=rerank,
         query_filter=F.col("vec_id") < 12,
     ).orderBy("query_id", "rank")
 
@@ -2021,8 +2024,7 @@ def _ngram_repetition_oracle_sql() -> str:
     joins.append("ORDER BY d.doc_id")
     # drop the trailing comma of the last CTE
     parts[-1] = parts[-1].rstrip(",")
-    parts[-1] += ""
-    return "\n".join(parts[:-1] + [parts[-1]] ) + "\n" + "\n".join(sel + joins)
+    return "\n".join(parts) + "\n" + "\n".join(sel + joins)
 
 
 @register("text_ngram_repetition", _ngram_repetition_oracle_sql())
