@@ -23,6 +23,18 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 
+def _cpu_busy() -> tuple[float, float]:
+    """(busy_jiffies, total_jiffies) from /proc/stat's aggregate cpu
+    line — the busy fraction over an entry's wall window tells a reader
+    whether a slow sample ran on a loaded machine (drift) or an idle
+    one (signal), without needing a manual rerun to adjudicate."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()[1:]
+    vals = [float(x) for x in parts]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)  # idle + iowait
+    return sum(vals) - idle, sum(vals)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -117,9 +129,16 @@ def main() -> None:
     repeats: dict[str, int] = {}
     raw_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    # Per-entry drift telemetry (r8 verdict item 2): 1-min loadavg at
+    # entry start + CPU-busy fraction over the entry's samples. A
+    # drifted run self-identifies in the BENCH_DIAG line instead of
+    # costing a manual adjudication rerun next round.
+    entry_load: dict[str, dict[str, float]] = {}
     for name, fn in sorted(qs.items()):
         n = HEAVY.get(name, 1)
         samples = []
+        load1 = os.getloadavg()[0]
+        busy0, tot0 = _cpu_busy()
         # Per-query fault isolation: one broken query must not lose the
         # timings of every green one (a single AnalysisException killed
         # the entire r4 run). Record the error and keep going.
@@ -152,6 +171,11 @@ def main() -> None:
         repeats[name] = n
         if n > 1:
             raw_samples[name] = [round(s, 4) for s in samples]
+        busy1, tot1 = _cpu_busy()
+        entry_load[name] = {
+            "load1": round(load1, 2),
+            "cpu_busy": round((busy1 - busy0) / max(tot1 - tot0, 1e-9), 3),
+        }
 
     # Domain snapshot pipeline at sf-proportional battle volume: the
     # fixed-size fixture verifies correctness; THIS measures how the
@@ -213,6 +237,8 @@ def main() -> None:
         import gc
 
         samples = []
+        load1 = os.getloadavg()[0]
+        busy0, tot0 = _cpu_busy()
         for _ in range(HEAVY["cr_pipeline"]):
             # Same hygiene as the main loop: release dead refs + cached
             # blocks so the 30 earlier queries' block-manager residue
@@ -223,6 +249,11 @@ def main() -> None:
         timings["cr_pipeline"] = round(statistics.median(samples), 4)
         repeats["cr_pipeline"] = HEAVY["cr_pipeline"]
         raw_samples["cr_pipeline"] = [round(s, 4) for s in samples]
+        busy1, tot1 = _cpu_busy()
+        entry_load["cr_pipeline"] = {
+            "load1": round(load1, 2),
+            "cpu_busy": round((busy1 - busy0) / max(tot1 - tot0, 1e-9), 3),
+        }
     except Exception as exc:  # noqa: BLE001 — harness boundary
         errors["cr_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -233,16 +264,27 @@ def main() -> None:
     # leaving BENCH_r07 unparseable. Diagnostics (per-sample arrays,
     # repeat counts) go on their own earlier line; the FINAL line is the
     # compact driver contract with medians only.
-    diag = {"repeats": repeats, "samples": raw_samples}
+    diag = {"repeats": repeats, "samples": raw_samples, "load": entry_load}
     if errors:
         diag["errors"] = errors
     print("BENCH_DIAG " + json.dumps(diag))
+    # Run-level drift summary rides the compact final line (a handful of
+    # bytes): max load1 seen at any entry start + the busiest and
+    # idlest per-entry CPU fractions. Per-entry detail is in BENCH_DIAG.
+    busies = [v["cpu_busy"] for v in entry_load.values()] or [0.0]
     out = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load": {
+            "load1_max": max(
+                [v["load1"] for v in entry_load.values()] or [0.0]
+            ),
+            "cpu_busy_min": min(busies),
+            "cpu_busy_max": max(busies),
+        },
     }
     print(json.dumps(out))
     spark.stop()

@@ -301,37 +301,36 @@ def ngram_repetition_stats(
       DISTINCT (doc, position) → sum of covered token lengths — no
       interval algebra needed, the distinct IS the union.
 
-    Plan — FUSED across every n (r9; the per-n form ran Σ|ns| = 9
-    separate explode→groupBy passes, ~30 exchanges): grams for ALL n
-    union into one (id, n, pos, gram) stream off the shared token-ARRAY
-    scan (unions are stage-free; the per-row HOF touches ~100 array
-    elements, not the corpus), then ONE (id, n, gram) count aggregation
-    serves both the top-gram champions and the duplicated-gram keys
-    (checkpointed — two consumers, one shuffle). Champions reduce per
-    (id, n) with the same (cnt, gram) max_by tie-break and fold to
-    per-id columns with conditional MAX aggregates; duplicate coverage
-    is one span-explode → DISTINCT (id, n, p) union → one tokstream
-    join → one (id, n) sum, shared by all dup_ns. Every shuffle stays
-    doc-/gram-keyed (high cardinality, no skew surface) and ~10
-    exchanges replace ~30 — same asymptotics, one corpus-volume pass
-    per stage instead of per n.
+    Plan per n: grams come from the shared token-ARRAY scan
+    (``dedup.token_arrays``) via slice+join inside a transform (arrays
+    are document-sized, so the per-row HOF touches ~100 elements, not
+    the corpus); duplicated-gram detection is one (doc, gram) groupBy;
+    coverage is one explode + distinct + join keyed on the doc id.
+    Every shuffle is doc-keyed or (doc, gram)-keyed — high cardinality,
+    no skew surface. Costs scale with Σ|ns| passes over the token
+    stream; that is Gopher's price, and each pass is
+    partial-aggregated map-side.
+
+    Adjudicated r9 (tools/ab_ngram_r9.py): an r8 attempt fused all 9
+    passes through ONE (id, n, gram) count aggregation (~10 exchanges
+    vs ~30). Interleaved same-session A/B at sf0.1, bit-identical
+    results asserted, median-of-3: per-n 3.61 s vs fused 4.92 s
+    (ratio 1.36) — the wider fused shuffle rows (gram strings carried
+    per n, n in every key) and the lost per-n partial-agg locality cost
+    more than the saved exchanges, so the per-n form is kept. Driver
+    evidence agreed (r7 per-n 4.13 s → r8 fused 6.44 s).
 
     Empty/NULL docs surface with zero fractions via the final left
     joins (no NULL poisoning). Reference: Rae et al. 2021, Table A1;
     thresholds are the caller's policy."""
-    from functools import reduce
-
     from .dedup import token_arrays
 
     if toks is None:
         toks = token_arrays(docs, text_col, id_col)
     toks = toks.select(F.col("id"), F.col("toks"))
-    top_ns = tuple(top_ns)
-    dup_ns = tuple(dup_ns)
-    all_ns = sorted(set(top_ns) | set(dup_ns))
 
     # (id, p, len): the 0-based token-position stream with lengths —
-    # the coverage unit the dup pass joins against.
+    # the coverage unit every dup_n pass joins against.
     tokstream = toks.select(
         "id", F.posexplode("toks").alias("p", "tok")
     ).select("id", "p", F.length("tok").alias("len"))
@@ -348,7 +347,6 @@ def ngram_repetition_stats(
         ).otherwise(F.array().cast("array<int>"))
         return toks.select(
             "id",
-            F.lit(n).alias("n"),
             F.posexplode(
                 F.transform(
                     idx,
@@ -357,69 +355,26 @@ def ngram_repetition_stats(
             ).alias("pos", "gram"),
         )
 
-    grams_all = reduce(
-        lambda a, b: a.unionAll(b), [grams_of(n) for n in all_ns]
-    )
-    # NOT checkpointed: each consumer filters on literal n values, and
-    # Catalyst constant-folds those filters INTO the union legs —
-    # tops explodes only the top_ns legs, the dup side only the dup_ns
-    # legs, so "recomputing" counts costs exactly the legs each
-    # consumer needs. Materializing instead (measured) serializes
-    # every distinct gram STRING across all n — 2x slower end-to-end.
-    counts = grams_all.groupBy("id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-
+    out = docs.select(F.col(id_col).alias("id"))
     safe_div = lambda a, b: F.when(  # noqa: E731
         b > 0, a.cast("double") / b
     ).otherwise(F.lit(0.0))
 
-    tops = (
-        counts.filter(F.col("n").isin(list(top_ns)))
-        .groupBy("id", "n")
-        .agg(
-            F.max_by(
-                F.col("cnt") * (F.length("gram") - (F.col("n") - 1)),
-                F.struct(F.col("cnt"), F.col("gram")),
-            ).alias("v")
-        )
-        .groupBy("id")
-        .agg(
-            *[
-                F.max(F.when(F.col("n") == n, F.col("v"))).alias(f"_top{n}")
-                for n in top_ns
-            ]
-        )
-    )
-
-    dup_keys = counts.filter(
-        (F.col("cnt") > 1) & F.col("n").isin(list(dup_ns))
-    ).select("id", "n", "gram")
-    dups = (
-        grams_all.filter(F.col("n").isin(list(dup_ns)))
-        .join(dup_keys, ["id", "n", "gram"])
-        .select(
-            "id",
-            "n",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
-            ).alias("p"),
-        )
-        .distinct()
-        .join(tokstream, ["id", "p"])
-        .groupBy("id", "n")
-        .agg(F.sum("len").alias("v"))
-        .groupBy("id")
-        .agg(
-            *[
-                F.max(F.when(F.col("n") == n, F.col("v"))).alias(f"_dup{n}")
-                for n in dup_ns
-            ]
-        )
-    )
-
     stats_cols: list = []
     for n in top_ns:
+        grams = grams_of(n)
+        top = (
+            grams.groupBy("id", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    F.col("cnt") * (F.length("gram") - (n - 1)),
+                    F.struct(F.col("cnt"), F.col("gram")),
+                ).alias(f"_top{n}")
+            )
+        )
+        out = out.join(top, "id", "left")
         stats_cols.append(
             F.least(
                 F.lit(1.0),
@@ -429,7 +384,29 @@ def ngram_repetition_stats(
                 ),
             ).alias(f"top_{n}gram_char_frac")
         )
+
     for n in dup_ns:
+        grams = grams_of(n)
+        dup_keys = (
+            grams.groupBy("id", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 1)
+            .select("id", "gram")
+        )
+        covered = (
+            grams.join(dup_keys, ["id", "gram"])
+            .select(
+                "id",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+                ).alias("p"),
+            )
+            .distinct()
+            .join(tokstream, ["id", "p"])
+            .groupBy("id")
+            .agg(F.sum("len").alias(f"_dup{n}"))
+        )
+        out = out.join(covered, "id", "left")
         stats_cols.append(
             safe_div(
                 F.coalesce(F.col(f"_dup{n}"), F.lit(0)),
@@ -437,16 +414,10 @@ def ngram_repetition_stats(
             ).alias(f"dup_{n}gram_char_frac")
         )
 
-    return (
-        docs.select(F.col(id_col).alias("id"))
-        .join(tops, "id", "left")
-        .join(dups, "id", "left")
-        .join(totals, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col("_token_chars"), F.lit(0)).alias("token_chars"),
-            *stats_cols,
-        )
+    return out.join(totals, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("_token_chars"), F.lit(0)).alias("token_chars"),
+        *stats_cols,
     )
 
 
