@@ -80,6 +80,8 @@ def main() -> None:
     qs["approx_distinct_sketch"] = testdata_queries.approx_distinct_sketch
     qs["text_token_stats"] = llm_queries.text_token_stats
     qs["dedup_exact_summary"] = llm_queries.dedup_exact_summary
+    # r9: docs_term_quality ceded its registry slot to docs_winnow_overlap
+    qs["docs_term_quality"] = llm_queries.docs_term_quality
     # embedding_pq_adc is a CORRECTNESS row (full-probe/full-rerank ≡
     # brute force); its timed code path is embedding_pq_topk's, already
     # benched median-of-3 — excluded so the bench total stays

@@ -102,6 +102,13 @@ CASES = {
         llm_queries.dedup_exact_summary,
         llm_queries.DEDUP_EXACT_SUMMARY_SQL,
     ),
+    # rotated out r9 for docs_winnow_overlap (projection-level wordlist
+    # check; its tokenize+broadcast-join semantics also ride the
+    # registered docs_classifier_margin row)
+    "docs_term_quality": (
+        llm_queries.docs_term_quality,
+        llm_queries.DOCS_TERM_QUALITY_SQL,
+    ),
 }
 
 

@@ -325,6 +325,72 @@ def text_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(docs, k=3, window=4).orderBy("doc_id")
 
 
+@register(
+    "docs_winnow_overlap",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+      FROM base, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+      WHERE len(toks) >= 3
+    ),
+    w AS (
+      SELECT doc_id, h,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, h FROM w WHERE h = wmin
+    ),
+    flt AS (
+      SELECT doc_id, h FROM sel
+      WHERE h IN (SELECT h FROM sel GROUP BY h HAVING COUNT(*) <= 1000)
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_fp FROM flt GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+      FROM flt a JOIN flt b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT s.id1, s.id2, s.n_shared,
+           s1.n_fp AS n_fp1, s2.n_fp AS n_fp2,
+           CAST(s.n_shared AS DOUBLE) / s1.n_fp AS overlap1,
+           CAST(s.n_shared AS DOUBLE) / s2.n_fp AS overlap2
+    FROM shared s
+    JOIN sizes s1 ON s1.doc_id = s.id1
+    JOIN sizes s2 ON s2.doc_id = s.id2
+    ORDER BY s.id1, s.id2
+    """,
+)
+def docs_winnow_overlap(spark, sf_dir):
+    """Cross-document winnowing overlap (``overlap.winnow_overlap_pairs``,
+    the MOSS scheme): pairs sharing ≥ 2 distinct selected trigram
+    fingerprints under the window-4 minimum rule, with per-side
+    coverage fractions. The one SQL-expressible overlap heavyweight
+    that was pytest-only through r8 (r8 verdict item 4) — the oracle
+    re-derives the FULL chain independently: k-gram md5s, the rolling
+    window minima, fingerprint selection + df cap, the inverted-index
+    self-join with id1 < id2, and both overlap ratios (exact IEEE
+    division of integer counts on both sides). min_shared=2 keeps the
+    row's pair set content-driven (single-fingerprint coincidences
+    would dominate at 1 and verify mostly hash collisions of the
+    selection rule, which text_winnow_fingerprints already covers
+    per-document)."""
+    from ..operators import overlap
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return overlap.winnow_overlap_pairs(
+        docs, k=3, window=4, min_shared=2, max_df=1000
+    ).orderBy("id1", "id2")
+
+
 # Curated wordlist for the interpretable term-weight scorer row: terms
 # chosen from the synthetic corpus vocabulary so matches are dense at
 # every driver sf; the bigram entry exercises the bigram leg. Single
@@ -376,7 +442,9 @@ def _term_quality_oracle_sql() -> str:
     """
 
 
-@register("docs_term_quality", _term_quality_oracle_sql())
+DOCS_TERM_QUALITY_SQL = _term_quality_oracle_sql()
+
+
 def docs_term_quality(spark, sf_dir):
     """Interpretable curated-wordlist quality scoring
     (``classifier.score_term_weights``): exploded unigram+bigram terms
@@ -384,9 +452,10 @@ def docs_term_quality(spark, sf_dir):
     sum — the C4-badword/Dolma-lexicon gate as relational algebra, and
     the string-keyed sibling of the hashed logistic scorer (oracled
     separately as docs_classifier_margin since r9, when the
-    xxhash64-of-string SQL twin landed). Registered r8 to put the r7
-    classifier family's scoring plan under the driver's independent
-    oracle."""
+    xxhash64-of-string SQL twin landed). Registered r8; rotated out r9
+    for docs_winnow_overlap (this row is a projection-level check whose
+    tokenize+join semantics also ride docs_classifier_margin); keeps
+    the identical SQL bar in tests/test_rotated_rows.py."""
     from ..operators import classifier
 
     docs = read_testdata(spark, sf_dir, "documents")
