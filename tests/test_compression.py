@@ -9,6 +9,7 @@ import gzip
 import lzma
 import zlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from topn_clashroyal_etl_sql_snapshot_spark.operators import compression as cz
@@ -49,7 +50,10 @@ def test_detect_and_decompress_roundtrip(spark):
         assert got[i] == text, i
     assert got[6] is None          # NULL in, NULL out
     assert got[7] is None          # corrupt gzip → NULL, not a crash
-    assert got[8] is None          # zstd needs an absent library
+    if cz._ZSTD_DECODE is None:
+        assert got[8] is None      # zstd: no binding in this container
+    else:
+        assert got[8] is None      # auto-wired, but this frame is junk
 
 
 def test_zip_bomb_output_is_bounded(spark):
@@ -139,5 +143,29 @@ def test_pluggable_zstd_codec(spark):
             df, codecs={"zstd": lambda p, mx: _zlib.decompress(p[4:])},
             max_bytes=10,
         ).collect()
+    }
+    assert capped[1] == body.decode()[:10]
+
+
+@pytest.mark.skipif(
+    cz._ZSTD_DECODE is None,
+    reason="no zstd binding (zstandard/pyzstd) in this container",
+)
+def test_autowired_zstd_roundtrip(spark):
+    """When a zstd binding IS importable, real zstd frames decode by
+    default (r8 verdict item 6) — no codecs hook needed — and the
+    output stays bounded at max_bytes like every other codec path."""
+    import zstandard  # the binding _load_zstd_codec found first
+
+    body = b"zstd native frame " * 50
+    frame = zstandard.ZstdCompressor().compress(body)
+    df = spark.createDataFrame(
+        [(1, bytearray(frame))], "doc_id int, payload binary"
+    )
+    got = {r["doc_id"]: r["text"] for r in cz.decompress_text(df).collect()}
+    assert got[1] == body.decode()
+    capped = {
+        r["doc_id"]: r["text"]
+        for r in cz.decompress_text(df, max_bytes=10).collect()
     }
     assert capped[1] == body.decode()[:10]

@@ -75,6 +75,43 @@ def _sniff(p: bytes) -> str:
     return "none"
 
 
+def _load_zstd_codec():
+    """Auto-wire a zstd decoder when a binding exists on the cluster
+    (r8 verdict item 6): try ``zstandard`` (the HF/OSCAR-ecosystem
+    binding), then ``pyzstd``. Both paths are BOUNDED — at most
+    ``max_bytes`` of output is ever materialized (stream_reader /
+    max_length), same zip-bomb contract as the stdlib codecs. Returns
+    None when neither binding imports, in which case zstd payloads
+    NULL by default exactly as before (README "Known limits"); a
+    caller-supplied ``codecs`` entry still wins either way."""
+    try:
+        import zstandard
+
+        def _decode(p: bytes, max_bytes: int) -> bytes:
+            import io
+
+            reader = zstandard.ZstdDecompressor().stream_reader(
+                io.BytesIO(p)
+            )
+            return reader.read(max_bytes)
+
+        return _decode
+    except ImportError:
+        pass
+    try:
+        import pyzstd
+
+        def _decode(p: bytes, max_bytes: int) -> bytes:
+            return pyzstd.ZstdDecompressor().decompress(p, max_bytes)
+
+        return _decode
+    except ImportError:
+        return None
+
+
+_ZSTD_DECODE = _load_zstd_codec()
+
+
 def _decompress_one(
     payload: bytes | None, max_bytes: int, codecs: dict | None = None
 ) -> bytes | None:
@@ -122,7 +159,9 @@ def _decompress_one(
         if p[:4] == b"\xfd7zX":
             return lzma.LZMADecompressor().decompress(p, max_bytes)
         if p[:4] == b"\x28\xb5\x2f\xfd":
-            return None  # zstd: library not in this container
+            if _ZSTD_DECODE is None:
+                return None  # zstd: no binding importable here
+            return bytes(_ZSTD_DECODE(p, max_bytes))[:max_bytes]
         if len(p) >= 2 and p[0] == 0x78 and p[1] in (0x01, 0x5E, 0x9C, 0xDA):
             return zlib.decompressobj().decompress(p, max_bytes)
         return p[:max_bytes]  # not compressed: pass through
