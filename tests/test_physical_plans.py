@@ -262,7 +262,16 @@ def test_r9_registered_rows_plan_pins(spark):
     ):
         plan = _plan(fn(spark, sf))
         assert "CartesianProduct" not in plan, fn.__name__
-        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        if fn is q.embedding_pq_adc:
+            # r9 full-probe shortcut: the ADC-contract row (nprobe =
+            # n_coarse, filtered batch) deliberately plans codes ×
+            # broadcast(query table) as a BroadcastNestedLoopJoin —
+            # the broadcast side is the BOUNDED query batch, and the
+            # pair count equals what the coarse bucket join emitted
+            # before, minus its two centroid passes and cidx shuffle.
+            assert "BroadcastNestedLoopJoin" in plan, fn.__name__
+        else:
+            assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
         assert "BatchEvalPython" not in plan, fn.__name__
         assert "ArrowEvalPython" not in plan, fn.__name__
         if fn is q.docs_classifier_margin:

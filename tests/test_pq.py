@@ -212,11 +212,13 @@ def test_search_plan_no_python_no_cartesian(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    # the query-batch-bounded tables (ADC LUT, query norms, survivors)
-    # ride BROADCAST joins when the call declares a batch via
-    # query_filter — the candidate stream and the corpus vector table
-    # must never shuffle for them (r9 contract hints, gated so the
-    # unfiltered self-search path never force-broadcasts the corpus)
+    # The query-batch-bounded tables ride BROADCAST joins when the
+    # call declares a batch via query_filter — the candidate stream
+    # and the corpus vector table must never shuffle for them. After
+    # the r9 fusion the batch side is exactly TWO broadcasts: the one
+    # combined query table (lut + norm + vector) into the ADC
+    # projection, and the survivors into the re-rank — the r8 shape's
+    # separate lut/qnorms/query-vector-fetch broadcasts are gone.
     from pyspark.sql import functions as F
 
     batch_plan = (
@@ -228,7 +230,24 @@ def test_search_plan_no_python_no_cartesian(spark):
         .executedPlan()
         .toString()
     )
-    assert batch_plan.count("BroadcastHashJoin") >= 3
+    assert batch_plan.count("BroadcastHashJoin") == 2
+    # probed (nprobe < n_coarse) batches keep the keyed bucket join —
+    # no nested-loop pair generation outside the full-probe shortcut
+    assert "BroadcastNestedLoopJoin" not in batch_plan
+    # full-probe batch (the ADC/exact-mode config): coarse pruning is
+    # vacuous and short-circuits to codes × broadcast(query batch) —
+    # a bounded BNLJ, never an unhinted CartesianProduct
+    full_plan = (
+        pq.pq_topk(
+            df, model, k=2, n_coarse=4, nprobe=4, rerank=2,
+            query_filter=F.col("vec_id") < 5,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in full_plan
+    assert "CartesianProduct" not in full_plan
 
 
 def test_codes_frame_reuse(spark):

@@ -430,67 +430,158 @@ def pq_topk(
         if coarse_centroids is not None
         else ivf_centroids(embeddings, n_coarse, id_col, vec_col)
     )
-    corpus_assign = _nearest_centroids(embeddings, cents, 1, id_col, vec_col)
     q = embeddings if query_filter is None else embeddings.filter(query_filter)
-    query_probe = _nearest_centroids(q, cents, nprobe, id_col, vec_col)
-    # No distinct: corpus vectors assign to exactly ONE coarse list
-    # (n_keep=1) and a query's probed cells are distinct by
-    # construction (row_number over the centroid ranking), so the join
-    # emits each (query, neighbor) pair at most once — the dedup the
-    # r7 shape paid a full extra shuffle for on the LARGEST
-    # intermediate of the search was structurally vacuous.
-    cand = (
-        query_probe.withColumnRenamed("id", "query_id")
-        .join(corpus_assign.withColumnRenamed("id", "neighbor_id"), "cidx")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
+    full_probe_batch = nprobe >= len(cents) and query_filter is not None
+    if not full_probe_batch:
+        corpus_assign = _nearest_centroids(embeddings, cents, 1, id_col, vec_col)
+        query_probe = _nearest_centroids(q, cents, nprobe, id_col, vec_col)
+        # No distinct: corpus vectors assign to exactly ONE coarse list
+        # (n_keep=1) and a query's probed cells are distinct by
+        # construction (row_number over the centroid ranking), so the
+        # join emits each (query, neighbor) pair at most once — the
+        # dedup the r7 shape paid a full extra shuffle for on the
+        # LARGEST intermediate of the search was structurally vacuous.
+        cand = (
+            query_probe.withColumnRenamed("id", "query_id")
+            .join(corpus_assign.withColumnRenamed("id", "neighbor_id"), "cidx")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
 
     if codes is None:
         codes = pq_encode(embeddings, model, id_col, vec_col)
     n2 = _flat_norms2(model)
-    ncodes = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode("codes").alias("s", "code"),
-    ).withColumn(
-        "vnorm2_part",
-        F.element_at(
-            n2, (F.col("s") * model["k"] + F.col("code") + 1).cast("int")
+    m_, k_ = model["m"], model["k"]
+
+    # Per-query LUT as ONE array cell per query (lut[s][code] = scaled
+    # ⟨q_s, c_s,code⟩): the r8 shape exploded this to |Q|·M·K rows AND
+    # exploded every candidate's codes to M rows to meet it in a
+    # 3-key join followed by a (query, neighbor) re-aggregation — two
+    # shuffles of the search's largest intermediate plus an M-way row
+    # blowup of the candidate stream, at ANY corpus size. Collapsing
+    # the LUT to an array cell turns the whole ADC stage into a narrow
+    # projection: candidates join codes ONCE, the M-term sum is an
+    # O(M) array lookup per candidate, and the scaled integer sum in
+    # fixed s-order is exactly deterministic (the old double-sum
+    # depended on partial-agg order below the 9-dp round).
+    #
+    # ONE query-side table — lut + norm + the query VECTOR itself
+    # (qnorm doubles as the re-rank's n1; the r8 shape re-derived both
+    # in a separate corpus-frame join at the exact stage). Batched
+    # searches now build and broadcast the query side ONCE instead of
+    # three times (query ids for candidates, lut, qnorms) plus a
+    # re-rank fetch join — each broadcast is its own Spark job, and
+    # those four sequential barriers were most of the profiled
+    # stage-count floor.
+    #
+    # The LUT is a NARROW PROJECTION, not an aggregation: the codebook
+    # is a plan literal, so lut[s][j] = Σ_t round(x_{s·sd+t}·c·SCALE)
+    # folds per ROW with nested HOFs over (m, k, sd) — zero shuffles,
+    # zero explode, and the long fold is bit-identical to the exploded
+    # SUM it replaces (integer addition is order-free; the per-term
+    # rounding is the same expression _dot_frame compiles). The
+    # exploded-SUM kernel stays the right shape for ENCODE, where the
+    # corpus-scale stream amortizes its shuffle (_dot_frame docstring);
+    # the query batch was paying two shuffles + a join of its own
+    # build — ~3 of the 9 profiled search jobs — for 40 rows.
+    flat = _flat_codes(model)
+    sd_ = model["sub_dim"]
+    vd = F.col(vec_col).cast("array<double>")
+    lut_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(m_ - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(k_ - 1)),
+            lambda j: F.aggregate(
+                F.sequence(F.lit(0), F.lit(sd_ - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + F.round(
+                    F.element_at(vd, (s * sd_ + t + 1).cast("int"))
+                    * F.element_at(
+                        flat, ((s * k_ + j) * sd_ + t + 1).cast("int")
+                    )
+                    * F.lit(_TERM_SCALE)
+                ).cast("long"),
+            ),
         ),
     )
-
-    qvecs = _vec_frame(q, id_col, vec_col, dim=model["dim"])
-    lut = _dot_frame(qvecs, model, id_alias="query_id").select(
-        "query_id",
-        "s",
-        F.posexplode("dots").alias("code", "dot_scaled"),
-    ).withColumn(
-        "qdot", F.col("dot_scaled").cast("double") / F.lit(_TERM_SCALE)
-    )
-    qnorms = _with_norm(q, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("_norm").alias("qnorm")
-    )
-
-    # Query-side tables BROADCAST when the call declares a query BATCH
-    # (query_filter given — the ANN serving shape): lut is |Q|·M·K
-    # rows and qnorms |Q| rows, bounded by the batch, and the hints
-    # remove two shuffles of the candidate stream (the largest search
-    # intermediate). With NO filter the query set IS the corpus
-    # (self-search) — a forced broadcast there would ship corpus-sized
-    # frames to every executor (r9 review finding), so the unfiltered
-    # path leaves join strategy to Catalyst/AQE. Corpus-scale
-    # all-pairs similarity belongs to the neardup family anyway
-    # (lsh/semantic_neardup_pairs).
-    batch_hint = F.broadcast if query_filter is not None else (lambda df: df)
-    approx = (
-        cand.join(ncodes, "neighbor_id")
-        .join(batch_hint(lut), ["query_id", "s", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.sum("qdot").alias("adot"),
-            F.sqrt(F.sum("vnorm2_part")).alias("vnorm"),
+    qtable = (
+        _with_norm(q, vec_col)
+        .filter(F.size(vd) == model["dim"])  # _vec_frame's width gate
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col("_norm").alias("qnorm"),
+            lut_expr.alias("lut"),
         )
-        .join(batch_hint(qnorms), "query_id")
+    )
+
+    # Query-side table BROADCAST when the call declares a query BATCH
+    # (query_filter given — the ANN serving shape): qtable is |Q| rows
+    # of one vector + M·K longs, bounded by the batch, and the hint
+    # keeps the candidate stream shuffle-free through the ADC stage.
+    # With NO filter the query set IS the corpus (self-search) — a
+    # forced broadcast there would ship corpus-sized frames to every
+    # executor (r9 review finding), so the unfiltered path leaves join
+    # strategy to Catalyst/AQE. Corpus-scale all-pairs similarity
+    # belongs to the neardup family anyway (lsh/semantic_neardup_pairs).
+    batch_hint = F.broadcast if query_filter is not None else (lambda df: df)
+    sidx = F.sequence(F.lit(0), F.lit(m_ - 1))
+
+    def _code_at(s):
+        return F.element_at(F.col("_codes"), s + 1)
+
+    codes_sel = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("codes").alias("_codes"),
+    )
+    if full_probe_batch:
+        # Full-probe serving batch (the exact-mode/ADC-contract
+        # configuration): every query probes EVERY coarse cell, so the
+        # bucket join would emit exactly query-batch × corpus pairs
+        # anyway — the two _nearest_centroids passes (each an exploded
+        # dim×cells scan + aggregation + window) and the cidx shuffle
+        # join prune NOTHING. Short-circuit to the same pair set with
+        # ZERO pre-ADC shuffles: the codes scan crossJoins the one
+        # broadcast query table directly (no separate candidate frame,
+        # no neighbor_id exchange). Gated on query_filter so an
+        # UNFILTERED full-probe self-search (corpus × corpus) still
+        # flows through the keyed join rather than a nested-loop
+        # cartesian.
+        pairs = codes_sel.crossJoin(F.broadcast(qtable)).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    else:
+        pairs = cand.join(codes_sel, "neighbor_id").join(
+            batch_hint(qtable), "query_id"
+        )
+    approx = (
+        pairs
+        .withColumn(
+            "adot",
+            F.aggregate(
+                sidx,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.element_at(F.col("lut"), s + 1), _code_at(s) + 1
+                ),
+            ).cast("double")
+            / F.lit(_TERM_SCALE),
+        )
+        .withColumn(
+            "vnorm",
+            F.sqrt(
+                F.aggregate(
+                    sidx,
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + F.element_at(
+                        n2, (s * k_ + _code_at(s) + 1).cast("int")
+                    ),
+                )
+            ),
+        )
         .withColumn(
             "approx_cos",
             F.round(
@@ -506,43 +597,34 @@ def pq_topk(
     wa = Window.partitionBy("query_id").orderBy(
         F.desc_nulls_last("approx_cos"), F.col("neighbor_id")
     )
+    # Survivors CARRY the query vector + norm through the window
+    # (per-query constants already on the ADC rows — the window
+    # payload grows by one batch-bounded vector per row and the
+    # re-rank's query-side fetch join disappears entirely).
     survivors = (
         approx.withColumn("_r", F.row_number().over(wa))
         .filter(F.col("_r") <= rerank * k)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "_qv", "qnorm")
     )
 
     vecs = _with_norm(embeddings, vec_col).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vv"),
-        F.col("_norm").alias("nn"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v2"),
+        F.col("_norm").alias("n2"),
     )
-    # survivors (≤ |Q|·rerank·k pairs) broadcast against the corpus
-    # vector table — the re-rank never shuffles corpus vectors. Both
-    # fetch joins hint the pair side (the second hint re-marks the
-    # pairs+query-vector result, still batch-bounded: |Q|·rerank·k
-    # rows of one vector each); same batch-gated contract as
-    # lut/qnorms above.
+    # survivors (≤ |Q|·rerank·k rows, one query vector each) broadcast
+    # against the corpus vector table — the re-rank never shuffles
+    # corpus vectors; same batch-gated contract as qtable above.
     exact = (
-        batch_hint(
-            batch_hint(survivors).join(
-                vecs.withColumnsRenamed(
-                    {"id": "query_id", "vv": "v1", "nn": "n1"}
-                ),
-                "query_id",
-            )
-        )
-        .join(
-            vecs.withColumnsRenamed(
-                {"id": "neighbor_id", "vv": "v2", "nn": "n2"}
-            ),
-            "neighbor_id",
-        )
+        batch_hint(survivors)
+        .join(vecs, "neighbor_id")
         .withColumn(
             "cosine",
             F.round(
                 vx.cosine_prenormed(
-                    vx.dot(F.col("v1"), F.col("v2")), F.col("n1"), F.col("n2")
+                    vx.dot(F.col("_qv"), F.col("v2")),
+                    F.col("qnorm"),
+                    F.col("n2"),
                 ),
                 9,
             ),
