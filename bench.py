@@ -125,6 +125,9 @@ def main() -> None:
         "docs_exact_substring": 3,
         "text_ngram_repetition": 3,
         "docs_bm25_topk": 3,
+        # r9: new heaviest overlap entry (winnowing index self-join) —
+        # medians from day one, no single-shot noise
+        "docs_winnow_overlap": 3,
     }
 
     timings: dict[str, float] = {}

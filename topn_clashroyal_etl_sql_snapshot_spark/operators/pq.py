@@ -408,14 +408,20 @@ def pq_topk(
        pivots (or a ``kmeans_parallel_centroids`` fit via
        ``coarse_centroids``); corpus assigns to 1 list, queries probe
        ``nprobe`` — candidates come from a (bucket)-keyed join, never
-       query × corpus.
-    2. ADC: candidates explode to M rows, join the per-query lookup
-       table on (query_id, s, code) — approx cosine =
+       query × corpus (exception: a FILTERED batch probing every cell
+       short-circuits to codes × broadcast-batch, the identical pair
+       set without the vacuous coarse passes).
+    2. ADC (r9 shape): ONE broadcast query table carries each query's
+       LUT as an array cell (computed per row from the literal
+       codebook — no shuffle builds it), its norm, and its vector;
+       candidates join their UNEXPLODED code row and the approx cosine
+       is an O(M) array-lookup fold —
        Σ_m ⟨q_m, c_m,code⟩ / (‖q‖·‖v̂‖), with ‖v̂‖² = Σ_m ‖c_m,code‖²
        EXACT from the subspace decomposition. No corpus vectors in
        this stage — the payload is M ints per candidate.
-    3. Re-rank: top ``rerank·k`` per query by approx score fetch true
-       vectors for an exact cosine; final window keeps k.
+    3. Re-rank: top ``rerank·k`` per query by approx score (the query
+       vector rides the survivor rows) join corpus vectors once for an
+       exact cosine; final window keeps k.
 
     ``codes`` accepts a persisted :func:`pq_encode` frame (the
     compressed index) so repeated searches never re-encode. Recall has
