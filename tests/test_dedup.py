@@ -12,6 +12,7 @@ import random
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from topn_clashroyal_etl_sql_snapshot_spark.operators import dedup
 
@@ -320,3 +321,114 @@ def test_dedup_lines_corpus_matches_python_twin(spark):
     # doc 6 lost its copy of doc 1's line
     assert "more original text here" not in got[6][0]
     assert "fresh content" in got[6][0]
+
+
+def test_component_keepers_quality_policy(spark):
+    """Quality-aware KEEP: best score wins its component, exact ties
+    break toward the lower id, unscored members lose to any scored
+    one, an all-unscored component falls back to min-id, singletons
+    keep themselves. DuckDB re-derives the identical decision."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),   # scored component, clear winner 2
+         (10, 10), (11, 10),       # exact tie -> lower id 10
+         (20, 20), (21, 20),       # 21 unscored, 20 scored -> 20
+         (30, 30), (31, 30),       # all unscored -> min id 30
+         (40, 40)],                # singleton
+        "id long, comp long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5),
+         (10, 0.7), (11, 0.7),
+         (20, 0.1),
+         (40, 0.0)],
+        "id long, score double",
+    )
+    out = {
+        r["id"]: (r["comp"], r["keep"])
+        for r in dedup.component_keepers(labels, scores).collect()
+    }
+    assert out == {
+        1: (1, False), 2: (1, True), 3: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False),
+        30: (30, True), 31: (30, False),
+        40: (40, True),
+    }
+    # exactly one keeper per component, always
+    per_comp = {}
+    for _id, (comp, keep) in out.items():
+        per_comp[comp] = per_comp.get(comp, 0) + int(keep)
+    assert all(v == 1 for v in per_comp.values())
+
+    # lower-is-better polarity (perplexity): component 1's winner flips
+    # to id 1 (0.2 is now best)
+    low = {
+        r["id"]: r["keep"]
+        for r in dedup.component_keepers(
+            labels, scores, higher_is_better=False
+        ).collect()
+    }
+    assert low[1] and not low[2] and not low[3]
+    # unscored members still lose, all-unscored still min-id
+    assert low[20] and not low[21] and low[30] and not low[31]
+
+    # independent DuckDB twin of the full decision (NULL-safe rank)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE labels AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {c})" for i, c in
+                    [(1,1),(2,1),(3,1),(10,10),(11,10),(20,20),(21,20),
+                     (30,30),(31,30),(40,40)])
+        + ") t(id, comp)"
+    )
+    con.execute(
+        "CREATE TABLE scores AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {s})" for i, s in
+                    [(1,0.2),(2,0.9),(3,0.5),(10,0.7),(11,0.7),(20,0.1),(40,0.0)])
+        + ") t(id, score)"
+    )
+    duck = {
+        (r[0]): (r[1], bool(r[2]))
+        for r in con.execute("""
+            WITH s AS (
+              SELECT l.id, l.comp, sc.score
+              FROM labels l LEFT JOIN scores sc USING (id)
+            ),
+            champ AS (
+              SELECT comp, id AS keep_id FROM (
+                SELECT comp, id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY comp
+                         ORDER BY (score IS NOT NULL) DESC,
+                                  COALESCE(score, 0) DESC, id ASC
+                       ) AS rn
+                FROM s
+              ) WHERE rn = 1
+            )
+            SELECT s.id, s.comp, s.id = c.keep_id
+            FROM s JOIN champ c USING (comp)
+        """).fetchall()
+    }
+    assert duck == out
+
+
+def test_component_keepers_plan_two_exchanges_no_python(spark):
+    """The keep decision is one comp-keyed aggregation + one comp-keyed
+    join back — no window sort, no Python nodes; at corpus scale both
+    shuffles are linear and key on the component id."""
+    labels = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("comp")
+    )
+    scores = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("score")
+    )
+    plan = (
+        dedup.component_keepers(labels, scores)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan

@@ -1011,3 +1011,65 @@ def simhash_verified_pairs(
     cands = simhash_candidate_pairs(fps, max_hamming, chunks)
     postings = hashed_postings(docs, text_col, id_col, n, toks=toks)
     return true_jaccard_for_pairs(cands, postings, threshold)
+
+
+def component_keepers(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "comp",
+    score_col: str = "score",
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """Quality-aware canonical selection per near-dup component — the
+    KEEP policy production curation pipelines layer on top of
+    :func:`connected_components`' min-id labels (Dolma/FineWeb keep
+    the highest-quality member of a duplicate cluster, not an
+    arbitrary one; reference repos' dedup keeps min-id because they
+    carry no quality signal).
+
+    ``labels`` is a (id, comp) frame (``connected_components``
+    output); ``scores`` maps id → quality (``text.quality_score``,
+    a classifier margin, perplexity — any per-doc number; LOWER wins
+    when ``higher_is_better=False``, e.g. perplexity). Returns
+    (id, comp, keep): ``keep`` is true for exactly ONE member per
+    component — the best-scored, ties broken toward the LOWER id so
+    the decision is total-ordered and replay-deterministic; a member
+    missing from ``scores`` (or scored NULL) can win only if every
+    member of its component is unscored (NULL sorts last on both
+    polarities), in which case min-id wins outright.
+
+    Plan: one comp-keyed aggregation picks each component's champion
+    (``max_by`` over a (score, -id) struct — no window sort), then one
+    comp-keyed equi-join marks members. Both shuffles key on the
+    high-cardinality component id; payloads are one struct per row —
+    at corpus scale this is two linear exchanges, no per-component
+    row blowup. Singleton components keep their only member, so
+    ``filter(keep)`` is always a safe dedup projection."""
+    polarity = 1.0 if higher_is_better else -1.0
+    scored = labels.join(
+        scores.select(
+            F.col(id_col).alias(id_col), F.col(score_col).alias("_q")
+        ),
+        id_col,
+        "left",
+    )
+    # NULL-safe orderable key: scored members always beat unscored
+    # ones; among scored, polarity-adjusted score decides; exact ties
+    # (and the all-unscored case) fall to the lower id via -id.
+    rank_key = F.struct(
+        F.col("_q").isNotNull().cast("int").alias("has"),
+        (F.coalesce(F.col("_q"), F.lit(0.0)) * F.lit(polarity)).alias("s"),
+        (-F.col(id_col)).alias("ni"),
+    )
+    champs = scored.groupBy(comp_col).agg(
+        F.max_by(F.col(id_col), rank_key).alias("_keep_id")
+    )
+    return (
+        labels.join(champs, comp_col)
+        .select(
+            id_col,
+            comp_col,
+            (F.col(id_col) == F.col("_keep_id")).alias("keep"),
+        )
+    )
