@@ -432,3 +432,60 @@ def test_component_keepers_plan_two_exchanges_no_python(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_minhash_lsh_incremental_matches_full_corpus_plan(spark):
+    """The incremental batch-vs-index path must produce EXACTLY the
+    new-doc-involving subset of the full-corpus minhash_lsh_pairs run
+    (signatures are deterministic, both legs estimate from signature
+    agreement) — plus the updated index must equal signatures of the
+    full corpus."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = [
+        (1, base),
+        (2, base + " extra"),                      # near-dup of 1
+        (3, "completely different words about spark dataframe shuffles and joins"),
+        (4, "another unrelated document concerning parquet column pruning"),
+    ]
+    batch = [
+        (101, base + " indeed"),                   # near-dup of 1/2 (vs index)
+        (102, "fresh unique content about watermark semantics in streaming"),
+        (103, "fresh unique content about watermark semantics in streams"),  # near-dup of 102 (within batch)
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    full = spark.createDataFrame(corpus + batch, "doc_id long, text string")
+
+    index = dedup.minhash_signatures(cdf)
+    pairs, updated = dedup.minhash_lsh_incremental(
+        bdf, index, threshold=0.4
+    )
+    got = {
+        (r["id1"], r["id2"]): round(r["est_jaccard"], 9)
+        for r in pairs.collect()
+    }
+    # full-corpus reference, restricted to pairs touching the batch
+    ref_all = {
+        (r["id1"], r["id2"]): round(r["est_jaccard"], 9)
+        for r in dedup.minhash_lsh_pairs(full, threshold=0.4).collect()
+    }
+    new_ids = {101, 102, 103}
+    ref = {}
+    for (a, b), j in ref_all.items():
+        if a in new_ids or b in new_ids:
+            # incremental orients batch-vs-index pairs as (new, old)
+            if a in new_ids and b not in new_ids:
+                ref[(a, b)] = j
+            elif b in new_ids and a not in new_ids:
+                ref[(b, a)] = j
+            else:
+                ref[(min(a, b), max(a, b))] = j
+    assert got == ref and got, got
+    # the expected structure actually showed up
+    assert any(a == 101 and b in (1, 2) for a, b in got)
+    assert (102, 103) in got
+
+    # updated index ≡ signatures of the full corpus
+    up = {r["id"]: list(r["sig"]) for r in updated.collect()}
+    fu = {r["id"]: list(r["sig"]) for r in dedup.minhash_signatures(full).collect()}
+    assert up == fu

@@ -617,16 +617,10 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
-) -> DataFrame:
-    """Band the signature, hash each band, self-join per (band, hash).
-
-    A pair collides in some band with probability 1-(1-j^r)^b — with
-    b=32, r=4 the S-curve crosses ~0.5 at j≈0.42. One shuffle keyed by
-    (band, band_hash); high-cardinality hashes distribute uniformly.
-    """
-    banded = signatures.select(
+def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket): each signature exploded to its band hashes —
+    the shared indexing step of the self-join and incremental paths."""
+    return signatures.select(
         "id",
         F.explode(
             F.transform(
@@ -649,6 +643,18 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, hash each band, self-join per (band, hash).
+
+    A pair collides in some band with probability 1-(1-j^r)^b — with
+    b=32, r=4 the S-curve crosses ~0.5 at j≈0.42. One shuffle keyed by
+    (band, band_hash); high-cardinality hashes distribute uniformly.
+    """
+    banded = _banded(signatures, bands, rows_per_band)
     a = banded.select(F.col("id").alias("id1"), "band", "bucket")
     b = banded.select(F.col("id").alias("id2"), "band", "bucket")
     return (
@@ -719,6 +725,87 @@ def minhash_lsh_verified_pairs(
     sigs = minhash_signatures(k=k, postings=postings)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     return true_jaccard_for_pairs(cands, postings, threshold)
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 128,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection: a NEW batch against a PERSISTED
+    signature index — the daily-ingest shape. Re-deduping a 100 TB
+    corpus to admit a 0.1% daily crawl is infeasible; this touches the
+    batch's texts ONCE (shingle + sign) and the index only through its
+    (band, bucket) keys — cost scales with |batch| + the index rows
+    whose buckets the batch actually hits, never the full corpus scan.
+
+    ``index_sigs`` is a (id, sig) frame — exactly
+    :func:`minhash_signatures` output from prior runs (typically a
+    persisted parquet); it MUST have been built with the same
+    (n, k) and the id namespaces must not collide (caller contract —
+    ids are global corpus ids in production).
+
+    Returns ``(pairs, updated_sigs)``:
+
+    - ``pairs`` = (id1, id2, est_jaccard) at ``est_jaccard ≥
+      threshold``, covering BOTH batch-vs-index collisions (id1 = new
+      doc, id2 = index doc) and within-batch pairs (id1 < id2, both
+      new). Signature estimation is used on both legs — the index
+      carries no postings, and minhash signatures are deterministic,
+      so these pairs are EXACTLY the new-doc-involving subset of
+      :func:`minhash_lsh_pairs` run over the full corpus
+      (invariant test-pinned).
+    - ``updated_sigs`` = index ∪ batch signatures — write it back and
+      it is tomorrow's index; union is lazy and columnar, so the
+      persist/write amortizes into the caller's sink.
+
+    Feed ``pairs`` to :func:`connected_components` /
+    :func:`component_keepers` (new docs duplicating an index doc
+    normally DROP — the index member is the canonical; within-batch
+    components pick a keeper as usual)."""
+    sigs_new = minhash_signatures(
+        new_docs, text_col, id_col, n, k
+    ).localCheckpoint(eager=False)
+
+    banded_new = _banded(sigs_new, bands, rows_per_band)
+    banded_idx = _banded(index_sigs, bands, rows_per_band)
+    # batch vs index: keyed equi-join on (band, bucket) — the index
+    # side streams; only bucket-colliding index rows survive the join
+    cross = (
+        banded_new.select(F.col("id").alias("id1"), "band", "bucket")
+        .join(
+            banded_idx.select(F.col("id").alias("id2"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+    within = lsh_candidate_pairs(sigs_new, bands, rows_per_band)
+    cands = cross.unionAll(within)
+
+    all_sigs = index_sigs.unionAll(sigs_new)
+    s1 = sigs_new.withColumnsRenamed({"id": "id1", "sig": "sig1"})
+    s2 = all_sigs.withColumnsRenamed({"id": "id2", "sig": "sig2"})
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(k))
+    pairs = (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )
+    return pairs, all_sigs
 
 
 # ---------------------------------------------------------------------------
