@@ -1,0 +1,98 @@
+"""Production-shape incremental corpus ingest: dedup each day's batch
+against a PERSISTED signature index, never against the full corpus.
+
+Executable documentation for the dedup family's intended composition
+at scale (the registered rows exercise the batch self-dedup shape;
+THIS is the shape a daily pipeline runs):
+
+1. **Day 0** — build the corpus signature index once
+   (``minhash_signatures``) and persist it; the raw texts are never
+   needed again for candidate generation.
+2. **Day N** — ``minhash_lsh_incremental`` signs the new batch (one
+   pass over batch texts only), band-joins it against the index, and
+   returns (a) near-dup pairs touching the batch and (b) the updated
+   index to persist for day N+1. Cost scales with the batch and the
+   colliding index rows — never a full-corpus rescan.
+3. **Admit / drop** — ``connected_components`` +
+   ``component_keepers`` decide keepers; new docs duplicating an
+   index doc drop (the corpus member is canonical), genuinely-new
+   docs and within-batch keepers are admitted.
+
+Run: ``python examples/incremental_ingest.py [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from pyspark.sql import functions as F
+
+from topn_clashroyal_etl_sql_snapshot_spark.operators import dedup
+from topn_clashroyal_etl_sql_snapshot_spark.sources.readers import read_testdata
+
+
+def run(spark, sf_dir: str) -> dict:
+    docs = read_testdata(spark, sf_dir, "documents")
+    # split the testdata corpus into an established corpus and a
+    # "today's crawl" batch; plant a cross-batch near-duplicate so the
+    # index hit path demonstrably fires at any sf
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    sample = corpus.orderBy("doc_id").limit(1).collect()[0]
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionAll(
+        spark.createDataFrame(
+            [(10_000_000 + sample["doc_id"],
+              sample["text"] + " trailing crawl banner",
+              sample["lang"], sample["source"], sample["n_chars"])],
+            docs.schema,
+        )
+    )
+
+    # Day 0: persist-once index (localCheckpoint stands in for the
+    # parquet write; same reuse semantics)
+    index = dedup.minhash_signatures(corpus).localCheckpoint(eager=True)
+
+    # Day 1: batch vs index + within-batch, one pass over batch texts
+    pairs, updated = dedup.minhash_lsh_incremental(
+        batch, index, threshold=0.5
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+
+    # Admission: components over the new pairs; the INDEX member of a
+    # cross component is canonical by construction (lower global ids
+    # here; production passes quality scores to component_keepers)
+    comp = dedup.connected_components(pairs)
+    quality = batch.select(
+        F.col("doc_id").alias("id"), F.length("text").cast("double").alias("score")
+    )
+    keep = dedup.component_keepers(comp, quality)
+    batch_ids = [r["doc_id"] for r in batch.select("doc_id").collect()]
+    dropped = {
+        r["id"]
+        for r in keep.filter(~F.col("keep")).collect()
+        if r["id"] in set(batch_ids)
+    }
+    admitted = len(batch_ids) - len(dropped)
+
+    return {
+        "corpus": corpus.count(),
+        "batch": len(batch_ids),
+        "pairs_touching_batch": pairs.count(),
+        "batch_docs_dropped": len(dropped),
+        "batch_docs_admitted": admitted,
+        "updated_index_rows": updated.count(),
+    }
+
+
+if __name__ == "__main__":
+    from topn_clashroyal_etl_sql_snapshot_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="incremental_ingest_example")
+    out = run(spark, sf_dir)
+    print(out)
+    spark.stop()

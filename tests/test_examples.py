@@ -93,3 +93,25 @@ def test_ann_index_example(spark):
     # brute-force identity is pinned separately by the embedding_pq_adc
     # driver row and tests/test_pq.py)
     assert out["recall_at_5"] >= 0.8, out
+
+
+def test_incremental_ingest_example(spark):
+    path = (
+        Path(__file__).resolve().parent.parent
+        / "examples"
+        / "incremental_ingest.py"
+    )
+    spec = importlib.util.spec_from_file_location("incr_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.run(spark, "/root/testdata/sf0.001")
+    # the planted cross-batch near-dup must surface and DROP (its index
+    # twin is canonical), so at least one pair and one drop exist
+    assert out["pairs_touching_batch"] >= 1
+    assert out["batch_docs_dropped"] >= 1
+    assert out["batch_docs_admitted"] + out["batch_docs_dropped"] == out["batch"]
+    # the updated index carries every corpus + batch doc that produced
+    # a signature (docs with < n tokens are excluded on both paths)
+    assert out["updated_index_rows"] <= out["corpus"] + out["batch"]
+    assert out["updated_index_rows"] > out["corpus"] * 0.9
