@@ -489,3 +489,74 @@ def test_minhash_lsh_incremental_matches_full_corpus_plan(spark):
     up = {r["id"]: list(r["sig"]) for r in updated.collect()}
     fu = {r["id"]: list(r["sig"]) for r in dedup.minhash_signatures(full).collect()}
     assert up == fu
+
+
+def test_minhash_sig_expr_parity_both_modes(spark, corpus):
+    """The stateless per-row signature expression must equal the batch
+    aggregation BIT-FOR-BIT in both shingle modes, and NULL out docs
+    with < n tokens (their batch-frame exclusion)."""
+    df, _, _ = corpus
+    k = 16
+    # hashed mode ≡ the production verified-pairs path
+    postings = dedup.hashed_postings(df)
+    want_h = {
+        r["id"]: list(r["sig"])
+        for r in dedup.minhash_signatures(k=k, postings=postings).collect()
+    }
+    got_h = {
+        r["doc_id"]: (list(r["sig"]) if r["sig"] is not None else None)
+        for r in df.select(
+            "doc_id", dedup.minhash_sig_expr(F.col("text"), k=k).alias("sig")
+        ).collect()
+    }
+    assert {i: s for i, s in got_h.items() if s is not None} == want_h
+
+    # string mode ≡ the minhash_signatures(docs) default
+    want_s = {
+        r["id"]: list(r["sig"])
+        for r in dedup.minhash_signatures(df, k=k).collect()
+    }
+    got_s = {
+        r["doc_id"]: (list(r["sig"]) if r["sig"] is not None else None)
+        for r in df.select(
+            "doc_id",
+            dedup.minhash_sig_expr(F.col("text"), k=k, hashed=False).alias("sig"),
+        ).collect()
+    }
+    assert {i: s for i, s in got_s.items() if s is not None} == want_s
+
+    # short/NULL docs yield NULL
+    short = spark.createDataFrame(
+        [(1, "two words"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in short.select(
+            "doc_id", dedup.minhash_sig_expr(F.col("text")).alias("sig")
+        ).collect()
+    }
+    assert got == {1: None, 2: None, 3: None}
+
+
+def test_lsh_buckets_expr_matches_banded(spark, corpus):
+    """The per-row band-key expression equals _banded's exploded frame
+    exactly — a streamed doc lands in the same buckets the batch index
+    holds, so a stream-static join sees every collision the batch
+    self-join would."""
+    df, _, _ = corpus
+    k, bands, rpb = 16, 4, 4
+    sigs = dedup.minhash_signatures(df, k=k)
+    want = {
+        (r["id"], r["band"], r["bucket"])
+        for r in dedup._banded(sigs, bands, rpb).collect()
+    }
+    got = {
+        (r["id"], r["b"]["band"], r["b"]["bucket"])
+        for r in sigs.select(
+            "id",
+            F.explode(
+                dedup.lsh_buckets_expr(F.col("sig"), bands, rpb)
+            ).alias("b"),
+        ).collect()
+    }
+    assert got == want

@@ -523,3 +523,74 @@ def test_streaming_dsir_gate_matches_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         corpus.curate_stream(batch_docs, min_logw=0.0)
+
+
+def test_streaming_neardup_gate_against_static_index(spark, tmp_path):
+    """Streaming near-dup annotation at ingest: each streamed doc is
+    signed with the stateless minhash_sig_expr, exploded to its LSH
+    band keys, and stream-static joined against the BANDED corpus
+    index — flagging docs whose near-duplicate already lives in the
+    corpus, with no stateful operator. The flagged set must equal the
+    batch incremental path's index-hit set on the same data (both
+    sides are bit-exact signature twins, test-pinned in test_dedup)."""
+    import json as _json
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import dedup
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming import corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank every single morning without fail"
+    )
+    corpus_docs = [
+        (1, base),
+        (2, "a completely different article about columnar execution engines"),
+    ]
+    batch = [
+        {"doc_id": 101, "text": base + " indeed"},       # near-dup of 1
+        {"doc_id": 102, "text": "novel content about watermark handling"},
+    ]
+    cdf = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+    k, bands, rpb = 32, 8, 4
+    index = dedup.minhash_signatures(cdf, k=k)
+    banded_index = dedup._banded(index, bands, rpb).withColumnRenamed(
+        "id", "corpus_id"
+    )
+
+    d = tmp_path / "neardup_landing"
+    d.mkdir()
+    with open(d / "part0.jsonl", "w") as f:
+        for doc in batch:
+            row = dict(doc, lang="en", source="s",
+                       ingest_time=datetime(2026, 1, 1).isoformat())
+            f.write(_json.dumps(row) + "\n")
+
+    stream = corpus.stream_documents(spark, str(d))
+    annotated = (
+        stream.withColumn(
+            "sig", dedup.minhash_sig_expr(F.col("text"), k=k, hashed=False)
+        )
+        .select(
+            "doc_id",
+            F.explode(dedup.lsh_buckets_expr(F.col("sig"), bands, rpb)).alias("b"),
+        )
+        .select("doc_id", "b.band", "b.bucket")
+        .join(banded_index, ["band", "bucket"])  # stream-static join
+        .select("doc_id", "corpus_id")
+    )
+    q = (
+        annotated.writeStream.format("memory")
+        .queryName("neardup_hits")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hits = {
+        (r["doc_id"], r["corpus_id"])
+        for r in spark.sql("SELECT DISTINCT * FROM neardup_hits").collect()
+    }
+    assert hits == {(101, 1)}, hits

@@ -727,6 +727,82 @@ def minhash_lsh_verified_pairs(
     return true_jaccard_for_pairs(cands, postings, threshold)
 
 
+def minhash_sig_expr(
+    text_col: Column, n: int = 3, k: int = 128, hashed: bool = True
+) -> Column:
+    """The MinHash signature as a STATELESS per-row column expression —
+    the dedup family's streaming-gate twin (same pattern as DSIR's
+    ``logweight_expr`` and the classifier's ``margin_expr``): a
+    Structured Streaming ingest can sign each micro-batch row with
+    this and stream-static join :func:`lsh_buckets_expr` output
+    against a banded, broadcast corpus index — no stateful operator,
+    no batch job.
+
+    Bit-parity contract (test-pinned): ``hashed=True`` reproduces
+    the production path's signatures (``minhash_signatures`` over
+    ``hashed_postings`` — shingle → xxhash64 → seeded min) EXACTLY;
+    ``hashed=False`` reproduces the string-shingle default. Docs with
+    fewer than ``n`` tokens yield NULL, matching their exclusion from
+    the batch frames. Cost note: this is interpreted HOF evaluation
+    (k·|shingles| hashes per row) — right for micro-batch gating,
+    wrong for corpus-scale batch signing, where the codegen'd
+    aggregation in :func:`minhash_signatures` wins (the same
+    shape rule recorded on ``pq_encode``)."""
+    toks = tx.tokens(text_col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+    sh = (
+        F.transform(shingles, lambda s: F.xxhash64(s))
+        if hashed
+        else shingles
+    )
+    return F.when(
+        F.size(shingles) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.array_min(
+                F.transform(sh, lambda s: F.xxhash64(i, s))
+            ),
+        ),
+    )
+
+
+def lsh_buckets_expr(
+    sig_col: Column, bands: int = 32, rows_per_band: int = 4
+) -> Column:
+    """``array<struct<band,bucket>>`` of a signature's LSH band keys —
+    the per-row twin of :func:`_banded` (same xxhash64-over-joined-
+    band-slice construction, test-pinned equal), NULL for NULL
+    signatures. ``explode`` it in a stream and join against the
+    banded corpus index on (band, bucket) to flag probable near-dups
+    of the existing corpus at ingest time."""
+    return F.when(
+        sig_col.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bidx: F.struct(
+                bidx.alias("band"),
+                F.xxhash64(
+                    bidx,
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                sig_col, bidx * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
+                ).alias("bucket"),
+            ),
+        ),
+    )
+
+
 def minhash_lsh_incremental(
     new_docs: DataFrame,
     index_sigs: DataFrame,
