@@ -52,3 +52,69 @@ def write_snapshot_jdbc(
     props = {"batchsize": str(batchsize), **(properties or {})}
     for name, df in tables.items():
         df.write.mode("overwrite").options(**props).jdbc(url, name)
+
+
+def publish_snapshot_jdbc(
+    spark,
+    source_url: str,
+    target_url: str,
+    tables: list[str],
+    source_properties: dict[str, str] | None = None,
+    target_properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> dict[str, int]:
+    """A7: publish the local snapshot to a second database — the
+    engine-side equivalent of the reference's ``make publish``
+    (``Makefile:89-94``: ``pg_dump`` the snapshot tables locally,
+    pipe into ``psql $CLOUD_URL``). Spark replaces the dump/restore
+    pipe with a partitioned read → overwrite write per table: each
+    table streams through executors (never the driver), overwrite on
+    the target ≡ the dump's DROP+CREATE+COPY, and the publish
+    parallelizes across a cluster where pg_dump is single-pipe.
+
+    Returns {table: row_count} — the row accounting a publish job logs
+    (and the caller's sanity check that source and target agree).
+    Tables are published one by one; a mid-list failure leaves earlier
+    tables fully replaced and later ones untouched (the reference's
+    shell pipe had the same per-dump granularity)."""
+    sprops = dict(source_properties or {})
+    counts: dict[str, int] = {}
+    for name in tables:
+        df = (
+            spark.read.format("jdbc")
+            .options(url=source_url, dbtable=name, **sprops)
+            .load()
+        )
+        write_snapshot_jdbc(
+            {name: df},
+            target_url,
+            properties=target_properties,
+            batchsize=batchsize,
+        )
+        counts[name] = df.count()
+    return counts
+
+
+def publish_warehouse_jdbc(
+    spark,
+    warehouse_dir: str,
+    target_url: str,
+    tables: list[str],
+    target_properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> dict[str, int]:
+    """Publish parquet warehouse tables (``write_snapshot`` output) to
+    a serving database — the publish shape when the local snapshot
+    store is the lake, not a database. Same overwrite semantics and
+    per-table row accounting as :func:`publish_snapshot_jdbc`."""
+    counts: dict[str, int] = {}
+    for name in tables:
+        df = spark.read.parquet(os.path.join(warehouse_dir, name))
+        write_snapshot_jdbc(
+            {name: df},
+            target_url,
+            properties=target_properties,
+            batchsize=batchsize,
+        )
+        counts[name] = df.count()
+    return counts
