@@ -23,16 +23,9 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 
-def _cpu_busy() -> tuple[float, float]:
-    """(busy_jiffies, total_jiffies) from /proc/stat's aggregate cpu
-    line — the busy fraction over an entry's wall window tells a reader
-    whether a slow sample ran on a loaded machine (drift) or an idle
-    one (signal), without needing a manual rerun to adjudicate."""
-    with open("/proc/stat") as fh:
-        parts = fh.readline().split()[1:]
-    vals = [float(x) for x in parts]
-    idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)  # idle + iowait
-    return sum(vals) - idle, sum(vals)
+from topn_clashroyal_etl_sql_snapshot_spark.testing.telemetry import (  # noqa: E402
+    cpu_busy as _cpu_busy,
+)
 
 
 def main() -> None:

@@ -62,12 +62,17 @@ def run(spark, sf_dir: str) -> dict:
     )
     pairs = pairs.localCheckpoint(eager=True)
 
-    # Admission: components over the new pairs; the INDEX member of a
-    # cross component is canonical by construction (lower global ids
-    # here; production passes quality scores to component_keepers)
+    # Admission policy: the INDEX member of a cross component is
+    # canonical — implemented by scoring ONLY corpus members
+    # (component_keepers' scored-beats-unscored rule then makes the
+    # corpus twin win every cross component outright, and all-unscored
+    # within-batch components fall back to min-id). Production that
+    # wants quality-based keeps INSIDE the batch scores both tiers,
+    # keeping corpus scores strictly above batch scores.
     comp = dedup.connected_components(pairs)
-    quality = batch.select(
-        F.col("doc_id").alias("id"), F.length("text").cast("double").alias("score")
+    quality = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.length("text").cast("double").alias("score"),
     )
     keep = dedup.component_keepers(comp, quality)
     batch_ids = [r["doc_id"] for r in batch.select("doc_id").collect()]
@@ -77,6 +82,7 @@ def run(spark, sf_dir: str) -> dict:
         if r["id"] in set(batch_ids)
     }
     admitted = len(batch_ids) - len(dropped)
+    planted_id = 10_000_000 + sample["doc_id"]
 
     return {
         "corpus": corpus.count(),
@@ -84,6 +90,7 @@ def run(spark, sf_dir: str) -> dict:
         "pairs_touching_batch": pairs.count(),
         "batch_docs_dropped": len(dropped),
         "batch_docs_admitted": admitted,
+        "planted_dup_dropped": planted_id in dropped,
         "updated_index_rows": updated.count(),
     }
 

@@ -50,10 +50,9 @@ def test_detect_and_decompress_roundtrip(spark):
         assert got[i] == text, i
     assert got[6] is None          # NULL in, NULL out
     assert got[7] is None          # corrupt gzip → NULL, not a crash
-    if cz._ZSTD_DECODE is None:
-        assert got[8] is None      # zstd: no binding in this container
-    else:
-        assert got[8] is None      # auto-wired, but this frame is junk
+    # zstd: NULL either way — no binding in this container, and with a
+    # binding auto-wired this magic+zeros frame is junk and NULLs too
+    assert got[8] is None
 
 
 def test_zip_bomb_output_is_bounded(spark):

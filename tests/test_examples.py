@@ -106,9 +106,13 @@ def test_incremental_ingest_example(spark):
     spec.loader.exec_module(mod)
 
     out = mod.run(spark, "/root/testdata/sf0.001")
-    # the planted cross-batch near-dup must surface and DROP (its index
-    # twin is canonical), so at least one pair and one drop exist
+    # the planted cross-batch near-dup must surface and DROP — checked
+    # BY ID, not by count: an earlier version of the example admitted
+    # the planted dup (scored-beats-unscored inverted the policy when
+    # only batch docs carried scores) while unrelated within-batch
+    # drops kept a count-only assertion green (r9 review finding)
     assert out["pairs_touching_batch"] >= 1
+    assert out["planted_dup_dropped"] is True
     assert out["batch_docs_dropped"] >= 1
     assert out["batch_docs_admitted"] + out["batch_docs_dropped"] == out["batch"]
     # the updated index carries every corpus + batch doc that produced

@@ -345,3 +345,34 @@ def test_fit_dim_is_majority_width_not_first_row(spark):
     assert any("majority" in str(c.message) for c in caught)
     ids = {r["vec_id"] for r in pq.pq_encode(mixed, model).collect()}
     assert len(ids) == 30 and -1 not in ids
+
+
+def test_stale_codes_rows_never_eat_survivor_slots(spark):
+    """A codes index carrying rows since REMOVED from the corpus frame
+    must not occupy ADC survivor slots in the full-probe shortcut (they
+    would then vanish at the re-rank's vector fetch and return < k
+    rows): both the probed and the full-probe paths draw candidates
+    from embeddings ∩ codes, so results are identical to searching
+    with a freshly-synced index."""
+    df, _, _ = _clustered(spark, n=40)
+    model = pq.fit_pq_codebooks(df, m=4, k=8, lloyd_rounds=2)
+    codes = pq.pq_encode(df, model)
+    # corpus shrinks after encoding: drop a quarter of the docs but
+    # keep the STALE full index
+    live = df.filter(F.col("vec_id") % 4 != 0)
+    fresh_codes = pq.pq_encode(live, model)
+    kw = dict(
+        k=3, n_coarse=4, rerank=30, query_filter=F.col("vec_id") == 1
+    )
+    want = sorted(
+        map(tuple, pq.pq_topk(live, model, nprobe=4, codes=fresh_codes, **kw).collect())
+    )
+    for nprobe in (4, 3):  # full-probe shortcut AND probed path
+        got = sorted(
+            map(
+                tuple,
+                pq.pq_topk(live, model, nprobe=nprobe, codes=codes, **kw).collect(),
+            )
+        )
+        assert got == want, (nprobe, got, want)
+        assert len(got) == 3

@@ -21,23 +21,19 @@ import os
 import statistics
 import sys
 import time
-from functools import reduce
 from pathlib import Path
 
 _REPO = Path(__file__).resolve().parent.parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
+from topn_clashroyal_etl_sql_snapshot_spark.testing.telemetry import (
+    cpu_busy as _cpu_busy,
+)
+
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 
-def _cpu_busy() -> tuple[float, float]:
-    """(busy_jiffies, total_jiffies) from /proc/stat's aggregate line."""
-    with open("/proc/stat") as fh:
-        parts = fh.readline().split()[1:]
-    vals = [float(x) for x in parts]
-    idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)  # idle + iowait
-    return sum(vals) - idle, sum(vals)
 
 
 def ngram_repetition_stats_per_n(

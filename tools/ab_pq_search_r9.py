@@ -27,6 +27,10 @@ _REPO = Path(__file__).resolve().parent.parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
+from topn_clashroyal_etl_sql_snapshot_spark.testing.telemetry import (
+    cpu_busy as _cpu_busy,
+)
+
 from pyspark.sql import DataFrame, Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -46,12 +50,6 @@ from topn_clashroyal_etl_sql_snapshot_spark.operators.similarity import (  # noq
 )
 
 
-def _cpu_busy() -> tuple[float, float]:
-    with open("/proc/stat") as fh:
-        parts = fh.readline().split()[1:]
-    vals = [float(x) for x in parts]
-    idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)
-    return sum(vals) - idle, sum(vals)
 
 
 def pq_topk_old(

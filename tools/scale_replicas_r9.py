@@ -32,6 +32,10 @@ _REPO = Path(__file__).resolve().parent.parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
+from topn_clashroyal_etl_sql_snapshot_spark.testing.telemetry import (
+    cpu_busy as _cpu_busy,
+)
+
 from pyspark.sql import functions as F  # noqa: E402
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
@@ -40,12 +44,6 @@ OUT = "/tmp/r9scale"
 ID_OFFSET = 10_000_000
 
 
-def _cpu_busy() -> tuple[float, float]:
-    with open("/proc/stat") as fh:
-        parts = fh.readline().split()[1:]
-    vals = [float(x) for x in parts]
-    idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)
-    return sum(vals) - idle, sum(vals)
 
 
 def build(spark, mult: int) -> str:

@@ -853,16 +853,27 @@ def minhash_lsh_incremental(
     banded_idx = _banded(index_sigs, bands, rows_per_band)
     # batch vs index: keyed equi-join on (band, bucket) — the index
     # side streams; only bucket-colliding index rows survive the join
+    new_a = banded_new.select(F.col("id").alias("id1"), "band", "bucket")
     cross = (
-        banded_new.select(F.col("id").alias("id1"), "band", "bucket")
-        .join(
+        new_a.join(
             banded_idx.select(F.col("id").alias("id2"), "band", "bucket"),
             ["band", "bucket"],
         )
         .select("id1", "id2")
         .distinct()
     )
-    within = lsh_candidate_pairs(sigs_new, bands, rows_per_band)
+    # within-batch: self-join the SAME banded frame (an earlier form
+    # called lsh_candidate_pairs, which re-derived the batch banding —
+    # the band-hash work paid twice; r9 review finding)
+    within = (
+        new_a.join(
+            banded_new.select(F.col("id").alias("id2"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
     cands = cross.unionAll(within)
 
     all_sigs = index_sigs.unionAll(sigs_new)

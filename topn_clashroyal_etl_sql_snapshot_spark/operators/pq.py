@@ -565,15 +565,27 @@ def pq_topk(
         # bucket join would emit exactly query-batch × corpus pairs
         # anyway — the two _nearest_centroids passes (each an exploded
         # dim×cells scan + aggregation + window) and the cidx shuffle
-        # join prune NOTHING. Short-circuit to the same pair set with
-        # ZERO pre-ADC shuffles: the codes scan crossJoins the one
-        # broadcast query table directly (no separate candidate frame,
-        # no neighbor_id exchange). Gated on query_filter so an
+        # join prune NOTHING. Short-circuit: the codes scan crossJoins
+        # the one broadcast query table directly (no separate candidate
+        # frame). The left_semi against the embeddings ids keeps the
+        # candidate universe = embeddings ∩ codes, EXACTLY what the
+        # probed path's corpus_assign ⋈ codes join yields — without it,
+        # a codes index carrying rows since removed from the corpus
+        # would win ADC survivor slots and then vanish at the re-rank's
+        # vector fetch, returning < k rows (r9 review finding); the
+        # semi-join's exchange ships the most compact corpus frames
+        # (ids and M-int code rows). Gated on query_filter so an
         # UNFILTERED full-probe self-search (corpus × corpus) still
         # flows through the keyed join rather than a nested-loop
         # cartesian.
-        pairs = codes_sel.crossJoin(F.broadcast(qtable)).filter(
-            F.col("query_id") != F.col("neighbor_id")
+        pairs = (
+            codes_sel.join(
+                embeddings.select(F.col(id_col).alias("neighbor_id")),
+                "neighbor_id",
+                "left_semi",
+            )
+            .crossJoin(F.broadcast(qtable))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
         )
     else:
         pairs = cand.join(codes_sel, "neighbor_id").join(

@@ -67,17 +67,26 @@ def publish_snapshot_jdbc(
     engine-side equivalent of the reference's ``make publish``
     (``Makefile:89-94``: ``pg_dump`` the snapshot tables locally,
     pipe into ``psql $CLOUD_URL``). Spark replaces the dump/restore
-    pipe with a partitioned read → overwrite write per table: each
-    table streams through executors (never the driver), overwrite on
-    the target ≡ the dump's DROP+CREATE+COPY, and the publish
-    parallelizes across a cluster where pg_dump is single-pipe.
+    pipe with a read → overwrite write per table: rows stream through
+    executors (never the driver) and overwrite on the target ≡ the
+    dump's DROP+CREATE+COPY. By default the source read is ONE JDBC
+    connection per table (the same single-pipe shape as pg_dump, with
+    the write side still batched); to parallelize the read across
+    executors, pass Spark's JDBC partitioning options through
+    ``source_properties`` (``partitionColumn``/``lowerBound``/
+    ``upperBound``/``numPartitions``, plus ``fetchsize``) — snapshot
+    tables with an integer leading key take this directly.
 
-    Returns {table: row_count} — the row accounting a publish job logs
-    (and the caller's sanity check that source and target agree).
-    Tables are published one by one; a mid-list failure leaves earlier
-    tables fully replaced and later ones untouched (the reference's
-    shell pipe had the same per-dump granularity)."""
+    Returns {table: row_count} counted from the TARGET after each
+    write — the accounting reflects what was actually published, and
+    the source is read exactly once (counting the lazy source frame
+    instead would re-scan it and could disagree with the write under
+    concurrent source mutation). Tables are published one by one; a
+    mid-list failure leaves earlier tables fully replaced and later
+    ones untouched (the reference's shell pipe had the same per-dump
+    granularity)."""
     sprops = dict(source_properties or {})
+    tprops = dict(target_properties or {})
     counts: dict[str, int] = {}
     for name in tables:
         df = (
@@ -91,7 +100,12 @@ def publish_snapshot_jdbc(
             properties=target_properties,
             batchsize=batchsize,
         )
-        counts[name] = df.count()
+        counts[name] = (
+            spark.read.format("jdbc")
+            .options(url=target_url, dbtable=name, **tprops)
+            .load()
+            .count()
+        )
     return counts
 
 
@@ -105,8 +119,11 @@ def publish_warehouse_jdbc(
 ) -> dict[str, int]:
     """Publish parquet warehouse tables (``write_snapshot`` output) to
     a serving database — the publish shape when the local snapshot
-    store is the lake, not a database. Same overwrite semantics and
-    per-table row accounting as :func:`publish_snapshot_jdbc`."""
+    store is the lake, not a database; the parquet read parallelizes
+    over file splits with no extra options. Same overwrite semantics
+    and target-counted row accounting as
+    :func:`publish_snapshot_jdbc`."""
+    tprops = dict(target_properties or {})
     counts: dict[str, int] = {}
     for name in tables:
         df = spark.read.parquet(os.path.join(warehouse_dir, name))
@@ -116,5 +133,10 @@ def publish_warehouse_jdbc(
             properties=target_properties,
             batchsize=batchsize,
         )
-        counts[name] = df.count()
+        counts[name] = (
+            spark.read.format("jdbc")
+            .options(url=target_url, dbtable=name, **tprops)
+            .load()
+            .count()
+        )
     return counts
