@@ -722,7 +722,13 @@ def minhash_lsh_verified_pairs(
     100 TB without a df cap. Pass ``toks`` to share one tokenize scan
     with the other dedup families."""
     postings = hashed_postings(docs, text_col, id_col, n, toks=toks)
-    sigs = minhash_signatures(k=k, postings=postings)
+    # checkpointed like minhash_lsh_pairs' sigs: the banding self-join
+    # reads the signature frame on both sides, and without the
+    # materialization each side recomputes the 128-min aggregation
+    # (r9, A/B'd: entry m3 2.80 → 2.56 s, results identical)
+    sigs = minhash_signatures(k=k, postings=postings).localCheckpoint(
+        eager=False
+    )
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     return true_jaccard_for_pairs(cands, postings, threshold)
 
@@ -1043,7 +1049,12 @@ def simhash_candidate_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("id", "sh64", "c.chunk", "c.val")
+    ).select("id", "sh64", "c.chunk", "c.val").localCheckpoint(eager=False)
+    # ^ pieces has THREE consumers (the df-cap bucket count and both
+    # self-join sides), each of which would otherwise recompute the
+    # upstream fingerprint aggregation + chunk explode; materializing
+    # chunks·N compact int rows once is the same trade hashed_postings
+    # makes (r9, A/B'd: entry m3 4.93 → 3.27 s, results identical).
     if max_bucket is not None:
         cold = (
             pieces.groupBy("chunk", "val")
