@@ -515,3 +515,77 @@ def test_random_projection_plan_and_validation(spark):
 
     with _p.raises(ValueError):
         similarity.random_projection(df, 0)
+
+
+def test_centroid_similarity_scores_match_numpy_and_duckdb(spark):
+    """Embedding-centroid quality gate: scores equal a numpy
+    re-derivation AND an independent DuckDB SQL twin at 9 dp; seeds
+    score highest on clustered data; NULL/odd-width rows score NULL;
+    empty seed set raises; the scoring plan is a zero-shuffle
+    projection with no Python nodes."""
+    import numpy as np
+
+    rng = random.Random(11)
+    good = [[1.0 + rng.gauss(0, 0.05) for _ in range(8)] for _ in range(20)]
+    bad = [[-1.0 + rng.gauss(0, 0.05) for _ in range(8)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(good + bad)]
+    rows.append((98, None))
+    rows.append((99, [1.0, 2.0]))  # wrong width
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = similarity.centroid_similarity_scores(
+        df, F.col("vec_id") < 10  # first 10 good rows are the seed
+    )
+    got = {r["vec_id"]: r["centroid_cos"] for r in out.collect()}
+    assert got[98] is None and got[99] is None
+
+    # numpy twin (centroid = exact mean of the seed rows)
+    c = np.mean(np.array(good[:10]), axis=0)
+    for i, v in enumerate(good + bad):
+        vv = np.array(v)
+        want = round(float(vv @ c / (np.linalg.norm(vv) * np.linalg.norm(c))), 9)
+        assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+
+    # seeds/good cluster scores near 1, opposite cluster near -1
+    assert min(got[i] for i in range(40) if i < 20) > 0.99
+    assert max(got[i] for i in range(20, 40)) < -0.99
+
+    # independent DuckDB twin over the same literal rows
+    import duckdb
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, {list(v)})" for i, v in enumerate(good + bad)
+    )
+    duck = {
+        r[0]: round(r[1], 9)
+        for r in con.execute(f"""
+            WITH e(vec_id, v) AS (VALUES {vals}),
+            c AS (
+              SELECT list(a ORDER BY t) AS cv FROM (
+                SELECT t, AVG(e.v[t]) AS a
+                FROM e, UNNEST(generate_series(1, 8)) AS g(t)
+                WHERE e.vec_id < 10
+                GROUP BY t
+              )
+            )
+            SELECT e.vec_id,
+                   list_sum(list_transform(generate_series(1, 8),
+                       t -> e.v[t] * c.cv[t]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+                      * sqrt(list_sum(list_transform(c.cv, x -> x*x))))
+            FROM e, c
+        """).fetchall()
+    }
+    for i in range(40):
+        assert abs(got[i] - duck[i]) < 2e-9, (i, got[i], duck[i])
+
+    # scoring plan: no exchange, no Python (the centroid is a literal)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        similarity.centroid_similarity_scores(df, F.col("vec_id") < 0)

@@ -969,3 +969,76 @@ def random_projection(
         )
         .select(F.col("id").alias(id_col), out_col)
     )
+
+
+def centroid_similarity_scores(
+    embeddings: DataFrame,
+    seed_filter,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, centroid_cos): every vector's cosine to the MEAN of a seed
+    set — embedding-based quality filtering (the LAION/DataComp-style
+    gate: seed with a trusted 'good' sample, keep corpus rows whose
+    similarity to the seed centroid clears a threshold; also the
+    embedding analog of DSIR's seed-set importance weighting).
+
+    ``seed_filter`` is a Column predicate selecting the seed rows from
+    ``embeddings`` (the trusted sample — typically a few hundred to a
+    few thousand rows). The centroid is ONE aggregation whose state is
+    dim doubles (order-independent per-coordinate DECIMAL(28,12) sums,
+    so the fitted centroid is exactly reproducible regardless of
+    partitioning — the integer-scaling discipline of the k-means
+    kernels, in decimal form since one pass needs no iteration);
+    scoring is a narrow per-row projection against the centroid as a
+    LITERAL vector — zero shuffles, zero joins, composes with
+    streaming ingest unchanged (a stateless column expression over a
+    fitted constant, like ``classifier.margin_expr``).
+
+    Rows whose vector is NULL or a different width than the seed
+    centroid score NULL (never a wrong number). Raises if the seed set
+    is empty. Returns the scoring frame; the caller thresholds."""
+    seeds = embeddings.filter(seed_filter)
+    d = dim
+    if d is None:
+        first = seeds.select(F.size(vec_col).alias("w")).filter(
+            F.col("w") > 0
+        ).limit(1).collect()
+        if not first:
+            raise ValueError(
+                "centroid_similarity_scores: seed set is empty "
+                "(or every seed vector is NULL)"
+            )
+        d = int(first[0]["w"])
+    sums = (
+        seeds.filter(F.size(F.col(vec_col).cast("array<double>")) == d)
+        .select(
+            *[
+                F.sum(
+                    F.element_at(vec_col, t + 1).cast("decimal(28,12)")
+                ).alias(f"_s{t}")
+                for t in range(d)
+            ],
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .collect()[0]
+    )
+    n = int(sums["_n"])
+    if n == 0:
+        raise ValueError(
+            "centroid_similarity_scores: seed set is empty after the "
+            "width gate"
+        )
+    centroid = [float(sums[f"_s{t}"]) / n for t in range(d)]
+    cvec = F.array(*[F.lit(v) for v in centroid])
+    vd = F.col(vec_col).cast("array<double>")
+    from ..functions import vectors as vx
+
+    score = F.when(
+        F.size(vd) == d,
+        F.round(vx.cosine(vd, cvec), 9),
+    )
+    return embeddings.select(
+        F.col(id_col), score.alias("centroid_cos")
+    )
