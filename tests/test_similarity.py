@@ -589,3 +589,41 @@ def test_centroid_similarity_scores_match_numpy_and_duckdb(spark):
 
     with _p.raises(ValueError):
         similarity.centroid_similarity_scores(df, F.col("vec_id") < 0)
+
+
+def test_centroid_similarity_null_elements_and_width_majority(spark):
+    """Hardening (r9 review findings): a seed row carrying NULL
+    elements is EXCLUDED from the fit (a NULL-skipping sum over the
+    full row count would silently bias the centroid); corpus rows with
+    NULL elements score NULL; dim inference takes the MAJORITY seed
+    width, so one malformed seed row cannot nondeterministically evict
+    the real seeds."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [1.0, None]),     # seed with NULL element: excluded
+        (3, [9.9]),           # malformed width: must not set d
+        (10, [0.0, 1.0]),
+        (11, [1.0, None]),    # corpus NULL element: scores NULL
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["centroid_cos"]
+        for r in similarity.centroid_similarity_scores(
+            df, F.col("vec_id") < 10
+        ).collect()
+    }
+    # centroid = mean of rows 0,1 only = [1, 0]; row 2's NULL excluded
+    assert out[0] == 1.0 and out[1] == 1.0
+    assert out[10] == 0.0
+    assert out[2] is None and out[11] is None  # NULL elements -> NULL
+    assert out[3] is None                      # off-width -> NULL
+
+    # all-NULL-element seed set raises, not TypeError
+    import pytest as _p
+
+    nul = spark.createDataFrame(
+        [(1, [None, None])], "vec_id long, embedding array<double>"
+    )
+    with _p.raises(ValueError):
+        similarity.centroid_similarity_scores(nul, F.col("vec_id") == 1)

@@ -996,27 +996,37 @@ def centroid_similarity_scores(
     streaming ingest unchanged (a stateless column expression over a
     fitted constant, like ``classifier.margin_expr``).
 
-    Rows whose vector is NULL or a different width than the seed
-    centroid score NULL (never a wrong number). Raises if the seed set
-    is empty. Returns the scoring frame; the caller thresholds."""
-    seeds = embeddings.filter(seed_filter)
+    Rows whose vector is NULL, a different width than the seed
+    centroid, or carrying NULL elements score NULL (never a wrong
+    number); seed rows with NULL elements are likewise excluded from
+    the fit (a NULL-skipping SUM over the full row count would bias
+    the mean). Raises if the seed set is empty. Returns the scoring
+    frame; the caller thresholds."""
+    vd = F.col(vec_col).cast("array<double>")
+    clean = F.col(vec_col).isNotNull() & F.forall(
+        vd, lambda x: x.isNotNull()
+    )
+    seeds = embeddings.filter(seed_filter).filter(clean)
     d = dim
     if d is None:
-        first = seeds.select(F.size(vec_col).alias("w")).filter(
-            F.col("w") > 0
-        ).limit(1).collect()
-        if not first:
+        # MAJORITY width, not limit(1): an unordered first-row pick is
+        # partition-order dependent, and one malformed seed row winning
+        # it would evict every genuine seed at the width gate
+        # (the fit_pq_codebooks discipline; r9 review finding)
+        hist = seeds.groupBy(F.size(vd).alias("w")).count().collect()
+        widths = [r for r in hist if r["w"] and r["w"] > 0]
+        if not widths:
             raise ValueError(
                 "centroid_similarity_scores: seed set is empty "
-                "(or every seed vector is NULL)"
+                "(or every seed vector is NULL/empty)"
             )
-        d = int(first[0]["w"])
+        d = int(max(widths, key=lambda r: (r["count"], -r["w"]))["w"])
     sums = (
-        seeds.filter(F.size(F.col(vec_col).cast("array<double>")) == d)
+        seeds.filter(F.size(vd) == d)
         .select(
             *[
                 F.sum(
-                    F.element_at(vec_col, t + 1).cast("decimal(28,12)")
+                    F.element_at(vd, t + 1).cast("decimal(28,12)")
                 ).alias(f"_s{t}")
                 for t in range(d)
             ],
@@ -1030,15 +1040,25 @@ def centroid_similarity_scores(
             "centroid_similarity_scores: seed set is empty after the "
             "width gate"
         )
+    if any(sums[f"_s{t}"] is None for t in range(d)):
+        raise ValueError(
+            "centroid_similarity_scores: a seed coordinate sum "
+            "overflowed decimal(28,12) — rescale the embeddings"
+        )
     centroid = [float(sums[f"_s{t}"]) / n for t in range(d)]
-    cvec = F.array(*[F.lit(v) for v in centroid])
-    vd = F.col(vec_col).cast("array<double>")
-    from ..functions import vectors as vx
+    # centroid norm is a driver-side constant: Python's sequential sum
+    # is the same left-to-right IEEE fold F.aggregate would run, and
+    # passing it as a literal spares every scored row an interpreted
+    # d-step refold of the never-changing centroid (r9 review finding)
+    import math
 
+    cnorm = math.sqrt(sum(v * v for v in centroid))
+    cvec = F.array(*[F.lit(v) for v in centroid])
     score = F.when(
-        F.size(vd) == d,
-        F.round(vx.cosine(vd, cvec), 9),
+        clean & (F.size(vd) == d),
+        F.round(
+            vx.cosine_prenormed(vx.dot(vd, cvec), vx.norm(vd), F.lit(cnorm)),
+            9,
+        ),
     )
-    return embeddings.select(
-        F.col(id_col), score.alias("centroid_cos")
-    )
+    return embeddings.select(F.col(id_col), score.alias("centroid_cos"))
