@@ -115,3 +115,39 @@ def test_publish_warehouse_to_database(spark, tmp_path):
     assert [tuple(r) for r in _read(spark, cloud, "meta_deck_types").collect()] == [
         ("Siege", 10, 4)
     ]
+
+
+def test_publish_with_partitioned_source_read(spark, tmp_path):
+    """The documented parallel-read path: Spark JDBC partitioning
+    options passed through source_properties produce a multi-partition
+    source read and an identical published result."""
+    local = f"jdbc:derby:{tmp_path}/plocal;create=true"
+    cloud = f"jdbc:derby:{tmp_path}/pcloud;create=true"
+    props = {"driver": DRIVER}
+
+    rows = [(i, f"p{i % 7}", i * 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, tag string, v long")
+    sink.write_snapshot_jdbc({"wide_table": df}, local, properties=props)
+
+    # partitioned read reaches the executors in 4 slices
+    part_props = {
+        **props,
+        "partitionColumn": "id",
+        "lowerBound": "0",
+        "upperBound": "50",
+        "numPartitions": "4",
+    }
+    src = (
+        spark.read.format("jdbc")
+        .options(url=local, dbtable="wide_table", **part_props)
+        .load()
+    )
+    assert src.rdd.getNumPartitions() == 4
+
+    counts = sink.publish_snapshot_jdbc(
+        spark, local, cloud, ["wide_table"],
+        source_properties=part_props, target_properties=props,
+    )
+    assert counts == {"wide_table": 50}
+    got = sorted(tuple(r) for r in _read(spark, cloud, "wide_table").collect())
+    assert got == sorted(rows)
