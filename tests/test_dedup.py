@@ -188,6 +188,74 @@ def test_simhash_bucket_cap_drops_hot_buckets(spark):
     assert capped == 0
 
 
+def test_lsh_bucket_cap_drops_hot_buckets(spark):
+    """The signature-space twin of the simhash cap: a planted cluster
+    of 60 identical signatures collides in EVERY band (one 60-doc
+    bucket per band → O(b·c²) join rows uncapped); capping at 50 drops
+    those buckets while a 2-doc cold cluster's pair survives. Capped
+    candidate volume is bounded at Σ_cold min(bucket, cap)² — here
+    exactly the one cold pair."""
+    k, bands, rpb = 16, 4, 4
+    hot = [(i, [7] * k) for i in range(60)]
+    cold = [(100, [9] * k), (101, [9] * k)]
+    sigs = spark.createDataFrame(hot + cold, "id long, sig array<long>")
+    uncapped = dedup.lsh_candidate_pairs(sigs, bands, rpb, max_bucket=None)
+    assert uncapped.count() == 60 * 59 // 2 + 1
+    capped = {
+        (r["id1"], r["id2"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs, bands, rpb, max_bucket=50
+        ).collect()
+    }
+    assert capped == {(100, 101)}
+
+
+def test_minhash_lsh_incremental_cap_matches_capped_full_run(spark):
+    """The incremental cap counts (band, bucket) over batch ∪ index —
+    the SAME populations a capped full-corpus run sees — so the
+    subset invariant holds cap-for-cap: a 12-copy flood split across
+    index (8) and batch (4) exceeds cap 6 and contributes no pairs on
+    either path, while a genuine batch-vs-index near-dup pair
+    survives on both."""
+    flood = "repeated boilerplate navigation footer text appears on every page"
+    uniq = "the quick brown fox jumps over the lazy dog near the river bank"
+    corpus = [(i, flood) for i in range(8)] + [(50, uniq)]
+    batch = [(100 + i, flood) for i in range(4)] + [(150, uniq + " today")]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    full = spark.createDataFrame(corpus + batch, "doc_id long, text string")
+
+    index = dedup.minhash_signatures(cdf)
+    pairs, _ = dedup.minhash_lsh_incremental(
+        bdf, index, threshold=0.4, max_bucket=6
+    )
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert got == {(150, 50)}, got  # flood pairs capped away, real pair kept
+
+    # cap-for-cap equivalence with the full-corpus run's new-doc subset
+    ref_all = {
+        (r["id1"], r["id2"])
+        for r in dedup.minhash_lsh_pairs(
+            full, threshold=0.4, max_bucket=6
+        ).collect()
+    }
+    new_ids = {100, 101, 102, 103, 150}
+    ref = set()
+    for a, b in ref_all:
+        if a in new_ids and b not in new_ids:
+            ref.add((a, b))
+        elif b in new_ids and a not in new_ids:
+            ref.add((b, a))
+        elif a in new_ids and b in new_ids:
+            ref.add((min(a, b), max(a, b)))
+    assert got == ref
+    # and with the cap lifted the flood pairs flow on both paths alike
+    unc, _ = dedup.minhash_lsh_incremental(
+        bdf, index, threshold=0.4, max_bucket=None
+    )
+    assert unc.count() == 4 * 8 + 4 * 3 // 2 + 1  # cross + within + real pair
+
+
 def test_minhash_lsh_hash_math_matches_xxh64_twin(spark, corpus):
     """Re-derive the entire MinHash→LSH candidate path in pure Python via
     the xxHash64 twin (testing/xxh64.py): hashed shingle postings,

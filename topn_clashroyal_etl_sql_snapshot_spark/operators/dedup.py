@@ -645,16 +645,59 @@ def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     ).select("id", "bb.band", "bb.bucket")
 
 
+def _cold_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """(band, bucket) keys whose population is ≤ ``max_bucket`` — the
+    shared hot-bucket guard of the LSH candidate joins (the signature-
+    space twin of ``simhash_candidate_pairs``' cap)."""
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "bucket")
+    )
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Band the signature, hash each band, self-join per (band, hash).
 
     A pair collides in some band with probability 1-(1-j^r)^b — with
     b=32, r=4 the S-curve crosses ~0.5 at j≈0.42. One shuffle keyed by
-    (band, band_hash); high-cardinality hashes distribute uniformly.
+    (band, band_hash); high-cardinality hashes distribute uniformly —
+    EXCEPT when the corpus itself piles identical signatures into one
+    bucket.
+
+    Scale guard: a near-identical cluster of c documents (template
+    pages, boilerplate with counters — routine in web crawls even
+    after exact dedup) collides in most of its b bands, so the
+    self-join emits O(b·c²) candidate rows before the distinct — at
+    c = 10⁶ that is a ~10¹²-row shuffle from ONE cluster.
+    ``max_bucket`` drops any (band, bucket) key holding more than the
+    cap before the self-join, bounding candidate volume at
+    Σ min(bucket, cap)² — the same contract as
+    ``simhash_candidate_pairs``' cap and ``jaccard_pairs``' max_df.
+    Recall: a pair is lost only if EVERY band it collides in is hot —
+    and a bucket is hot only when ≥ max_bucket documents share that
+    band slice, i.e. the pair sits inside a duplicate cluster already
+    larger than the cap, where any retained band (or the cluster's
+    own exact-dup collapse) still links it. Compose exact dedup FIRST
+    (``exact_dup_groups`` / ``content_fingerprint``) so identical
+    copies never reach the LSH join; the cap then only fires on
+    pathological near-identical floods. ``max_bucket=None`` restores
+    the unconditional join for small corpora.
     """
     banded = _banded(signatures, bands, rows_per_band)
+    if max_bucket is not None:
+        # three consumers (bucket count + both self-join sides) — same
+        # materialize-once trade as simhash_candidate_pairs' pieces
+        banded = banded.localCheckpoint(eager=False)
+        banded = banded.join(
+            _cold_buckets(banded, max_bucket), ["band", "bucket"], "left_semi"
+        )
     a = banded.select(F.col("id").alias("id1"), "band", "bucket")
     b = banded.select(F.col("id").alias("id2"), "band", "bucket")
     return (
@@ -674,15 +717,17 @@ def minhash_lsh_pairs(
     bands: int = 32,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Candidates via LSH, then estimated Jaccard from signature agreement
     (fraction of equal min-hashes), thresholded. Returns
-    (id1, id2, est_jaccard)."""
+    (id1, id2, est_jaccard). ``max_bucket`` is
+    :func:`lsh_candidate_pairs`' hot-bucket cap."""
     sigs = minhash_signatures(docs, text_col, id_col, n, k)
     # consumed three times (banding + both est-join sides); localCheckpoint
     # instead of persist so blocks release on GC (see hashed_postings).
     sigs = sigs.localCheckpoint(eager=False)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket)
     s1 = sigs.withColumnsRenamed({"id": "id1", "sig": "sig1"})
     s2 = sigs.withColumnsRenamed({"id": "id2", "sig": "sig2"})
     est = F.size(
@@ -710,6 +755,7 @@ def minhash_lsh_verified_pairs(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     toks: DataFrame | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """MinHash-LSH candidates post-verified by TRUE Jaccard on the
     shingle sets — the production near-dup plan. Returns
@@ -719,8 +765,12 @@ def minhash_lsh_verified_pairs(
     j=0.9 — near-dup corpora live well above that). Unlike the exact
     inverted-index join, candidate generation never touches shingle
     postings pairwise, so it survives boilerplate-heavy corpora at
-    100 TB without a df cap. Pass ``toks`` to share one tokenize scan
-    with the other dedup families."""
+    100 TB without a df cap — with ``max_bucket`` bounding the one
+    remaining quadratic term, near-identical clusters piling into a
+    single (band, bucket) key (see :func:`lsh_candidate_pairs` for
+    the recall contract and the exact-dedup-first composition). Pass
+    ``toks`` to share one tokenize scan with the other dedup
+    families."""
     postings = hashed_postings(docs, text_col, id_col, n, toks=toks)
     # checkpointed like minhash_lsh_pairs' sigs: the banding self-join
     # reads the signature frame on both sides, and without the
@@ -729,7 +779,7 @@ def minhash_lsh_verified_pairs(
     sigs = minhash_signatures(k=k, postings=postings).localCheckpoint(
         eager=False
     )
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket)
     return true_jaccard_for_pairs(cands, postings, threshold)
 
 
@@ -819,6 +869,7 @@ def minhash_lsh_incremental(
     bands: int = 32,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection: a NEW batch against a PERSISTED
     signature index — the daily-ingest shape. Re-deduping a 100 TB
@@ -847,6 +898,16 @@ def minhash_lsh_incremental(
       it is tomorrow's index; union is lazy and columnar, so the
       persist/write amortizes into the caller's sink.
 
+    ``max_bucket`` is the same hot-bucket cap as
+    :func:`lsh_candidate_pairs`, counted over the COMBINED
+    (batch ∪ index) population per (band, bucket) — exactly the
+    counts a full-corpus run would see, so the subset invariant above
+    holds cap-for-cap. Without it, one boilerplate cluster in a
+    100 TB index makes every colliding daily batch pay an
+    O(|cluster|·|batch∩bucket|) join; with it the index side of a hot
+    key is dropped before the join (recall contract and the
+    exact-dedup-first composition: see :func:`lsh_candidate_pairs`).
+
     Feed ``pairs`` to :func:`connected_components` /
     :func:`component_keepers` (new docs duplicating an index doc
     normally DROP — the index member is the canonical; within-batch
@@ -857,6 +918,14 @@ def minhash_lsh_incremental(
 
     banded_new = _banded(sigs_new, bands, rows_per_band)
     banded_idx = _banded(index_sigs, bands, rows_per_band)
+    if max_bucket is not None:
+        banded_new = banded_new.localCheckpoint(eager=False)
+        banded_idx = banded_idx.localCheckpoint(eager=False)
+        cold = _cold_buckets(
+            banded_new.unionAll(banded_idx), max_bucket
+        ).localCheckpoint(eager=False)
+        banded_new = banded_new.join(cold, ["band", "bucket"], "left_semi")
+        banded_idx = banded_idx.join(cold, ["band", "bucket"], "left_semi")
     # batch vs index: keyed equi-join on (band, bucket) — the index
     # side streams; only bucket-colliding index rows survive the join
     new_a = banded_new.select(F.col("id").alias("id1"), "band", "bucket")
