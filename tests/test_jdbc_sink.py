@@ -151,3 +151,219 @@ def test_publish_with_partitioned_source_read(spark, tmp_path):
     assert counts == {"wide_table": 50}
     got = sorted(tuple(r) for r in _read(spark, cloud, "wide_table").collect())
     assert got == sorted(rows)
+
+
+def _index_names(spark, url, table):
+    conn = sink._jdbc_connect(spark, url, {"driver": DRIVER})
+    try:
+        rs = conn.getMetaData().getIndexInfo(None, None, table.upper(), False, False)
+        names = set()
+        while rs.next():
+            n = rs.getString("INDEX_NAME")
+            if n:
+                names.add(n)
+        rs.close()
+        return names
+    finally:
+        conn.close()
+
+
+def test_truncate_publish_preserves_target_ddl(spark, tmp_path):
+    """The r9-verdict gap: bare overwrite DROPs the serving table and
+    re-creates it from the DataFrame schema, stripping the indexes the
+    reference's dashboard relies on (db/schema.sql:159-180). With the
+    default truncate=True the publish is TRUNCATE + INSERT (the
+    reference's scripts/etl_snapshot_topn.py:162-182 semantics) and a
+    target-side index survives two consecutive publishes."""
+    local = f"jdbc:derby:{tmp_path}/tlocal;create=true"
+    cloud = f"jdbc:derby:{tmp_path}/tcloud;create=true"
+    props = {"driver": DRIVER}
+
+    v1 = spark.createDataFrame(
+        [("Siege", 10, 4), ("Bait", 7, 5)],
+        "deck_type string, uses long, wins long",
+    )
+    sink.write_snapshot_jdbc({"meta_deck_types": v1}, local, properties=props)
+    # first publish creates the target table; then DBA adds an index
+    sink.publish_snapshot_jdbc(
+        spark, local, cloud, ["meta_deck_types"],
+        source_properties=props, target_properties=props,
+    )
+    conn = sink._jdbc_connect(spark, cloud, props)
+    try:
+        st = conn.createStatement()
+        # Spark's JDBC writer quotes column identifiers (case-sensitive)
+        # and maps strings to CLOB (unindexable in Derby) — index "uses"
+        st.executeUpdate(
+            'CREATE INDEX idx_mdt_uses ON meta_deck_types ("uses")'
+        )
+        st.close()
+    finally:
+        conn.close()
+    assert "IDX_MDT_USES" in _index_names(spark, cloud, "meta_deck_types")
+
+    # two more publishes (changed data) — index must survive both
+    sink.write_snapshot_jdbc(
+        {"meta_deck_types": spark.createDataFrame(
+            [("Cycle", 3, 1)], "deck_type string, uses long, wins long"
+        )},
+        local, properties=props,
+    )
+    for _ in range(2):
+        counts = sink.publish_snapshot_jdbc(
+            spark, local, cloud, ["meta_deck_types"],
+            source_properties=props, target_properties=props,
+        )
+    assert counts == {"meta_deck_types": 1}
+    assert [tuple(r) for r in _read(spark, cloud, "meta_deck_types").collect()] == [
+        ("Cycle", 3, 1)
+    ]
+    assert "IDX_MDT_USES" in _index_names(spark, cloud, "meta_deck_types")
+
+
+def test_publish_rejects_same_source_and_target(spark, tmp_path):
+    """source_url == target_url would truncate the lazily-read source
+    before it materializes — publishing the table into oblivion. Must
+    refuse up front (advisor finding, r9)."""
+    import pytest
+
+    url = f"jdbc:derby:{tmp_path}/samedb;create=true"
+    with pytest.raises(ValueError, match="source_url == target_url"):
+        sink.publish_snapshot_jdbc(spark, url, url, ["t"])
+    with pytest.raises(ValueError, match="source_url == target_url"):
+        sink.publish_snapshot_jdbc_atomic(spark, url, url, ["t"])
+
+
+def test_atomic_publish_swaps_all_or_nothing(spark, tmp_path):
+    """Stage-and-swap publish: (a) happy path lands both tables and
+    drops the staging/old generations; (b) a failure after table 1 has
+    staged (table 2 missing at the source) leaves the serving set the
+    complete OLD snapshot — the reference's one-transaction guarantee
+    (scripts/etl_snapshot_topn.py:363-364)."""
+    import pytest
+
+    local = f"jdbc:derby:{tmp_path}/alocal;create=true"
+    cloud = f"jdbc:derby:{tmp_path}/acloud;create=true"
+    props = {"driver": DRIVER}
+
+    t1 = spark.createDataFrame(
+        [("Siege", 10, 4)], "deck_type string, uses long, wins long"
+    )
+    t2 = spark.createDataFrame([("p1", 3)], "player_tag string, battles long")
+    sink.write_snapshot_jdbc(
+        {"meta_deck_types": t1, "player_summary": t2}, local, properties=props
+    )
+
+    counts = sink.publish_snapshot_jdbc_atomic(
+        spark, local, cloud, ["meta_deck_types", "player_summary"],
+        source_properties=props, target_properties=props,
+    )
+    assert counts == {"meta_deck_types": 1, "player_summary": 1}
+    # no staging/old residue
+    conn = sink._jdbc_connect(spark, cloud, props)
+    try:
+        for leftover in (
+            "meta_deck_types__stage", "meta_deck_types__old",
+            "player_summary__stage", "player_summary__old",
+        ):
+            assert not sink._table_exists(conn, leftover), leftover
+    finally:
+        conn.close()
+
+    # now mutate the source AND publish with a missing second table:
+    # the staging read for table 2 fails, so the swap never runs and
+    # the serving tables still hold the complete OLD snapshot
+    sink.write_snapshot_jdbc(
+        {"meta_deck_types": spark.createDataFrame(
+            [("Cycle", 3, 1)], "deck_type string, uses long, wins long"
+        )},
+        local, properties=props,
+    )
+    with pytest.raises(Exception):
+        sink.publish_snapshot_jdbc_atomic(
+            spark, local, cloud, ["meta_deck_types", "no_such_table"],
+            source_properties=props, target_properties=props,
+        )
+    assert [tuple(r) for r in _read(spark, cloud, "meta_deck_types").collect()] == [
+        ("Siege", 10, 4)
+    ]
+    assert [tuple(r) for r in _read(spark, cloud, "player_summary").collect()] == [
+        ("p1", 3)
+    ]
+
+    # a later successful publish recovers cleanly despite the leftover
+    # __stage table from the aborted attempt
+    counts = sink.publish_snapshot_jdbc_atomic(
+        spark, local, cloud, ["meta_deck_types", "player_summary"],
+        source_properties=props, target_properties=props,
+    )
+    assert counts == {"meta_deck_types": 1, "player_summary": 1}
+    assert [tuple(r) for r in _read(spark, cloud, "meta_deck_types").collect()] == [
+        ("Cycle", 3, 1)
+    ]
+
+
+def test_write_snapshot_atomic_parquet_swap_and_failure(spark, tmp_path):
+    """Parquet stage-and-swap: a failure while staging table 2 leaves
+    the serving directory the complete OLD snapshot (both tables, old
+    values); a successful publish replaces everything and clears the
+    staging/old directories."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    old_tables = {
+        "meta_deck_types": spark.createDataFrame(
+            [("Siege", 10, 4)], "deck_type string, uses long, wins long"
+        ),
+        "player_summary": spark.createDataFrame(
+            [("p1", 3)], "player_tag string, battles long"
+        ),
+    }
+    sink.write_snapshot_atomic(old_tables, wh)
+    assert sorted(os.listdir(wh)) == ["meta_deck_types", "player_summary"]
+
+    # table 2 explodes at write time (assert_true fails per-row) —
+    # serving dir must remain byte-identical to the old snapshot
+    boom = spark.range(1).select(
+        F.col("id").alias("battles"),
+        F.assert_true(F.col("id") < 0).cast("string").alias("player_tag"),
+    )
+    with pytest.raises(Exception):
+        sink.write_snapshot_atomic(
+            {
+                "meta_deck_types": spark.createDataFrame(
+                    [("Cycle", 3, 1)], "deck_type string, uses long, wins long"
+                ),
+                "player_summary": boom,
+            },
+            wh,
+        )
+    assert [
+        tuple(r)
+        for r in spark.read.parquet(f"{wh}/meta_deck_types").collect()
+    ] == [("Siege", 10, 4)]
+    assert [
+        tuple(r) for r in spark.read.parquet(f"{wh}/player_summary").collect()
+    ] == [("p1", 3)]
+
+    # successful publish (recovers over the leftover staging dir)
+    sink.write_snapshot_atomic(
+        {
+            "meta_deck_types": spark.createDataFrame(
+                [("Cycle", 3, 1)], "deck_type string, uses long, wins long"
+            ),
+            "player_summary": spark.createDataFrame(
+                [("p2", 9)], "player_tag string, battles long"
+            ),
+        },
+        wh,
+    )
+    assert [
+        tuple(r)
+        for r in spark.read.parquet(f"{wh}/meta_deck_types").collect()
+    ] == [("Cycle", 3, 1)]
+    assert not os.path.exists(wh + "__staging")
+    assert not os.path.exists(wh + "__old")

@@ -1,4 +1,19 @@
 from . import shards
-from .snapshot import write_snapshot
+from .snapshot import (
+    publish_snapshot_jdbc,
+    publish_snapshot_jdbc_atomic,
+    publish_warehouse_jdbc,
+    write_snapshot,
+    write_snapshot_atomic,
+    write_snapshot_jdbc,
+)
 
-__all__ = ["shards", "write_snapshot"]
+__all__ = [
+    "shards",
+    "publish_snapshot_jdbc",
+    "publish_snapshot_jdbc_atomic",
+    "publish_warehouse_jdbc",
+    "write_snapshot",
+    "write_snapshot_atomic",
+    "write_snapshot_jdbc",
+]

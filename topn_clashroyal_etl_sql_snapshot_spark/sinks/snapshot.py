@@ -6,6 +6,21 @@ full snapshots, so ``mode("overwrite")`` is semantically identical and the
 upsert logic vanishes (SURVEY.md §2.A5). ``deck_type_overrides`` is manual
 config and is never rewritten (scripts:167-179 exclude it).
 
+Two reference properties the plain per-table overwrite does NOT give and
+this module restores:
+
+- **DDL preservation** — the reference TRUNCATEs, so the serving
+  database keeps its PKs, CHECKs, and the 7 B-tree indexes its dashboard
+  relies on (``db/schema.sql:159-180``). Spark's bare overwrite DROPs
+  and re-creates the table from the DataFrame schema, silently stripping
+  them; ``truncate=True`` (the default here) sets Spark's JDBC
+  ``truncate`` option so the target's DDL survives every publish.
+- **Atomicity** — the reference loads all tables in ONE transaction
+  (``engine.begin()``, scripts:363-364): a reader never sees a
+  half-refreshed warehouse. ``write_snapshot_atomic`` (parquet:
+  stage directory + swap) and ``publish_snapshot_jdbc_atomic``
+  (JDBC: ``__stage`` tables + one rename transaction) restore that.
+
 Scale notes: rollup tables are partitioned by their leading dimension key
 where the cardinality warrants it; the big per-player fact is written with
 sensible file sizing left to AQE's coalesced shuffle output.
@@ -14,6 +29,7 @@ sensible file sizing left to AQE's coalesced shuffle output.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 
@@ -38,18 +54,60 @@ def write_snapshot(
         writer.parquet(os.path.join(warehouse_dir, name))
 
 
+def write_snapshot_atomic(
+    tables: dict[str, DataFrame],
+    warehouse_dir: str,
+    partition_keys: dict[str, list[str]] | None = None,
+) -> None:
+    """All-or-nothing parquet snapshot — the one-transaction load of the
+    reference (``scripts/etl_snapshot_topn.py:363-364``) as a
+    stage-and-swap: every table is written under
+    ``<warehouse_dir>__staging`` first, and only after ALL writes
+    succeed is the staging directory swapped into place (current →
+    ``__old``, staging → current, ``__old`` removed). A failure while
+    staging table k leaves the serving directory byte-for-byte the
+    complete OLD snapshot; a reader resolving paths under
+    ``warehouse_dir`` sees either the full old set or the full new one.
+
+    The swap is two directory renames — atomic individually on POSIX /
+    HDFS-like filesystems, with only the instant between them exposed
+    (a missing dir, never a mixed one). On object stores without
+    atomic rename, point readers through a catalog/manifest instead
+    and publish by updating the pointer."""
+    base = warehouse_dir.rstrip("/")
+    staging, old = base + "__staging", base + "__old"
+    shutil.rmtree(staging, ignore_errors=True)  # leftover from a crash
+    shutil.rmtree(old, ignore_errors=True)
+    write_snapshot(tables, staging, partition_keys)
+    if os.path.exists(base):
+        os.rename(base, old)
+    os.rename(staging, base)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def write_snapshot_jdbc(
     tables: dict[str, DataFrame],
     url: str,
     properties: dict[str, str] | None = None,
     batchsize: int = 10_000,
+    truncate: bool = True,
 ) -> None:
     """Optional JDBC sink mirroring the reference's Postgres load (A5).
 
-    ``mode("overwrite")`` ≡ TRUNCATE + INSERT; batched like the
-    reference's executemany batches.
-    """
-    props = {"batchsize": str(batchsize), **(properties or {})}
+    ``truncate=True`` (default) makes ``mode("overwrite")`` ≡ the
+    reference's TRUNCATE + INSERT (``scripts/etl_snapshot_topn.py:
+    162-182``): Spark issues TRUNCATE TABLE and reuses the existing
+    table, so the serving database's primary keys, constraints, and
+    B-tree indexes (``db/schema.sql:159-180``) survive the publish.
+    With ``truncate=False`` Spark DROPs and re-creates the table from
+    the DataFrame schema — use only when the target's DDL should be
+    replaced (e.g. staging tables). Batched like the reference's
+    executemany batches."""
+    props = {
+        "batchsize": str(batchsize),
+        "truncate": "true" if truncate else "false",
+        **(properties or {}),
+    }
     for name, df in tables.items():
         df.write.mode("overwrite").options(**props).jdbc(url, name)
 
@@ -62,20 +120,27 @@ def publish_snapshot_jdbc(
     source_properties: dict[str, str] | None = None,
     target_properties: dict[str, str] | None = None,
     batchsize: int = 10_000,
+    truncate: bool = True,
 ) -> dict[str, int]:
     """A7: publish the local snapshot to a second database — the
     engine-side equivalent of the reference's ``make publish``
     (``Makefile:89-94``: ``pg_dump`` the snapshot tables locally,
     pipe into ``psql $CLOUD_URL``). Spark replaces the dump/restore
     pipe with a read → overwrite write per table: rows stream through
-    executors (never the driver) and overwrite on the target ≡ the
-    dump's DROP+CREATE+COPY. By default the source read is ONE JDBC
+    executors (never the driver); ``truncate=True`` keeps the target's
+    DDL (see :func:`write_snapshot_jdbc` — the dump's DROP+CREATE+COPY
+    is ``truncate=False``). By default the source read is ONE JDBC
     connection per table (the same single-pipe shape as pg_dump, with
     the write side still batched); to parallelize the read across
     executors, pass Spark's JDBC partitioning options through
     ``source_properties`` (``partitionColumn``/``lowerBound``/
     ``upperBound``/``numPartitions``, plus ``fetchsize``) — snapshot
     tables with an integer leading key take this directly.
+
+    Raises ``ValueError`` if source and target URLs are equal: the
+    JDBC read is lazy, so the overwrite would truncate/drop the
+    target before the source frame materializes — destroying the very
+    rows being published and "succeeding" with 0 rows.
 
     Returns {table: row_count} counted from the TARGET after each
     write — the accounting reflects what was actually published, and
@@ -84,7 +149,13 @@ def publish_snapshot_jdbc(
     concurrent source mutation). Tables are published one by one; a
     mid-list failure leaves earlier tables fully replaced and later
     ones untouched (the reference's shell pipe had the same per-dump
-    granularity)."""
+    granularity) — for all-or-nothing serving, use
+    :func:`publish_snapshot_jdbc_atomic`."""
+    if source_url == target_url:
+        raise ValueError(
+            "source_url == target_url: the lazy JDBC read would be "
+            "truncated by its own overwrite before materializing"
+        )
     sprops = dict(source_properties or {})
     tprops = dict(target_properties or {})
     counts: dict[str, int] = {}
@@ -97,8 +168,9 @@ def publish_snapshot_jdbc(
         write_snapshot_jdbc(
             {name: df},
             target_url,
-            properties=target_properties,
+            properties=tprops,
             batchsize=batchsize,
+            truncate=truncate,
         )
         counts[name] = (
             spark.read.format("jdbc")
@@ -116,12 +188,13 @@ def publish_warehouse_jdbc(
     tables: list[str],
     target_properties: dict[str, str] | None = None,
     batchsize: int = 10_000,
+    truncate: bool = True,
 ) -> dict[str, int]:
     """Publish parquet warehouse tables (``write_snapshot`` output) to
     a serving database — the publish shape when the local snapshot
     store is the lake, not a database; the parquet read parallelizes
     over file splits with no extra options. Same overwrite semantics
-    and target-counted row accounting as
+    (DDL-preserving by default) and target-counted row accounting as
     :func:`publish_snapshot_jdbc`."""
     tprops = dict(target_properties or {})
     counts: dict[str, int] = {}
@@ -130,9 +203,145 @@ def publish_warehouse_jdbc(
         write_snapshot_jdbc(
             {name: df},
             target_url,
-            properties=target_properties,
+            properties=tprops,
             batchsize=batchsize,
+            truncate=truncate,
         )
+        counts[name] = (
+            spark.read.format("jdbc")
+            .options(url=target_url, dbtable=name, **tprops)
+            .load()
+            .count()
+        )
+    return counts
+
+
+_STAGE_SUFFIX = "__stage"
+_OLD_SUFFIX = "__old"
+
+
+def _jdbc_connect(spark, url: str, properties: dict[str, str]):
+    """A driver-side JVM JDBC connection (java.sql) for the DDL the
+    DataFrame writer cannot express (rename transactions). Model-free
+    metadata work only — never row data."""
+    jvm = spark._jvm
+    jprops = jvm.java.util.Properties()
+    for k, v in properties.items():
+        if k != "driver":
+            jprops.setProperty(k, v)
+    if "driver" in properties:
+        # make sure the driver class is registered with DriverManager
+        jvm.java.lang.Class.forName(properties["driver"])
+    return jvm.java.sql.DriverManager.getConnection(url, jprops)
+
+
+def _table_exists(conn, name: str) -> bool:
+    """True if ``name`` exists (unquoted-identifier casing: checks the
+    name as-given plus upper/lower — Derby/Postgres fold differently)."""
+    meta = conn.getMetaData()
+    for candidate in {name, name.upper(), name.lower()}:
+        rs = meta.getTables(None, None, candidate, None)
+        try:
+            if rs.next():
+                return True
+        finally:
+            rs.close()
+    return False
+
+
+def publish_snapshot_jdbc_atomic(
+    spark,
+    source_url: str,
+    target_url: str,
+    tables: list[str],
+    source_properties: dict[str, str] | None = None,
+    target_properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+    rename_fmt: str = "RENAME TABLE {src} TO {dst}",
+) -> dict[str, int]:
+    """All-or-nothing JDBC publish — the reference's one-transaction
+    load (``engine.begin()``, ``scripts/etl_snapshot_topn.py:363-364``)
+    re-expressed as stage-and-swap, since Spark's JDBC writer commits
+    per table:
+
+    1. every table is written to ``<name>__stage`` (DROP+CREATE —
+       staging tables carry no DDL worth preserving);
+    2. ONE driver-side transaction renames ``<name>`` → ``<name>__old``
+       and ``<name>__stage`` → ``<name>`` for ALL tables, then commits;
+    3. the ``__old`` tables are dropped outside the transaction.
+
+    A failure while staging table k (step 1) leaves the serving tables
+    untouched; a failure inside the rename transaction (step 2) rolls
+    the whole swap back — a reader never sees a mixed snapshot. The
+    rename DDL is dialect-specific: the default fits Derby/MySQL;
+    Postgres callers pass ``rename_fmt="ALTER TABLE {src} RENAME TO
+    {dst}"``. (Postgres and Derby both run DDL transactionally, so the
+    swap really is atomic there; on engines with auto-committing DDL
+    the window shrinks to the rename statements themselves.)
+
+    Same lazy-read hazard as :func:`publish_snapshot_jdbc`: raises on
+    ``source_url == target_url``. Returns {table: row_count} counted
+    from the TARGET after the swap."""
+    if source_url == target_url:
+        raise ValueError(
+            "source_url == target_url: the lazy JDBC read would be "
+            "clobbered by its own staging overwrite"
+        )
+    sprops = dict(source_properties or {})
+    tprops = dict(target_properties or {})
+
+    # 1. stage: serving tables untouched until every write succeeded
+    for name in tables:
+        df = (
+            spark.read.format("jdbc")
+            .options(url=source_url, dbtable=name, **sprops)
+            .load()
+        )
+        write_snapshot_jdbc(
+            {name + _STAGE_SUFFIX: df},
+            target_url,
+            properties=tprops,
+            batchsize=batchsize,
+            truncate=False,
+        )
+
+    # 2. one transaction swaps every table; 3. drop the old generation
+    conn = _jdbc_connect(spark, target_url, tprops)
+    try:
+        stmt = conn.createStatement()
+        try:
+            # clear leftovers from a crashed previous swap, pre-transaction
+            for name in tables:
+                if _table_exists(conn, name + _OLD_SUFFIX):
+                    stmt.executeUpdate(f"DROP TABLE {name}{_OLD_SUFFIX}")
+            conn.setAutoCommit(False)
+            try:
+                for name in tables:
+                    if _table_exists(conn, name):
+                        stmt.executeUpdate(
+                            rename_fmt.format(
+                                src=name, dst=name + _OLD_SUFFIX
+                            )
+                        )
+                    stmt.executeUpdate(
+                        rename_fmt.format(src=name + _STAGE_SUFFIX, dst=name)
+                    )
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                conn.setAutoCommit(True)
+            for name in tables:
+                if _table_exists(conn, name + _OLD_SUFFIX):
+                    stmt.executeUpdate(f"DROP TABLE {name}{_OLD_SUFFIX}")
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+    counts: dict[str, int] = {}
+    for name in tables:
         counts[name] = (
             spark.read.format("jdbc")
             .options(url=target_url, dbtable=name, **tprops)
