@@ -75,6 +75,10 @@ def main() -> None:
     qs["dedup_exact_summary"] = llm_queries.dedup_exact_summary
     # r9: docs_term_quality ceded its registry slot to docs_winnow_overlap
     qs["docs_term_quality"] = llm_queries.docs_term_quality
+    # r10: text_winnow_fingerprints / events_rolling_sum ceded their
+    # slots to dedup_minhash_incremental / dedup_component_keepers
+    qs["text_winnow_fingerprints"] = llm_queries.text_winnow_fingerprints
+    qs["events_rolling_sum"] = testdata_queries.events_rolling_sum
     # embedding_pq_adc is a CORRECTNESS row (full-probe/full-rerank ≡
     # brute force); its timed code path is embedding_pq_topk's, already
     # benched median-of-3 — excluded so the bench total stays

@@ -153,8 +153,11 @@ def test_pluggable_zstd_codec(spark):
 def test_autowired_zstd_roundtrip(spark):
     """When a zstd binding IS importable, real zstd frames decode by
     default (r8 verdict item 6) — no codecs hook needed — and the
-    output stays bounded at max_bytes like every other codec path."""
-    import zstandard  # the binding _load_zstd_codec found first
+    output stays bounded at max_bytes like every other codec path.
+    importorskip (not a bare import): in a pyzstd-only environment the
+    skipif gate passes but ``zstandard`` still isn't importable — the
+    test should skip, not error (r9 advisor finding)."""
+    zstandard = pytest.importorskip("zstandard")
 
     body = b"zstd native frame " * 50
     frame = zstandard.ZstdCompressor().compress(body)
@@ -168,3 +171,77 @@ def test_autowired_zstd_roundtrip(spark):
         for r in cz.decompress_text(df, max_bytes=10).collect()
     }
     assert capped[1] == body.decode()[:10]
+
+
+def test_autowired_dispatch_with_fake_binding(monkeypatch):
+    """The auto-wired zstd dispatch in _decompress_one (sniff the zstd
+    magic → call _ZSTD_DECODE → truncate at max_bytes) exercised
+    WITHOUT a real binding, by monkeypatching the module decoder.
+    Driver-side on purpose: executor Python workers re-import the
+    module, so a monkeypatched global can never reach a Spark job —
+    this pins the exact code path the auto-wire lands on (r9 advisor
+    finding: the whole path shipped untested in binding-less
+    containers)."""
+    body = b"pretend this was zstd-compressed content " * 5
+    calls = []
+
+    def fake_decode(p, max_bytes):
+        calls.append((bytes(p[:4]), max_bytes))
+        return body[:max_bytes]
+
+    monkeypatch.setattr(cz, "_ZSTD_DECODE", fake_decode)
+    frame = b"\x28\xb5\x2f\xfd" + b"opaque-zstd-payload"
+    out = cz._decompress_one(frame, max_bytes=1 << 20)
+    assert out == body
+    assert calls and calls[0][0] == b"\x28\xb5\x2f\xfd"
+    # bounded output: the dispatch truncates even an over-long decode
+    assert cz._decompress_one(frame, max_bytes=10) == body[:10]
+
+    # and with the decoder absent, zstd payloads NULL (the documented
+    # no-binding default), never crash
+    monkeypatch.setattr(cz, "_ZSTD_DECODE", None)
+    assert cz._decompress_one(frame, max_bytes=1 << 20) is None
+
+
+def test_load_zstd_codec_pyzstd_branch(monkeypatch):
+    """The pyzstd fallback branch of _load_zstd_codec, covered with a
+    fake module (neither binding ships in this container): zstandard's
+    import must fail, pyzstd's decompressor must be picked up, and the
+    returned decoder must pass max_bytes through as pyzstd's bounded
+    max_length argument."""
+    import sys
+    import types
+
+    class _FakeDecompressor:
+        def decompress(self, p, max_length):
+            return (b"decoded:" + bytes(p))[:max_length]
+
+    fake = types.ModuleType("pyzstd")
+    fake.ZstdDecompressor = _FakeDecompressor
+    # a None sys.modules entry makes `import zstandard` raise ImportError
+    monkeypatch.setitem(sys.modules, "zstandard", None)
+    monkeypatch.setitem(sys.modules, "pyzstd", fake)
+    decode = cz._load_zstd_codec()
+    assert decode is not None
+    assert decode(b"xyz", 6) == b"decode"
+    assert decode(b"xyz", 100) == b"decoded:xyz"
+
+
+def test_load_zstd_codec_zstandard_branch(monkeypatch):
+    """The preferred zstandard branch, same fake-module treatment: the
+    returned decoder must stream-read at most max_bytes."""
+    import io
+    import sys
+    import types
+
+    class _FakeStreamDecompressor:
+        def stream_reader(self, buf):
+            return io.BytesIO(b"streamed:" + buf.read())
+
+    fake = types.ModuleType("zstandard")
+    fake.ZstdDecompressor = _FakeStreamDecompressor
+    monkeypatch.setitem(sys.modules, "zstandard", fake)
+    decode = cz._load_zstd_codec()
+    assert decode is not None
+    assert decode(b"abc", 8) == b"streamed"
+    assert decode(b"abc", 100) == b"streamed:abc"

@@ -109,6 +109,19 @@ CASES = {
         llm_queries.docs_term_quality,
         llm_queries.DOCS_TERM_QUALITY_SQL,
     ),
+    # rotated out r10 for dedup_minhash_incremental (the winnowing
+    # selection rule is restated verbatim inside the registered
+    # docs_winnow_overlap oracle)
+    "text_winnow_fingerprints": (
+        llm_queries.text_winnow_fingerprints,
+        llm_queries.TEXT_WINNOW_FINGERPRINTS_SQL,
+    ),
+    # rotated out r10 for dedup_component_keepers (windowed-aggregate
+    # shape stays driver-covered by events_sessionize)
+    "events_rolling_sum": (
+        testdata_queries.events_rolling_sum,
+        testdata_queries.EVENTS_ROLLING_SUM_SQL,
+    ),
 }
 
 

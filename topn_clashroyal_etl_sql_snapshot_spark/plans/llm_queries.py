@@ -286,9 +286,13 @@ def text_quality_by_source(spark, sf_dir):
     return quality.join(rep, "source").orderBy("source")
 
 
-@register(
-    "text_winnow_fingerprints",
-    f"""
+# Rotated out of the driver registry in r10 to free a slot for the
+# dedup_minhash_incremental row: the winnowing selection rule (trigram
+# md5 + window-min) is restated verbatim inside the REGISTERED
+# docs_winnow_overlap oracle's g/w/sel CTEs, so the scheme stays
+# driver-pinned; this per-document accounting keeps its identical SQL
+# bar in tests/test_rotated_rows.py. Still timed in the bench.
+TEXT_WINNOW_FINGERPRINTS_SQL = f"""
     WITH base AS (
       SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
     ),
@@ -312,8 +316,9 @@ def text_quality_by_source(spark, sf_dir):
     FROM w
     GROUP BY doc_id
     ORDER BY doc_id
-    """,
-)
+    """
+
+
 def text_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) rolling-hash document fingerprints: trigram
     md5s, window-4 lexicographic minima — guarantees a shared
@@ -949,6 +954,117 @@ def dedup_components(spark, sf_dir):
             F.col("comp").alias("component"),
             (F.col("id") == F.col("comp")).alias("keep"),
         ).orderBy("doc_id")
+    )
+
+
+# The incremental oracle IS the exact-Jaccard relation restricted to
+# pairs touching the "daily batch" (every 10th doc_id) and oriented
+# new-doc-first — the batch-vs-index split as a WHERE clause over the
+# dedup family's shared oracle.
+_INCR_PAIRS_SQL = f"""
+    SELECT CASE WHEN id1 % 10 = 0 THEN id1 ELSE id2 END AS id1,
+           CASE WHEN id1 % 10 = 0 THEN id2 ELSE id1 END AS id2,
+           jaccard
+    FROM ({_JACCARD_PAIRS_SQL}) p
+    WHERE id1 % 10 = 0 OR id2 % 10 = 0
+    ORDER BY 1, 2
+    """
+
+
+@register("dedup_minhash_incremental", _INCR_PAIRS_SQL)
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup detection (registered r10, r9 verdict item
+    4): every 10th document plays the daily batch, the rest the
+    persisted signature index. ``minhash_lsh_incremental`` generates
+    candidates touching only the batch's texts and the index's
+    (band, bucket) keys (est threshold 0 — LSH recall only), then the
+    candidates are post-verified with TRUE Jaccard on the shared
+    postings, so the result is exactly the new-doc-involving subset of
+    the dedup family's exact oracle, oriented (new, old) — full recall
+    for the same reason as dedup_minhash_lsh (miss probability
+    (1-j⁴)³² ≤ 1.5e-15 at the corpus's measured min j)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    index = dedup.minhash_signatures(index_docs)
+    cands, _ = dedup.minhash_lsh_incremental(batch, index, threshold=0.0)
+    postings = dedup.hashed_postings(docs, toks=_toks_cached(spark, sf_dir))
+    return dedup.true_jaccard_for_pairs(
+        cands.select("id1", "id2"), postings, threshold=0.5
+    ).orderBy("id1", "id2")
+
+
+_KEEPERS_SQL = f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM base, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+      WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5
+    ),
+    und AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM und),
+    comp AS (
+      SELECT n.id AS doc_id, LEAST(n.id, MIN(r.b)) AS component
+      FROM nodes n JOIN reach r ON r.a = n.id
+      GROUP BY n.id
+    ),
+    q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base)
+    SELECT c.doc_id, c.component, q.n_tokens,
+           c.doc_id = FIRST_VALUE(c.doc_id) OVER (
+               PARTITION BY c.component
+               ORDER BY q.n_tokens DESC, c.doc_id
+           ) AS keep
+    FROM comp c JOIN q USING (doc_id)
+    ORDER BY c.doc_id
+    """
+
+
+@register("dedup_component_keepers", _KEEPERS_SQL)
+def dedup_component_keepers(spark, sf_dir):
+    """Quality-aware canonical selection per near-dup component
+    (registered r10, r9 verdict item 4): over the same exact-pair
+    components as dedup_components, keep the member with the most
+    tokens (the keep-the-longest policy real curation pipelines use
+    when no classifier score is wired), ties to the lower doc_id.
+    Spark side is ``component_keepers``' one max_by aggregation + one
+    comp-keyed join — no window sort; the oracle re-derives the
+    identical decision with a window over the recursive-CTE
+    components."""
+    labels = dedup.connected_components(_jaccard_pairs_cached(spark, sf_dir))
+    toks = _toks_cached(spark, sf_dir)
+    scores = toks.select("id", F.size("toks").cast("long").alias("score"))
+    out = dedup.component_keepers(labels, scores)
+    return (
+        out.join(scores, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("component"),
+            F.col("score").alias("n_tokens"),
+            "keep",
+        )
+        .orderBy("doc_id")
     )
 
 
