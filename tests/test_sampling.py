@@ -736,3 +736,54 @@ def test_mixture_resample_matches_duckdb_oracle(spark):
     """
     oracle = [(r[0], r[1]) for r in con.execute(sql).fetchall()]
     assert got == oracle
+
+
+def test_split_by_component_is_leakage_safe_and_twin_exact(spark):
+    """Every member of a near-dup component must land in the SAME
+    split (the leakage guarantee a per-doc hash split cannot give);
+    singletons absent from the labels frame bucket on their own id —
+    identical to carrying their singleton component label. The
+    assignment is re-derived end-to-end with the pure-Python xxh64
+    twin (bucket of coalesce(comp, doc_id) → cumulative-threshold
+    label) and must match exactly."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import dedup
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (
+        _cumulative_thresholds,
+        split_by_component,
+    )
+
+    # components: {1,2,3} (chain), {10,11}; 20/21/22 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    labels = dedup.connected_components(pairs)
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 20, 21, 22)],
+        "doc_id long, text string",
+    )
+    weights = {"train": 0.6, "val": 0.2, "test": 0.2}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_by_component(docs, labels, weights).collect()
+    }
+
+    # leakage guarantee: components agree internally
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11]
+
+    # twin: comp label (min id) for paired docs, own id for singletons
+    comp_of = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 21, 22: 22}
+    thresholds = _cumulative_thresholds(weights, DEFAULT_BUCKETS)
+
+    def twin_split(key: int) -> str:
+        b = spark_xxhash64([("long", 42), ("long", key)]) % DEFAULT_BUCKETS
+        for name, t in thresholds:
+            if b < t:
+                return name
+        raise AssertionError("unreachable")
+
+    assert got == {d: twin_split(c) for d, c in comp_of.items()}
+
+    # and the schema carries the original doc columns plus split
+    out = split_by_component(docs, labels, weights)
+    assert set(out.columns) == {"doc_id", "text", "split"}

@@ -645,14 +645,22 @@ def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     ).select("id", "bb.band", "bb.bucket")
 
 
-def _cold_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
-    """(band, bucket) keys whose population is ≤ ``max_bucket`` — the
+def _hot_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """(band, bucket) keys whose population EXCEEDS ``max_bucket`` — the
     shared hot-bucket guard of the LSH candidate joins (the signature-
-    space twin of ``simhash_candidate_pairs``' cap)."""
+    space twin of ``simhash_candidate_pairs``' cap). Anti-joining this
+    HOT set beats semi-joining its cold complement: hot keys number at
+    most ``rows/max_bucket`` (each holds > max_bucket rows), so the
+    anti-join's build side is model-sized and AQE turns it into a
+    broadcast at runtime — two fewer O(bands·n) exchanges than the
+    cold-side semi-join (A/B'd r10: cost-neutral at sf0.1, strictly
+    fewer shuffled rows at scale). No explicit broadcast hint: in the
+    pathological all-hot corpus the set degrades gracefully to a
+    shuffled join instead of OOMing the driver."""
     return (
         banded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket)
+        .filter(F.col("_n") > max_bucket)
         .select("band", "bucket")
     )
 
@@ -696,7 +704,7 @@ def lsh_candidate_pairs(
         # materialize-once trade as simhash_candidate_pairs' pieces
         banded = banded.localCheckpoint(eager=False)
         banded = banded.join(
-            _cold_buckets(banded, max_bucket), ["band", "bucket"], "left_semi"
+            _hot_buckets(banded, max_bucket), ["band", "bucket"], "left_anti"
         )
     a = banded.select(F.col("id").alias("id1"), "band", "bucket")
     b = banded.select(F.col("id").alias("id2"), "band", "bucket")
@@ -921,11 +929,11 @@ def minhash_lsh_incremental(
     if max_bucket is not None:
         banded_new = banded_new.localCheckpoint(eager=False)
         banded_idx = banded_idx.localCheckpoint(eager=False)
-        cold = _cold_buckets(
+        hot = _hot_buckets(
             banded_new.unionAll(banded_idx), max_bucket
         ).localCheckpoint(eager=False)
-        banded_new = banded_new.join(cold, ["band", "bucket"], "left_semi")
-        banded_idx = banded_idx.join(cold, ["band", "bucket"], "left_semi")
+        banded_new = banded_new.join(hot, ["band", "bucket"], "left_anti")
+        banded_idx = banded_idx.join(hot, ["band", "bucket"], "left_anti")
     # batch vs index: keyed equi-join on (band, bucket) — the index
     # side streams; only bucket-colliding index rows survive the join
     new_a = banded_new.select(F.col("id").alias("id1"), "band", "bucket")
@@ -1125,13 +1133,17 @@ def simhash_candidate_pairs(
     # chunks·N compact int rows once is the same trade hashed_postings
     # makes (r9, A/B'd: entry m3 4.93 → 3.27 s, results identical).
     if max_bucket is not None:
-        cold = (
+        # anti-join the HOT keys (≤ rows/max_bucket of them — AQE
+        # broadcasts at runtime) instead of semi-joining the huge cold
+        # complement: two fewer O(chunks·n) exchanges; same rationale
+        # as _hot_buckets on the MinHash-LSH side (r10).
+        hot = (
             pieces.groupBy("chunk", "val")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
+            .filter(F.col("_n") > max_bucket)
             .select("chunk", "val")
         )
-        pieces = pieces.join(cold, ["chunk", "val"], "left_semi")
+        pieces = pieces.join(hot, ["chunk", "val"], "left_anti")
     a = pieces.select(F.col("id").alias("id1"), F.col("sh64").alias("h1"), "chunk", "val")
     b = pieces.select(F.col("id").alias("id2"), F.col("sh64").alias("h2"), "chunk", "val")
     return (

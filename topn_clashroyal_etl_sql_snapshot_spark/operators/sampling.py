@@ -99,6 +99,52 @@ def with_split(
     return df.withColumn(split_col, expr)
 
 
+def split_by_component(
+    docs: DataFrame,
+    labels: DataFrame,
+    weights: Mapping[str, float] | None = None,
+    id_col: str = "doc_id",
+    label_id_col: str = "id",
+    comp_col: str = "comp",
+    seed: int = 42,
+    buckets: int = DEFAULT_BUCKETS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe deterministic splits: bucket on the near-dup
+    COMPONENT label instead of the document key, so every member of a
+    duplicate cluster lands in the SAME split. A plain per-document
+    hash split puts ~(1 - Σwᵢ²) of each near-dup cluster's pairs
+    across split boundaries — train/val leakage that inflates eval
+    exactly on the most duplicated (hence most memorizable) content;
+    splitting on the component key eliminates it by construction
+    while keeping :func:`with_split`'s replay-determinism (same
+    (weights, seed) → same assignment, before or after corpus
+    growth, as long as component labels are stable — which
+    ``connected_components``' min-id labels are under appends that
+    don't bridge clusters).
+
+    ``labels`` is a ``connected_components`` result ((id, comp) —
+    only documents that belong to some pair appear); documents absent
+    from it are singletons and bucket on their own id, which equals
+    the component label they would have carried. The labels frame is
+    pair-bounded (duplicate docs only), so the join's build side is
+    small relative to the corpus and AQE broadcasts it — the corpus
+    never shuffles.
+
+    Compose AFTER dedup when training drops duplicates anyway (the
+    keeper inherits the component's split); compose INSTEAD of dedup
+    when duplicates are deliberately retained (upsampling) and must
+    still stay on one side of the eval fence."""
+    lab = labels.select(
+        F.col(label_id_col).alias(id_col), F.col(comp_col).alias("_comp")
+    )
+    joined = docs.join(lab, id_col, "left")
+    key = F.coalesce(F.col("_comp"), F.col(id_col))
+    return with_split(joined, key, weights, seed, buckets, split_col).drop(
+        "_comp"
+    )
+
+
 def hash_sample(
     df: DataFrame,
     key: str | Column,
