@@ -58,7 +58,7 @@ from topn_clashroyal_etl_sql_snapshot_spark.operators.profile import (  # noqa: 
 from topn_clashroyal_etl_sql_snapshot_spark.operators.sampling import (  # noqa: E402
     hash_sample,
     per_group_cap,
-    with_split,
+    split_by_component,
 )
 from topn_clashroyal_etl_sql_snapshot_spark.operators.textstats import (  # noqa: E402
     lang_id_table,
@@ -154,9 +154,16 @@ def curate(spark, sf_dir: str, budget: int = 2048):
     n_dsir = flagged.count()
     print(f"5_dsir_select    {n_dsir}")
 
-    # Deterministic split + per-source cap + packing.
+    # Deterministic split + per-source cap + packing. The split keys on
+    # the near-dup COMPONENT label (split_by_component), not the doc
+    # id: the kept representative inherits its cluster's split, so if a
+    # later run's gates pick a DIFFERENT member of the same cluster as
+    # keeper, it still lands on the same side of the eval fence —
+    # replay-stable and leakage-safe across gate-threshold changes.
     kept = docs.join(flagged.select("doc_id"), "doc_id", "left_semi")
-    kept = with_split(kept, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    kept = split_by_component(
+        kept, comp, {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
     kept = per_group_cap(
         kept, ["split", "source"], [F.desc("n_chars"), F.asc("doc_id")], k=50
     )
