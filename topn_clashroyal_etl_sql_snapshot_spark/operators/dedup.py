@@ -878,6 +878,8 @@ def minhash_lsh_incremental(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
+    new_postings: DataFrame | None = None,
+    estimate: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection: a NEW batch against a PERSISTED
     signature index — the daily-ingest shape. Re-deduping a 100 TB
@@ -916,50 +918,62 @@ def minhash_lsh_incremental(
     key is dropped before the join (recall contract and the
     exact-dedup-first composition: see :func:`lsh_candidate_pairs`).
 
+    ``new_postings`` (a :func:`hashed_postings` frame for the batch)
+    signs the batch from an ALREADY-SHINGLED scan instead of
+    re-tokenizing ``new_docs`` — pass it when the caller also
+    verifies with true Jaccard, so the whole incremental plan shares
+    ONE tokenize; the index must then have been signed from hashed
+    postings too (caller contract, same (n, k) rule as above).
+    ``estimate=False`` skips the signature-agreement joins and
+    returns bare (id1, id2) candidates — the right shape when a
+    :func:`true_jaccard_for_pairs` post-verification follows anyway
+    (mirroring :func:`minhash_lsh_verified_pairs`, which never
+    estimates); ``threshold`` is ignored in that mode.
+
     Feed ``pairs`` to :func:`connected_components` /
     :func:`component_keepers` (new docs duplicating an index doc
     normally DROP — the index member is the canonical; within-batch
     components pick a keeper as usual)."""
-    sigs_new = minhash_signatures(
-        new_docs, text_col, id_col, n, k
+    sigs_new = (
+        minhash_signatures(k=k, postings=new_postings)
+        if new_postings is not None
+        else minhash_signatures(new_docs, text_col, id_col, n, k)
     ).localCheckpoint(eager=False)
 
-    banded_new = _banded(sigs_new, bands, rows_per_band)
-    banded_idx = _banded(index_sigs, bands, rows_per_band)
+    banded_new = _banded(sigs_new, bands, rows_per_band).localCheckpoint(
+        eager=False
+    )
+    banded_idx = _banded(index_sigs, bands, rows_per_band).localCheckpoint(
+        eager=False
+    )
+    # ONE join covers both candidate classes (r10 rework — the earlier
+    # two-join form shuffled the batch banding twice and ran two
+    # distincts): the right side is index ∪ batch with an _idx flag;
+    # batch-vs-index pairs keep every orientation (namespaces are
+    # disjoint by contract), within-batch pairs keep id1 < id2.
+    right = (
+        banded_idx.withColumn("_idx", F.lit(True))
+        .unionAll(banded_new.withColumn("_idx", F.lit(False)))
+        .withColumnRenamed("id", "id2")
+    )
     if max_bucket is not None:
-        banded_new = banded_new.localCheckpoint(eager=False)
-        banded_idx = banded_idx.localCheckpoint(eager=False)
         hot = _hot_buckets(
-            banded_new.unionAll(banded_idx), max_bucket
+            right.select(F.col("id2").alias("id"), "band", "bucket"),
+            max_bucket,
         ).localCheckpoint(eager=False)
         banded_new = banded_new.join(hot, ["band", "bucket"], "left_anti")
-        banded_idx = banded_idx.join(hot, ["band", "bucket"], "left_anti")
-    # batch vs index: keyed equi-join on (band, bucket) — the index
-    # side streams; only bucket-colliding index rows survive the join
-    new_a = banded_new.select(F.col("id").alias("id1"), "band", "bucket")
-    cross = (
-        new_a.join(
-            banded_idx.select(F.col("id").alias("id2"), "band", "bucket"),
-            ["band", "bucket"],
-        )
+        right = right.join(hot, ["band", "bucket"], "left_anti")
+    cands = (
+        banded_new.withColumnRenamed("id", "id1")
+        .join(right, ["band", "bucket"])
+        .filter(F.col("_idx") | (F.col("id1") < F.col("id2")))
         .select("id1", "id2")
         .distinct()
     )
-    # within-batch: self-join the SAME banded frame (an earlier form
-    # called lsh_candidate_pairs, which re-derived the batch banding —
-    # the band-hash work paid twice; r9 review finding)
-    within = (
-        new_a.join(
-            banded_new.select(F.col("id").alias("id2"), "band", "bucket"),
-            ["band", "bucket"],
-        )
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
-    )
-    cands = cross.unionAll(within)
 
     all_sigs = index_sigs.unionAll(sigs_new)
+    if not estimate:
+        return cands, all_sigs
     s1 = sigs_new.withColumnsRenamed({"id": "id1", "sig": "sig1"})
     s2 = all_sigs.withColumnsRenamed({"id": "id2", "sig": "sig2"})
     est = F.size(

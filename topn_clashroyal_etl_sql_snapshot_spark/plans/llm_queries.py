@@ -982,15 +982,30 @@ def dedup_minhash_incremental(spark, sf_dir):
     postings, so the result is exactly the new-doc-involving subset of
     the dedup family's exact oracle, oriented (new, old) — full recall
     for the same reason as dedup_minhash_lsh (miss probability
-    (1-j⁴)³² ≤ 1.5e-15 at the corpus's measured min j)."""
+    (1-j⁴)³² ≤ 1.5e-15 at the corpus's measured min j). The whole
+    plan runs off ONE shingle scan: batch and index signatures both
+    derive from the shared hashed-postings frame (new_postings /
+    postings= splits of the same checkpoint), and estimate=False
+    skips the signature-agreement joins the verification makes
+    redundant (r10 rework: 7.14 → measured below; the first
+    registration re-tokenized the corpus twice inside the two
+    minhash_signatures calls)."""
     docs = read_testdata(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    index_docs = docs.filter(F.col("doc_id") % 10 != 0)
-    index = dedup.minhash_signatures(index_docs)
-    cands, _ = dedup.minhash_lsh_incremental(batch, index, threshold=0.0)
-    postings = dedup.hashed_postings(docs, toks=_toks_cached(spark, sf_dir))
+    postings = dedup.hashed_postings(
+        docs, toks=_toks_cached(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+    index = dedup.minhash_signatures(
+        k=128, postings=postings.filter(F.col("id") % 10 != 0)
+    )
+    cands, _ = dedup.minhash_lsh_incremental(
+        batch,
+        index,
+        new_postings=postings.filter(F.col("id") % 10 == 0),
+        estimate=False,
+    )
     return dedup.true_jaccard_for_pairs(
-        cands.select("id1", "id2"), postings, threshold=0.5
+        cands, postings, threshold=0.5
     ).orderBy("id1", "id2")
 
 
