@@ -367,3 +367,62 @@ def test_write_snapshot_atomic_parquet_swap_and_failure(spark, tmp_path):
     ] == [("Cycle", 3, 1)]
     assert not os.path.exists(wh + "__staging")
     assert not os.path.exists(wh + "__old")
+
+
+def test_atomic_publish_rolls_back_mid_transaction(spark, tmp_path):
+    """Failure INSIDE the rename transaction (not just while staging):
+    Derby refuses to rename a table referenced by a view, so with a
+    view pinned on the SECOND table the first table's rename succeeds
+    and the second's throws — the rollback must restore the first
+    table too, leaving the serving set the complete old snapshot."""
+    import pytest
+
+    local = f"jdbc:derby:{tmp_path}/rlocal;create=true"
+    cloud = f"jdbc:derby:{tmp_path}/rcloud;create=true"
+    props = {"driver": DRIVER}
+
+    t1 = spark.createDataFrame(
+        [("Siege", 10, 4)], "deck_type string, uses long, wins long"
+    )
+    t2 = spark.createDataFrame([("p1", 3)], "player_tag string, battles long")
+    sink.write_snapshot_jdbc(
+        {"meta_deck_types": t1, "player_summary": t2}, local, properties=props
+    )
+    sink.publish_snapshot_jdbc_atomic(
+        spark, local, cloud, ["meta_deck_types", "player_summary"],
+        source_properties=props, target_properties=props,
+    )
+
+    # pin player_summary with a view → its rename will fail mid-txn
+    conn = sink._jdbc_connect(spark, cloud, props)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate(
+            'CREATE VIEW ps_view AS SELECT "player_tag" FROM player_summary'
+        )
+        st.close()
+    finally:
+        conn.close()
+
+    # change the source so a half-applied swap would be visible
+    sink.write_snapshot_jdbc(
+        {"meta_deck_types": spark.createDataFrame(
+            [("Cycle", 3, 1)], "deck_type string, uses long, wins long"
+        ), "player_summary": spark.createDataFrame(
+            [("p2", 9)], "player_tag string, battles long"
+        )},
+        local, properties=props,
+    )
+    with pytest.raises(Exception):
+        sink.publish_snapshot_jdbc_atomic(
+            spark, local, cloud, ["meta_deck_types", "player_summary"],
+            source_properties=props, target_properties=props,
+        )
+    # BOTH serving tables still hold the old snapshot — including
+    # meta_deck_types, whose rename had succeeded before the rollback
+    assert [tuple(r) for r in _read(spark, cloud, "meta_deck_types").collect()] == [
+        ("Siege", 10, 4)
+    ]
+    assert [tuple(r) for r in _read(spark, cloud, "player_summary").collect()] == [
+        ("p1", 3)
+    ]
