@@ -426,3 +426,42 @@ def test_atomic_publish_rolls_back_mid_transaction(spark, tmp_path):
     assert [tuple(r) for r in _read(spark, cloud, "player_summary").collect()] == [
         ("p1", 3)
     ]
+
+
+def test_atomic_warehouse_publish(spark, tmp_path):
+    """Parquet-lake → serving DB with the one-transaction swap: both
+    tables land, a staging failure (missing warehouse table) leaves
+    the full old snapshot serving."""
+    import pytest
+
+    wh = str(tmp_path / "awh")
+    cloud = f"jdbc:derby:{tmp_path}/awcloud;create=true"
+    props = {"driver": DRIVER}
+    sink.write_snapshot(
+        {
+            "meta_deck_types": spark.createDataFrame(
+                [("Siege", 10, 4)], "deck_type string, uses long, wins long"
+            ),
+            "player_summary": spark.createDataFrame(
+                [("p1", 3)], "player_tag string, battles long"
+            ),
+        },
+        wh,
+    )
+    counts = sink.publish_warehouse_jdbc_atomic(
+        spark, wh, cloud, ["meta_deck_types", "player_summary"],
+        target_properties=props,
+    )
+    assert counts == {"meta_deck_types": 1, "player_summary": 1}
+
+    with pytest.raises(Exception):
+        sink.publish_warehouse_jdbc_atomic(
+            spark, wh, cloud, ["meta_deck_types", "no_such_table"],
+            target_properties=props,
+        )
+    assert [tuple(r) for r in _read(spark, cloud, "meta_deck_types").collect()] == [
+        ("Siege", 10, 4)
+    ]
+    assert [tuple(r) for r in _read(spark, cloud, "player_summary").collect()] == [
+        ("p1", 3)
+    ]

@@ -3,6 +3,7 @@ from .snapshot import (
     publish_snapshot_jdbc,
     publish_snapshot_jdbc_atomic,
     publish_warehouse_jdbc,
+    publish_warehouse_jdbc_atomic,
     write_snapshot,
     write_snapshot_atomic,
     write_snapshot_jdbc,
@@ -13,6 +14,7 @@ __all__ = [
     "publish_snapshot_jdbc",
     "publish_snapshot_jdbc_atomic",
     "publish_warehouse_jdbc",
+    "publish_warehouse_jdbc_atomic",
     "write_snapshot",
     "write_snapshot_atomic",
     "write_snapshot_jdbc",

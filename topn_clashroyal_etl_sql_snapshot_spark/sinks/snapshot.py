@@ -305,7 +305,47 @@ def publish_snapshot_jdbc_atomic(
             truncate=False,
         )
 
-    # 2. one transaction swaps every table; 3. drop the old generation
+    return _swap_staged_tables(spark, target_url, tables, tprops, rename_fmt)
+
+
+def publish_warehouse_jdbc_atomic(
+    spark,
+    warehouse_dir: str,
+    target_url: str,
+    tables: list[str],
+    target_properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+    rename_fmt: str = "RENAME TABLE {src} TO {dst}",
+) -> dict[str, int]:
+    """All-or-nothing parquet-lake → serving-DB publish: the
+    :func:`publish_warehouse_jdbc` read shape with
+    :func:`publish_snapshot_jdbc_atomic`'s stage-and-swap guarantee
+    (same ``__stage`` tables, same single rename transaction, same
+    rollback semantics)."""
+    tprops = dict(target_properties or {})
+    for name in tables:
+        df = spark.read.parquet(os.path.join(warehouse_dir, name))
+        write_snapshot_jdbc(
+            {name + _STAGE_SUFFIX: df},
+            target_url,
+            properties=tprops,
+            batchsize=batchsize,
+            truncate=False,
+        )
+    return _swap_staged_tables(spark, target_url, tables, tprops, rename_fmt)
+
+
+def _swap_staged_tables(
+    spark,
+    target_url: str,
+    tables: list[str],
+    tprops: dict[str, str],
+    rename_fmt: str,
+) -> dict[str, int]:
+    """Steps 2-3 of the atomic publish: one transaction renames every
+    ``<name>`` → ``<name>__old`` and ``<name>__stage`` → ``<name>``,
+    commits, then drops the old generation; returns target-counted
+    rows per table."""
     conn = _jdbc_connect(spark, target_url, tprops)
     try:
         stmt = conn.createStatement()
