@@ -80,3 +80,49 @@ def test_read_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
         ['{"doc_id": 2, "text": "trunca', "not json at all"]
     )
     assert good.count() + bad.count() == 4
+
+
+def test_every_snapshot_table_is_read_table_readable():
+    """Regression (r10): the CLI validates by re-reading EVERY
+    SNAPSHOT_TABLES entry through read_table, which requires a
+    WAREHOUSE_SCHEMAS entry — player_battles was missing, so the
+    validate step of tools/run_snapshot.py crashed after a successful
+    write. Pin the containment so a future table addition can't
+    silently break the read-back path again."""
+    from topn_clashroyal_etl_sql_snapshot_spark.plans.pipeline import (
+        SNAPSHOT_TABLES,
+    )
+    from topn_clashroyal_etl_sql_snapshot_spark.sources.schemas import (
+        WAREHOUSE_SCHEMAS,
+    )
+
+    missing = set(SNAPSHOT_TABLES) - set(WAREHOUSE_SCHEMAS)
+    assert not missing, missing
+
+
+def test_snapshot_roundtrips_through_read_table(spark, tmp_path):
+    """Write a full snapshot (atomic path) and read every table back
+    via read_table with its declared schema — the CLI's validate-side
+    read, end-to-end."""
+    from topn_clashroyal_etl_sql_snapshot_spark.plans import pipeline
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import (
+        write_snapshot_atomic,
+    )
+    from topn_clashroyal_etl_sql_snapshot_spark.sources import readers
+
+    res = pipeline.build_snapshot(
+        spark,
+        battles=readers.read_battles_json(spark, "fixtures/battles.jsonl"),
+        leaderboard=readers.read_leaderboard_json(
+            spark, "fixtures/leaderboard.jsonl"
+        ),
+        catalog=readers.read_card_catalog(spark, "fixtures/card_catalog.json"),
+        overrides=readers.read_overrides(spark, "fixtures/overrides.parquet"),
+        top_n=8,
+    )
+    wh = str(tmp_path / "wh")
+    write_snapshot_atomic(res.tables, wh)
+    res.unpersist()
+    for name in pipeline.SNAPSHOT_TABLES:
+        back = readers.read_table(spark, wh, name)
+        assert back.count() > 0, name

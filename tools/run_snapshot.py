@@ -28,7 +28,10 @@ sys.path.insert(0, str(REPO))
 
 from topn_clashroyal_etl_sql_snapshot_spark.plans import pipeline, validate  # noqa: E402
 from topn_clashroyal_etl_sql_snapshot_spark.session import get_spark  # noqa: E402
-from topn_clashroyal_etl_sql_snapshot_spark.sinks import write_snapshot  # noqa: E402
+from topn_clashroyal_etl_sql_snapshot_spark.sinks import (  # noqa: E402
+    write_snapshot,
+    write_snapshot_atomic,
+)
 from topn_clashroyal_etl_sql_snapshot_spark.sources import readers  # noqa: E402
 
 
@@ -41,6 +44,12 @@ def main() -> int:
     ap.add_argument("--out", required=True, help="warehouse output dir")
     ap.add_argument("--top-n", type=int, default=20)
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument(
+        "--atomic",
+        action="store_true",
+        help="stage-and-swap publish: readers of --out never see a "
+        "half-refreshed snapshot (the reference's one-transaction load)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="snapshot-refresh")
@@ -67,7 +76,9 @@ def main() -> int:
         result.unpersist()
         return 0
 
-    write_snapshot(result.tables, args.out)
+    (write_snapshot_atomic if args.atomic else write_snapshot)(
+        result.tables, args.out
+    )
     result.unpersist()
     print(f"\n[ETL] Snapshot written to {args.out}")
 

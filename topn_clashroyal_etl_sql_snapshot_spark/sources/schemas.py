@@ -184,6 +184,18 @@ WAREHOUSE_SCHEMAS: dict[str, T.StructType] = {
         ]
     ),
     "deck_type_overrides": OVERRIDES_SCHEMA,
+    # engine-added per-battle boolean-grain fact (no reference DDL —
+    # it backs the repo's legacy pd.win SQL; plans/pipeline.py:410-422)
+    "player_battles": T.StructType(
+        [
+            T.StructField("match_hash", T.StringType(), False),
+            T.StructField("battle_time", T.StringType(), True),
+            T.StructField("side", T.IntegerType(), False),
+            T.StructField("player_tag", T.StringType(), False),
+            T.StructField("deck_hash", T.StringType(), False),
+            T.StructField("win", T.BooleanType(), False),
+        ]
+    ),
 }
 
 # Driver-generated TPC-H-ish synthetic tables (TESTDATA.md)
