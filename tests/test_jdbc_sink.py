@@ -465,3 +465,59 @@ def test_atomic_warehouse_publish(spark, tmp_path):
     assert [tuple(r) for r in _read(spark, cloud, "player_summary").collect()] == [
         ("p1", 3)
     ]
+
+
+def test_table_exists_escapes_like_wildcards():
+    """JDBC metadata table patterns treat _ as a single-char wildcard.
+    On drivers WITH a search-string escape (Postgres), _table_exists
+    must escape the name so player_summary doesn't match a 14-char
+    lookalike; on drivers with an EMPTY escape string (embedded
+    Derby), injecting an escape would turn every name into a
+    non-match, so the raw pattern must pass through. Pinned with a
+    fake connection capturing the exact patterns issued."""
+
+    class _FakeRS:
+        def __init__(self, hit):
+            self._hit = hit
+
+        def next(self):
+            h, self._hit = self._hit, False
+            return h
+
+        def close(self):
+            pass
+
+    class _FakeMeta:
+        def __init__(self, esc, existing):
+            self._esc = esc
+            self._existing = existing
+            self.patterns = []
+
+        def getSearchStringEscape(self):
+            return self._esc
+
+        def getTables(self, cat, schema, pattern, types):
+            self.patterns.append(pattern)
+            return _FakeRS(pattern in self._existing)
+
+    class _FakeConn:
+        def __init__(self, meta):
+            self._meta = meta
+
+        def getMetaData(self):
+            return self._meta
+
+    # escaping driver: the issued pattern carries escaped underscores,
+    # so only the escaped form can match
+    meta = _FakeMeta("\\", {"META\\_DECK\\_TYPES"})
+    assert sink._table_exists(_FakeConn(meta), "meta_deck_types")
+    assert all("\\_" in p for p in meta.patterns)
+
+    # the raw (wildcard) form must NOT be issued on an escaping driver
+    meta2 = _FakeMeta("\\", {"META_DECK_TYPES"})
+    assert not sink._table_exists(_FakeConn(meta2), "meta_deck_types")
+
+    # empty-escape driver (Derby): raw pattern passes through untouched
+    meta3 = _FakeMeta("", {"META_DECK_TYPES"})
+    assert sink._table_exists(_FakeConn(meta3), "meta_deck_types")
+    assert all("\\" not in p for p in meta3.patterns)

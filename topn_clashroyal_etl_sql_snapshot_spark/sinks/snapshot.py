@@ -237,10 +237,25 @@ def _jdbc_connect(spark, url: str, properties: dict[str, str]):
 
 def _table_exists(conn, name: str) -> bool:
     """True if ``name`` exists (unquoted-identifier casing: checks the
-    name as-given plus upper/lower — Derby/Postgres fold differently)."""
+    name as-given plus upper/lower — Derby/Postgres fold differently).
+    The JDBC metadata table-name argument is a LIKE pattern where
+    ``_`` matches any character — and snapshot names are full of
+    underscores — so they are escaped with the driver's escape string
+    when the driver HAS one (Postgres: ``\\``); an unescaped
+    ``player_summary`` would also match a 14-char lookalike and a
+    phantom ``__old`` hit would send the swap a DROP of a table that
+    isn't there. Embedded Derby reports an EMPTY escape string (its
+    metadata patterns can't escape at all — injecting a backslash
+    anyway turns every name into a non-match), so there the check
+    accepts the wildcard laxity."""
     meta = conn.getMetaData()
+    esc = meta.getSearchStringEscape()
     for candidate in {name, name.upper(), name.lower()}:
-        rs = meta.getTables(None, None, candidate, None)
+        pattern = candidate
+        if esc:
+            pattern = pattern.replace(esc, esc + esc)
+            pattern = pattern.replace("_", esc + "_").replace("%", esc + "%")
+        rs = meta.getTables(None, None, pattern, None)
         try:
             if rs.next():
                 return True
