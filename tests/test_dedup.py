@@ -628,3 +628,62 @@ def test_lsh_buckets_expr_matches_banded(spark, corpus):
         ).collect()
     }
     assert got == want
+
+
+def test_dedup_exact_incremental_matches_full_corpus_run(spark):
+    """The admitted set must be EXACTLY the new-doc subset of
+    dedup_exact over index-corpus ∪ batch: index dups drop, exact
+    within-batch dups keep min id, whitespace/case normalization
+    applies (content_fingerprint), and the updated index carries
+    index ∪ admitted fingerprints."""
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+
+    corpus = [
+        (1, "the quick brown fox"),
+        (2, "entirely different content"),
+    ]
+    batch = [
+        (101, "THE QUICK BROWN FOX"),      # case-normalized dup of index 1
+        (102, "fresh new document"),
+        (103, "Fresh New DOCUMENT"),       # case dup of 102 -> min id wins
+        (104, "another fresh one"),
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    index = cdf.select(
+        tx.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+    admitted, updated = dedup.dedup_exact_incremental(bdf, index)
+    got = sorted(r["doc_id"] for r in admitted.collect())
+    assert got == [102, 104]
+    assert admitted.columns == bdf.columns
+
+    # invariant: ≡ new-doc subset of the full-corpus dedup_exact
+    full = spark.createDataFrame(corpus + batch, "doc_id long, text string")
+    want = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_exact(full).collect()
+        if r["doc_id"] >= 100
+    )
+    assert got == want
+
+    # updated index = index ∪ admitted fingerprints
+    ups = sorted(r["fingerprint"] for r in updated.collect())
+    want_fps = sorted(
+        r["f"]
+        for r in cdf.select(
+            tx.content_fingerprint(F.col("text")).alias("f")
+        ).collect()
+    ) + sorted(
+        r["f"]
+        for r in bdf.filter(F.col("doc_id").isin(102, 104))
+        .select(tx.content_fingerprint(F.col("text")).alias("f"))
+        .collect()
+    )
+    assert ups == sorted(want_fps)
+
+    # second day: re-feeding the same batch against the updated index
+    # admits nothing (idempotence)
+    again, _ = dedup.dedup_exact_incremental(bdf, updated)
+    assert again.count() == 0

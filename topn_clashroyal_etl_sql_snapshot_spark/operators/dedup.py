@@ -80,6 +80,61 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def dedup_exact_incremental(
+    new_docs: DataFrame,
+    index_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup of a NEW batch against a PERSISTED fingerprint
+    index — the daily-ingest twin of :func:`minhash_lsh_incremental`
+    for the exact family (and the batch stage the LSH docstrings'
+    exact-dedup-first composition contract refers to). The index is a
+    one-column ``(fingerprint)`` frame — fingerprints of every
+    previously admitted document (persist ``updated_index``, read it
+    back tomorrow); it never carries texts, so at 100 TB the index is
+    ~32 bytes/doc and the batch's texts are read exactly once.
+
+    Returns ``(admitted, updated_index)``:
+
+    - ``admitted`` = new docs (original columns) whose normalized
+      content fingerprint is in neither the index nor an earlier
+      batch row — within-batch ties pick min ``id_col``, the same
+      deterministic winner as :func:`dedup_exact`; ``admitted`` is
+      therefore EXACTLY the new-doc subset of
+      ``dedup_exact(index_corpus ∪ batch)`` (test-pinned).
+    - ``updated_index`` = ``index_fps`` ∪ admitted fingerprints —
+      columnar and lazy; writing it back amortizes into the caller's
+      sink.
+
+    Plan: one fingerprint projection over the batch, one min-id
+    aggregation keyed on the fingerprint (high-cardinality hash —
+    uniform), one left-anti join against the index on the same key.
+    A Structured Streaming ingest gets the same gate stateless-ly:
+    ``content_fingerprint`` is a per-row expression, so a stream can
+    project it and stream-static left-anti join the persisted index
+    (within-microbatch ties handled by the watermarked first-arrival
+    dedup in ``streaming/corpus.py``)."""
+    fp = tx.content_fingerprint(F.col(text_col))
+    batch = _spread(new_docs, id_col).withColumn("_fp", fp)
+    # within-batch first-seen, then drop anything the index has seen
+    firsts = batch.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
+    admitted = (
+        batch.join(firsts, "_fp")
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+        .join(
+            index_fps.select(F.col("fingerprint").alias("_fp")),
+            "_fp",
+            "left_anti",
+        )
+    )
+    updated_index = index_fps.unionAll(
+        admitted.select(F.col("_fp").alias("fingerprint"))
+    )
+    return admitted.drop("_fp"), updated_index
+
+
 def dedup_lines_corpus(
     docs: DataFrame,
     text_col: str = "text",
