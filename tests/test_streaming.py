@@ -594,3 +594,65 @@ def test_streaming_neardup_gate_against_static_index(spark, tmp_path):
         for r in spark.sql("SELECT DISTINCT * FROM neardup_hits").collect()
     }
     assert hits == {(101, 1)}, hits
+
+
+def test_streaming_exact_gate_against_static_index(spark, tmp_path):
+    """The exact-family ingest gate the dedup_exact_incremental
+    docstring names: content_fingerprint is a stateless per-row
+    expression, so a stream projects it and stream-static LEFT-ANTI
+    joins the persisted fingerprint index — corpus-known docs drop at
+    ingest with no stateful operator, and the admitted set equals the
+    batch incremental path's on the same data."""
+    import json as _json
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import dedup
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming import corpus
+
+    corpus_docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "some other corpus document entirely"),
+    ]
+    batch = [
+        {"doc_id": 101, "text": "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"},
+        {"doc_id": 102, "text": "genuinely novel streamed content"},
+    ]
+    cdf = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+    index = cdf.select(
+        tx.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+    d = tmp_path / "exact_landing"
+    d.mkdir()
+    with open(d / "part0.jsonl", "w") as f:
+        for doc in batch:
+            row = dict(doc, lang="en", source="s",
+                       ingest_time=datetime(2026, 1, 1).isoformat())
+            f.write(_json.dumps(row) + "\n")
+
+    admitted_stream = (
+        corpus.stream_documents(spark, str(d))
+        .withColumn("fingerprint", tx.content_fingerprint(F.col("text")))
+        .join(index, "fingerprint", "left_anti")  # stream-static anti
+        .select("doc_id")
+    )
+    q = (
+        admitted_stream.writeStream.format("memory")
+        .queryName("exact_gate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM exact_gate_out").collect()}
+    assert got == {102}
+
+    # batch twin agrees
+    bdf = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in batch], "doc_id long, text string"
+    )
+    admitted, _ = dedup.dedup_exact_incremental(bdf, index)
+    assert {r["doc_id"] for r in admitted.collect()} == got
