@@ -687,3 +687,65 @@ def test_dedup_exact_incremental_matches_full_corpus_run(spark):
     # admits nothing (idempotence)
     again, _ = dedup.dedup_exact_incremental(bdf, updated)
     assert again.count() == 0
+
+
+@pytest.mark.parametrize("seed,cap", [(0, 3), (1, 6), (2, None)])
+def test_minhash_incremental_invariant_randomized(spark, seed, cap):
+    """The cap-for-cap subset invariant on RANDOMIZED corpora: for a
+    seeded random mix of unique docs, planted near-dup clusters of
+    varying size, and varying caps (including uncapped), the
+    incremental pairs must equal the new-doc-involving subset of the
+    full-corpus run with the same cap — same orientation rules as the
+    fixed-case tests."""
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(40)]
+
+    def doc():
+        return " ".join(rng.choice(words) for _ in range(rng.randint(8, 20)))
+
+    rows = []
+    next_id = 0
+    for _ in range(6):            # planted clusters, sizes 2..6
+        base = doc()
+        for c in range(rng.randint(2, 6)):
+            rows.append((next_id, base + f" tail{c}"))
+            next_id += 1
+    for _ in range(8):            # unique docs
+        rows.append((next_id, doc()))
+        next_id += 1
+    rng.shuffle(rows)
+
+    new_ids = {i for i, _ in rows if i % 3 == 0}
+    cdf = spark.createDataFrame(
+        [r for r in rows if r[0] not in new_ids], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [r for r in rows if r[0] in new_ids], "doc_id long, text string"
+    )
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+
+    index = dedup.minhash_signatures(cdf, k=32)
+    pairs, _ = dedup.minhash_lsh_incremental(
+        bdf, index, k=32, threshold=0.3, max_bucket=cap
+    )
+    got = {
+        (r["id1"], r["id2"]): round(r["est_jaccard"], 9)
+        for r in pairs.collect()
+    }
+    ref_all = {
+        (r["id1"], r["id2"]): round(r["est_jaccard"], 9)
+        for r in dedup.minhash_lsh_pairs(
+            full, k=32, threshold=0.3, max_bucket=cap
+        ).collect()
+    }
+    ref = {}
+    for (a, b), j in ref_all.items():
+        if a in new_ids and b not in new_ids:
+            ref[(a, b)] = j
+        elif b in new_ids and a not in new_ids:
+            ref[(b, a)] = j
+        elif a in new_ids and b in new_ids:
+            ref[(min(a, b), max(a, b))] = j
+    assert got == ref
