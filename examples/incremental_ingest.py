@@ -5,15 +5,22 @@ Executable documentation for the dedup family's intended composition
 at scale (the registered rows exercise the batch self-dedup shape;
 THIS is the shape a daily pipeline runs):
 
-1. **Day 0** — build the corpus signature index once
-   (``minhash_signatures``) and persist it; the raw texts are never
-   needed again for candidate generation.
-2. **Day N** — ``minhash_lsh_incremental`` signs the new batch (one
-   pass over batch texts only), band-joins it against the index, and
-   returns (a) near-dup pairs touching the batch and (b) the updated
-   index to persist for day N+1. Cost scales with the batch and the
-   colliding index rows — never a full-corpus rescan.
-3. **Admit / drop** — ``connected_components`` +
+1. **Day 0** — build the corpus fingerprint + signature indexes once
+   (``content_fingerprint`` / ``minhash_signatures``) and persist
+   them; the raw texts are never needed again for candidate
+   generation.
+2. **Day N, exact gate FIRST** — ``dedup_exact_incremental`` drops
+   byte-identical recrawls against the tiny fingerprint index before
+   any shingling (the composition contract the LSH hot-bucket cap's
+   recall argument assumes: identical copies never reach the banded
+   join).
+3. **Day N, near-dup** — ``minhash_lsh_incremental`` signs the
+   surviving batch (one pass over batch texts only), band-joins it
+   against the index, and returns (a) near-dup pairs touching the
+   batch and (b) the updated index to persist for day N+1. Cost
+   scales with the batch and the colliding index rows — never a
+   full-corpus rescan.
+4. **Admit / drop** — ``connected_components`` +
    ``component_keepers`` decide keepers; new docs duplicating an
    index doc drop (the corpus member is canonical), genuinely-new
    docs and within-batch keepers are admitted.
@@ -39,24 +46,40 @@ from topn_clashroyal_etl_sql_snapshot_spark.sources.readers import read_testdata
 def run(spark, sf_dir: str) -> dict:
     docs = read_testdata(spark, sf_dir, "documents")
     # split the testdata corpus into an established corpus and a
-    # "today's crawl" batch; plant a cross-batch near-duplicate so the
-    # index hit path demonstrably fires at any sf
+    # "today's crawl" batch; plant a cross-batch near-duplicate AND an
+    # exact recrawl so both gate paths demonstrably fire at any sf
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     sample = corpus.orderBy("doc_id").limit(1).collect()[0]
     batch = docs.filter(F.col("doc_id") % 10 == 0).unionAll(
         spark.createDataFrame(
             [(10_000_000 + sample["doc_id"],
               sample["text"] + " trailing crawl banner",
+              sample["lang"], sample["source"], sample["n_chars"]),
+             (20_000_000 + sample["doc_id"],
+              sample["text"],                     # byte-identical recrawl
               sample["lang"], sample["source"], sample["n_chars"])],
             docs.schema,
         )
     )
 
-    # Day 0: persist-once index (localCheckpoint stands in for the
-    # parquet write; same reuse semantics)
+    # Day 0: persist-once indexes (localCheckpoint stands in for the
+    # parquet writes; same reuse semantics)
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+
+    fp_index = corpus.select(
+        tx.content_fingerprint(F.col("text")).alias("fingerprint")
+    ).localCheckpoint(eager=True)
     index = dedup.minhash_signatures(corpus).localCheckpoint(eager=True)
 
-    # Day 1: batch vs index + within-batch, one pass over batch texts
+    # Day 1, exact gate first: identical recrawls drop on the tiny
+    # fingerprint index before any shingling happens
+    n_batch_raw = batch.count()
+    batch, fp_updated = dedup.dedup_exact_incremental(batch, fp_index)
+    batch = batch.localCheckpoint(eager=True)
+    exact_dropped = n_batch_raw - batch.count()
+
+    # Day 1, near-dup: batch vs index + within-batch, one pass over
+    # the surviving batch texts
     pairs, updated = dedup.minhash_lsh_incremental(
         batch, index, threshold=0.5
     )
@@ -86,6 +109,7 @@ def run(spark, sf_dir: str) -> dict:
 
     return {
         "corpus": corpus.count(),
+        "exact_recrawls_dropped": exact_dropped,
         "batch": len(batch_ids),
         "pairs_touching_batch": pairs.count(),
         "batch_docs_dropped": len(dropped),

@@ -115,6 +115,9 @@ def test_incremental_ingest_example(spark):
     assert out["planted_dup_dropped"] is True
     assert out["batch_docs_dropped"] >= 1
     assert out["batch_docs_admitted"] + out["batch_docs_dropped"] == out["batch"]
+    # the byte-identical recrawl dropped at the EXACT gate, before the
+    # banded join ever saw it (the exact-dedup-first composition)
+    assert out["exact_recrawls_dropped"] == 1
     # the updated index carries every corpus + batch doc that produced
     # a signature (docs with < n tokens are excluded on both paths)
     assert out["updated_index_rows"] <= out["corpus"] + out["batch"]
