@@ -79,6 +79,8 @@ def main() -> None:
     # slots to dedup_minhash_incremental / dedup_component_keepers
     qs["text_winnow_fingerprints"] = llm_queries.text_winnow_fingerprints
     qs["events_rolling_sum"] = testdata_queries.events_rolling_sum
+    # r10: docs_with_split ceded its slot to docs_split_by_component
+    qs["docs_with_split"] = llm_queries.docs_with_split
     # embedding_pq_adc is a CORRECTNESS row (full-probe/full-rerank ≡
     # brute force); its timed code path is embedding_pq_topk's, already
     # benched median-of-3 — excluded so the bench total stays

@@ -122,6 +122,12 @@ CASES = {
         testdata_queries.events_rolling_sum,
         testdata_queries.EVENTS_ROLLING_SUM_SQL,
     ),
+    # rotated out r10 for docs_split_by_component, which strictly
+    # subsumes the bucket-math check on the component-coalesced key
+    "docs_with_split": (
+        llm_queries.docs_with_split,
+        llm_queries.DOCS_WITH_SPLIT_SQL,
+    ),
 }
 
 

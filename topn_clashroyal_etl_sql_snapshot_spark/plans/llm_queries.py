@@ -1427,9 +1427,12 @@ def embedding_lsh_neardup(spark, sf_dir):
 
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
-@register(
-    "docs_with_split",
-    f"""
+# Rotated out of the driver registry in r10 for docs_split_by_component,
+# which STRICTLY SUBSUMES this check: same bit-exact bucket arithmetic
+# and threshold layout, keyed on the component-coalesced key instead of
+# the raw doc_id (identical for every non-clustered doc). Keeps this
+# SQL bar in tests/test_rotated_rows.py; still timed in the bench.
+DOCS_WITH_SPLIT_SQL = f"""
     WITH src AS (SELECT doc_id FROM documents),
     {xxh64_bucket_ctes('src', 'doc_id')}
     SELECT doc_id, _bucket AS bucket,
@@ -1438,17 +1441,18 @@ _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
                 ELSE 'test' END AS split
     FROM _xxbkt
     ORDER BY doc_id
-    """,
-)
+    """
+
+
 def docs_with_split(spark, sf_dir):
     """Deterministic train/val/test assignment (90/5/5) for every
     document — replayable, append-stable hash-bucket membership
     (operators/sampling.py ``with_split``). The oracle recomputes
     Spark's ``pmod(xxhash64(42L, doc_id), 10000)`` bucket bit-for-bit
-    in generated DuckDB arithmetic (plans/xxh64_sql.py), so the driver
-    hash-checks EVERY row's bucket and label — the strongest possible
-    check of the splits family (formerly pytest-only against the
-    Python twin)."""
+    in generated DuckDB arithmetic (plans/xxh64_sql.py), so EVERY
+    row's bucket and label is hash-checked — registered r7-r9;
+    rotated r10 (slot and check subsumed by
+    ``docs_split_by_component``)."""
     from ..operators.sampling import bucket_expr, with_split
 
     docs = read_testdata(spark, sf_dir, "documents")
@@ -1456,6 +1460,87 @@ def docs_with_split(spark, sf_dir):
         with_split(docs.select("doc_id"), "doc_id", _SPLIT_WEIGHTS)
         .withColumn("bucket", bucket_expr("doc_id"))
         .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_split_by_component",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM base, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+      WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5
+    ),
+    und AS (
+      SELECT id1 AS a, id2 AS b FROM prs
+      UNION SELECT id2, id1 FROM prs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM und),
+    comp AS (
+      SELECT n.id AS doc_id, LEAST(n.id, MIN(r.b)) AS component
+      FROM nodes n JOIN reach r ON r.a = n.id
+      GROUP BY n.id
+    ),
+    keys AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    src AS (SELECT DISTINCT split_key FROM keys),
+    {xxh64_bucket_ctes('src', 'split_key')}
+    SELECT k.doc_id, k.split_key, b._bucket AS bucket,
+           CASE WHEN b._bucket < 9000 THEN 'train'
+                WHEN b._bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keys k JOIN _xxbkt b USING (split_key)
+    ORDER BY k.doc_id
+    """,
+)
+def docs_split_by_component(spark, sf_dir):
+    """Leakage-safe deterministic splits (registered r10, replacing
+    docs_with_split whose check it strictly subsumes): every document
+    buckets on its near-dup COMPONENT label (raw doc_id for
+    non-clustered docs), so duplicate clusters never straddle the
+    train/val/test fence. The oracle re-derives the components with
+    the dedup family's recursive CTE AND the split bucket with the
+    generated bit-exact xxh64 arithmetic — every row's key, bucket,
+    and label hash-checked. Components come from the session pair
+    cache shared with dedup_components / dedup_component_keepers."""
+    from ..operators.sampling import bucket_expr, split_by_component
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    labels = dedup.connected_components(_jaccard_pairs_cached(spark, sf_dir))
+    out = split_by_component(docs.select("doc_id"), labels, _SPLIT_WEIGHTS)
+    lab = labels.select(F.col("id").alias("doc_id"), "comp")
+    key = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return (
+        out.join(lab, "doc_id", "left")
+        .select(
+            "doc_id",
+            key.alias("split_key"),
+            bucket_expr(key).alias("bucket"),
+            "split",
+        )
         .orderBy("doc_id")
     )
 
