@@ -749,3 +749,64 @@ def test_minhash_incremental_invariant_randomized(spark, seed, cap):
         elif a in new_ids and b in new_ids:
             ref[(min(a, b), max(a, b))] = j
     assert got == ref
+
+
+def test_simhash_incremental_matches_full_corpus_plan(spark):
+    """The pigeonhole incremental must equal the new-doc-involving
+    subset of simhash_candidate_pairs over batch ∪ index (oriented
+    new-first / within-batch min-max), the cap must hold cap-for-cap,
+    and hamming values must match bit_count ground truth."""
+    idx = [
+        (1, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x0F0F0F0F0F0F0F0E),   # hamming 1 from 1
+        (3, 0x7777000011112222),
+    ]
+    batch = [
+        (101, 0x0F0F0F0F0F0F0F0B),  # hamming 1 from 1 (F^B=0100), 2 from 2
+        (102, 0x7777000011112223),  # hamming 1 from 3
+        (103, 0x7777000011112221),  # hamming 1 from 102, 2 from 3
+        (104, -0x123456789ABCDF0),  # negative long: sign-bit chunks
+    ]
+    idf = spark.createDataFrame(idx, "id long, sh64 long")
+    bdf = spark.createDataFrame(batch, "id long, sh64 long")
+    full = spark.createDataFrame(idx + batch, "id long, sh64 long")
+
+    for cap in (None, 10_000):
+        got = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in dedup.simhash_incremental_pairs(
+                bdf, idf, max_hamming=7, chunks=8, max_bucket=cap
+            ).collect()
+        }
+        ref_all = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in dedup.simhash_candidate_pairs(
+                full, max_hamming=7, chunks=8, max_bucket=cap
+            ).collect()
+        }
+        new_ids = {101, 102, 103, 104}
+        ref = {}
+        for (a, b), h in ref_all.items():
+            if a in new_ids and b not in new_ids:
+                ref[(a, b)] = h
+            elif b in new_ids and a not in new_ids:
+                ref[(b, a)] = h
+            elif a in new_ids and b in new_ids:
+                ref[(min(a, b), max(a, b))] = h
+        assert got == ref and got, (cap, got, ref)
+    # ground-truth hammings
+    assert got[(101, 1)] == 1 and got[(102, 3)] == 1 and got[(102, 103)] == 1
+
+    # capped: a 40-copy flood in the index exceeds cap 30 in every
+    # chunk and contributes nothing; the genuine pair survives
+    flood = spark.createDataFrame(
+        [(500 + i, 0x5A5A5A5A5A5A5A5A) for i in range(40)], "id long, sh64 long"
+    )
+    got_capped = {
+        (r["id1"], r["id2"])
+        for r in dedup.simhash_incremental_pairs(
+            bdf, idf.unionAll(flood), max_hamming=7, chunks=8, max_bucket=30
+        ).collect()
+    }
+    assert (102, 3) in got_capped
+    assert not any(b >= 500 for _, b in got_capped)

@@ -1231,6 +1231,85 @@ def simhash_candidate_pairs(
     )
 
 
+def simhash_incremental_pairs(
+    new_fps: DataFrame,
+    index_fps: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Hamming-≤-k pairs of a NEW batch of 64-bit fingerprints against
+    a PERSISTED fingerprint index — the pigeonhole family's
+    daily-ingest twin (completing incremental symmetry across the
+    dedup families: exact = :func:`dedup_exact_incremental`, MinHash =
+    :func:`minhash_lsh_incremental`, and this for every 64-bit
+    fingerprint space: :func:`simhash_fingerprints` for text,
+    ``multimodal.phash64`` for images, the audio band signature —
+    all share it). Both inputs are (id, sh64) frames; the index
+    carries 16 bytes/doc and the batch's fingerprints are the only
+    new computation, so cost scales with |batch| + chunk-colliding
+    index rows, never the corpus.
+
+    Returns (id1, id2, hamming) with id1 = new doc, id2 = index OR
+    new (within-batch pairs oriented id1 < id2) — EXACTLY the
+    new-doc-involving subset of :func:`simhash_candidate_pairs` over
+    the union (same pigeonhole guarantee: any pair within hamming ≤
+    chunks-1 shares an exact chunk; same ``max_bucket`` hot-bucket
+    cap, counted over batch ∪ index so the subset invariant holds
+    cap-for-cap; id namespaces must not collide — caller contract)."""
+    base, extra = divmod(SIMHASH_BITS, chunks)
+    widths = [base + (1 if j < extra else 0) for j in range(chunks)]
+    offsets = [sum(widths[:j]) for j in range(chunks)]
+
+    def pieces(fps: DataFrame) -> DataFrame:
+        return fps.select(
+            "id",
+            "sh64",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("chunk"),
+                            F.shiftrightunsigned(F.col("sh64"), offsets[j])
+                            .bitwiseAND(F.lit((1 << widths[j]) - 1))
+                            .alias("val"),
+                        )
+                        for j in range(chunks)
+                    ]
+                )
+            ).alias("c"),
+        ).select("id", "sh64", "c.chunk", "c.val")
+
+    p_new = pieces(new_fps).localCheckpoint(eager=False)
+    p_idx = pieces(index_fps).localCheckpoint(eager=False)
+    right = (
+        p_idx.withColumn("_idx", F.lit(True))
+        .unionAll(p_new.withColumn("_idx", F.lit(False)))
+        .withColumnsRenamed({"id": "id2", "sh64": "h2"})
+    )
+    if max_bucket is not None:
+        hot = (
+            right.groupBy("chunk", "val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("chunk", "val")
+        ).localCheckpoint(eager=False)
+        p_new = p_new.join(hot, ["chunk", "val"], "left_anti")
+        right = right.join(hot, ["chunk", "val"], "left_anti")
+    return (
+        p_new.withColumnsRenamed({"id": "id1", "sh64": "h1"})
+        .join(right, ["chunk", "val"])
+        .filter(F.col("_idx") | (F.col("id1") < F.col("id2")))
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id1: str = "id1",
