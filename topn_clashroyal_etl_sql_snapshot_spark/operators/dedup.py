@@ -12,12 +12,21 @@ to the operators an LLM-data pipeline needs:
 - **SimHash**      63+1-bit sign-aggregate fingerprint + pigeonhole chunk
                    join for hamming-distance candidates
 
+Every family also ships an INCREMENTAL batch-vs-persisted-index mode
+(the daily-ingest shape — re-deduping a 100 TB corpus to admit a 0.1%
+crawl is infeasible): :func:`dedup_exact_incremental` (fingerprint
+index), :func:`minhash_lsh_incremental` (signature index), and
+:func:`simhash_incremental_pairs` (64-bit fingerprint index, shared
+by text SimHash, image pHash, and audio band signatures). Compose
+exact FIRST so identical copies never reach the banded joins.
+
 Scale design: every step is per-row column algebra or a key-partitioned
 join — no driver-side state, no Python UDFs. The LSH/simhash candidate
 joins shuffle on band/chunk keys; hot buckets (boilerplate shingles) are
 the skew risk, so the inverted-index paths drop shingles whose document
-frequency exceeds ``max_df`` — boilerplate contributes candidates
-quadratically while carrying no dedup signal.
+frequency exceeds ``max_df`` and the banded/pigeonhole self-joins drop
+(band, bucket) keys over ``max_bucket`` — boilerplate contributes
+candidates quadratically while carrying no dedup signal.
 """
 
 from __future__ import annotations
