@@ -127,6 +127,10 @@ def main() -> None:
         # r9: new heaviest overlap entry (winnowing index self-join) —
         # medians from day one, no single-shot noise
         "docs_winnow_overlap": 3,
+        # r10: new heaviest dedup entry (sign both corpus halves +
+        # banded join + verify) — observed 5.8-7.1 s single-shot in
+        # the same session; medians from day one
+        "dedup_minhash_incremental": 3,
     }
 
     timings: dict[str, float] = {}
