@@ -521,3 +521,56 @@ def test_table_exists_escapes_like_wildcards():
     meta3 = _FakeMeta("", {"META_DECK_TYPES"})
     assert sink._table_exists(_FakeConn(meta3), "meta_deck_types")
     assert all("\\" not in p for p in meta3.patterns)
+
+
+def test_write_snapshot_atomic_recovers_parked_old_snapshot(spark, tmp_path):
+    """Crash-between-renames recovery (r10 review finding): if a prior
+    run died after current→__old but before staging→current, __old
+    holds the ONLY complete snapshot. The next run must restore it to
+    serving BEFORE re-staging (never delete it), and a non-local
+    warehouse_dir must be rejected up front rather than failing after
+    the full staging write."""
+    import os
+
+    import pytest
+
+    wh = str(tmp_path / "recwh")
+    v1 = {
+        "meta_deck_types": spark.createDataFrame(
+            [("Siege", 10, 4)], "deck_type string, uses long, wins long"
+        ),
+    }
+    sink.write_snapshot_atomic(v1, wh)
+    # simulate the crash window: serving dir renamed away, no staging
+    os.rename(wh, wh + "__old")
+    assert not os.path.exists(wh)
+
+    v2 = {
+        "meta_deck_types": spark.createDataFrame(
+            [("Cycle", 3, 1)], "deck_type string, uses long, wins long"
+        ),
+    }
+    sink.write_snapshot_atomic(v2, wh)
+    assert [
+        tuple(r) for r in spark.read.parquet(f"{wh}/meta_deck_types").collect()
+    ] == [("Cycle", 3, 1)]
+    assert not os.path.exists(wh + "__old")
+
+    # and the parked snapshot survives a FAILED re-staging: park again,
+    # then stage a table that explodes — __old must still be restored
+    # to serving (the restore happens before staging)
+    from pyspark.sql import functions as F
+
+    os.rename(wh, wh + "__old")
+    boom = spark.range(1).select(
+        F.col("id").alias("uses"),
+        F.assert_true(F.col("id") < 0).cast("string").alias("deck_type"),
+    )
+    with pytest.raises(Exception):
+        sink.write_snapshot_atomic({"meta_deck_types": boom}, wh)
+    assert [
+        tuple(r) for r in spark.read.parquet(f"{wh}/meta_deck_types").collect()
+    ] == [("Cycle", 3, 1)]
+
+    with pytest.raises(ValueError, match="non-local"):
+        sink.write_snapshot_atomic(v2, "hdfs://nn/wh")

@@ -109,9 +109,17 @@ def dedup_exact_incremental(
     - ``admitted`` = new docs (original columns) whose normalized
       content fingerprint is in neither the index nor an earlier
       batch row — within-batch ties pick min ``id_col``, the same
-      deterministic winner as :func:`dedup_exact`; ``admitted`` is
-      therefore EXACTLY the new-doc subset of
-      ``dedup_exact(index_corpus ∪ batch)`` (test-pinned).
+      deterministic winner as :func:`dedup_exact`. The INDEX member
+      of a cross-duplicate is always canonical (the index carries no
+      ids to compare, and an already-admitted doc must never be
+      retroactively evicted), so ``admitted`` equals the new-doc
+      subset of ``dedup_exact(index_corpus ∪ batch)`` exactly when
+      batch ids sort after the index ids they duplicate — the normal
+      monotone-id ingest; with interleaved id spaces the full run
+      could crown a batch doc min-id winner where this gate keeps the
+      index member (same canonical-index convention as
+      :func:`minhash_lsh_incremental`'s KEEP/DROP guidance;
+      test-pinned under the monotone convention).
     - ``updated_index`` = ``index_fps`` ∪ admitted fingerprints —
       columnar and lazy; writing it back amortizes into the caller's
       sink.
@@ -709,23 +717,27 @@ def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     ).select("id", "bb.band", "bb.bucket")
 
 
-def _hot_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
-    """(band, bucket) keys whose population EXCEEDS ``max_bucket`` — the
-    shared hot-bucket guard of the LSH candidate joins (the signature-
-    space twin of ``simhash_candidate_pairs``' cap). Anti-joining this
+def _hot_buckets(
+    banded: DataFrame,
+    max_bucket: int,
+    keys: tuple[str, str] = ("band", "bucket"),
+) -> DataFrame:
+    """Join keys whose population EXCEEDS ``max_bucket`` — the shared
+    hot-bucket guard of every bucketed candidate join (LSH (band,
+    bucket) and the pigeonhole (chunk, val) alike). Anti-joining this
     HOT set beats semi-joining its cold complement: hot keys number at
     most ``rows/max_bucket`` (each holds > max_bucket rows), so the
     anti-join's build side is model-sized and AQE turns it into a
-    broadcast at runtime — two fewer O(bands·n) exchanges than the
+    broadcast at runtime — two fewer O(keys·n) exchanges than the
     cold-side semi-join (A/B'd r10: cost-neutral at sf0.1, strictly
     fewer shuffled rows at scale). No explicit broadcast hint: in the
     pathological all-hot corpus the set degrades gracefully to a
     shuffled join instead of OOMing the driver."""
     return (
-        banded.groupBy("band", "bucket")
+        banded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > max_bucket)
-        .select("band", "bucket")
+        .select(*keys)
     )
 
 
@@ -1156,6 +1168,33 @@ def simhash_chunks_for(
     return min(chunks, SIMHASH_BITS)
 
 
+def _simhash_pieces(fingerprints: DataFrame, chunks: int) -> DataFrame:
+    """(id, sh64, chunk, val): each 64-bit fingerprint exploded to its
+    pigeonhole chunk values — the shared bit-slicing of the self-join
+    and incremental paths (bits distribute as evenly as possible when
+    64 doesn't divide by ``chunks``)."""
+    base, extra = divmod(SIMHASH_BITS, chunks)
+    widths = [base + (1 if j < extra else 0) for j in range(chunks)]
+    offsets = [sum(widths[:j]) for j in range(chunks)]
+    return fingerprints.select(
+        "id",
+        "sh64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sh64"), offsets[j])
+                        .bitwiseAND(F.lit((1 << widths[j]) - 1))
+                        .alias("val"),
+                    )
+                    for j in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh64", "c.chunk", "c.val")
+
+
 def simhash_candidate_pairs(
     fingerprints: DataFrame,
     max_hamming: int = 3,
@@ -1185,42 +1224,16 @@ def simhash_candidate_pairs(
     contract as ``jaccard_pairs``'s max_df boilerplate cap). Set
     ``max_bucket=None`` to recover the unconditional pigeonhole
     guarantee on small corpora."""
-    base, extra = divmod(SIMHASH_BITS, chunks)
-    widths = [base + (1 if j < extra else 0) for j in range(chunks)]
-    offsets = [sum(widths[:j]) for j in range(chunks)]
-    pieces = fingerprints.select(
-        "id",
-        "sh64",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sh64"), offsets[j])
-                        .bitwiseAND(F.lit((1 << widths[j]) - 1))
-                        .alias("val"),
-                    )
-                    for j in range(chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("id", "sh64", "c.chunk", "c.val").localCheckpoint(eager=False)
+    pieces = _simhash_pieces(fingerprints, chunks).localCheckpoint(
+        eager=False
+    )
     # ^ pieces has THREE consumers (the df-cap bucket count and both
     # self-join sides), each of which would otherwise recompute the
     # upstream fingerprint aggregation + chunk explode; materializing
     # chunks·N compact int rows once is the same trade hashed_postings
     # makes (r9, A/B'd: entry m3 4.93 → 3.27 s, results identical).
     if max_bucket is not None:
-        # anti-join the HOT keys (≤ rows/max_bucket of them — AQE
-        # broadcasts at runtime) instead of semi-joining the huge cold
-        # complement: two fewer O(chunks·n) exchanges; same rationale
-        # as _hot_buckets on the MinHash-LSH side (r10).
-        hot = (
-            pieces.groupBy("chunk", "val")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select("chunk", "val")
-        )
+        hot = _hot_buckets(pieces, max_bucket, keys=("chunk", "val"))
         pieces = pieces.join(hot, ["chunk", "val"], "left_anti")
     a = pieces.select(F.col("id").alias("id1"), F.col("sh64").alias("h1"), "chunk", "val")
     b = pieces.select(F.col("id").alias("id2"), F.col("sh64").alias("h2"), "chunk", "val")
@@ -1266,42 +1279,16 @@ def simhash_incremental_pairs(
     chunks-1 shares an exact chunk; same ``max_bucket`` hot-bucket
     cap, counted over batch ∪ index so the subset invariant holds
     cap-for-cap; id namespaces must not collide — caller contract)."""
-    base, extra = divmod(SIMHASH_BITS, chunks)
-    widths = [base + (1 if j < extra else 0) for j in range(chunks)]
-    offsets = [sum(widths[:j]) for j in range(chunks)]
-
-    def pieces(fps: DataFrame) -> DataFrame:
-        return fps.select(
-            "id",
-            "sh64",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("chunk"),
-                            F.shiftrightunsigned(F.col("sh64"), offsets[j])
-                            .bitwiseAND(F.lit((1 << widths[j]) - 1))
-                            .alias("val"),
-                        )
-                        for j in range(chunks)
-                    ]
-                )
-            ).alias("c"),
-        ).select("id", "sh64", "c.chunk", "c.val")
-
-    p_new = pieces(new_fps).localCheckpoint(eager=False)
-    p_idx = pieces(index_fps).localCheckpoint(eager=False)
+    p_new = _simhash_pieces(new_fps, chunks).localCheckpoint(eager=False)
+    p_idx = _simhash_pieces(index_fps, chunks).localCheckpoint(eager=False)
     right = (
         p_idx.withColumn("_idx", F.lit(True))
         .unionAll(p_new.withColumn("_idx", F.lit(False)))
         .withColumnsRenamed({"id": "id2", "sh64": "h2"})
     )
     if max_bucket is not None:
-        hot = (
-            right.groupBy("chunk", "val")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select("chunk", "val")
+        hot = _hot_buckets(
+            right, max_bucket, keys=("chunk", "val")
         ).localCheckpoint(eager=False)
         p_new = p_new.join(hot, ["chunk", "val"], "left_anti")
         right = right.join(hot, ["chunk", "val"], "left_anti")

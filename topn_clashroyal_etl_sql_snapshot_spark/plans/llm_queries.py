@@ -898,10 +898,14 @@ def dedup_simhash(spark, sf_dir):
     ).orderBy("id1", "id2")
 
 
-@register(
-    "dedup_components",
-    f"""
-    WITH RECURSIVE base AS (
+# Shared oracle fragments for the dedup family (r10 review finding:
+# four verbatim copies of this chain had accumulated — a threshold or
+# tie-break fix applied to one copy and not the others would make the
+# oracles silently disagree). _TRIGRAM_PAIRS_CTES = the exact trigram-
+# Jaccard pair relation (threshold 0.5) every dedup oracle starts
+# from; _COMPONENTS_CTES extends it to connected components with the
+# min-id canonical label. Splice into a WITH RECURSIVE list.
+_TRIGRAM_PAIRS_CTES = f"""base AS (
       SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
     ),
     tri AS (
@@ -920,7 +924,9 @@ def dedup_simhash(spark, sf_dir):
       JOIN sizes s1 ON s1.doc_id = id1
       JOIN sizes s2 ON s2.doc_id = id2
       WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5
-    ),
+    )"""
+
+_COMPONENTS_CTES = f"""{_TRIGRAM_PAIRS_CTES},
     und AS (
       SELECT id1 AS a, id2 AS b FROM pairs
       UNION SELECT id2, id1 FROM pairs
@@ -930,12 +936,20 @@ def dedup_simhash(spark, sf_dir):
       UNION
       SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
     ),
-    nodes AS (SELECT DISTINCT a AS id FROM und)
-    SELECT n.id AS doc_id,
-           LEAST(n.id, MIN(r.b)) AS component,
-           n.id = LEAST(n.id, MIN(r.b)) AS keep
-    FROM nodes n JOIN reach r ON r.a = n.id
-    GROUP BY n.id
+    nodes AS (SELECT DISTINCT a AS id FROM und),
+    comp AS (
+      SELECT n.id AS doc_id, LEAST(n.id, MIN(r.b)) AS component
+      FROM nodes n JOIN reach r ON r.a = n.id
+      GROUP BY n.id
+    )"""
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_COMPONENTS_CTES}
+    SELECT doc_id, component, doc_id = component AS keep
+    FROM comp
     ORDER BY doc_id
     """,
 )
@@ -1010,41 +1024,7 @@ def dedup_minhash_incremental(spark, sf_dir):
 
 
 _KEEPERS_SQL = f"""
-    WITH RECURSIVE base AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ),
-    tri AS (
-      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-      FROM base, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
-      WHERE len(toks) >= 3
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
-      FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT id1, id2 FROM inter
-      JOIN sizes s1 ON s1.doc_id = id1
-      JOIN sizes s2 ON s2.doc_id = id2
-      WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5
-    ),
-    und AS (
-      SELECT id1 AS a, id2 AS b FROM pairs
-      UNION SELECT id2, id1 FROM pairs
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM und
-      UNION
-      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-    ),
-    nodes AS (SELECT DISTINCT a AS id FROM und),
-    comp AS (
-      SELECT n.id AS doc_id, LEAST(n.id, MIN(r.b)) AS component
-      FROM nodes n JOIN reach r ON r.a = n.id
-      GROUP BY n.id
-    ),
+    WITH RECURSIVE {_COMPONENTS_CTES},
     q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base)
     SELECT c.doc_id, c.component, q.n_tokens,
            c.doc_id = FIRST_VALUE(c.doc_id) OVER (
@@ -1140,33 +1120,14 @@ _LANG_PRED_SQL = f"""
 @register(
     "curation_funnel",
     f"""
-    WITH RECURSIVE base AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ),
-    tri AS (
-      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-      FROM base, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
-      WHERE len(toks) >= 3
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
-      FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT id1, id2 FROM inter
-      JOIN sizes s1 ON s1.doc_id = id1
-      JOIN sizes s2 ON s2.doc_id = id2
-      WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5
-    ),
-    und_e AS (
+    WITH RECURSIVE {_TRIGRAM_PAIRS_CTES},
+    und AS (
       SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs
     ),
     reach(a, b) AS (
-      SELECT a, b FROM und_e
+      SELECT a, b FROM und
       UNION
-      SELECT r.a, u.b FROM reach r JOIN und_e u ON r.b = u.a
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
     ),
     dropped AS (
       SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(LEAST(a, b)) < a
@@ -1467,41 +1428,7 @@ def docs_with_split(spark, sf_dir):
 @register(
     "docs_split_by_component",
     f"""
-    WITH RECURSIVE base AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ),
-    tri AS (
-      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-      FROM base, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
-      WHERE len(toks) >= 3
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
-      FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    prs AS (
-      SELECT id1, id2 FROM inter
-      JOIN sizes s1 ON s1.doc_id = id1
-      JOIN sizes s2 ON s2.doc_id = id2
-      WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5
-    ),
-    und AS (
-      SELECT id1 AS a, id2 AS b FROM prs
-      UNION SELECT id2, id1 FROM prs
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM und
-      UNION
-      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-    ),
-    nodes AS (SELECT DISTINCT a AS id FROM und),
-    comp AS (
-      SELECT n.id AS doc_id, LEAST(n.id, MIN(r.b)) AS component
-      FROM nodes n JOIN reach r ON r.a = n.id
-      GROUP BY n.id
-    ),
+    WITH RECURSIVE {_COMPONENTS_CTES},
     keys AS (
       SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_key
       FROM documents d LEFT JOIN comp c USING (doc_id)

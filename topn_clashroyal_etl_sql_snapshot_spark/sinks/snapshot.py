@@ -69,15 +69,34 @@ def write_snapshot_atomic(
     complete OLD snapshot; a reader resolving paths under
     ``warehouse_dir`` sees either the full old set or the full new one.
 
-    The swap is two directory renames — atomic individually on POSIX /
-    HDFS-like filesystems, with only the instant between them exposed
-    (a missing dir, never a mixed one). On object stores without
-    atomic rename, point readers through a catalog/manifest instead
-    and publish by updating the pointer."""
+    The swap is two LOCAL-filesystem directory renames — atomic
+    individually on POSIX, with only the instant between them exposed
+    (a missing dir, never a mixed one). A crash between the two
+    renames leaves the snapshot parked at ``__old``; the next run
+    restores it to serving BEFORE re-staging, so the rollback copy is
+    never destroyed while it is the only complete snapshot. The
+    driver-local rename cannot operate on distributed/object-store
+    URIs, so non-local ``warehouse_dir`` schemes are rejected up
+    front — on HDFS use the Hadoop FileSystem rename; on object
+    stores point readers through a catalog/manifest and publish by
+    updating the pointer."""
     base = warehouse_dir.rstrip("/")
+    if "://" in base:
+        raise ValueError(
+            "write_snapshot_atomic swaps directories with driver-local "
+            f"renames; non-local warehouse_dir {warehouse_dir!r} is not "
+            "supported (use a catalog pointer or Hadoop FileSystem rename)"
+        )
     staging, old = base + "__staging", base + "__old"
     shutil.rmtree(staging, ignore_errors=True)  # leftover from a crash
-    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(old):
+        if os.path.exists(base):
+            # old generation from a completed swap — safe to clear
+            shutil.rmtree(old)
+        else:
+            # crashed between the two renames: __old holds the ONLY
+            # complete snapshot — restore it to serving first
+            os.rename(old, base)
     write_snapshot(tables, staging, partition_keys)
     if os.path.exists(base):
         os.rename(base, old)
