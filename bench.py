@@ -81,6 +81,8 @@ def main() -> None:
     qs["events_rolling_sum"] = testdata_queries.events_rolling_sum
     # r10: docs_with_split ceded its slot to docs_split_by_component
     qs["docs_with_split"] = llm_queries.docs_with_split
+    # r10: setops_suite ceded its slot to docs_semantic_decontam
+    qs["setops_suite"] = testdata_queries.setops_suite
     # embedding_pq_adc is a CORRECTNESS row (full-probe/full-rerank ≡
     # brute force); its timed code path is embedding_pq_topk's, already
     # benched median-of-3 — excluded so the bench total stays

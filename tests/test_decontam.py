@@ -307,3 +307,138 @@ def test_split_leakage_report(spark):
 
     with _p.raises(ValueError):
         decontam.split_leakage_report(df.filter(F.col("split") == "train"))
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-level) decontamination
+# ---------------------------------------------------------------------------
+
+def _sem_fixture(spark):
+    """Corpus embeddings: ids 0-2 near bench item 100, ids 3-5 far,
+    id 6 NULL embedding, id 7 zero vector; bench 100/101 (101 a
+    duplicate of 100 with a larger id — the tie-break probe), 102
+    orthogonal-ish, 103 NULL (dropped)."""
+    corpus = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.95, 0.2, 0.1, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.9, 0.4]),
+        (5, [-1.0, 0.0, 0.0, 0.0]),
+        (6, None),
+        (7, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    bench = [
+        (100, [1.0, 0.0, 0.0, 0.0]),
+        (101, [1.0, 0.0, 0.0, 0.0]),
+        (102, [0.0, 1.0, 0.0, 0.0]),
+        (103, None),
+    ]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    bdf = spark.createDataFrame(bench, "vec_id long, embedding array<double>")
+    return corpus, bench, cdf, bdf
+
+
+def test_semantic_scores_match_numpy_and_duckdb(spark):
+    """Per-corpus-row best-cosine-vs-benchmark equals a numpy
+    re-derivation AND an independent DuckDB twin at 9 dp; cosine ties
+    resolve to the SMALLEST benchmark id; NULL/zero-norm corpus rows
+    score NULL rather than silently passing as clean."""
+    corpus, bench, cdf, bdf = _sem_fixture(spark)
+    out = decontam.semantic_contamination_scores(cdf, bdf)
+    got = {
+        r["vec_id"]: (r["nearest_bench_id"], r["max_cosine"])
+        for r in out.collect()
+    }
+    assert set(got) == {r[0] for r in corpus}
+    assert got[6] == (None, None) and got[7] == (None, None)
+
+    # numpy twin over the non-degenerate rows
+    import numpy as np
+
+    for cid, v in corpus:
+        if v is None or not any(v):
+            continue
+        best = max(
+            (
+                round(
+                    float(
+                        np.dot(v, bv)
+                        / (np.linalg.norm(v) * np.linalg.norm(bv))
+                    ),
+                    9,
+                ),
+                -bid,
+            )
+            for bid, bv in bench
+            if bv is not None
+        )
+        assert abs(got[cid][1] - best[0]) < 2e-9, (cid, got[cid], best)
+        assert got[cid][0] == -best[1], (cid, got[cid], best)
+    # the tie probe: bench 100 and 101 are identical vectors — the
+    # reported nearest id must be the smaller
+    assert got[0][0] == 100
+
+    # independent DuckDB twin (same fixed-order fold + rounding)
+    import duckdb
+
+    cvals = ", ".join(
+        f"({i}, {list(v)})" for i, v in corpus if v is not None and any(v)
+    )
+    bvals = ", ".join(
+        f"({i}, {list(v)})" for i, v in bench if v is not None
+    )
+    duck = {
+        r[0]: (r[1], round(r[2], 9))
+        for r in duckdb.connect().execute(f"""
+            WITH c(id, v) AS (VALUES {cvals}),
+                 b(id, v) AS (VALUES {bvals}),
+            s AS (
+              SELECT c.id AS cid, b.id AS bid,
+                     round(
+                       list_sum(list_transform(generate_series(1, 4),
+                           t -> c.v[t] * b.v[t]))
+                       / (sqrt(list_sum(list_transform(c.v, x -> x*x)))
+                          * sqrt(list_sum(list_transform(b.v, x -> x*x)))),
+                       9) AS cos
+              FROM c, b
+            )
+            SELECT cid, bid, cos FROM s
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY cid ORDER BY cos DESC, bid ASC) = 1
+        """).fetchall()
+    }
+    for cid, (nb, mc) in duck.items():
+        assert got[cid][0] == nb and abs(got[cid][1] - mc) < 2e-9, (
+            cid, got[cid], (nb, mc),
+        )
+
+
+def test_semantic_decontaminate_and_plan(spark):
+    """Documents whose embedding sits at >= threshold cosine to any
+    benchmark embedding are dropped; docs with no embedding row or a
+    NULL embedding are KEPT (absence of an embedding is not evidence
+    of cleanliness — documented contract); the benchmark side is
+    broadcast (no CartesianProduct, no Python nodes) and the fuse
+    refuses an over-sized broadcast."""
+    _, _, cdf, bdf = _sem_fixture(spark)
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(9)],  # 8 has no embedding row
+        "doc_id long, text string",
+    )
+    clean = decontam.semantic_decontaminate(docs, cdf, bdf, threshold=0.95)
+    kept = sorted(r["doc_id"] for r in clean.collect())
+    # 0 (cos 1.0), 1 (cos ~0.995) flagged; 2 is at cos ~0.974 -> also
+    # flagged at 0.95; far/NULL/missing rows survive
+    assert kept == [3, 4, 5, 6, 7, 8]
+
+    scores = decontam.semantic_contamination_scores(cdf, bdf)
+    plan = scores._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    with pytest.raises(ValueError, match="max_benchmark_rows"):
+        decontam.semantic_contamination_scores(
+            cdf, bdf, max_benchmark_rows=2
+        )

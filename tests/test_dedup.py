@@ -154,20 +154,50 @@ def test_connected_components_chain_and_isolated(spark):
 
 
 def test_connected_components_raises_on_nonconvergence(spark):
-    """A chain longer than max_iter can't finish propagating the min
-    label; returning the partial labels would be a silently-wrong
-    KEEP/DROP decision, so the operator must raise instead."""
+    """A chain far longer than the geometric coverage of max_iter
+    rounds can't finish even with pointer jumping (with the deferred
+    default the covered label distance is ~2 after the plain prefix,
+    roughly doubling per jump round); returning the partial labels
+    would be a silently-wrong KEEP/DROP decision, so the operator must
+    raise instead."""
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(8)], "id1 long, id2 long"
+        [(i, i + 1) for i in range(40)], "id1 long, id2 long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(chain, max_iter=3)
-    # the same chain converges fine once max_iter covers the diameter
+    # the same chain converges fine with a logarithmic round budget
     comp = {
         r["id"]: r["comp"]
         for r in dedup.connected_components(chain, max_iter=10).collect()
     }
-    assert comp == {i: 0 for i in range(9)}
+    assert comp == {i: 0 for i in range(41)}
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """The pointer-jumping scale pin: a 400-node path component —
+    the templated-pages-with-counters shape where each adjacent
+    revision is a near-dup of the next but the ends are unrelated —
+    resolves within a LOGARITHMIC round budget (12 rounds: a 2-round
+    plain prefix, then the covered distance roughly doubles per jump
+    round), where plain min-label propagation would need ~399 rounds
+    and trip any sane fuse. Labels must still be exactly the component
+    minimum, and jump_start=0 (always-jump) must agree."""
+    n = 400
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id1 long, id2 long"
+    )
+    comp = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(chain, max_iter=12).collect()
+    }
+    assert comp == {i: 0 for i in range(n + 1)}
+    comp0 = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(
+            chain, max_iter=12, jump_start=0
+        ).collect()
+    }
+    assert comp0 == comp
 
 
 def test_simhash_bucket_cap_drops_hot_buckets(spark):

@@ -128,13 +128,21 @@ CASES = {
         llm_queries.docs_with_split,
         llm_queries.DOCS_WITH_SPLIT_SQL,
     ),
+    # rotated out r10 for docs_semantic_decontam: the four set-op
+    # shapes stay driver-covered (cr_player_decks' broadcast left_semi,
+    # decontaminate_overlap's anti leg, per-leg plan pins in
+    # tests/test_plans.py)
+    "setops_suite": (
+        testdata_queries.setops_suite,
+        testdata_queries.SETOPS_SUITE_SQL,
+    ),
 }
 
 
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("events", "orders", "documents", "customer", "lineitem"):
+    for t in ("events", "orders", "documents", "customer", "lineitem", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )

@@ -316,3 +316,156 @@ def split_leakage_report(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-level) decontamination
+# ---------------------------------------------------------------------------
+
+def semantic_contamination_scores(
+    corpus_emb: DataFrame,
+    benchmark_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    max_benchmark_rows: int | None = 200_000,
+) -> DataFrame:
+    """(id, nearest_bench_id, max_cosine) — each corpus embedding's
+    BEST cosine against the benchmark embedding set, the semantic
+    analog of :func:`contamination_hits`: n-gram overlap misses a
+    paraphrased eval item, but its embedding still sits next to the
+    benchmark's (the SemDeDup observation applied across the
+    train/eval fence rather than within the corpus).
+
+    Same asymmetry as the n-gram test, same scale design:
+
+    - The CORPUS side is the 100 TB stream — one scan, never shuffled
+      on content: the cross join against a **broadcast** benchmark side
+      expands map-side, and the per-doc max is a partial aggregation
+      that collapses back to one row per doc in the same task (the
+      fan-out never reaches an exchange; the final groupBy moves
+      already-collapsed (id, best) rows only).
+    - The BENCHMARK side is small by construction (eval suites), and
+      ``max_benchmark_rows`` is the broadcast fuse: exceeding it
+      raises with the bound named rather than silently planning a
+      multi-GB broadcast.
+
+    ``nearest_bench_id`` (smallest benchmark id among cosine ties —
+    replay-deterministic) names WHICH eval item a flagged document
+    resembles: the audit trail reviewers actually need. Cosines are
+    rounded to 9 dp like every similarity operator here, with the same
+    fixed-order ``F.aggregate`` dot fold, so a DuckDB twin reproduces
+    them exactly. NULL-embedding corpus rows score NULL (never
+    silently kept as "clean"); NULL benchmark embeddings are dropped.
+    Stateless per corpus row given the broadcast side, so the scoring
+    composes with streaming ingest unchanged."""
+    from ..functions import vectors as vx
+
+    bid = bench_id_col or id_col
+    bvec = bench_vec_col or vec_col
+    bench = benchmark_emb.filter(F.col(bvec).isNotNull()).select(
+        F.col(bid).alias("_bid"),
+        F.col(bvec).alias("_bv"),
+        F.nullif(
+            F.sqrt(
+                F.aggregate(
+                    F.col(bvec),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("_bn"),
+    )
+    if max_benchmark_rows is not None:
+        n_bench = bench.count()
+        if n_bench > max_benchmark_rows:
+            raise ValueError(
+                f"semantic_contamination_scores refuses to broadcast "
+                f"{n_bench} benchmark embeddings (> max_benchmark_rows="
+                f"{max_benchmark_rows}); partition the benchmark or raise "
+                "the bound explicitly"
+            )
+    corpus = corpus_emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.nullif(
+            F.sqrt(
+                F.aggregate(
+                    F.col(vec_col),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("_n"),
+    )
+    scored = corpus.join(
+        F.broadcast(bench), F.col("_v").isNotNull(), "left"
+    ).withColumn(
+        "_cos",
+        F.round(
+            vx.cosine_prenormed(
+                vx.dot(F.col("_v"), F.col("_bv")), F.col("_n"), F.col("_bn")
+            ),
+            9,
+        ),
+    )
+    # max over struct(cos, -bid) = best cosine, ties to the SMALLEST
+    # benchmark id — deterministic under any partitioning. NULL-vector
+    # corpus rows survive the left join with a NULL best.
+    best = (
+        scored.groupBy("_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_cos").isNotNull(),
+                    F.struct(
+                        F.col("_cos").alias("c"),
+                        (-F.col("_bid")).alias("nb"),
+                    ),
+                )
+            ).alias("_best")
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            (-F.col("_best.nb")).alias("nearest_bench_id"),
+            F.col("_best.c").alias("max_cosine"),
+        )
+    )
+    return best
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    corpus_emb: DataFrame,
+    benchmark_emb: DataFrame,
+    threshold: float = 0.95,
+    doc_id_col: str = "doc_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_benchmark_rows: int | None = 200_000,
+) -> DataFrame:
+    """The semantically clean corpus: every ``corpus`` column, minus
+    documents whose embedding scores ``max_cosine >= threshold``
+    against any benchmark embedding (``corpus_emb.vec_id`` is the
+    document's ``doc_id`` — the testdata convention). Same anti-join
+    shape as :func:`decontaminate`; the flag side is the small output
+    of the broadcast scoring rollup, so AQE broadcasts the anti join
+    too. Documents with no embedding row (or a NULL embedding) are
+    KEPT — run the n-gram test alongside; absence of an embedding is
+    not evidence of cleanliness, and the two tests are complementary
+    by design."""
+    flagged = (
+        semantic_contamination_scores(
+            corpus_emb,
+            benchmark_emb,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_benchmark_rows=max_benchmark_rows,
+        )
+        .filter(F.col("max_cosine") >= F.lit(threshold))
+        .select(F.col(id_col).alias(doc_id_col))
+    )
+    return corpus.join(flagged, doc_id_col, "left_anti")

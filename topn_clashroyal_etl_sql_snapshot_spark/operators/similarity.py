@@ -862,8 +862,9 @@ def semantic_dedup(
     centroids: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
     """The KEEP/DROP decision over semantic near-dup pairs: connected
-    components (``dedup.connected_components`` — min-label propagation,
-    O(diameter) rounds) over :func:`semantic_neardup_pairs`, so every
+    components (``dedup.connected_components`` — min-label propagation
+    with pointer jumping, O(log n) rounds) over
+    :func:`semantic_neardup_pairs`, so every
     member of a semantic cluster-duplicate group resolves to the
     group's minimum id. Returns (id, component, keep) for every id that
     appears in at least one qualifying pair; ids with no semantic

@@ -957,7 +957,8 @@ def dedup_components(spark, sf_dir):
     """Connected components over the exact near-dup pairs (trigram
     Jaccard ≥ 0.5): the KEEP/DROP decision of corpus dedup — every
     member of a component duplicates the component's minimum doc_id.
-    Spark side: min-label propagation (O(diameter) rounds of join+agg);
+    Spark side: min-label propagation with pointer jumping (O(log n)
+    rounds of two joins + agg — r10, chain-component safe);
     oracle: transitive closure via a recursive CTE. The pair set comes
     from the session cache shared with dedup_trigram_jaccard /
     curation_funnel."""
@@ -1368,6 +1369,52 @@ def embedding_neardup_pairs(spark, sf_dir):
     return similarity.brute_force_neardup_pairs(
         samp, threshold=0.35, max_rows=100_000
     ).orderBy("id1", "id2")
+
+
+@register(
+    "docs_semantic_decontam",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {_VEC_NORM_SQL} AS nrm FROM embeddings
+    ),
+    scored AS (
+      SELECT c.vec_id, b.vec_id AS bid,
+             round(
+               list_sum(list_transform(generate_series(1, len(c.embedding)),
+                        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / NULLIF(c.nrm * b.nrm, 0.0), 9) AS cosine
+      FROM n c JOIN n b ON b.vec_id % 20 = 0
+      WHERE c.vec_id % 20 <> 0
+    )
+    SELECT vec_id, bid AS nearest_bench_id, cosine AS max_cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cosine DESC, bid) AS rk
+      FROM scored
+    ) t
+    WHERE rk = 1
+    ORDER BY vec_id
+    """,
+)
+def docs_semantic_decontam(spark, sf_dir):
+    """Semantic (embedding-level) decontamination audit — r10 driver
+    row for ``decontam.semantic_contamination_scores``: every corpus
+    embedding's best cosine against the held-out benchmark slice
+    (every 20th vec_id — the same held-out convention as
+    decontaminate_overlap's n-gram test, making the two rows the
+    complementary pair they are in production: paraphrased eval items
+    that share no 8-gram still sit next to the benchmark in embedding
+    space). The benchmark side is broadcast with a row-count fuse, the
+    corpus side is one scan with a map-side expand + partial-agg
+    collapse — the 100 TB shape. The oracle re-derives every cosine
+    independently (same CAST-to-DOUBLE left fold, 9 dp round) and the
+    (cosine DESC, bench id ASC) tie-break via a window — all three
+    output columns hash-checked for all corpus rows."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    return decontam.semantic_contamination_scores(corpus, bench).orderBy(
+        "vec_id"
+    )
 
 
 def embedding_lsh_neardup(spark, sf_dir):

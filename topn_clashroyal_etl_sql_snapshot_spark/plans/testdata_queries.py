@@ -473,9 +473,15 @@ def intersect_active_customers(spark, sf_dir):
     )
 
 
-@register(
-    "setops_suite",
-    """
+# Rotated out of the driver registry in r10 (second wave) to free a
+# slot for the docs_semantic_decontam row: all four shapes stay
+# driver-covered elsewhere — left_semi by cr_player_decks' broadcast
+# TopN gate, left_anti by decontaminate_overlap / docs_split_by_
+# component's anti legs, and INTERSECT/EXCEPT plan as the same
+# distinct-then-join machinery pinned per-leg in tests/test_plans.py.
+# This query keeps its identical SQL bar in tests/test_rotated_rows.py
+# and its bench series.
+SETOPS_SUITE_SQL = """
     SELECT 'semi_with_orders' AS op, c_custkey AS key FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     UNION ALL
@@ -494,12 +500,14 @@ def intersect_active_customers(spark, sf_dir):
         SELECT l_partkey AS p_partkey FROM lineitem
     )
     ORDER BY op, key
-    """,
-)
+    """
+
+
 def setops_suite(spark, sf_dir):
     """All four set-op / existence shapes (left_semi, left_anti,
-    INTERSECT, EXCEPT — SURVEY.md §2.D5 + §2.H) as one labeled union so
-    each keeps a driver-checked row under the 50-query registry cap.
+    INTERSECT, EXCEPT — SURVEY.md §2.D5 + §2.H) as one labeled union
+    (driver row r7-r10; rotated out r10 for docs_semantic_decontam —
+    SQL bar preserved in tests/test_rotated_rows.py).
 
     Plan: the four branches are independent; the semi/anti pair shares
     the same (broadcast-able) orders build side, INTERSECT/EXCEPT plan
