@@ -719,6 +719,141 @@ def test_dedup_exact_incremental_matches_full_corpus_run(spark):
     assert again.count() == 0
 
 
+def test_bloom_bitmap_matches_python_twin(spark):
+    """The distributed bloom bitmap reproduces a dependency-free
+    Python twin bit-for-bit: k xxhash64-seeded probe positions per
+    fingerprint (testing/xxh64.py), pmod to m, word = pos >> 6, OR of
+    the in-word masks — including the signed-long wrap of bit 63.
+    NULL fingerprints contribute nothing."""
+    from topn_clashroyal_etl_sql_snapshot_spark.testing.xxh64 import (
+        spark_xxhash64,
+    )
+
+    m, k = 1 << 12, 4
+    fps = [f"fp-{i:02d}" for i in range(25)]
+    df = spark.createDataFrame(
+        [(f,) for f in fps] + [(None,)], "fingerprint string"
+    )
+    got = {
+        r["word"]: r["bits"]
+        for r in dedup.bloom_bitmap(df, m_bits=m, k=k).collect()
+    }
+
+    words: dict[int, int] = {}
+    for f in fps:
+        for i in range(k):
+            pos = spark_xxhash64([("long", i), ("string", f)]) % m
+            words[pos >> 6] = words.get(pos >> 6, 0) | (1 << (pos & 63))
+    want = {
+        w: (b - (1 << 64) if b >= (1 << 63) else b) for w, b in words.items()
+    }
+    assert got == want
+
+    # no false negatives: every fingerprint the bitmap was built over
+    # reports maybe=true
+    verdicts = dedup.bloom_maybe(df, dedup.bloom_bitmap(df, m, k), m, k)
+    assert all(r["bloom_maybe"] for r in verdicts.collect())
+    assert verdicts.count() == len(fps)  # NULL row dropped
+
+
+@pytest.mark.parametrize("m_bits", [64, 1 << 20])
+def test_bloom_incremental_gate_identity(spark, m_bits):
+    """dedup_exact_incremental_bloom admits EXACTLY the plain gate's
+    set — at m_bits=64 the bloom saturates (near-100% false positives,
+    every fingerprint probes the same word) and the residual exact
+    hits join must rescue correctness; at 2^20 the maybe set is
+    essentially the true duplicates. The updated bitmap must equal a
+    fresh build over the updated index, and a same-batch re-feed
+    admits nothing."""
+    rng = random.Random(11)
+    mk = lambda n: " ".join(rng.choice(WORDS) for _ in range(n))  # noqa: E731
+    corpus = [(i, mk(12)) for i in range(40)]
+    batch = (
+        [(100 + i, mk(12)) for i in range(30)]
+        + [(200 + i, corpus[i][1].upper()) for i in range(8)]  # index dups
+        + [(300, None), (301, None)]  # NULL texts: one survives
+    )
+    batch.append((400, batch[0][1]))  # within-batch dup, min id wins
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+
+    index = cdf.select(
+        tx.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    bitmap = dedup.bloom_bitmap(index, m_bits=m_bits)
+
+    plain_adm, plain_idx = dedup.dedup_exact_incremental(bdf, index)
+    adm, idx, bmp2 = dedup.dedup_exact_incremental_bloom(
+        bdf, index, bitmap, m_bits=m_bits
+    )
+    assert sorted(r["doc_id"] for r in adm.collect()) == sorted(
+        r["doc_id"] for r in plain_adm.collect()
+    )
+    assert adm.columns == bdf.columns
+    assert sorted(r["fingerprint"] or "" for r in idx.collect()) == sorted(
+        r["fingerprint"] or "" for r in plain_idx.collect()
+    )
+    # updated bitmap ≡ fresh build over the updated index
+    got_b = {r["word"]: r["bits"] for r in bmp2.collect()}
+    want_b = {
+        r["word"]: r["bits"]
+        for r in dedup.bloom_bitmap(idx, m_bits=m_bits).collect()
+    }
+    assert got_b == want_b
+    # idempotent re-feed against the updated (index, bitmap) pair
+    again, _, _ = dedup.dedup_exact_incremental_bloom(
+        bdf, idx, bmp2, m_bits=m_bits
+    )
+    assert again.count() == 0
+
+
+def test_bloom_gate_plan_broadcasts_never_shuffles_index(spark):
+    """The design point of the bloom gate: the persisted index is
+    probed by a BROADCAST of the (tiny) bloom-maybe set — the plan
+    must carry broadcast joins only, with no SortMergeJoin (an index
+    shuffle at 100 TB), no cartesian, and no Python nodes anywhere."""
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+
+    index = docs.filter(F.col("doc_id") < 10).select(
+        tx.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    bitmap = dedup.bloom_bitmap(index)
+    adm, _, _ = dedup.dedup_exact_incremental_bloom(
+        docs.filter(F.col("doc_id") >= 5), index, bitmap
+    )
+    # STATIC plan: the index-probe broadcast is by construction (the
+    # explicit F.broadcast on the maybe side), not AQE luck — the index
+    # side streams into an Inner BuildRight BHJ with no Exchange above
+    # its scan. The batch-side joins may plan SMJ statically at toy
+    # stats; that's what the final-plan check below covers.
+    import re as _re
+
+    static = adm._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(
+        r"BroadcastHashJoin \[fingerprint#\d+\], \[fingerprint#\d+\], "
+        r"Inner, BuildRight",
+        static,
+    ), static
+    assert "CartesianProduct" not in static
+    assert "BatchEvalPython" not in static and "ArrowEvalPython" not in static
+    assert sorted(r["doc_id"] for r in adm.collect()) == list(range(10, 20))
+    # FINAL AQE plan (post-run): every join resolved broadcast — the
+    # only shuffles left are the batch-keyed aggregations.
+    final = (
+        adm._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]  # the dump appends the pre-AQE plan
+    )
+    assert "isFinalPlan=true" in final
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+
+
 @pytest.mark.parametrize("seed,cap", [(0, 3), (1, 6), (2, None)])
 def test_minhash_incremental_invariant_randomized(spark, seed, cap):
     """The cap-for-cap subset invariant on RANDOMIZED corpora: for a

@@ -18,7 +18,12 @@ crawl is infeasible): :func:`dedup_exact_incremental` (fingerprint
 index), :func:`minhash_lsh_incremental` (signature index), and
 :func:`simhash_incremental_pairs` (64-bit fingerprint index, shared
 by text SimHash, image pHash, and audio band signatures). Compose
-exact FIRST so identical copies never reach the banded joins.
+exact FIRST so identical copies never reach the banded joins. When
+the persisted index itself is corpus-sized, the exact gate has a
+Bloom-prefiltered variant (:func:`dedup_exact_incremental_bloom` +
+:func:`bloom_bitmap`) that probes a distributed ~30×-smaller bitmap
+and touches the index only through a broadcast of the maybe set —
+identical admitted rows, no index shuffle.
 
 Scale design: every step is per-row column algebra or a key-partitioned
 join — no driver-side state, no Python UDFs. The LSH/simhash candidate
@@ -150,6 +155,203 @@ def dedup_exact_incremental(
         admitted.select(F.col("_fp").alias("fingerprint"))
     )
     return admitted.drop("_fp"), updated_index
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prefilter for the incremental exact gate
+# ---------------------------------------------------------------------------
+
+def _bloom_probes(fp: Column, m_bits: int, k: int) -> Column:
+    """Array of the k bloom probe positions for one fingerprint:
+    ``pmod(xxhash64(iL, fp), m_bits)`` — k independently seeded hashes
+    rather than the h1+i*h2 double-hashing shortcut, because Spark 4
+    runs ANSI arithmetic (the wrap-around multiply would raise on
+    overflow) and each xxhash64 is a codegen'd expression anyway. Pure
+    replay-deterministic column algebra with a dependency-free Python
+    twin (testing/xxh64.py)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i).cast("long"), fp), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_bitmap(
+    fps: DataFrame,
+    m_bits: int = 1 << 27,
+    k: int = 5,
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Distributed Bloom bitmap over a fingerprint set: ``(word, bits)``
+    rows where ``word = position >> 6`` and ``bits`` OR-accumulates the
+    64 positions of that word — the compact membership summary the
+    incremental gates probe INSTEAD of the full index. Sparse by
+    construction (words with no set bit have no row), at most
+    ``min(k·n, m_bits/64)`` rows regardless of corpus size.
+
+    Plan: explode the k probe positions (narrow, inside the scan) →
+    ONE groupBy(word) bit_or — the partial aggregation collapses each
+    word map-side, so the exchange ships at most ``m_bits/64`` rows no
+    matter how many fingerprints stream through. No driver state:
+    unlike ``df.stat.bloomFilter`` (which collects the whole filter to
+    the driver), the bitmap IS a DataFrame — persist it next to the
+    index, merge daily deltas with :func:`bloom_bitmap_merge`.
+
+    NULL fingerprints contribute no bits (and :func:`bloom_maybe`
+    never consults the bitmap for them), matching the exact gate's
+    NULL contract. Size ``m_bits`` at ~8-10 bits per EXPECTED index
+    fingerprint (k=5, FP ≈ 2-3%); the default 2²⁷ covers ~13M docs.
+    The (m_bits, k) pair is part of the persisted bitmap's identity —
+    probing with different parameters is undefined; keep them with the
+    index metadata."""
+    return (
+        fps.filter(F.col(fp_col).isNotNull())
+        .select(
+            F.explode(_bloom_probes(F.col(fp_col), m_bits, k)).alias("pos")
+        )
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bits"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bloom_bitmap_merge(*bitmaps: DataFrame) -> DataFrame:
+    """OR-merge bloom bitmaps built with the SAME (m_bits, k): union +
+    one word-keyed bit_or. Bloom filters are unions under OR, so the
+    daily-ingest loop never rebuilds over history — merge yesterday's
+    bitmap with :func:`bloom_bitmap` over today's admitted docs."""
+    out = bitmaps[0]
+    for b in bitmaps[1:]:
+        out = out.unionAll(b)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_maybe(
+    fps: DataFrame,
+    bitmap: DataFrame,
+    m_bits: int = 1 << 27,
+    k: int = 5,
+    fp_col: str = "fingerprint",
+    broadcast_bitmap: bool = True,
+) -> DataFrame:
+    """(fp_col, bloom_maybe) — Bloom membership verdict per DISTINCT
+    fingerprint: ``true`` iff all k probe bits are set in ``bitmap``
+    (built with the same m_bits/k). No false negatives ever — a
+    fingerprint the bitmap was built over always reports ``true``;
+    false positives at the sized-for rate are expected and are exactly
+    what the residual verify join exists for. NULL fingerprints are
+    dropped (callers gate them separately; the exact family admits
+    them without consulting any index).
+
+    Plan: explode k probes → left join the bitmap on ``word`` (a
+    missing word row means those 64 bits are all zero — coalesce(bits,
+    0)) → per-fingerprint bool_and. ``broadcast_bitmap=True`` (default)
+    broadcasts the bitmap — right for bitmaps up to a few hundred MB;
+    at full 100 TB index scale (a ~10¹¹-fingerprint bitmap is ~10¹⁰
+    words ≈ 150 GB) set it False for a word-keyed shuffle join, still
+    ~30× less IO than joining the fingerprint index itself."""
+    bmp = F.broadcast(bitmap) if broadcast_bitmap else bitmap
+    probed = (
+        fps.filter(F.col(fp_col).isNotNull())
+        .select(
+            F.col(fp_col),
+            F.explode(_bloom_probes(F.col(fp_col), m_bits, k)).alias("pos"),
+        )
+        .select(
+            fp_col,
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .join(bmp, "word", "left")
+    )
+    return probed.groupBy(fp_col).agg(
+        F.bool_and(
+            F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
+                F.col("mask")
+            )
+            != 0
+        ).alias("bloom_maybe")
+    )
+
+
+def dedup_exact_incremental_bloom(
+    new_docs: DataFrame,
+    index_fps: DataFrame,
+    bitmap: DataFrame,
+    m_bits: int = 1 << 27,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`dedup_exact_incremental` with a Bloom prefilter — SAME
+    admitted set, different join topology, built for the regime where
+    the persisted index is 100 TB-corpus-sized and the daily batch is
+    not.
+
+    The plain gate's ``batch LEFT ANTI index`` join must either
+    shuffle the full index on fingerprint (the dominant cost — the
+    batch side is noise) or broadcast the whole batch's fingerprints
+    (10⁸-row day ≈ several GB — over any sane broadcast bound). The
+    bloom path breaks the dilemma:
+
+    1. probe the batch's distinct fingerprints against the BITMAP
+       (:func:`bloom_maybe` — a structure ~30× smaller than the index,
+       itself broadcastable until ~10⁹ index docs);
+    2. the ``bloom_maybe`` survivors — true duplicates plus the sized
+       FP rate of the batch, typically 10-100× fewer rows than the
+       batch — are small enough to BROADCAST against the index:
+       ``hits = index ⋈ broadcast(maybe_fps)`` streams the index
+       map-side, no index shuffle, no index-sized broadcast;
+    3. ``admitted = batch_firsts LEFT ANTI hits`` — hits is at most
+       the true-duplicate set, tiny, broadcast by AQE.
+
+    Bloom false positives cost one extra broadcast row each and are
+    removed by the exact hits join — the admitted set is exactly the
+    plain gate's (test-pinned on randomized corpora). False negatives
+    cannot occur when ``bitmap`` covers ``index_fps`` (built or merged
+    over every fingerprint in it — the caller's persistence contract,
+    same (m_bits, k)).
+
+    Returns ``(admitted, updated_index, updated_bitmap)`` — the last
+    is the OR-merge of ``bitmap`` with the admitted fingerprints' bits,
+    so tomorrow's run reads back both frames and the bitmap never
+    needs rebuilding from history."""
+    fp = tx.content_fingerprint(F.col(text_col))
+    batch = _spread(new_docs, id_col).withColumn("_fp", fp)
+    firsts = batch.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
+    kept = (
+        batch.join(firsts, "_fp")
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+    )
+    maybe_fps = (
+        bloom_maybe(
+            kept.select(F.col("_fp").alias("fingerprint")),
+            bitmap,
+            m_bits=m_bits,
+            k=k,
+        )
+        .filter(F.col("bloom_maybe"))
+        .select("fingerprint")
+    )
+    hits = index_fps.join(F.broadcast(maybe_fps), "fingerprint", "inner")
+    admitted = kept.join(
+        hits.select(F.col("fingerprint").alias("_fp")), "_fp", "left_anti"
+    )
+    admitted_fps = admitted.select(F.col("_fp").alias("fingerprint"))
+    updated_index = index_fps.unionAll(admitted_fps)
+    updated_bitmap = bloom_bitmap_merge(
+        bitmap, bloom_bitmap(admitted_fps, m_bits=m_bits, k=k)
+    )
+    return admitted.drop("_fp"), updated_index, updated_bitmap
 
 
 def dedup_lines_corpus(
