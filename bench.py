@@ -133,6 +133,9 @@ def main() -> None:
         # banded join + verify) — observed 5.8-7.1 s single-shot in
         # the same session; medians from day one
         "dedup_minhash_incremental": 3,
+        # r10: new broadcast-scoring decontam entry read 2.7 s
+        # single-shot at registration — medians from day one
+        "docs_semantic_decontam": 3,
     }
 
     timings: dict[str, float] = {}
