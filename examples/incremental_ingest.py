@@ -9,11 +9,14 @@ THIS is the shape a daily pipeline runs):
    (``content_fingerprint`` / ``minhash_signatures``) and persist
    them; the raw texts are never needed again for candidate
    generation.
-2. **Day N, exact gate FIRST** — ``dedup_exact_incremental`` drops
-   byte-identical recrawls against the tiny fingerprint index before
-   any shingling (the composition contract the LSH hot-bucket cap's
-   recall argument assumes: identical copies never reach the banded
-   join).
+2. **Day N, exact gate FIRST** — the Bloom-prefiltered
+   ``dedup_exact_incremental_bloom`` drops byte-identical recrawls
+   before any shingling (the composition contract the LSH hot-bucket
+   cap's recall argument assumes: identical copies never reach the
+   banded join). The batch probes the day-0 BITMAP, and the
+   fingerprint index — corpus-sized in production — is touched only
+   through one broadcast-probed scan, never shuffled; the returned
+   updated bitmap persists alongside the updated index for day N+1.
 3. **Day N, near-dup** — ``minhash_lsh_incremental`` signs the
    surviving batch (one pass over batch texts only), band-joins it
    against the index, and returns (a) near-dup pairs touching the
@@ -69,12 +72,17 @@ def run(spark, sf_dir: str) -> dict:
     fp_index = corpus.select(
         tx.content_fingerprint(F.col("text")).alias("fingerprint")
     ).localCheckpoint(eager=True)
+    bloom = dedup.bloom_bitmap(fp_index).localCheckpoint(eager=True)
     index = dedup.minhash_signatures(corpus).localCheckpoint(eager=True)
 
-    # Day 1, exact gate first: identical recrawls drop on the tiny
-    # fingerprint index before any shingling happens
+    # Day 1, exact gate first: identical recrawls drop before any
+    # shingling happens — the batch probes the bitmap, and only the
+    # bloom-maybe survivors reach the fingerprint index (as a
+    # broadcast; at production scale the index never shuffles)
     n_batch_raw = batch.count()
-    batch, fp_updated = dedup.dedup_exact_incremental(batch, fp_index)
+    batch, fp_updated, bloom_updated = dedup.dedup_exact_incremental_bloom(
+        batch, fp_index, bloom
+    )
     batch = batch.localCheckpoint(eager=True)
     exact_dropped = n_batch_raw - batch.count()
 
@@ -116,6 +124,7 @@ def run(spark, sf_dir: str) -> dict:
         "batch_docs_admitted": admitted,
         "planted_dup_dropped": planted_id in dropped,
         "updated_index_rows": updated.count(),
+        "updated_bloom_words": bloom_updated.count(),
     }
 
 

@@ -122,3 +122,8 @@ def test_incremental_ingest_example(spark):
     # a signature (docs with < n tokens are excluded on both paths)
     assert out["updated_index_rows"] <= out["corpus"] + out["batch"]
     assert out["updated_index_rows"] > out["corpus"] * 0.9
+    # the day-N bitmap came back merged and non-degenerate: at most
+    # k bits (words) per admitted fingerprint were added
+    assert 1 <= out["updated_bloom_words"] <= 5 * (
+        out["corpus"] + out["batch"]
+    )
