@@ -755,6 +755,16 @@ def test_bloom_bitmap_matches_python_twin(spark):
     assert all(r["bloom_maybe"] for r in verdicts.collect())
     assert verdicts.count() == len(fps)  # NULL row dropped
 
+    # the broadcast_bitmap=False arm (the >10^9-doc-index shape: a
+    # word-keyed shuffle join instead of a bitmap broadcast) returns
+    # the identical verdict set
+    shuffled = dedup.bloom_maybe(
+        df, dedup.bloom_bitmap(df, m, k), m, k, broadcast_bitmap=False
+    )
+    assert sorted(map(tuple, shuffled.collect())) == sorted(
+        map(tuple, verdicts.collect())
+    )
+
 
 @pytest.mark.parametrize("m_bits", [64, 1 << 20])
 def test_bloom_incremental_gate_identity(spark, m_bits):

@@ -251,7 +251,12 @@ def bloom_maybe(
 
     Plan: explode k probes → left join the bitmap on ``word`` (a
     missing word row means those 64 bits are all zero — coalesce(bits,
-    0)) → per-fingerprint bool_and. ``broadcast_bitmap=True`` (default)
+    0)) → per-fingerprint bool_and. ``bitmap`` must carry ONE row per
+    word — the invariant :func:`bloom_bitmap` and
+    :func:`bloom_bitmap_merge` guarantee; a bitmap with duplicate word
+    rows would fan out probes and the bool_and could report a false
+    NEGATIVE (bits split across rows), which breaks the gate's
+    identity contract — never hand-build the frame. ``broadcast_bitmap=True`` (default)
     broadcasts the bitmap — right for bitmaps up to a few hundred MB;
     at full 100 TB index scale (a ~10¹¹-fingerprint bitmap is ~10¹⁰
     words ≈ 150 GB) set it False for a word-keyed shuffle join, still
