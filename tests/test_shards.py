@@ -137,3 +137,51 @@ def test_bad_params(spark):
         shards.shard_expr("doc_id", 0)
     with pytest.raises(ValueError):
         shards.shard_manifest(df.select(F.lit(0).alias("shard_id")))
+
+
+def test_small_files_guard(spark, tmp_out):
+    """The 100 TB metadata contract: with the default shard-keyed
+    repartition, each shard directory holds ONE parquet file no matter
+    how many upstream tasks fed the write (a raw partitionBy would emit
+    tasks × shards files); records_per_file re-splits a shard into
+    bounded files WITHIN its directory; coalesce_shards=False restores
+    the raw behavior (many files per dir from a many-partition input).
+    Rows are identical in all three regimes."""
+    from pathlib import Path
+
+    def files_per_shard(root):
+        out = {}
+        for d in Path(root).glob("shard_id=*"):
+            out[d.name] = len(list(d.glob("*.parquet")))
+        return out
+
+    df = _docs(spark, n=400).repartition(16)  # many upstream tasks
+    shards.write_training_shards(df, tmp_out, "doc_id", 4)
+    fps = files_per_shard(tmp_out)
+    assert len(fps) == 4 and set(fps.values()) == {1}, fps
+    want = sorted(r["doc_id"] for r in df.collect())
+    assert sorted(
+        r["doc_id"]
+        for r in shards.read_training_shards(spark, tmp_out).collect()
+    ) == want
+
+    shards.write_training_shards(
+        df, tmp_out, "doc_id", 4, records_per_file=25
+    )
+    fps = files_per_shard(tmp_out)
+    # ~100 rows/shard at 25 rows/file -> >=4 bounded files per dir
+    assert all(v >= 3 for v in fps.values()), fps
+    assert sorted(
+        r["doc_id"]
+        for r in shards.read_training_shards(spark, tmp_out).collect()
+    ) == want
+
+    shards.write_training_shards(
+        df, tmp_out, "doc_id", 4, coalesce_shards=False
+    )
+    fps = files_per_shard(tmp_out)
+    assert max(fps.values()) > 1, fps  # the pre-guard behavior
+    assert sorted(
+        r["doc_id"]
+        for r in shards.read_training_shards(spark, tmp_out).collect()
+    ) == want

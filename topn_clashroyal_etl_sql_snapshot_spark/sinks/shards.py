@@ -106,6 +106,8 @@ def write_training_shards(
     seed: int = 42,
     weight_col: str | None = None,
     shard_col: str = "shard_id",
+    coalesce_shards: bool = True,
+    records_per_file: int | None = None,
 ) -> None:
     """Shard-assign, write ``path/shard_id=N/`` parquet directories,
     and write the manifest to ``path/_manifest/``. Two jobs total (the
@@ -113,9 +115,26 @@ def write_training_shards(
     pass over the data. The manifest is computed from the SAME sharded
     frame that was written, so a later :func:`verify_shards` detects
     any divergence between what the pipeline produced and what is on
-    disk."""
+    disk.
+
+    ``coalesce_shards`` (default True) repartitions on the shard key
+    before the write — the small-files guard: a raw
+    ``partitionBy(shard)`` write emits one file per (upstream task ×
+    shard), and at 100 TB that is 10⁵ tasks × 10³ shards = 10⁸ tiny
+    parquet files, a metadata catastrophe for every downstream reader.
+    The shard-keyed exchange makes it one task (→ one file) per shard;
+    pair it with ``records_per_file`` (Spark's ``maxRecordsPerFile``)
+    so a big shard re-splits into bounded files WITHIN its directory
+    instead of one monolith. Set ``coalesce_shards=False`` only when
+    the input is already partitioned by the shard key (e.g. re-writing
+    read-back shards) and the extra exchange would be pure waste."""
     sharded = with_shard(df, key, n_shards, seed, shard_col)
-    sharded.write.mode("overwrite").partitionBy(shard_col).parquet(path)
+    if coalesce_shards:
+        sharded = sharded.repartition(n_shards, F.col(shard_col))
+    writer = sharded.write.mode("overwrite")
+    if records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(records_per_file))
+    writer.partitionBy(shard_col).parquet(path)
     manifest = shard_manifest(sharded, weight_col, shard_col)
     manifest.write.mode("overwrite").parquet(os.path.join(path, MANIFEST_DIR))
 
