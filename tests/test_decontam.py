@@ -442,3 +442,78 @@ def test_semantic_decontaminate_and_plan(spark):
         decontam.semantic_contamination_scores(
             cdf, bdf, max_benchmark_rows=2
         )
+
+
+def test_semantic_score_expr_bit_parity_with_batch(spark):
+    """The stateless expression twin reproduces the batch scorer
+    EXACTLY — same nearest ids, bit-equal rounded cosines — across
+    near/far/negative/NULL/zero-vector corpus rows and the duplicate-
+    benchmark tie probe; the empty-benchmark guard scores NULL; the
+    collector fuse raises past max_benchmark_rows."""
+    _, _, cdf, bdf = _sem_fixture(spark)
+    bench = decontam.collect_benchmark_embeddings(bdf)
+    assert [b[0] for b in bench] == [100, 101, 102]  # NULL bench dropped
+
+    got = {
+        r["vec_id"]: (r["s"]["nearest_bench_id"], r["s"]["max_cosine"])
+        for r in cdf.select(
+            "vec_id",
+            decontam.semantic_score_expr(F.col("embedding"), bench).alias("s"),
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: (r["nearest_bench_id"], r["max_cosine"])
+        for r in decontam.semantic_contamination_scores(cdf, bdf).collect()
+    }
+    assert got == want  # bit-equal, not approx
+
+    empty = cdf.select(
+        decontam.semantic_score_expr(F.col("embedding"), []).alias("s")
+    ).collect()
+    assert all(r["s"]["max_cosine"] is None for r in empty)
+
+    with pytest.raises(ValueError, match="max_benchmark_rows"):
+        decontam.collect_benchmark_embeddings(bdf, max_benchmark_rows=2)
+
+
+def test_semantic_score_expr_streams(spark, tmp_path):
+    """The claim the expression twin exists for: a Structured
+    Streaming ingest evaluates the semantic gate per row with NO
+    aggregation, watermark, or state — availableNow over a jsonl
+    landing dir, memory sink, output equal to the batch scorer's."""
+    import json as _json
+
+    corpus, _, cdf, bdf = _sem_fixture(spark)
+    land = tmp_path / "emb_land"
+    land.mkdir()
+    with open(land / "e0.jsonl", "w") as f:
+        for cid, v in corpus:
+            f.write(_json.dumps({"vec_id": cid, "embedding": v}) + "\n")
+
+    bench = decontam.collect_benchmark_embeddings(bdf)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .json(str(land))
+        .select(
+            "vec_id",
+            decontam.semantic_score_expr(F.col("embedding"), bench).alias("s"),
+        )
+        .select("vec_id", "s.nearest_bench_id", "s.max_cosine")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sem_gate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: (r["nearest_bench_id"], r["max_cosine"])
+        for r in spark.sql("SELECT * FROM sem_gate_out").collect()
+    }
+    want = {
+        r["vec_id"]: (r["nearest_bench_id"], r["max_cosine"])
+        for r in decontam.semantic_contamination_scores(cdf, bdf).collect()
+    }
+    assert got == want

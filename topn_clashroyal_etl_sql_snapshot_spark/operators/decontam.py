@@ -358,8 +358,9 @@ def semantic_contamination_scores(
     fixed-order ``F.aggregate`` dot fold, so a DuckDB twin reproduces
     them exactly. NULL-embedding corpus rows score NULL (never
     silently kept as "clean"); NULL benchmark embeddings are dropped.
-    Stateless per corpus row given the broadcast side, so the scoring
-    composes with streaming ingest unchanged."""
+    A stream can't run this per-doc aggregation shape directly —
+    :func:`semantic_score_expr` is the stateless per-row twin for
+    streaming ingest, bit-parity pinned against this scorer."""
     from ..functions import vectors as vx
 
     bid = bench_id_col or id_col
@@ -435,6 +436,117 @@ def semantic_contamination_scores(
         )
     )
     return best
+
+
+def collect_benchmark_embeddings(
+    benchmark_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_benchmark_rows: int = 10_000,
+) -> list[tuple[int, list[float], float]]:
+    """Driver-side (id, vector, norm) triples for
+    :func:`semantic_score_expr` — the model-bounded collect the
+    stateless twin needs (benchmark suites are small by construction;
+    the fuse raises past ``max_benchmark_rows`` instead of silently
+    building a giant expression literal). NULL embeddings are dropped
+    here, exactly as the batch scorer drops them. The norm is folded
+    left-to-right over widened doubles — the SAME IEEE operation order
+    as the batch scorer's Spark-side fold, which is what makes the two
+    paths bit-identical rather than merely close."""
+    import math
+
+    rows = (
+        benchmark_emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
+        .limit(max_benchmark_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_benchmark_rows:
+        raise ValueError(
+            f"collect_benchmark_embeddings refuses > {max_benchmark_rows} "
+            "benchmark embeddings (max_benchmark_rows) — the expression "
+            "twin is for eval-suite-sized benchmark sets"
+        )
+    out = []
+    for r in rows:
+        v = [float(x) for x in r["v"]]
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        out.append((r["i"], v, math.sqrt(acc)))
+    return out
+
+
+def semantic_score_expr(
+    vec: Column,
+    bench: list[tuple[int, list[float], float]],
+) -> Column:
+    """``struct(nearest_bench_id, max_cosine)`` as a PURE per-row
+    column expression against a driver-collected benchmark set
+    (:func:`collect_benchmark_embeddings`) — the stateless twin of
+    :func:`semantic_contamination_scores`, the same role
+    ``minhash_sig_expr`` / ``lsh_buckets_expr`` play for the MinHash
+    gate: a Structured Streaming ingest cannot run the batch scorer's
+    per-doc aggregation (a streaming groupBy needs watermark
+    machinery a row-level gate doesn't want), but it CAN evaluate an
+    expression, so the semantic gate composes with any stream
+    unchanged. Bit-parity with the batch path is by construction, not
+    tolerance: the same ``vectors.dot`` / ``cosine_prenormed`` folds
+    over the same widened doubles, the same 9-dp round, and the same
+    (cosine DESC, bench id ASC) tie-break via max-of-struct — pinned
+    exactly in tests. NULL / zero-norm rows on either side yield NULL
+    scores (never a silent "clean"). The benchmark rides the plan as
+    an array-of-structs literal (rows × dim literal doubles — the
+    collector's fuse keeps that an eval-suite size)."""
+    from ..functions import vectors as vx
+
+    if not bench:
+        # an empty benchmark scores every row NULL (nothing to hit) —
+        # and a zero-arg array literal has no element type to fold over
+        return F.struct(
+            F.lit(None).cast("long").alias("nearest_bench_id"),
+            F.lit(None).cast("double").alias("max_cosine"),
+        )
+    blit = F.array(
+        *[
+            F.struct(
+                F.lit(int(bid)).cast("long").alias("bid"),
+                F.array(*[F.lit(float(x)) for x in bv]).alias("bv"),
+                F.lit(float(bn)).alias("bn"),
+            )
+            for bid, bv, bn in bench
+        ]
+    )
+    nrm = F.nullif(
+        F.sqrt(
+            F.aggregate(
+                vec,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        F.lit(0.0),
+    )
+    scored = F.filter(
+        F.transform(
+            blit,
+            lambda b: F.struct(
+                F.round(
+                    vx.cosine_prenormed(
+                        vx.dot(vec, b["bv"]), nrm, F.nullif(b["bn"], F.lit(0.0))
+                    ),
+                    9,
+                ).alias("c"),
+                (-b["bid"]).alias("nb"),
+            ),
+        ),
+        lambda s: s["c"].isNotNull(),
+    )
+    best = F.array_max(scored)
+    return F.struct(
+        (-best["nb"]).alias("nearest_bench_id"),
+        best["c"].alias("max_cosine"),
+    )
 
 
 def semantic_decontaminate(
