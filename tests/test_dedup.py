@@ -421,6 +421,107 @@ def test_dedup_lines_corpus_matches_python_twin(spark):
     assert "fresh content" in got[6][0]
 
 
+def test_dedup_lines_incremental_matches_full_corpus_run(spark):
+    """The line family's daily-ingest invariant, randomized: cleaning
+    a batch against the index built from an established corpus must
+    equal the batch-doc subset of dedup_lines_corpus over corpus ∪
+    batch (monotone ids), for every output column; the updated index
+    is exactly the full run's kept-line key set; a same-batch re-feed
+    drops every dedupable batch line (all keys now indexed). NULL
+    text, empty text, and short-line exemption ride along."""
+    rng = random.Random(23)
+    pool = [
+        " ".join(rng.choice(WORDS) for _ in range(rng.randint(3, 7)))
+        for _ in range(40)
+    ]
+
+    def mk_doc():
+        n = rng.randint(1, 6)
+        return "\n".join(
+            rng.choice(pool) if rng.random() < 0.6 else f"u{rng.random()}"
+            for _ in range(n)
+        )
+
+    corpus_rows = [(i, mk_doc()) for i in range(30)]
+    batch_rows = [(100 + i, mk_doc()) for i in range(20)] + [
+        (150, None),
+        (151, ""),
+        (152, "short\n" + pool[0] + "\nshort"),
+    ]
+    cdf = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    # day-0 index: keys of the lines the corpus run actually kept —
+    # equivalently, all distinct dedupable line keys of the corpus
+    corpus_lines = cdf.select(
+        F.posexplode(
+            F.split(F.regexp_replace("text", "\r\n", "\n"), "\n")
+        ).alias("idx", "line")
+    ).filter(F.length(F.trim("line")) >= 10)
+    index = (
+        corpus_lines.select(
+            F.xxhash64("line").alias("h"),
+            F.xxhash64(F.lit(1).cast("long"), F.col("line")).alias("h2"),
+        )
+        .distinct()
+    )
+
+    cleaned, updated = dedup.dedup_lines_incremental(bdf, index)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in cleaned.collect()
+    }
+
+    full = dedup.dedup_lines_corpus(
+        cdf.unionAll(bdf).orderBy("doc_id")
+    )
+    want = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in full.collect()
+        if r["doc_id"] >= 100
+    }
+    assert got == want
+
+    # updated index ≡ the full run's kept-key set (index ∪ new firsts)
+    all_lines = cdf.unionAll(bdf).select(
+        F.posexplode(
+            F.split(F.regexp_replace("text", "\r\n", "\n"), "\n")
+        ).alias("idx", "line")
+    ).filter(F.length(F.trim("line")) >= 10)
+    want_keys = sorted(
+        (r["h"], r["h2"])
+        for r in all_lines.select(
+            F.xxhash64("line").alias("h"),
+            F.xxhash64(F.lit(1).cast("long"), F.col("line")).alias("h2"),
+        )
+        .distinct()
+        .collect()
+    )
+    assert sorted((r["h"], r["h2"]) for r in updated.collect()) == want_keys
+
+    # idempotence: re-feeding the batch against the updated index
+    # keeps only short/unique-exempt lines, drops every indexed one
+    again, _ = dedup.dedup_lines_incremental(bdf, updated)
+    got2 = {r["doc_id"]: r["clean_text"] for r in again.collect()}
+    assert got2[150] is None            # NULL text stays NULL
+    assert got2[151] == ""              # empty text stays empty
+    assert got2[152] == "short\nshort"  # exempt lines kept, pool line gone
+    # every dedupable line of the re-fed batch is now a duplicate
+    tot = again.agg(
+        F.sum("n_lines_kept").alias("k"), F.sum("n_lines_dropped").alias("d")
+    ).collect()[0]
+    dedupable_total = (
+        bdf.select(
+            F.posexplode(
+                F.split(F.regexp_replace("text", "\r\n", "\n"), "\n")
+            ).alias("idx", "line")
+        )
+        .filter(F.length(F.trim("line")) >= 10)
+        .count()
+    )
+    assert tot["d"] == dedupable_total
+
+
 def test_component_keepers_quality_policy(spark):
     """Quality-aware KEEP: best score wins its component, exact ties
     break toward the lower id, unscored members lose to any scored

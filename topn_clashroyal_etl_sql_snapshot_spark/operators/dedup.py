@@ -15,7 +15,8 @@ to the operators an LLM-data pipeline needs:
 Every family also ships an INCREMENTAL batch-vs-persisted-index mode
 (the daily-ingest shape — re-deduping a 100 TB corpus to admit a 0.1%
 crawl is infeasible): :func:`dedup_exact_incremental` (fingerprint
-index), :func:`minhash_lsh_incremental` (signature index), and
+index), :func:`dedup_lines_incremental` (line-key index),
+:func:`minhash_lsh_incremental` (signature index), and
 :func:`simhash_incremental_pairs` (64-bit fingerprint index, shared
 by text SimHash, image pHash, and audio band signatures). Compose
 exact FIRST so identical copies never reach the banded joins. When
@@ -462,6 +463,123 @@ def dedup_lines_corpus(
         F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
         F.coalesce("n_lines_dropped", F.lit(0)).alias("n_lines_dropped"),
     )
+
+
+def dedup_lines_incremental(
+    new_docs: DataFrame,
+    line_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 10,
+    out_col: str = "clean_text",
+) -> tuple[DataFrame, DataFrame]:
+    """C4-style line dedup of a NEW batch against a PERSISTED line-key
+    index — the daily-ingest mode for the line family, completing the
+    incremental trio (:func:`dedup_exact_incremental`,
+    :func:`minhash_lsh_incremental`, :func:`simhash_incremental_pairs`):
+    re-running :func:`dedup_lines_corpus` over 100 TB of history to
+    admit a day's crawl would re-shuffle every line ever seen, but the
+    corpus-wide keep decision only needs the SET of line keys already
+    emitted.
+
+    ``line_index`` is a two-column ``(h, h2)`` frame — the 128-bit
+    two-lane keys of every dedupable line the corpus has already kept
+    (~16 bytes/distinct line; never the line text). Returns
+    ``(cleaned, updated_index)``:
+
+    - ``cleaned`` = the batch in :func:`dedup_lines_corpus`'s output
+      shape (id, out_col, n_lines_kept, n_lines_dropped): a dedupable
+      line drops if its key is IN the index (the corpus copy is
+      canonical) or a smaller (id, idx) batch occurrence exists
+      (within-batch first-seen — the full run's exact rule). Short
+      lines stay exempt, NULL text keeps a NULL ``out_col``. Under
+      monotone-id ingest (batch ids after index ids — the normal
+      case, same convention as :func:`dedup_exact_incremental`) this
+      is EXACTLY the batch-doc subset of a full-corpus rerun.
+    - ``updated_index`` = index ∪ the batch's newly emitted line keys
+      (already distinct — no rebuild from history, write-back
+      amortizes into the caller's sink).
+
+    Plan: the batch explodes/hashes once (same shared machinery as the
+    full run), ONE (h, h2)-keyed aggregation for within-batch firsts,
+    one left-anti join of those firsts against the index (key-
+    partitioned; the index never fans out — firsts are unique per key,
+    so a duplicated index row cannot duplicate output lines), one
+    doc-keyed rebuild. The index side of the anti join is the one
+    corpus-sized term; it composes with the same Bloom-bitmap
+    prefilter as the exact gate (hash the (h, h2) pair to a
+    fingerprint and probe :func:`bloom_bitmap`) when even that join
+    must not touch the full index."""
+    base = _spread(new_docs, id_col).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    )
+    lines = base.select(
+        "id",
+        F.posexplode(
+            F.split(F.regexp_replace(F.col("_t"), "\r\n", "\n"), "\n")
+        ).alias("idx", "line"),
+    )
+    keyed = (
+        lines.withColumn(
+            "_dedupable", F.length(F.trim(F.col("line"))) >= min_line_chars
+        )
+        .withColumn("h", F.xxhash64("line"))
+        .withColumn("h2", F.xxhash64(F.lit(1).cast("long"), F.col("line")))
+    )
+    firsts = (
+        keyed.filter(F.col("_dedupable"))
+        .groupBy("h", "h2")
+        .agg(F.min(F.struct("id", "idx")).alias("_first"))
+    )
+    # keys the batch is ALLOWED to emit: within-batch firsts whose key
+    # the corpus has never kept
+    new_keys = firsts.join(
+        line_index.select("h", "h2"), ["h", "h2"], "left_anti"
+    )
+    kept = keyed.join(
+        new_keys.withColumn("_new", F.lit(True)), ["h", "h2"], "left"
+    ).withColumn(
+        "_keep",
+        (~F.col("_dedupable"))
+        | (
+            F.col("_new").isNotNull()
+            & (F.col("_first.id") == F.col("id"))
+            & (F.col("_first.idx") == F.col("idx"))
+        ),
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"), F.struct(F.col("idx"), F.col("line"))
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias(out_col),
+        F.count_if(F.col("_keep")).alias("n_lines_kept"),
+        F.count_if(~F.col("_keep")).alias("n_lines_dropped"),
+    )
+    cleaned = (
+        base.select("id", F.col("_t").isNotNull().alias("_has_text"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(
+                F.col("_has_text"), F.coalesce(F.col(out_col), F.lit(""))
+            ).alias(out_col),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            F.coalesce("n_lines_dropped", F.lit(0)).alias("n_lines_dropped"),
+        )
+    )
+    updated_index = line_index.select("h", "h2").unionAll(
+        new_keys.select("h", "h2")
+    )
+    return cleaned, updated_index
 
 
 def merge_position_islands(hits: DataFrame, n: int, id_col: str = "id") -> DataFrame:
