@@ -20,7 +20,9 @@ _REPO = Path(__file__).resolve().parent.parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = __import__("os").environ.get(
+    "SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01"
+)
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
