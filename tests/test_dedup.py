@@ -522,6 +522,92 @@ def test_dedup_lines_incremental_matches_full_corpus_run(spark):
     assert tot["d"] == dedupable_total
 
 
+@pytest.mark.parametrize("m_bits", [64, 1 << 20])
+def test_dedup_lines_incremental_bloom_identity(spark, m_bits):
+    """The bloom-prefiltered line gate returns EXACTLY the plain
+    gate's cleaned rows and updated index — at m_bits=64 the filter
+    saturates and the exact hits join carries correctness alone; the
+    updated bitmap equals a fresh build over the updated index's
+    composite (h, h2) keys."""
+    rng = random.Random(31)
+    pool = [
+        " ".join(rng.choice(WORDS) for _ in range(rng.randint(3, 7)))
+        for _ in range(25)
+    ]
+
+    def mk_doc():
+        return "\n".join(
+            rng.choice(pool) if rng.random() < 0.6 else f"u{rng.random()}"
+            for _ in range(rng.randint(1, 5))
+        )
+
+    cdf = spark.createDataFrame(
+        [(i, mk_doc()) for i in range(20)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(100 + i, mk_doc()) for i in range(15)] + [(150, None)],
+        "doc_id long, text string",
+    )
+    index = (
+        cdf.select(
+            F.posexplode(
+                F.split(F.regexp_replace("text", "\r\n", "\n"), "\n")
+            ).alias("idx", "line")
+        )
+        .filter(F.length(F.trim("line")) >= 10)
+        .select(
+            F.xxhash64("line").alias("h"),
+            F.xxhash64(F.lit(1).cast("long"), F.col("line")).alias("h2"),
+        )
+        .distinct()
+    )
+    bitmap = dedup.bloom_bitmap(index, m_bits=m_bits, fp_col=("h", "h2"))
+
+    plain_c, plain_i = dedup.dedup_lines_incremental(bdf, index)
+    got_c, got_i, got_b = dedup.dedup_lines_incremental_bloom(
+        bdf, index, bitmap, m_bits=m_bits
+    )
+    assert sorted(map(tuple, got_c.collect())) == sorted(
+        map(tuple, plain_c.collect())
+    )
+    assert sorted(map(tuple, got_i.collect())) == sorted(
+        map(tuple, plain_i.collect())
+    )
+    want_b = {
+        r["word"]: r["bits"]
+        for r in dedup.bloom_bitmap(
+            got_i, m_bits=m_bits, fp_col=("h", "h2")
+        ).collect()
+    }
+    assert {r["word"]: r["bits"] for r in got_b.collect()} == want_b
+
+    # composite-key probe twin: bits match a Python xxh64 over the
+    # (seed, h, h2) lanes — pinning that multi-column keys hash all
+    # components (a NULL-skipping merge of partial keys would differ)
+    from topn_clashroyal_etl_sql_snapshot_spark.testing.xxh64 import (
+        spark_xxhash64,
+    )
+
+    keys = [(r["h"], r["h2"]) for r in index.collect()]
+    words: dict[int, int] = {}
+    for h, h2 in keys:
+        for i in range(5):
+            pos = spark_xxhash64(
+                [("long", i), ("long", h), ("long", h2)]
+            ) % m_bits
+            words[pos >> 6] = words.get(pos >> 6, 0) | (1 << (pos & 63))
+    want_raw = {
+        w: (b - (1 << 64) if b >= (1 << 63) else b) for w, b in words.items()
+    }
+    got_raw = {
+        r["word"]: r["bits"]
+        for r in dedup.bloom_bitmap(
+            index, m_bits=m_bits, fp_col=("h", "h2")
+        ).collect()
+    }
+    assert got_raw == want_raw
+
+
 def test_component_keepers_quality_policy(spark):
     """Quality-aware KEEP: best score wins its component, exact ties
     break toward the lower id, unscored members lose to any scored

@@ -162,17 +162,21 @@ def dedup_exact_incremental(
 # Bloom-filter prefilter for the incremental exact gate
 # ---------------------------------------------------------------------------
 
-def _bloom_probes(fp: Column, m_bits: int, k: int) -> Column:
-    """Array of the k bloom probe positions for one fingerprint:
-    ``pmod(xxhash64(iL, fp), m_bits)`` — k independently seeded hashes
-    rather than the h1+i*h2 double-hashing shortcut, because Spark 4
-    runs ANSI arithmetic (the wrap-around multiply would raise on
-    overflow) and each xxhash64 is a codegen'd expression anyway. Pure
-    replay-deterministic column algebra with a dependency-free Python
-    twin (testing/xxh64.py)."""
+def _fp_cols(fp_col: str | tuple[str, ...] | list[str]) -> list[str]:
+    return [fp_col] if isinstance(fp_col, str) else list(fp_col)
+
+
+def _bloom_probes(fps: list[Column], m_bits: int, k: int) -> Column:
+    """Array of the k bloom probe positions for one (possibly
+    composite) key: ``pmod(xxhash64(iL, *key), m_bits)`` — k
+    independently seeded hashes rather than the h1+i*h2
+    double-hashing shortcut, because Spark 4 runs ANSI arithmetic (the
+    wrap-around multiply would raise on overflow) and each xxhash64 is
+    a codegen'd expression anyway. Pure replay-deterministic column
+    algebra with a dependency-free Python twin (testing/xxh64.py)."""
     return F.array(
         *[
-            F.pmod(F.xxhash64(F.lit(i).cast("long"), fp), F.lit(m_bits))
+            F.pmod(F.xxhash64(F.lit(i).cast("long"), *fps), F.lit(m_bits))
             for i in range(k)
         ]
     )
@@ -182,7 +186,7 @@ def bloom_bitmap(
     fps: DataFrame,
     m_bits: int = 1 << 27,
     k: int = 5,
-    fp_col: str = "fingerprint",
+    fp_col: str | tuple[str, ...] = "fingerprint",
 ) -> DataFrame:
     """Distributed Bloom bitmap over a fingerprint set: ``(word, bits)``
     rows where ``word = position >> 6`` and ``bits`` OR-accumulates the
@@ -201,15 +205,25 @@ def bloom_bitmap(
 
     NULL fingerprints contribute no bits (and :func:`bloom_maybe`
     never consults the bitmap for them), matching the exact gate's
-    NULL contract. Size ``m_bits`` at ~8-10 bits per EXPECTED index
-    fingerprint (k=5, FP ≈ 2-3%); the default 2²⁷ covers ~13M docs.
-    The (m_bits, k) pair is part of the persisted bitmap's identity —
-    probing with different parameters is undefined; keep them with the
-    index metadata."""
+    NULL contract. ``fp_col`` may be a tuple of column names for
+    COMPOSITE keys (the line family's two-lane ``(h, h2)`` keys) —
+    the probes hash all components together; rows with ANY NULL
+    component are dropped, since Spark's xxhash64 skips NULL lanes
+    and would otherwise merge distinct partial keys. Size ``m_bits``
+    at ~8-10 bits per EXPECTED index key (k=5, FP ≈ 2-3%); the
+    default 2²⁷ covers ~13M keys. The (m_bits, k) pair is part of the
+    persisted bitmap's identity — probing with different parameters
+    is undefined; keep them with the index metadata."""
+    cols = _fp_cols(fp_col)
+    keep = F.col(cols[0]).isNotNull()
+    for c in cols[1:]:
+        keep = keep & F.col(c).isNotNull()
     return (
-        fps.filter(F.col(fp_col).isNotNull())
+        fps.filter(keep)
         .select(
-            F.explode(_bloom_probes(F.col(fp_col), m_bits, k)).alias("pos")
+            F.explode(
+                _bloom_probes([F.col(c) for c in cols], m_bits, k)
+            ).alias("pos")
         )
         .select(
             F.shiftright(F.col("pos"), 6).alias("word"),
@@ -238,7 +252,7 @@ def bloom_maybe(
     bitmap: DataFrame,
     m_bits: int = 1 << 27,
     k: int = 5,
-    fp_col: str = "fingerprint",
+    fp_col: str | tuple[str, ...] = "fingerprint",
     broadcast_bitmap: bool = True,
 ) -> DataFrame:
     """(fp_col, bloom_maybe) — Bloom membership verdict per DISTINCT
@@ -262,15 +276,21 @@ def bloom_maybe(
     at full 100 TB index scale (a ~10¹¹-fingerprint bitmap is ~10¹⁰
     words ≈ 150 GB) set it False for a word-keyed shuffle join, still
     ~30× less IO than joining the fingerprint index itself."""
+    cols = _fp_cols(fp_col)
+    keep = F.col(cols[0]).isNotNull()
+    for c in cols[1:]:
+        keep = keep & F.col(c).isNotNull()
     bmp = F.broadcast(bitmap) if broadcast_bitmap else bitmap
     probed = (
-        fps.filter(F.col(fp_col).isNotNull())
+        fps.filter(keep)
         .select(
-            F.col(fp_col),
-            F.explode(_bloom_probes(F.col(fp_col), m_bits, k)).alias("pos"),
+            *[F.col(c) for c in cols],
+            F.explode(
+                _bloom_probes([F.col(c) for c in cols], m_bits, k)
+            ).alias("pos"),
         )
         .select(
-            fp_col,
+            *cols,
             F.shiftright(F.col("pos"), 6).alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
                 "mask"
@@ -278,7 +298,7 @@ def bloom_maybe(
         )
         .join(bmp, "word", "left")
     )
-    return probed.groupBy(fp_col).agg(
+    return probed.groupBy(*cols).agg(
         F.bool_and(
             F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
                 F.col("mask")
@@ -506,10 +526,91 @@ def dedup_lines_incremental(
     partitioned; the index never fans out — firsts are unique per key,
     so a duplicated index row cannot duplicate output lines), one
     doc-keyed rebuild. The index side of the anti join is the one
-    corpus-sized term; it composes with the same Bloom-bitmap
-    prefilter as the exact gate (hash the (h, h2) pair to a
-    fingerprint and probe :func:`bloom_bitmap`) when even that join
-    must not touch the full index."""
+    corpus-sized term; :func:`dedup_lines_incremental_bloom` is the
+    same gate with that join replaced by a bitmap probe + broadcast-
+    probed index scan when even one index shuffle is too much."""
+    base, keyed, firsts = _lines_batch_prep(
+        new_docs, text_col, id_col, min_line_chars
+    )
+    # keys the batch is ALLOWED to emit: within-batch firsts whose key
+    # the corpus has never kept
+    new_keys = firsts.join(
+        line_index.select("h", "h2"), ["h", "h2"], "left_anti"
+    )
+    cleaned = _lines_incremental_finish(base, keyed, new_keys, id_col, out_col)
+    updated_index = line_index.select("h", "h2").unionAll(
+        new_keys.select("h", "h2")
+    )
+    return cleaned, updated_index
+
+
+def dedup_lines_incremental_bloom(
+    new_docs: DataFrame,
+    line_index: DataFrame,
+    bitmap: DataFrame,
+    m_bits: int = 1 << 27,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 10,
+    out_col: str = "clean_text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`dedup_lines_incremental` with the Bloom prefilter —
+    SAME cleaned rows, index-scan-only topology. The line-key index
+    is the LARGEST index of any dedup family (distinct lines run ~10×
+    document count), so its anti join is the family's biggest
+    incremental cost; the same three-step break as
+    :func:`dedup_exact_incremental_bloom` removes it:
+
+    1. probe the batch's within-batch first keys against a bitmap
+       built over the index's composite ``(h, h2)`` keys
+       (:func:`bloom_bitmap` with ``fp_col=("h", "h2")``);
+    2. ``hits = index ⋈ broadcast(maybe keys)`` — one map-side index
+       scan, no index shuffle, no batch-sized broadcast;
+    3. allowed = firsts LEFT ANTI hits (tiny right side).
+
+    False positives cost one broadcast row each and die in the exact
+    hits join; false negatives cannot occur when ``bitmap`` covers
+    ``line_index`` under the same (m_bits, k). Returns
+    ``(cleaned, updated_index, updated_bitmap)`` — persist the last
+    two together for day N+1."""
+    base, keyed, firsts = _lines_batch_prep(
+        new_docs, text_col, id_col, min_line_chars
+    )
+    maybe = (
+        bloom_maybe(
+            firsts.select("h", "h2"),
+            bitmap,
+            m_bits=m_bits,
+            k=k,
+            fp_col=("h", "h2"),
+        )
+        .filter(F.col("bloom_maybe"))
+        .select("h", "h2")
+    )
+    hits = line_index.select("h", "h2").join(
+        F.broadcast(maybe), ["h", "h2"], "inner"
+    )
+    new_keys = firsts.join(hits, ["h", "h2"], "left_anti")
+    cleaned = _lines_incremental_finish(base, keyed, new_keys, id_col, out_col)
+    updated_index = line_index.select("h", "h2").unionAll(
+        new_keys.select("h", "h2")
+    )
+    updated_bitmap = bloom_bitmap_merge(
+        bitmap,
+        bloom_bitmap(
+            new_keys.select("h", "h2"), m_bits=m_bits, k=k, fp_col=("h", "h2")
+        ),
+    )
+    return cleaned, updated_index, updated_bitmap
+
+
+def _lines_batch_prep(
+    new_docs: DataFrame, text_col: str, id_col: str, min_line_chars: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared batch stage of the incremental line gates: (base, keyed
+    line rows with two-lane keys + dedupable flag, within-batch first
+    occurrences per key)."""
     base = _spread(new_docs, id_col).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_t")
     )
@@ -531,11 +632,19 @@ def dedup_lines_incremental(
         .groupBy("h", "h2")
         .agg(F.min(F.struct("id", "idx")).alias("_first"))
     )
-    # keys the batch is ALLOWED to emit: within-batch firsts whose key
-    # the corpus has never kept
-    new_keys = firsts.join(
-        line_index.select("h", "h2"), ["h", "h2"], "left_anti"
-    )
+    return base, keyed, firsts
+
+
+def _lines_incremental_finish(
+    base: DataFrame,
+    keyed: DataFrame,
+    new_keys: DataFrame,
+    id_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Shared keep/rebuild tail of the incremental line gates:
+    ``new_keys`` (unique per key, carrying ``_first``) marks the keys
+    the batch may emit; everything else dedupable drops."""
     kept = keyed.join(
         new_keys.withColumn("_new", F.lit(True)), ["h", "h2"], "left"
     ).withColumn(
@@ -576,10 +685,7 @@ def dedup_lines_incremental(
             F.coalesce("n_lines_dropped", F.lit(0)).alias("n_lines_dropped"),
         )
     )
-    updated_index = line_index.select("h", "h2").unionAll(
-        new_keys.select("h", "h2")
-    )
-    return cleaned, updated_index
+    return cleaned
 
 
 def merge_position_islands(hits: DataFrame, n: int, id_col: str = "id") -> DataFrame:
