@@ -200,6 +200,47 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     assert comp0 == comp
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_randomized_vs_union_find(spark, seed):
+    """The pointer-jumping rework must agree with a dependency-free
+    union-find on arbitrary graph shapes — random sparse edges over
+    120 nodes (mixes tight clusters, chains, and isolated pairs),
+    labels compared as exact partition-with-min-label maps."""
+    rng = random.Random(seed)
+    nodes = list(range(120))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(90)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    want = {n: find(n) for n in sorted(touched)}
+    # canonical label = min member id per component
+    comp_min: dict[int, int] = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in touched}
+
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(df, max_iter=15).collect()
+    }
+    assert got == want
+
+
 def test_simhash_bucket_cap_drops_hot_buckets(spark):
     """max_bucket is the fingerprint-space max_df analog: a (chunk,
     value) bucket holding more docs than the cap contributes no
