@@ -316,6 +316,7 @@ def dedup_exact_incremental_bloom(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_bitmap: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """:func:`dedup_exact_incremental` with a Bloom prefilter — SAME
     admitted set, different join topology, built for the regime where
@@ -364,6 +365,7 @@ def dedup_exact_incremental_bloom(
             bitmap,
             m_bits=m_bits,
             k=k,
+            broadcast_bitmap=broadcast_bitmap,
         )
         .filter(F.col("bloom_maybe"))
         .select("fingerprint")
@@ -554,6 +556,7 @@ def dedup_lines_incremental_bloom(
     id_col: str = "doc_id",
     min_line_chars: int = 10,
     out_col: str = "clean_text",
+    broadcast_bitmap: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """:func:`dedup_lines_incremental` with the Bloom prefilter —
     SAME cleaned rows, index-scan-only topology. The line-key index
@@ -584,6 +587,7 @@ def dedup_lines_incremental_bloom(
             m_bits=m_bits,
             k=k,
             fp_col=("h", "h2"),
+            broadcast_bitmap=broadcast_bitmap,
         )
         .filter(F.col("bloom_maybe"))
         .select("h", "h2")
