@@ -497,7 +497,14 @@ def semantic_score_expr(
     exactly in tests. NULL / zero-norm rows on either side yield NULL
     scores (never a silent "clean"). The benchmark rides the plan as
     an array-of-structs literal (rows × dim literal doubles — the
-    collector's fuse keeps that an eval-suite size)."""
+    collector's fuse keeps that an eval-suite size).
+
+    Use this ONLY where a stream forbids aggregation: for batch
+    scoring the broadcast-join scorer is the fast path — an
+    interleaved m3 A/B at sf0.1 (100 bench × 64 dims, 1900 corpus
+    rows) read batch 1.86 s vs expr 12.64 s, because the interpreted
+    HOF re-walks the literal per corpus row while the join form
+    evaluates each (row, bench) pair once against broadcast data."""
     from ..functions import vectors as vx
 
     if not bench:
