@@ -1766,9 +1766,10 @@ def connected_components(
     revision is similar but the ends aren't — routine in web crawls)
     engage the jump and finish in ~log2(c) rounds instead of c. An
     interleaved same-session A/B on the driver corpus
-    (tools/ab_cc_r10.py: always-jump m3 0.911 s vs plain 0.742 s, bit-
-    identical labels) showed the unconditional jump join taxes exactly
-    the workloads that don't need it, hence the deferred default.
+    (tools/ab_cc_r10.py's first run: always-jump m3 0.911 s vs plain
+    0.742 s, bit-identical labels; the final A/B/C table lives in
+    SCALE.md) showed the unconditional jump join taxes exactly the
+    workloads that don't need it, hence the deferred default.
     This is a driver-side loop of DataFrame jobs (the documented
     exception for iterative algorithms): each round is one
     key-partitioned join + one aggregate (plus the jump join once
