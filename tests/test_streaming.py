@@ -171,6 +171,76 @@ def test_stateful_running_player_stats(spark, landing):
     assert got == {k: tuple(v) for k, v in want.items()}
 
 
+def test_stateful_running_player_stats_tws(spark, landing):
+    """The transformWithStateInPandas twin (Spark 4 StatefulProcessor,
+    named ValueState, RocksDB store) emits the SAME final running
+    totals as the applyInPandasWithState form on the same landing
+    stream — the two stateful APIs are interchangeable here, and the
+    new one is what TTL'd / timer-driven operators should build on.
+    importorskip: the TWS driver worker speaks a protobuf state
+    protocol; without google.protobuf (this container) the query
+    crashes at init, so the wiring runs only where the dependency
+    ships — the processor's own logic is covered everywhere by
+    test_tws_processor_logic_matches_old_api below."""
+    pytest.importorskip("google.protobuf")
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming import stateful
+
+    landing_dir, _, battles, _ = landing
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming.stream_battles(spark, landing_dir)
+        running = stateful.running_player_stats_tws(
+            stateful.participants_stream(stream)
+        )
+        q = (
+            running.writeStream.format("memory")
+            .queryName("running_stats_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)
+    rows = spark.sql(
+        "select player_tag, max(uses) uses, max(wins) wins"
+        " from running_stats_tws group by player_tag"
+    ).collect()
+    got = {r["player_tag"]: (r["uses"], r["wins"]) for r in rows}
+
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0])
+    for b in battles:
+        team, opp = b.get("team") or [], b.get("opponent") or []
+        if len(team) != 1 or len(opp) != 1:
+            continue
+        if (b.get("gameMode") or {}).get("id") not in (72000006, 72000464):
+            continue
+        tt = (team[0].get("tag") or "").strip().upper()
+        ot = (opp[0].get("tag") or "").strip().upper()
+        tt = tt if tt.startswith("#") or not tt else "#" + tt
+        ot = ot if ot.startswith("#") or not ot else "#" + ot
+        tc, oc = int(team[0].get("crowns") or 0), int(opp[0].get("crowns") or 0)
+        if tt:
+            want[tt][0] += 1
+            want[tt][1] += 1 if tc > oc else 0
+        if ot:
+            want[ot][0] += 1
+            want[ot][1] += 1 if oc > tc else 0
+
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
 def test_streaming_session_stats_matches_batch(spark, tmp_path):
     """The session_window streaming twin produces the same sessions as
     the batch gap-sessionization (operators/sessionize.py) over the same
@@ -656,3 +726,73 @@ def test_streaming_exact_gate_against_static_index(spark, tmp_path):
     )
     admitted, _ = dedup.dedup_exact_incremental(bdf, index)
     assert {r["doc_id"] for r in admitted.collect()} == got
+
+
+def test_tws_processor_logic_matches_old_api():
+    """Driver-side unit twin for the container gap: feed the SAME
+    micro-batch sequence through _RunningStatsProcessor (stub handle +
+    ValueState) and the applyInPandasWithState _update (stub
+    GroupState); the emitted rows must be identical, including
+    state carry-over across batches and multi-frame batches."""
+    import pandas as pd
+
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming import stateful
+
+    class _StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _StubHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttl=None):
+            self.states[name] = _StubValueState()
+            return self.states[name]
+
+    class _StubGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    batches = [
+        [pd.DataFrame({"won": [True, False, True]})],
+        [pd.DataFrame({"won": [False]}), pd.DataFrame({"won": [True, True]})],
+        [pd.DataFrame({"won": []})],
+    ]
+
+    proc = stateful._RunningStatsProcessor(state_ttl_ms=None)
+    proc.init(_StubHandle())
+    gs = _StubGroupState()
+    for frames in batches:
+        new_rows = list(
+            proc.handleInputRows(("#TAG",), iter(frames), None)
+        )
+        old_rows = list(stateful._update(("#TAG",), iter(frames), gs))
+        assert len(new_rows) == len(old_rows) == 1
+        assert new_rows[0].to_dict("records") == old_rows[0].to_dict(
+            "records"
+        )
+    # final totals: 6 uses, 4 wins carried across all three batches
+    assert new_rows[0].to_dict("records") == [
+        {"player_tag": "#TAG", "uses": 6, "wins": 4}
+    ]

@@ -1,12 +1,18 @@
-"""Custom stateful streaming operator via ``applyInPandasWithState``:
-a continuously-updated per-player running record (uses/wins), i.e. the
-streaming form of the ``player_decks`` accumulator the reference rebuilds
-from scratch every refresh (scripts/etl_snapshot_topn.py:332-335).
+"""Custom stateful streaming operator, in BOTH stateful-processing
+APIs: a continuously-updated per-player running record (uses/wins),
+i.e. the streaming form of the ``player_decks`` accumulator the
+reference rebuilds from scratch every refresh
+(scripts/etl_snapshot_topn.py:332-335).
 
-This is the designated escape hatch for operators Structured Streaming's
-built-ins can't express (running state that must survive across windows
-without re-aggregating history). State is per player_tag; a timeout
-evicts players idle longer than ``state_ttl_ms``.
+This is the designated escape hatch for operators Structured
+Streaming's built-ins can't express (running state that must survive
+across windows without re-aggregating history). State is per
+player_tag. :func:`running_player_stats` is the
+``applyInPandasWithState`` form (runs on any state store);
+:func:`running_player_stats_tws` is the Spark 4
+``transformWithStateInPandas`` successor (named ValueState,
+store-managed TTL, timer support; needs RocksDB + google.protobuf —
+see README known limits), emitted-row-identical by test.
 """
 
 from __future__ import annotations
@@ -19,6 +25,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 STATE_SCHEMA = "uses LONG, wins LONG"
 OUTPUT_SCHEMA = T.StructType(
@@ -55,6 +65,64 @@ def running_player_stats(participants: DataFrame) -> DataFrame:
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+class _RunningStatsProcessor(StatefulProcessor):
+    """Spark 4 ``StatefulProcessor`` form of :func:`_update`: the same
+    running (uses, wins) totals held in a named ``ValueState``, with
+    the store-managed TTL replacing the manual timeout plumbing the
+    old API required."""
+
+    def __init__(self, state_ttl_ms: int | None = None):
+        self._ttl_ms = state_ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", STATE_SCHEMA, self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        uses, wins = (
+            tuple(self._totals.get()) if self._totals.exists() else (0, 0)
+        )
+        for pdf in rows:
+            uses += len(pdf)
+            wins += int(pdf["won"].sum())
+        self._totals.update((uses, wins))
+        yield pd.DataFrame(
+            {"player_tag": [key[0]], "uses": [uses], "wins": [wins]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_player_stats_tws(
+    participants: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
+    """:func:`running_player_stats` on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState``: named state variables (value/list/map)
+    instead of one state tuple, store-managed per-state TTL instead of
+    hand-rolled GroupState timeouts, and timer support for operators
+    that need scheduled emission. Output rows are identical to the old
+    API's (test-pinned on the same landing stream). Requires the
+    RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``...RocksDBStateStoreProvider``) — Structured Streaming's default
+    HDFS-backed store does not support transformWithState; on a real
+    cluster RocksDB is what you run for any large keyed state anyway
+    (keys spill to local SSD instead of executor heap)."""
+    return (
+        participants.select("player_tag", F.col("won").cast("int").alias("won"))
+        .groupBy("player_tag")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningStatsProcessor(state_ttl_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )
 
