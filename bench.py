@@ -83,6 +83,8 @@ def main() -> None:
     qs["docs_with_split"] = llm_queries.docs_with_split
     # r10: setops_suite ceded its slot to docs_semantic_decontam
     qs["setops_suite"] = testdata_queries.setops_suite
+    # r11: chunk_by_chars ceded its slot to embedding_centroid_gate
+    qs["chunk_by_chars"] = llm_queries.chunk_by_chars
     # embedding_pq_adc is a CORRECTNESS row (full-probe/full-rerank ≡
     # brute force); its timed code path is embedding_pq_topk's, already
     # benched median-of-3 — excluded so the bench total stays

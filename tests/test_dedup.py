@@ -75,6 +75,39 @@ def test_exact_dedup(spark, corpus):
     assert 0 in kept_ids and 100 not in kept_ids
 
 
+def test_exact_family_null_text_exemption(spark):
+    """NULL text has a NULL fingerprint and is EXEMPT across the whole
+    exact family: dedup_exact keeps every NULL row (they are not dups
+    of each other), exact_dup_groups reports no NULL group, and both
+    incremental gates admit every NULL row without touching the
+    index/bitmap (the r10 advisor's silent-drop finding: the
+    NULL-rejecting inner/anti joins used to swallow them)."""
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    assert sorted(
+        r["doc_id"] for r in dedup.dedup_exact(df).collect()
+    ) == [1, 3, 4]
+    assert dedup.exact_dup_groups(df).count() == 1  # only the text group
+
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+
+    index = spark.createDataFrame(
+        [("same text",)], "text string"
+    ).select(tx.content_fingerprint(F.col("text")).alias("fingerprint"))
+    adm, idx = dedup.dedup_exact_incremental(df, index)
+    assert sorted(r["doc_id"] for r in adm.collect()) == [3, 4]
+    assert all(r["fingerprint"] is not None for r in idx.collect())
+
+    bitmap = dedup.bloom_bitmap(index, m_bits=1 << 16)
+    adm_b, idx_b, bmp_b = dedup.dedup_exact_incremental_bloom(
+        df, index, bitmap, m_bits=1 << 16
+    )
+    assert sorted(r["doc_id"] for r in adm_b.collect()) == [3, 4]
+    assert all(r["fingerprint"] is not None for r in idx_b.collect())
+
+
 def test_jaccard_pairs_match_bruteforce(spark, corpus):
     df, _, truth = corpus
     got = {
@@ -947,6 +980,86 @@ def test_dedup_exact_incremental_matches_full_corpus_run(spark):
     assert again.count() == 0
 
 
+def test_bloom_fill_fraction_and_saturation_guard(spark):
+    """bloom_fill_fraction equals a popcount over the collected bitmap
+    words / m_bits, and the opt-in max_fill guard trips LOUDLY on a
+    deliberately undersized bitmap (m_bits=64 over hundreds of keys
+    saturates toward fill=1 — the regime where the prefilter silently
+    stops prefiltering) while a sized bitmap passes the same bound
+    with identical gate output (r10 verdict ask #1)."""
+    fps = spark.createDataFrame(
+        [(f"fp-{i}",) for i in range(400)], "fingerprint string"
+    )
+
+    # fill twin: sum of popcounts over the sparse words / m_bits
+    for m in (64, 1 << 12, 1 << 16):
+        bmp = dedup.bloom_bitmap(fps, m_bits=m, k=5)
+        want = sum(
+            bin(r["bits"] & ((1 << 64) - 1)).count("1") for r in bmp.collect()
+        ) / m
+        assert abs(dedup.bloom_fill_fraction(bmp, m) - want) < 1e-12
+
+    tiny = dedup.bloom_bitmap(fps, m_bits=64, k=5)
+    assert dedup.bloom_fill_fraction(tiny, 64) > 0.9  # saturated
+
+    with pytest.raises(ValueError, match="saturated"):
+        dedup.bloom_maybe(fps, tiny, m_bits=64, k=5, max_fill=0.5)
+
+    # the guard threads through both bloom gates
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+
+    index = docs.limit(5).select(
+        tx.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    sat = dedup.bloom_bitmap(
+        spark.createDataFrame(
+            [(f"x-{i}",) for i in range(400)], "fingerprint string"
+        ),
+        m_bits=64,
+        k=5,
+    )
+    with pytest.raises(ValueError, match="saturated"):
+        adm, _, _ = dedup.dedup_exact_incremental_bloom(
+            docs, index, sat, m_bits=64, k=5, max_fill=0.5
+        )
+        adm.count()
+    line_sat = dedup.bloom_bitmap(
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(400)], "h long, h2 long"
+        ),
+        m_bits=64,
+        k=5,
+        fp_col=("h", "h2"),
+    )
+    with pytest.raises(ValueError, match="saturated"):
+        cleaned, _, _ = dedup.dedup_lines_incremental_bloom(
+            docs,
+            spark.createDataFrame([], "h long, h2 long"),
+            line_sat,
+            m_bits=64,
+            k=5,
+            max_fill=0.5,
+        )
+        cleaned.count()
+
+    # a correctly sized bitmap sails under the same bound, gate
+    # output identical with and without the guard
+    good = dedup.bloom_bitmap(index, m_bits=1 << 16, k=5)
+    assert dedup.bloom_fill_fraction(good, 1 << 16) < 0.01
+    guarded, _, _ = dedup.dedup_exact_incremental_bloom(
+        docs, index, good, m_bits=1 << 16, max_fill=0.5
+    )
+    bare, _, _ = dedup.dedup_exact_incremental_bloom(
+        docs, index, good, m_bits=1 << 16
+    )
+    assert sorted(r["doc_id"] for r in guarded.collect()) == sorted(
+        r["doc_id"] for r in bare.collect()
+    )
+
+
 def test_bloom_bitmap_matches_python_twin(spark):
     """The distributed bloom bitmap reproduces a dependency-free
     Python twin bit-for-bit: k xxhash64-seeded probe positions per
@@ -1009,7 +1122,7 @@ def test_bloom_incremental_gate_identity(spark, m_bits):
     batch = (
         [(100 + i, mk(12)) for i in range(30)]
         + [(200 + i, corpus[i][1].upper()) for i in range(8)]  # index dups
-        + [(300, None), (301, None)]  # NULL texts: one survives
+        + [(300, None), (301, None)]  # NULL texts: exempt, BOTH survive
     )
     batch.append((400, batch[0][1]))  # within-batch dup, min id wins
     cdf = spark.createDataFrame(corpus, "doc_id long, text string")
@@ -1039,11 +1152,17 @@ def test_bloom_incremental_gate_identity(spark, m_bits):
         for r in dedup.bloom_bitmap(idx, m_bits=m_bits).collect()
     }
     assert got_b == want_b
-    # idempotent re-feed against the updated (index, bitmap) pair
+    # NULL-text exemption: both NULL rows are admitted (they carry no
+    # content identity), and neither enters the persisted index
+    assert {300, 301} <= {r["doc_id"] for r in adm.collect()}
+    assert all(r["fingerprint"] is not None for r in idx.collect())
+    # idempotent re-feed against the updated (index, bitmap) pair —
+    # idempotence is a property of the DEDUPLICABLE rows: the exempt
+    # NULL-text rows are re-admitted by design, everything else drops
     again, _, _ = dedup.dedup_exact_incremental_bloom(
         bdf, idx, bmp2, m_bits=m_bits
     )
-    assert again.count() == 0
+    assert sorted(r["doc_id"] for r in again.collect()) == [300, 301]
 
 
 def test_bloom_gate_plan_broadcasts_never_shuffles_index(spark):

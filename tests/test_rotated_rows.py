@@ -136,6 +136,13 @@ CASES = {
         testdata_queries.setops_suite,
         testdata_queries.SETOPS_SUITE_SQL,
     ),
+    # rotated out r11 for embedding_centroid_gate (thinnest row at the
+    # cap; every chunk's md5-checked content bar keeps running here,
+    # and the same windowing oracle is pinned in tests/test_chunking.py)
+    "chunk_by_chars": (
+        llm_queries.chunk_by_chars,
+        llm_queries.CHUNK_BY_CHARS_SQL,
+    ),
 }
 
 

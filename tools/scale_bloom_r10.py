@@ -123,17 +123,20 @@ def main() -> None:
             "plain": [round(s, 3) for s in plain_s],
             "bloom": [round(s, 3) for s in bloom_s],
             "admitted": cp,
+            # r11: fill telemetry — the saturation gauge the daily
+            # loop gets for free (one bit_count agg over the bitmap)
+            "fill": round(dedup.bloom_fill_fraction(bitmap, m_bits), 3),
             "load1": round(l0, 2),
             "cpu_busy": round((b1 - b0) / max(t1j - t0j, 1e-9), 3),
         }
         print(f"n={n}: {results[n]}", flush=True)
 
-    print("\n| index rows | plain m3 | bloom m3 | bloom/plain |")
-    print("|---|---|---|---|")
+    print("\n| index rows | plain m3 | bloom m3 | bloom/plain | fill |")
+    print("|---|---|---|---|---|")
     for n, r in results.items():
         print(
             f"| {n:,} | {r['plain_m3']} | {r['bloom_m3']} "
-            f"| {r['bloom_m3'] / r['plain_m3']:.2f} |"
+            f"| {r['bloom_m3'] / r['plain_m3']:.2f} | {r['fill']} |"
         )
     spark.stop()
 

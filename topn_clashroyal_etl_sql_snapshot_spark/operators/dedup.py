@@ -62,12 +62,17 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Duplicate groups by normalized-content fingerprint:
-    (fingerprint, copies, keep_id = min id)."""
+    (fingerprint, copies, keep_id = min id). NULL-text rows have a NULL
+    fingerprint (md5(NULL) = NULL) and form NO group — a NULL key is
+    absent content, not shared content, so two NULL-text rows are not
+    duplicates of each other (the same exemption the whole exact family
+    applies; see :func:`dedup_exact`)."""
     return (
         _spread(docs, id_col).select(
             tx.content_fingerprint(F.col(text_col)).alias("fingerprint"),
             F.col(id_col),
         )
+        .filter(F.col("fingerprint").isNotNull())
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("copies"),
@@ -79,18 +84,27 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id row per exact content group (deterministic winner,
-    unlike the reference's scan-order first-seen — SURVEY.md §1.4.7)."""
+    unlike the reference's scan-order first-seen — SURVEY.md §1.4.7).
+
+    NULL-text rows are EXEMPT — always kept, never grouped: their
+    fingerprint is NULL and NULL is not a content identity (same
+    convention as the line family's short-line exemption). The
+    single-pass plan makes that explicit: the min-id winners frame is
+    built over non-NULL fingerprints only, docs LEFT-join it, and the
+    keep predicate is ``fp IS NULL OR id = winner`` — one scan, the
+    same one fingerprint-keyed exchange as before."""
     fp = tx.content_fingerprint(F.col(text_col)).alias("_fp")
     docs = _spread(docs, id_col)
     w_min = (
         docs.select(fp, F.col(id_col).alias("_keep"))
+        .filter(F.col("_fp").isNotNull())
         .groupBy("_fp")
         .agg(F.min("_keep").alias("_keep"))
     )
     return (
         docs.withColumn("_fp", tx.content_fingerprint(F.col(text_col)))
-        .join(w_min, "_fp", "inner")
-        .filter(F.col(id_col) == F.col("_keep"))
+        .join(w_min, "_fp", "left")
+        .filter(F.col("_fp").isNull() | (F.col(id_col) == F.col("_keep")))
         .drop("_fp", "_keep")
     )
 
@@ -125,7 +139,14 @@ def dedup_exact_incremental(
       could crown a batch doc min-id winner where this gate keeps the
       index member (same canonical-index convention as
       :func:`minhash_lsh_incremental`'s KEEP/DROP guidance;
-      test-pinned under the monotone convention).
+      test-pinned under the monotone convention). NULL-text rows
+      (NULL fingerprint) are EXEMPT: every one is admitted without
+      consulting the index — a NULL key is absent content, not shared
+      content — and none enters ``updated_index`` (an all-NULL-key
+      index row could never match anything and would only bloat the
+      persisted frame). Re-feeding a batch therefore re-admits its
+      NULL-text rows: idempotence is a property of the *deduplicable*
+      rows only (test-pinned).
     - ``updated_index`` = ``index_fps`` ∪ admitted fingerprints —
       columnar and lazy; writing it back amortizes into the caller's
       sink.
@@ -140,10 +161,15 @@ def dedup_exact_incremental(
     dedup in ``streaming/corpus.py``)."""
     fp = tx.content_fingerprint(F.col(text_col))
     batch = _spread(new_docs, id_col).withColumn("_fp", fp)
+    # NULL fingerprints are exempt: admitted unconditionally, never
+    # indexed (the inner/anti joins below are NULL-rejecting, so
+    # without the split they would silently DROP NULL-text rows)
+    exempt = batch.filter(F.col("_fp").isNull()).drop("_fp")
+    gated = batch.filter(F.col("_fp").isNotNull())
     # within-batch first-seen, then drop anything the index has seen
-    firsts = batch.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
+    firsts = gated.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
     admitted = (
-        batch.join(firsts, "_fp")
+        gated.join(firsts, "_fp")
         .filter(F.col(id_col) == F.col("_keep"))
         .drop("_keep")
         .join(
@@ -155,7 +181,7 @@ def dedup_exact_incremental(
     updated_index = index_fps.unionAll(
         admitted.select(F.col("_fp").alias("fingerprint"))
     )
-    return admitted.drop("_fp"), updated_index
+    return admitted.drop("_fp").unionByName(exempt), updated_index
 
 
 # ---------------------------------------------------------------------------
@@ -247,6 +273,54 @@ def bloom_bitmap_merge(*bitmaps: DataFrame) -> DataFrame:
     return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
 
 
+def bloom_fill_fraction(bitmap: DataFrame, m_bits: int) -> float:
+    """Fraction of set bits in a :func:`bloom_bitmap` — the filter's
+    health gauge. One ``sum(bit_count(bits))`` aggregation (the sparse
+    frame is at most ``m_bits/64`` rows, so this is telemetry-cheap at
+    any scale); the result is a model-bounded driver scalar, same
+    category as the repo's fit/fuse collects.
+
+    Why it matters: a Bloom filter's false-positive rate is
+    ``fill^k``, so fill is the ONE number that says whether the
+    prefilter still prefilters. At the sizing guidance (~8-10
+    bits/key, k=5) fill sits near 0.3-0.45 and FP ≈ 0.2-2%; past
+    fill ≈ 0.5 FP ≈ 3% and climbing steeply (0.7 → 17%, 0.9 → 59%);
+    at saturation every probe answers "maybe" and the gate silently
+    degenerates into the batch-sized broadcast it exists to avoid —
+    still CORRECT (the exact hits join rescues the admitted set,
+    test-pinned at m_bits=64) but no longer a prefilter. The
+    daily-ingest loop should log this against its ingest counter and
+    re-size/rebuild the bitmap when growth pushes it past ~0.5 —
+    or pass ``max_fill`` to the bloom gates to make the breach loud."""
+    row = bitmap.agg(
+        F.sum(F.bit_count(F.col("bits"))).alias("set_bits")
+    ).collect()[0]
+    return (row["set_bits"] or 0) / float(m_bits)
+
+
+def _check_bloom_fill(
+    bitmap: DataFrame, m_bits: int, k: int, max_fill: float | None
+) -> None:
+    """Raise if the bitmap's fill fraction exceeds ``max_fill`` — the
+    opt-in saturation guard shared by :func:`bloom_maybe` and the
+    bloom gates. Opt-in (default ``None``) because saturation is a
+    CORRECTNESS non-event (the gates' exact verify join absorbs any FP
+    rate, and the grid tests deliberately run m_bits=64); what it
+    breaks is the performance contract, and only the caller knows
+    whether this run is the daily-ingest loop that depends on it."""
+    if max_fill is None:
+        return
+    fill = bloom_fill_fraction(bitmap, m_bits)
+    if fill > max_fill:
+        raise ValueError(
+            f"bloom bitmap saturated: fill={fill:.3f} > max_fill={max_fill}"
+            f" (m_bits={m_bits}, k={k}, FP ≈ fill^k = {fill ** k:.3f});"
+            " the prefilter would pass ~that fraction of the batch"
+            " through as 'maybe' — re-size m_bits (~8-10 bits per"
+            " expected index key) and rebuild the bitmap"
+        )
+
+
 def bloom_maybe(
     fps: DataFrame,
     bitmap: DataFrame,
@@ -254,6 +328,7 @@ def bloom_maybe(
     k: int = 5,
     fp_col: str | tuple[str, ...] = "fingerprint",
     broadcast_bitmap: bool = True,
+    max_fill: float | None = None,
 ) -> DataFrame:
     """(fp_col, bloom_maybe) — Bloom membership verdict per DISTINCT
     fingerprint: ``true`` iff all k probe bits are set in ``bitmap``
@@ -275,7 +350,15 @@ def bloom_maybe(
     broadcasts the bitmap — right for bitmaps up to a few hundred MB;
     at full 100 TB index scale (a ~10¹¹-fingerprint bitmap is ~10¹⁰
     words ≈ 150 GB) set it False for a word-keyed shuffle join, still
-    ~30× less IO than joining the fingerprint index itself."""
+    ~30× less IO than joining the fingerprint index itself.
+
+    ``max_fill`` (opt-in): raise if the bitmap's fill fraction
+    exceeds the bound BEFORE probing — an undersized/overgrown bitmap
+    saturates silently (every probe answers "maybe", the prefilter
+    stops prefiltering while staying correct); ~0.5 is the sensible
+    bound (FP ≈ 3% at k=5). See :func:`bloom_fill_fraction` for the
+    fill→FP curve and the re-size guidance."""
+    _check_bloom_fill(bitmap, m_bits, k, max_fill)
     cols = _fp_cols(fp_col)
     keep = F.col(cols[0]).isNotNull()
     for c in cols[1:]:
@@ -317,6 +400,7 @@ def dedup_exact_incremental_bloom(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_bitmap: bool = True,
+    max_fill: float | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """:func:`dedup_exact_incremental` with a Bloom prefilter — SAME
     admitted set, different join topology, built for the regime where
@@ -350,12 +434,19 @@ def dedup_exact_incremental_bloom(
     Returns ``(admitted, updated_index, updated_bitmap)`` — the last
     is the OR-merge of ``bitmap`` with the admitted fingerprints' bits,
     so tomorrow's run reads back both frames and the bitmap never
-    needs rebuilding from history."""
+    needs rebuilding from history. As the index grows, the FIXED
+    (m_bits, k) bitmap fills; pass ``max_fill`` (e.g. 0.5) to fail
+    loudly instead of silently degrading into the batch-sized
+    broadcast — see :func:`bloom_fill_fraction`."""
     fp = tx.content_fingerprint(F.col(text_col))
     batch = _spread(new_docs, id_col).withColumn("_fp", fp)
-    firsts = batch.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
+    # same NULL exemption as the plain gate (identity contract): NULL
+    # fingerprints bypass bloom + index and never update either
+    exempt = batch.filter(F.col("_fp").isNull()).drop("_fp")
+    gated = batch.filter(F.col("_fp").isNotNull())
+    firsts = gated.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
     kept = (
-        batch.join(firsts, "_fp")
+        gated.join(firsts, "_fp")
         .filter(F.col(id_col) == F.col("_keep"))
         .drop("_keep")
     )
@@ -366,6 +457,7 @@ def dedup_exact_incremental_bloom(
             m_bits=m_bits,
             k=k,
             broadcast_bitmap=broadcast_bitmap,
+            max_fill=max_fill,
         )
         .filter(F.col("bloom_maybe"))
         .select("fingerprint")
@@ -379,7 +471,11 @@ def dedup_exact_incremental_bloom(
     updated_bitmap = bloom_bitmap_merge(
         bitmap, bloom_bitmap(admitted_fps, m_bits=m_bits, k=k)
     )
-    return admitted.drop("_fp"), updated_index, updated_bitmap
+    return (
+        admitted.drop("_fp").unionByName(exempt),
+        updated_index,
+        updated_bitmap,
+    )
 
 
 def dedup_lines_corpus(
@@ -557,6 +653,7 @@ def dedup_lines_incremental_bloom(
     min_line_chars: int = 10,
     out_col: str = "clean_text",
     broadcast_bitmap: bool = True,
+    max_fill: float | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """:func:`dedup_lines_incremental` with the Bloom prefilter —
     SAME cleaned rows, index-scan-only topology. The line-key index
@@ -576,7 +673,11 @@ def dedup_lines_incremental_bloom(
     hits join; false negatives cannot occur when ``bitmap`` covers
     ``line_index`` under the same (m_bits, k). Returns
     ``(cleaned, updated_index, updated_bitmap)`` — persist the last
-    two together for day N+1."""
+    two together for day N+1. ``max_fill`` (opt-in, e.g. 0.5) trips
+    the saturation guard when index growth has overfilled the fixed
+    bitmap — see :func:`bloom_fill_fraction`; the line index grows
+    fastest of any family, so this gate is the one most worth
+    guarding."""
     base, keyed, firsts = _lines_batch_prep(
         new_docs, text_col, id_col, min_line_chars
     )
@@ -588,6 +689,7 @@ def dedup_lines_incremental_bloom(
             k=k,
             fp_col=("h", "h2"),
             broadcast_bitmap=broadcast_bitmap,
+            max_fill=max_fill,
         )
         .filter(F.col("bloom_maybe"))
         .select("h", "h2")

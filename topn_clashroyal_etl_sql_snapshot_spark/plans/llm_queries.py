@@ -1417,6 +1417,65 @@ def docs_semantic_decontam(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_centroid_gate",
+    f"""
+    WITH c AS (
+      SELECT list(m ORDER BY t) AS cv FROM (
+        SELECT t,
+               -- CAST ... AS DOUBLE first: Spark's decimal cast sees
+               -- the float WIDENED TO DOUBLE; DuckDB's float->decimal
+               -- goes through the float's short repr and would round
+               -- differently at the 9th-12th decimal
+               CAST(SUM(CAST(CAST(embedding[t] AS DOUBLE)
+                             AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*) AS m
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(t)
+        WHERE label = 0
+        GROUP BY t
+      )
+    ),
+    cn AS (
+      SELECT cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnorm
+      FROM c
+    )
+    SELECT e.vec_id,
+           round(
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * cn.cv[i]))
+             / NULLIF({_VEC_NORM_SQL.replace('embedding', 'e.embedding')}
+                      * cn.cnorm, 0.0),
+             9) AS centroid_cos
+    FROM embeddings e, cn
+    ORDER BY e.vec_id
+    """,
+)
+def embedding_centroid_gate(spark, sf_dir):
+    """Embedding-centroid quality gate (r11 driver row for
+    ``similarity.centroid_similarity_scores`` — the LAION/DataComp-
+    style filter: every corpus vector's cosine to the MEAN of a
+    trusted seed sample, here the ``label = 0`` slice). The fit is ONE
+    aggregation with order-independent DECIMAL(28,12) coordinate sums
+    (exactly reproducible under any partitioning), and scoring is a
+    zero-shuffle per-row projection against the centroid as a literal
+    — the plan that composes unchanged with streaming ingest.
+
+    Oracle parity is exact by construction: DuckDB re-derives the
+    centroid through the SAME decimal sums (cast-to-double, then the
+    one float division Python does), the same left-to-right double
+    fold for centroid norm / dot / row norm, and the same 9-dp round —
+    every row's cosine hash-checked. The oracle models the driver
+    corpus's regime (uniform-width, no-NULL-element embeddings; the
+    seed slice is non-empty at every driver sf); the operator's
+    NULL/odd-width/empty-seed contracts are pinned in
+    tests/test_similarity.py."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return (
+        similarity.centroid_similarity_scores(emb, F.col("label") == 0)
+        .orderBy("vec_id")
+    )
+
+
 def embedding_lsh_neardup(spark, sf_dir):
     """Strict near-duplicate scan (cosine ≥ 0.95) — the bucketed LSH
     plan with exact-cosine verification. NOT registered for the driver
@@ -1688,9 +1747,11 @@ _CHUNK_SIZE, _CHUNK_OVERLAP = 300, 60
 _CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP
 
 
-@register(
-    "chunk_by_chars",
-    f"""
+# Rotated out of the driver registry in r11 for embedding_centroid_gate
+# (the one substantial operator that had a DuckDB twin in pytest but no
+# driver row — r10 verdict ask #3). The identical md5-windowing SQL bar
+# keeps running in tests/test_rotated_rows.py; still timed in the bench.
+CHUNK_BY_CHARS_SQL = f"""
     SELECT doc_id, k AS chunk_idx,
            length(substring(text, k * {_CHUNK_STEP} + 1, {_CHUNK_SIZE})) AS chunk_chars,
            md5(substring(text, k * {_CHUNK_STEP} + 1, {_CHUNK_SIZE})) AS chunk_md5
@@ -1699,8 +1760,9 @@ _CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP
     )) AS t(k)
     WHERE text IS NOT NULL
     ORDER BY doc_id, chunk_idx
-    """,
-)
+    """
+
+
 def chunk_by_chars(spark, sf_dir):
     """Document chunking (operators/chunking.py): every document
     windowed into 300-char chunks with 60-char overlap — the stage
