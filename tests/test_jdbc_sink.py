@@ -228,10 +228,19 @@ def test_publish_rejects_same_source_and_target(spark, tmp_path):
     import pytest
 
     url = f"jdbc:derby:{tmp_path}/samedb;create=true"
-    with pytest.raises(ValueError, match="source_url == target_url"):
+    with pytest.raises(ValueError, match="same database"):
         sink.publish_snapshot_jdbc(spark, url, url, ["t"])
-    with pytest.raises(ValueError, match="source_url == target_url"):
+    with pytest.raises(ValueError, match="same database"):
         sink.publish_snapshot_jdbc_atomic(spark, url, url, ["t"])
+    # r11: the guard also catches non-byte-equal spellings of the same
+    # network database (case / default port / parameter order)
+    with pytest.raises(ValueError, match="same database"):
+        sink.publish_snapshot_jdbc(
+            spark,
+            "jdbc:postgresql://db.example.com:5432/snap?user=a",
+            "jdbc:POSTGRESQL://DB.EXAMPLE.COM/snap?user=b",
+            ["t"],
+        )
 
 
 def test_atomic_publish_swaps_all_or_nothing(spark, tmp_path):
@@ -473,16 +482,40 @@ def test_table_exists_escapes_like_wildcards():
     must escape the name so player_summary doesn't match a 14-char
     lookalike; on drivers with an EMPTY escape string (embedded
     Derby), injecting an escape would turn every name into a
-    non-match, so the raw pattern must pass through. Pinned with a
-    fake connection capturing the exact patterns issued."""
+    non-match, so the raw pattern passes through and the returned
+    TABLE_NAMEs are compared exactly instead (r10 advisor finding: a
+    lookalike pattern hit used to produce a phantom existence
+    verdict). Pinned with a fake connection that implements LIKE
+    semantics over real table names and captures the patterns
+    issued."""
+    import re
+
+    def _like_rx(pattern, esc):
+        out, i = [], 0
+        while i < len(pattern):
+            c = pattern[i]
+            if esc and c == esc and i + 1 < len(pattern):
+                out.append(re.escape(pattern[i + 1]))
+                i += 2
+                continue
+            out.append("." if c == "_" else ".*" if c == "%" else re.escape(c))
+            i += 1
+        return re.compile("".join(out))
 
     class _FakeRS:
-        def __init__(self, hit):
-            self._hit = hit
+        def __init__(self, names):
+            self._names = list(names)
+            self._cur = None
 
         def next(self):
-            h, self._hit = self._hit, False
-            return h
+            if self._names:
+                self._cur = self._names.pop(0)
+                return True
+            return False
+
+        def getString(self, col):
+            assert col == "TABLE_NAME"
+            return self._cur
 
         def close(self):
             pass
@@ -498,7 +531,10 @@ def test_table_exists_escapes_like_wildcards():
 
         def getTables(self, cat, schema, pattern, types):
             self.patterns.append(pattern)
-            return _FakeRS(pattern in self._existing)
+            rx = _like_rx(pattern, self._esc)
+            return _FakeRS(
+                n for n in self._existing if rx.fullmatch(n)
+            )
 
     class _FakeConn:
         def __init__(self, meta):
@@ -507,20 +543,160 @@ def test_table_exists_escapes_like_wildcards():
         def getMetaData(self):
             return self._meta
 
-    # escaping driver: the issued pattern carries escaped underscores,
-    # so only the escaped form can match
-    meta = _FakeMeta("\\", {"META\\_DECK\\_TYPES"})
+    # escaping driver: the issued pattern carries escaped underscores;
+    # the real table matches, the same-length lookalike cannot
+    meta = _FakeMeta("\\", {"META_DECK_TYPES", "METAXDECKXTYPES"})
     assert sink._table_exists(_FakeConn(meta), "meta_deck_types")
     assert all("\\_" in p for p in meta.patterns)
-
-    # the raw (wildcard) form must NOT be issued on an escaping driver
-    meta2 = _FakeMeta("\\", {"META_DECK_TYPES"})
+    meta2 = _FakeMeta("\\", {"METAXDECKXTYPES"})
     assert not sink._table_exists(_FakeConn(meta2), "meta_deck_types")
 
-    # empty-escape driver (Derby): raw pattern passes through untouched
+    # empty-escape driver (Derby): raw pattern passes through, and the
+    # exact-name comparison rejects the lookalike the lax pattern hits
     meta3 = _FakeMeta("", {"META_DECK_TYPES"})
     assert sink._table_exists(_FakeConn(meta3), "meta_deck_types")
     assert all("\\" not in p for p in meta3.patterns)
+    meta4 = _FakeMeta("", {"PLAYERXSUMMARYXXOLD"})
+    assert not sink._table_exists(_FakeConn(meta4), "player_summary__old")
+
+
+def test_table_exists_rejects_lookalike_on_real_derby(spark, tmp_path):
+    """Live-Derby twin of the fake-connection pin: with only the
+    lookalike PLAYERXSUMMARYXXOLD present, _table_exists must say
+    player_summary__old does NOT exist (before the r11 fix, Derby's
+    empty LIKE escape left _ a wildcard and the phantom hit sent the
+    swap a DROP/RENAME of a missing table); creating the real table
+    flips the verdict."""
+    url = f"jdbc:derby:{tmp_path}/lookdb;create=true"
+    props = {"driver": DRIVER}
+    conn = sink._jdbc_connect(spark, url, props)
+    try:
+        stmt = conn.createStatement()
+        stmt.executeUpdate("CREATE TABLE playerXsummaryXXold (i INT)")
+        assert not sink._table_exists(conn, "player_summary__old")
+        stmt.executeUpdate("CREATE TABLE player_summary__old (i INT)")
+        assert sink._table_exists(conn, "player_summary__old")
+        stmt.close()
+    finally:
+        conn.close()
+
+
+def test_same_jdbc_target_normalization():
+    """The self-clobber guard catches same-database URLs that are not
+    byte-equal: case, default-port elision, and parameter order all
+    normalize for network URLs; embedded Derby URLs compare by bytes;
+    genuinely different hosts/databases/engines stay allowed."""
+    same = sink._same_jdbc_target
+    base = "jdbc:postgresql://db.example.com:5432/snap"
+    assert same(base, base)
+    assert same(base, "jdbc:POSTGRESQL://DB.EXAMPLE.COM:5432/snap")
+    assert same(base, "jdbc:postgresql://db.example.com/snap")  # default port
+    assert same(
+        "jdbc:postgresql://h/snap?user=a&sslmode=require",
+        "jdbc:postgresql://h/snap?sslmode=disable&user=b",
+    )  # params never make two same-db URLs distinct
+    assert not same(base, "jdbc:postgresql://db.example.com:5432/other")
+    assert not same(base, "jdbc:postgresql://db2.example.com:5432/snap")
+    assert not same(base, "jdbc:postgresql://db.example.com:5433/snap")
+    assert not same(base, "jdbc:mysql://db.example.com:5432/snap")
+    # embedded URLs: byte comparison only (path IS the identity)
+    assert same("jdbc:derby:/tmp/a", "jdbc:derby:/tmp/a")
+    assert not same("jdbc:derby:/tmp/a", "jdbc:derby:/tmp/A")
+
+
+def test_atomic_publish_dialect_default_and_identifier_guard(spark, tmp_path):
+    """rename_fmt=None resolves per target subprotocol (Postgres gets
+    transactional ALTER TABLE ... RENAME TO, Derby/MySQL the RENAME
+    TABLE form), and the swap refuses non-identifier table names
+    BEFORE touching the target (they are interpolated into DDL
+    unquoted)."""
+    assert (
+        sink._rename_fmt_for("jdbc:postgresql://h:5432/db")
+        == "ALTER TABLE {src} RENAME TO {dst}"
+    )
+    for u in ("jdbc:derby:/tmp/x", "jdbc:mysql://h/db"):
+        assert sink._rename_fmt_for(u) == "RENAME TABLE {src} TO {dst}"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="simple SQL identifier"):
+        sink._swap_staged_tables(
+            spark,
+            f"jdbc:derby:{tmp_path}/never;create=true",
+            ["ok_name", "bad-name; DROP TABLE x"],
+            {"driver": DRIVER},
+            None,
+        )
+
+
+def test_atomic_publish_against_postgres_if_available(spark):
+    """Env-gated full stage-swap-rollback cycle against a REAL
+    Postgres (the engine the reference's publish actually targets —
+    docker-compose.yml:3): set POSTGRES_TEST_URL to a reachable
+    ``jdbc:postgresql://...`` URL (plus POSTGRES_TEST_USER/PASSWORD if
+    needed) to run; skips otherwise — this container ships no
+    Postgres. Covers: transactional ALTER TABLE rename (the dialect
+    default), DDL survival through a truncate publish, and the
+    all-or-nothing swap with a planted failure."""
+    import os
+
+    import pytest
+
+    url = os.environ.get("POSTGRES_TEST_URL")
+    if not url:
+        pytest.skip("POSTGRES_TEST_URL not set — no Postgres reachable")
+    props = {"driver": "org.postgresql.Driver"}
+    if os.environ.get("POSTGRES_TEST_USER"):
+        props["user"] = os.environ["POSTGRES_TEST_USER"]
+    if os.environ.get("POSTGRES_TEST_PASSWORD"):
+        props["password"] = os.environ["POSTGRES_TEST_PASSWORD"]
+
+    conn = sink._jdbc_connect(spark, url, props)
+    try:
+        stmt = conn.createStatement()
+        for t in (
+            "pgt_a", "pgt_a__stage", "pgt_a__old",
+            "pgt_b", "pgt_b__stage", "pgt_b__old",
+        ):
+            stmt.executeUpdate(f"DROP TABLE IF EXISTS {t}")
+        stmt.close()
+    finally:
+        conn.close()
+
+    v1a = spark.createDataFrame([(1, "x")], "id long, v string")
+    v1b = spark.createDataFrame([(2, "y")], "id long, v string")
+    sink.write_snapshot_jdbc({"pgt_a": v1a, "pgt_b": v1b}, url, properties=props)
+
+    # stage + swap through the dialect default (ALTER TABLE RENAME)
+    v2a = spark.createDataFrame([(10, "xx")], "id long, v string")
+    v2b = spark.createDataFrame([(20, "yy")], "id long, v string")
+    sink.write_snapshot_jdbc(
+        {"pgt_a__stage": v2a, "pgt_b__stage": v2b},
+        url,
+        properties=props,
+        truncate=False,
+    )
+    counts = sink._swap_staged_tables(
+        spark, url, ["pgt_a", "pgt_b"], props, None
+    )
+    assert counts == {"pgt_a": 1, "pgt_b": 1}
+    got = _read(spark, url, "pgt_a").collect()
+    assert [tuple(r) for r in got] == [(10, "xx")]
+
+    # rollback: stage only pgt_a, ask to swap both — the missing
+    # pgt_b__stage fails the transaction and pgt_a must stay v2
+    v3a = spark.createDataFrame([(100, "z")], "id long, v string")
+    sink.write_snapshot_jdbc(
+        {"pgt_a__stage": v3a}, url, properties=props, truncate=False
+    )
+    import pytest as _p
+
+    with _p.raises(Exception):
+        sink._swap_staged_tables(
+            spark, url, ["pgt_a", "pgt_b"], props, None
+        )
+    got2 = _read(spark, url, "pgt_a").collect()
+    assert [tuple(r) for r in got2] == [(10, "xx")]  # rolled back
 
 
 def test_write_snapshot_atomic_recovers_parked_old_snapshot(spark, tmp_path):

@@ -1310,6 +1310,18 @@ def lsh_candidate_pairs(
     copies never reach the LSH join; the cap then only fires on
     pathological near-identical floods. ``max_bucket=None`` restores
     the unconditional join for small corpora.
+
+    .. note:: **Behavior change (r10).** The cap is ON by default
+       (10 000) here and in :func:`minhash_lsh_pairs` /
+       :func:`minhash_lsh_verified_pairs`, where these entry points
+       previously joined unconditionally. On a corpus with a
+       (band, bucket) key above the cap, results CHANGE: that
+       bucket's candidates are dropped and the recall argument above
+       is probabilistic, not exact. The default is deliberate — an
+       uncapped join DNF'd at c=30k in the planted-flood measurement
+       (SCALE.md) and a silent 10¹²-row shuffle is the worse default
+       at the engine's design scale — but callers who need the old
+       exhaustive semantics must pass ``max_bucket=None`` explicitly.
     """
     banded = _banded(signatures, bands, rows_per_band)
     if max_bucket is not None:
@@ -1343,7 +1355,9 @@ def minhash_lsh_pairs(
     """Candidates via LSH, then estimated Jaccard from signature agreement
     (fraction of equal min-hashes), thresholded. Returns
     (id1, id2, est_jaccard). ``max_bucket`` is
-    :func:`lsh_candidate_pairs`' hot-bucket cap."""
+    :func:`lsh_candidate_pairs`' hot-bucket cap — ON by default since
+    r10 (a behavior change on flood corpora; see the note there, and
+    pass ``max_bucket=None`` for the old exhaustive join)."""
     sigs = minhash_signatures(docs, text_col, id_col, n, k)
     # consumed three times (banding + both est-join sides); localCheckpoint
     # instead of persist so blocks release on GC (see hashed_postings).
@@ -1389,7 +1403,9 @@ def minhash_lsh_verified_pairs(
     100 TB without a df cap — with ``max_bucket`` bounding the one
     remaining quadratic term, near-identical clusters piling into a
     single (band, bucket) key (see :func:`lsh_candidate_pairs` for
-    the recall contract and the exact-dedup-first composition). Pass
+    the recall contract, the exact-dedup-first composition, and the
+    r10 behavior-change note — the cap is ON by default; pass
+    ``max_bucket=None`` for the exhaustive pre-r10 semantics). Pass
     ``toks`` to share one tokenize scan with the other dedup
     families."""
     postings = hashed_postings(docs, text_col, id_col, n, toks=toks)

@@ -156,10 +156,17 @@ def publish_snapshot_jdbc(
     ``upperBound``/``numPartitions``, plus ``fetchsize``) — snapshot
     tables with an integer leading key take this directly.
 
-    Raises ``ValueError`` if source and target URLs are equal: the
-    JDBC read is lazy, so the overwrite would truncate/drop the
-    target before the source frame materializes — destroying the very
-    rows being published and "succeeding" with 0 rows.
+    Raises ``ValueError`` if source and target URLs name the same
+    database — byte-equal, or equal after normalizing network URLs on
+    (scheme, host, port, database): the JDBC read is lazy, so the
+    overwrite would truncate/drop the target before the source frame
+    materializes — destroying the very rows being published and
+    "succeeding" with 0 rows. Residual risk: the guard cannot see
+    through a host ALIAS or proxy to the same server — that publish
+    still self-clobbers; conversely two same-host URLs selecting
+    different namespaces via parameters (``currentSchema``) are
+    refused even though they'd be safe — use distinct databases for
+    that topology.
 
     Returns {table: row_count} counted from the TARGET after each
     write — the accounting reflects what was actually published, and
@@ -170,10 +177,11 @@ def publish_snapshot_jdbc(
     ones untouched (the reference's shell pipe had the same per-dump
     granularity) — for all-or-nothing serving, use
     :func:`publish_snapshot_jdbc_atomic`."""
-    if source_url == target_url:
+    if _same_jdbc_target(source_url, target_url):
         raise ValueError(
-            "source_url == target_url: the lazy JDBC read would be "
-            "truncated by its own overwrite before materializing"
+            "source and target JDBC URLs name the same database: the "
+            "lazy JDBC read would be truncated by its own overwrite "
+            "before materializing"
         )
     sprops = dict(source_properties or {})
     tprops = dict(target_properties or {})
@@ -238,6 +246,94 @@ def publish_warehouse_jdbc(
 _STAGE_SUFFIX = "__stage"
 _OLD_SUFFIX = "__old"
 
+# Default ports for the network JDBC subprotocols the publish paths
+# are likely to meet — used only to equate host:5432 with host.
+_DEFAULT_PORTS = {
+    "postgresql": 5432,
+    "mysql": 3306,
+    "mariadb": 3306,
+    "sqlserver": 1433,
+    "oracle": 1521,
+}
+
+
+def _jdbc_url_key(url: str):
+    """Best-effort canonical identity (scheme, host, port, database)
+    of a NETWORK JDBC URL — ``None`` when the URL doesn't parse as
+    ``jdbc:<sub>://host[:port]/db[?params]`` (embedded URLs like
+    ``jdbc:derby:/path`` have no netloc; their path IS the identity
+    and byte comparison is the right check). Scheme and host fold to
+    lower case, a missing port fills from the subprotocol default, and
+    query parameters are IGNORED: two URLs for the same database that
+    differ only in user/sslmode/param order still name the same
+    tables."""
+    from urllib.parse import urlsplit
+
+    if not url.lower().startswith("jdbc:"):
+        return None
+    parts = urlsplit(url[len("jdbc:"):])
+    if not parts.netloc or not parts.hostname:
+        return None
+    scheme = parts.scheme.lower()
+    port = parts.port or _DEFAULT_PORTS.get(scheme)
+    return (scheme, parts.hostname.lower(), port, parts.path)
+
+
+def _same_jdbc_target(a: str, b: str) -> bool:
+    """True when two JDBC URLs are knowably the SAME database: byte
+    equality, or equal normalized (scheme, host, port, database) for
+    network URLs (r10 advisor finding: the byte-equal guard missed
+    case/port/param-order variants, and the lazy source read would be
+    truncated by its own overwrite). Residual risks are documented at
+    the call sites: a host alias or proxy for the same server cannot
+    be detected here, and two URLs that differ only in a
+    namespace-selecting parameter (e.g. ``currentSchema``) compare
+    equal — the guard prefers a loud false refusal over silent
+    self-clobber."""
+    if a == b:
+        return True
+    ka = _jdbc_url_key(a)
+    return ka is not None and ka == _jdbc_url_key(b)
+
+
+def _check_publish_identifier(name: str) -> None:
+    """The swap interpolates table names into DDL unquoted (quoting
+    would CHANGE which table unquoted-identifier engines resolve —
+    Derby folds unquoted to upper, Postgres to lower, and the staging
+    tables were created unquoted by Spark's writer). Restricting names
+    to simple SQL identifiers keeps the interpolation injection-free
+    and the unquoted semantics unambiguous."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z][A-Za-z0-9_]*", name):
+        raise ValueError(
+            f"table name {name!r} is not a simple SQL identifier "
+            "([A-Za-z][A-Za-z0-9_]*); the atomic swap interpolates "
+            "names into unquoted DDL and refuses anything else"
+        )
+
+
+def _rename_fmt_for(url: str) -> str:
+    """Dialect preset for the swap's rename DDL, keyed on the JDBC
+    subprotocol:
+
+    ========== ====================================== ================
+    dialect    rename statement                       DDL transactional
+    ========== ====================================== ================
+    postgresql ``ALTER TABLE {src} RENAME TO {dst}``  yes — swap atomic
+    derby      ``RENAME TABLE {src} TO {dst}``        yes — swap atomic
+    mysql      ``RENAME TABLE {src} TO {dst}``        no — implicit
+                                                      commit per DDL
+    (other)    ``RENAME TABLE {src} TO {dst}``        engine-specific
+    ========== ====================================== ================
+
+    On engines with auto-committing DDL the exposure window shrinks to
+    the rename statements themselves rather than being zero."""
+    sub = url.split(":", 2)[1].lower() if url.count(":") >= 2 else ""
+    if sub == "postgresql":
+        return "ALTER TABLE {src} RENAME TO {dst}"
+    return "RENAME TABLE {src} TO {dst}"
+
 
 def _jdbc_connect(spark, url: str, properties: dict[str, str]):
     """A driver-side JVM JDBC connection (java.sql) for the DDL the
@@ -265,8 +361,12 @@ def _table_exists(conn, name: str) -> bool:
     phantom ``__old`` hit would send the swap a DROP of a table that
     isn't there. Embedded Derby reports an EMPTY escape string (its
     metadata patterns can't escape at all — injecting a backslash
-    anyway turns every name into a non-match), so there the check
-    accepts the wildcard laxity."""
+    anyway turns every name into a non-match), so there the pattern
+    stays lax and the returned TABLE_NAMEs are compared for EXACT
+    equality instead (r10 advisor finding: accepting any pattern hit
+    let a lookalike produce a phantom existence verdict and a
+    mid-flight DROP/RENAME failure). The equality filter runs on
+    escaping drivers too — belt and braces at one string compare."""
     meta = conn.getMetaData()
     esc = meta.getSearchStringEscape()
     for candidate in {name, name.upper(), name.lower()}:
@@ -276,8 +376,9 @@ def _table_exists(conn, name: str) -> bool:
             pattern = pattern.replace("_", esc + "_").replace("%", esc + "%")
         rs = meta.getTables(None, None, pattern, None)
         try:
-            if rs.next():
-                return True
+            while rs.next():
+                if rs.getString("TABLE_NAME") == candidate:
+                    return True
         finally:
             rs.close()
     return False
@@ -291,7 +392,7 @@ def publish_snapshot_jdbc_atomic(
     source_properties: dict[str, str] | None = None,
     target_properties: dict[str, str] | None = None,
     batchsize: int = 10_000,
-    rename_fmt: str = "RENAME TABLE {src} TO {dst}",
+    rename_fmt: str | None = None,
 ) -> dict[str, int]:
     """All-or-nothing JDBC publish — the reference's one-transaction
     load (``engine.begin()``, ``scripts/etl_snapshot_topn.py:363-364``)
@@ -307,19 +408,23 @@ def publish_snapshot_jdbc_atomic(
     A failure while staging table k (step 1) leaves the serving tables
     untouched; a failure inside the rename transaction (step 2) rolls
     the whole swap back — a reader never sees a mixed snapshot. The
-    rename DDL is dialect-specific: the default fits Derby/MySQL;
-    Postgres callers pass ``rename_fmt="ALTER TABLE {src} RENAME TO
-    {dst}"``. (Postgres and Derby both run DDL transactionally, so the
-    swap really is atomic there; on engines with auto-committing DDL
-    the window shrinks to the rename statements themselves.)
+    rename DDL is dialect-specific and defaults by the target URL's
+    subprotocol (see :func:`_rename_fmt_for` for the dialect table —
+    Postgres, the engine the reference actually serves
+    (``docker-compose.yml:3``), gets ``ALTER TABLE {src} RENAME TO
+    {dst}`` and transactional DDL makes the swap genuinely atomic
+    there; pass ``rename_fmt`` explicitly to override). Table names
+    must be simple SQL identifiers — they are interpolated into the
+    DDL unquoted, matching how the staging writer created them.
 
-    Same lazy-read hazard as :func:`publish_snapshot_jdbc`: raises on
-    ``source_url == target_url``. Returns {table: row_count} counted
-    from the TARGET after the swap."""
-    if source_url == target_url:
+    Same lazy-read hazard (and same normalized same-database guard)
+    as :func:`publish_snapshot_jdbc`. Returns {table: row_count}
+    counted from the TARGET after the swap."""
+    if _same_jdbc_target(source_url, target_url):
         raise ValueError(
-            "source_url == target_url: the lazy JDBC read would be "
-            "clobbered by its own staging overwrite"
+            "source and target JDBC URLs name the same database: the "
+            "lazy JDBC read would be clobbered by its own staging "
+            "overwrite"
         )
     sprops = dict(source_properties or {})
     tprops = dict(target_properties or {})
@@ -349,13 +454,13 @@ def publish_warehouse_jdbc_atomic(
     tables: list[str],
     target_properties: dict[str, str] | None = None,
     batchsize: int = 10_000,
-    rename_fmt: str = "RENAME TABLE {src} TO {dst}",
+    rename_fmt: str | None = None,
 ) -> dict[str, int]:
     """All-or-nothing parquet-lake → serving-DB publish: the
     :func:`publish_warehouse_jdbc` read shape with
     :func:`publish_snapshot_jdbc_atomic`'s stage-and-swap guarantee
-    (same ``__stage`` tables, same single rename transaction, same
-    rollback semantics)."""
+    (same ``__stage`` tables, same single rename transaction with the
+    same by-subprotocol dialect default, same rollback semantics)."""
     tprops = dict(target_properties or {})
     for name in tables:
         df = spark.read.parquet(os.path.join(warehouse_dir, name))
@@ -374,12 +479,18 @@ def _swap_staged_tables(
     target_url: str,
     tables: list[str],
     tprops: dict[str, str],
-    rename_fmt: str,
+    rename_fmt: str | None,
 ) -> dict[str, int]:
     """Steps 2-3 of the atomic publish: one transaction renames every
     ``<name>`` → ``<name>__old`` and ``<name>__stage`` → ``<name>``,
     commits, then drops the old generation; returns target-counted
-    rows per table."""
+    rows per table. ``rename_fmt=None`` picks the target dialect's
+    statement by subprotocol; names are validated as simple
+    identifiers before any DDL interpolation."""
+    for name in tables:
+        _check_publish_identifier(name)
+    if rename_fmt is None:
+        rename_fmt = _rename_fmt_for(target_url)
     conn = _jdbc_connect(spark, target_url, tprops)
     try:
         stmt = conn.createStatement()
