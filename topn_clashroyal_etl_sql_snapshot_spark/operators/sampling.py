@@ -126,10 +126,15 @@ def split_by_component(
     ``labels`` is a ``connected_components`` result ((id, comp) —
     only documents that belong to some pair appear); documents absent
     from it are singletons and bucket on their own id, which equals
-    the component label they would have carried. The labels frame is
-    pair-bounded (duplicate docs only), so the join's build side is
-    small relative to the corpus and AQE broadcasts it — the corpus
-    never shuffles.
+    the component label they would have carried. Join cost is honest
+    about duplicate share (r11 measurement, tools/scale_split_r11.py):
+    on CURATED corpora the labels frame is a few % of the corpus, AQE
+    broadcasts it, and the corpus never shuffles; on raw WEB CRAWLS
+    30-50% of documents sit in some near-dup cluster, labels are
+    corpus-order and over any broadcast bound, and the plan degrades
+    to a key-partitioned shuffle join — scale-SAFE (two id-keyed
+    exchanges, measured near-flat wall at 10× rows with a 50% planted
+    share) but the corpus DOES shuffle once in that regime.
 
     Compose AFTER dedup when training drops duplicates anyway (the
     keeper inherits the component's split); compose INSTEAD of dedup
