@@ -274,6 +274,126 @@ def test_connected_components_randomized_vs_union_find(spark, seed):
     assert got == want
 
 
+def test_connected_components_incremental_basics(spark):
+    """Daily-ingest component merge: new pairs can bridge two old
+    components (all members relabel to the global min), a NEW id
+    smaller than an old label becomes the merged label, singleton
+    endpoints enter the frame, untouched components are byte-stable,
+    and re-feeding the same batch is a no-op (self-loop contraction)."""
+    hist = spark.createDataFrame(
+        [(1, 2), (10, 11), (100, 101)], "id1 long, id2 long"
+    )
+    labels = dedup.connected_components(hist)
+
+    new = spark.createDataFrame(
+        [(2, 10), (0, 11), (50, 60)], "id1 long, id2 long"
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components_incremental(labels, new).collect()
+    }
+    assert got == {
+        # comps {1,2} and {10,11} bridged via (2,10), then new id 0
+        # (smaller than every old label) pulls the merged min to 0
+        0: 0, 1: 0, 2: 0, 10: 0, 11: 0,
+        100: 100, 101: 100,            # untouched component
+        50: 50, 60: 50,                # two singleton endpoints
+    }
+    # ≡ the full run over history ∪ batch
+    full = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(hist.unionAll(new)).collect()
+    }
+    assert got == full
+
+    # idempotent re-feed: same batch against the UPDATED labels
+    updated = dedup.connected_components_incremental(labels, new)
+    again = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components_incremental(updated, new).collect()
+    }
+    assert again == got
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5, 6])
+def test_connected_components_incremental_matches_full_run(spark, seed):
+    """Randomized differential: labels = CC(history edges), then a
+    batch of new edges over a MIX of old and brand-new ids — the
+    incremental merge must equal both the full Spark rerun over
+    history ∪ batch and a dependency-free union-find twin, as exact
+    partition-with-min-label maps over the union's node set."""
+    rng = random.Random(seed)
+    hist_edges = [
+        (rng.randrange(80), rng.randrange(80)) for _ in range(50)
+    ]
+    hist_edges = [(a, b) for a, b in hist_edges if a != b]
+    new_edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(40)
+    ]
+    new_edges = [(a, b) for a, b in new_edges if a != b]
+
+    hdf = spark.createDataFrame(hist_edges, "id1 long, id2 long")
+    ndf = spark.createDataFrame(new_edges, "id1 long, id2 long")
+    labels = dedup.connected_components(hdf)
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components_incremental(labels, ndf).collect()
+    }
+
+    # union-find twin over history ∪ batch
+    touched = {x for e in hist_edges + new_edges for x in e}
+    parent = {n: n for n in touched}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in hist_edges + new_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for n in touched:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in touched}
+    assert got == want
+
+    full = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(hdf.unionAll(ndf)).collect()
+    }
+    assert got == full
+
+
+def test_connected_components_incremental_fuse_and_plan(spark, tmp_path):
+    """The batch-size fuse trips before any broadcast is built, and
+    the happy-path plan contains ONLY broadcast joins — the persisted
+    labels frame (read back from parquet like a real day-N run) is
+    never sort-merge/shuffle-hash joined, the incremental family's
+    no-index-shuffle contract."""
+    hist = spark.createDataFrame(
+        [(i, i + 1000) for i in range(200)], "id1 long, id2 long"
+    )
+    lab_path = str(tmp_path / "labels")
+    dedup.connected_components(hist).write.parquet(lab_path)
+    labels = spark.read.parquet(lab_path)
+
+    big = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id1 long, id2 long"
+    )
+    with pytest.raises(ValueError, match="max_batch_pairs"):
+        dedup.connected_components_incremental(labels, big, max_batch_pairs=5)
+
+    out = dedup.connected_components_incremental(labels, big)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
 def test_simhash_bucket_cap_drops_hot_buckets(spark):
     """max_bucket is the fingerprint-space max_df analog: a (chunk,
     value) bucket holding more docs than the cap contributes no

@@ -18,8 +18,11 @@ crawl is infeasible): :func:`dedup_exact_incremental` (fingerprint
 index), :func:`dedup_lines_incremental` (line-key index),
 :func:`minhash_lsh_incremental` (signature index), and
 :func:`simhash_incremental_pairs` (64-bit fingerprint index, shared
-by text SimHash, image pHash, and audio band signatures). Compose
-exact FIRST so identical copies never reach the banded joins. When
+by text SimHash, image pHash, and audio band signatures); the pair
+lists those emit merge into persisted component labels via
+:func:`connected_components_incremental` (r11), so the KEEP/DROP step
+is incremental too. Compose exact FIRST so identical copies never
+reach the banded joins. When
 the persisted index itself is corpus-sized, the exact gate has a
 Bloom-prefiltered variant (:func:`dedup_exact_incremental_bloom` +
 :func:`bloom_bitmap`) that probes a distributed ~30×-smaller bitmap
@@ -1970,6 +1973,116 @@ def connected_components(
             "would yield wrong KEEP/DROP decisions — raise max_iter"
         )
     return labels
+
+
+def connected_components_incremental(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 25,
+    jump_start: int = 2,
+    max_batch_pairs: int | None = 1_000_000,
+) -> DataFrame:
+    """Merge a NEW batch of near-dup pairs into a PERSISTED component
+    labeling — the daily-ingest mode for the KEEP/DROP step,
+    completing the incremental story end to end: the candidate
+    generators already have batch-vs-index modes
+    (:func:`minhash_lsh_incremental` etc. produce exactly the pair
+    lists this consumes), but components were still recomputed from
+    ALL pairs ever seen. Re-walking 100 TB of history to absorb a
+    day's edges is the same infeasibility the other incremental
+    gates exist to avoid.
+
+    ``labels`` is a prior :func:`connected_components` (or this
+    function's) result — (id, comp) with comp = the component's min
+    member id; documents absent from it are singletons labeled by
+    their own id (the same convention ``split_by_component``
+    documents). Returns the UPDATED full labels frame, exactly equal
+    to ``connected_components(history_pairs ∪ new_pairs)``
+    (test-pinned, randomized differential): the star edges implied by
+    ``labels`` preserve history's connectivity, and since every label
+    is the min id of its members, min-label propagation over the
+    CONTRACTED graph (each endpoint replaced by its existing label)
+    yields the true merged minimum — including when a NEW id is
+    smaller than an old component's label.
+
+    Plan — the persisted frame is never shuffled:
+
+    1. the batch's distinct endpoint ids are BROADCAST against
+       ``labels`` (inner BHJ — one map-side scan of the labels frame,
+       the incremental family's index-probe shape);
+    2. components touched by no new edge are finished already; the
+       contracted edge list (batch-bounded) runs the normal
+       :func:`connected_components` loop at batch size;
+    3. the resulting root→new-label map (only CHANGED roots — a
+       re-fed duplicate batch contracts to self-loops and the map is
+       empty, so re-feeds are no-ops) is broadcast against ``labels``
+       for the relabel: a second map-side scan, zero exchanges;
+       endpoints new to the frame are unioned in with their merged
+       labels.
+
+    ``max_batch_pairs`` fuses the broadcast terms (endpoint map +
+    relabel map are batch-bounded, not corpus-bounded — that is the
+    contract): a "batch" of 10⁹ pairs would silently become a
+    multi-GB broadcast, so past the fuse this raises — chunk the
+    batch, or fall back to a full :func:`connected_components` run.
+    Pass ``None`` to disable."""
+    edges = new_pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    if max_batch_pairs is not None:
+        n = edges.limit(max_batch_pairs + 1).count()
+        if n > max_batch_pairs:
+            raise ValueError(
+                f"new_pairs exceeds max_batch_pairs={max_batch_pairs}: the "
+                "incremental merge broadcasts batch-bounded maps; chunk the "
+                "batch or run connected_components over the full pair set"
+            )
+    ep = (
+        edges.select(F.col("a").alias("id"))
+        .unionAll(edges.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by probe + anti + edges
+    )
+    # 1. index probe: stream the labels frame once, build on the batch
+    labeled = (
+        labels.join(F.broadcast(ep), "id", "inner")
+        .select("id", F.col("comp").alias("root"))
+        .localCheckpoint(eager=False)
+    )
+    unlabeled = ep.join(
+        F.broadcast(labeled.select("id")), "id", "left_anti"
+    ).select("id", F.col("id").alias("root"))
+    ep_roots = labeled.unionByName(unlabeled).localCheckpoint(eager=False)
+
+    # 2. contract endpoints to their roots; CC at batch size
+    contracted = (
+        edges.join(
+            F.broadcast(ep_roots.withColumnsRenamed({"id": "a", "root": "ra"})),
+            "a",
+        )
+        .join(
+            F.broadcast(ep_roots.withColumnsRenamed({"id": "b", "root": "rb"})),
+            "b",
+        )
+        .select(F.col("ra").alias("id1"), F.col("rb").alias("id2"))
+    )
+    small = connected_components(
+        contracted, max_iter=max_iter, jump_start=jump_start
+    )
+
+    # 3. broadcast relabel of the persisted frame (changed roots only)
+    relabel = small.filter(F.col("comp") != F.col("id")).withColumnsRenamed(
+        {"id": "_root", "comp": "_new"}
+    )
+    updated_hist = labels.join(
+        F.broadcast(relabel), labels["comp"] == F.col("_root"), "left"
+    ).select(
+        labels["id"], F.coalesce(F.col("_new"), labels["comp"]).alias("comp")
+    )
+    new_rows = unlabeled.join(
+        F.broadcast(relabel), F.col("root") == F.col("_root"), "left"
+    ).select("id", F.coalesce(F.col("_new"), F.col("root")).alias("comp"))
+    return updated_hist.unionByName(new_rows)
 
 
 def simhash_verified_pairs(
