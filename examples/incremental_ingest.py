@@ -27,6 +27,13 @@ THIS is the shape a daily pipeline runs):
    ``component_keepers`` decide keepers; new docs duplicating an
    index doc drop (the corpus member is canonical), genuinely-new
    docs and within-batch keepers are admitted.
+5. **Persisted labels (r11)** — the day's pairs also merge into the
+   PERSISTED corpus component labeling via
+   ``connected_components_incremental``: batch endpoints broadcast-
+   probe the labels frame, only touched components re-resolve, and
+   the labels frame is never shuffled — so ``split_by_component``
+   keeps a current, leakage-safe component key across ingest days
+   without ever re-walking historical pairs.
 
 Run: ``python examples/incremental_ingest.py [sf_dir]``
 """
@@ -115,6 +122,21 @@ def run(spark, sf_dir: str) -> dict:
     admitted = len(batch_ids) - len(dropped)
     planted_id = 10_000_000 + sample["doc_id"]
 
+    # Day 1, persisted labels: merge the day's pairs into the corpus
+    # component labeling (day-0 labels = the corpus's own near-dup
+    # components) — the labels frame is only map-side scanned, and the
+    # planted near-dup must land in its corpus twin's component
+    day0_labels = dedup.connected_components(
+        dedup.minhash_lsh_verified_pairs(corpus, threshold=0.5)
+    ).localCheckpoint(eager=True)
+    labels1 = dedup.connected_components_incremental(day0_labels, pairs)
+    planted_comp = {
+        r["id"]: r["comp"]
+        for r in labels1.filter(
+            F.col("id").isin(planted_id, sample["doc_id"])
+        ).collect()
+    }
+
     return {
         "corpus": corpus.count(),
         "exact_recrawls_dropped": exact_dropped,
@@ -125,6 +147,11 @@ def run(spark, sf_dir: str) -> dict:
         "planted_dup_dropped": planted_id in dropped,
         "updated_index_rows": updated.count(),
         "updated_bloom_words": bloom_updated.count(),
+        "updated_labels_rows": labels1.count(),
+        "planted_pair_shares_component": (
+            len(planted_comp) == 2
+            and planted_comp[planted_id] == planted_comp[sample["doc_id"]]
+        ),
     }
 
 

@@ -127,3 +127,7 @@ def test_incremental_ingest_example(spark):
     assert 1 <= out["updated_bloom_words"] <= 5 * (
         out["corpus"] + out["batch"]
     )
+    # r11: the day's pairs merged into the persisted component labels,
+    # and the planted near-dup shares its corpus twin's component
+    assert out["planted_pair_shares_component"] is True
+    assert out["updated_labels_rows"] >= out["pairs_touching_batch"]
