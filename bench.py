@@ -85,6 +85,9 @@ def main() -> None:
     qs["setops_suite"] = testdata_queries.setops_suite
     # r11: chunk_by_chars ceded its slot to embedding_centroid_gate
     qs["chunk_by_chars"] = llm_queries.chunk_by_chars
+    # r11: dedup_components ceded its slot to dedup_components_incremental
+    # (identical oracle, strictly more machinery exercised)
+    qs["dedup_components"] = llm_queries.dedup_components
     # embedding_pq_adc is a CORRECTNESS row (full-probe/full-rerank ≡
     # brute force); its timed code path is embedding_pq_topk's, already
     # benched median-of-3 — excluded so the bench total stays

@@ -143,6 +143,13 @@ CASES = {
         llm_queries.chunk_by_chars,
         llm_queries.CHUNK_BY_CHARS_SQL,
     ),
+    # rotated out r11 for dedup_components_incremental, which registers
+    # the IDENTICAL recursive-CTE oracle (incremental ≡ full run is the
+    # operator's defining invariant) over strictly more machinery
+    "dedup_components": (
+        llm_queries.dedup_components,
+        llm_queries.DEDUP_COMPONENTS_SQL,
+    ),
 }
 
 

@@ -945,7 +945,7 @@ _COMPONENTS_CTES = f"""{_TRIGRAM_PAIRS_CTES},
 
 
 @register(
-    "dedup_components",
+    "dedup_components_incremental",
     f"""
     WITH RECURSIVE {_COMPONENTS_CTES}
     SELECT doc_id, component, doc_id = component AS keep
@@ -953,6 +953,56 @@ _COMPONENTS_CTES = f"""{_TRIGRAM_PAIRS_CTES},
     ORDER BY doc_id
     """,
 )
+def dedup_components_incremental(spark, sf_dir):
+    """Incremental KEEP/DROP merge (r11 driver row for
+    ``dedup.connected_components_incremental``): every 10th document
+    plays the daily batch (the dedup family's batch/index split) —
+    history components come from a full :func:`connected_components`
+    run over pairs entirely WITHIN the index slice, then the day's
+    pairs (any pair touching a batch doc) merge into those persisted
+    labels through the incremental path: broadcast endpoint probe,
+    root-contracted batch-sized CC, changed-roots-only relabel, the
+    labels frame never shuffled.
+
+    The oracle is the full-run recursive-CTE transitive closure over
+    ALL pairs — the strongest possible check, because the operator's
+    defining invariant is ``incremental(CC(hist), batch) ≡
+    CC(hist ∪ batch)`` exactly, including output coverage (history ids
+    ∪ batch endpoints = every paired id). The pair set comes from the
+    session cache shared with dedup_trigram_jaccard /
+    curation_funnel."""
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
+    hist = pairs.filter(
+        (F.col("id1") % 10 != 0) & (F.col("id2") % 10 != 0)
+    )
+    batch_pairs = pairs.filter(
+        (F.col("id1") % 10 == 0) | (F.col("id2") % 10 == 0)
+    )
+    labels = dedup.connected_components(hist)
+    merged = dedup.connected_components_incremental(labels, batch_pairs)
+    return (
+        merged.select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("component"),
+            (F.col("id") == F.col("comp")).alias("keep"),
+        ).orderBy("doc_id")
+    )
+
+
+# Rotated out of the driver registry in r11 for
+# dedup_components_incremental, which shares this IDENTICAL oracle (the
+# incremental merge's defining invariant is equality with the full run)
+# while exercising strictly more machinery — a full CC over the history
+# slice PLUS the persisted-label merge. The SQL bar keeps running in
+# tests/test_rotated_rows.py; still timed in the bench.
+DEDUP_COMPONENTS_SQL = f"""
+    WITH RECURSIVE {_COMPONENTS_CTES}
+    SELECT doc_id, component, doc_id = component AS keep
+    FROM comp
+    ORDER BY doc_id
+    """
+
+
 def dedup_components(spark, sf_dir):
     """Connected components over the exact near-dup pairs (trigram
     Jaccard ≥ 0.5): the KEEP/DROP decision of corpus dedup — every
