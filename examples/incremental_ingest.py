@@ -148,6 +148,12 @@ def run(spark, sf_dir: str) -> dict:
         "updated_index_rows": updated.count(),
         "updated_bloom_words": bloom_updated.count(),
         "updated_labels_rows": labels1.count(),
+        "pair_endpoint_ids": (
+            pairs.select(F.col("id1").alias("i"))
+            .unionAll(pairs.select(F.col("id2").alias("i")))
+            .distinct()
+            .count()
+        ),
         "planted_pair_shares_component": (
             len(planted_comp) == 2
             and planted_comp[planted_id] == planted_comp[sample["doc_id"]]

@@ -128,6 +128,8 @@ def test_incremental_ingest_example(spark):
         out["corpus"] + out["batch"]
     )
     # r11: the day's pairs merged into the persisted component labels,
-    # and the planted near-dup shares its corpus twin's component
+    # and the planted near-dup shares its corpus twin's component.
+    # Coverage is against DISTINCT pair endpoints, not the pair count —
+    # a k-clique contributes k(k-1)/2 pairs but only k label rows
     assert out["planted_pair_shares_component"] is True
-    assert out["updated_labels_rows"] >= out["pairs_touching_batch"]
+    assert out["updated_labels_rows"] >= out["pair_endpoint_ids"]

@@ -602,6 +602,41 @@ def test_same_jdbc_target_normalization():
     # embedded URLs: byte comparison only (path IS the identity)
     assert same("jdbc:derby:/tmp/a", "jdbc:derby:/tmp/a")
     assert not same("jdbc:derby:/tmp/a", "jdbc:derby:/tmp/A")
+    # semicolon-property URLs (SQL Server form): the port segment does
+    # not parse as an integer — must fall back to byte comparison, not
+    # crash the guard (r11 review finding)
+    ss = "jdbc:sqlserver://host:1433;databaseName=src"
+    assert same(ss, ss)
+    assert not same(ss, "jdbc:sqlserver://host:1433;databaseName=dst")
+
+
+def test_atomic_publish_validates_names_before_staging(spark, tmp_path):
+    """The identifier guard must refuse BEFORE step 1 stages anything:
+    a bad name in the table list leaves the target database completely
+    untouched (r11 review finding — validation used to run only inside
+    the swap, after every table had already been copied and the raw
+    name interpolated into staging DDL)."""
+    import pytest
+
+    local = f"jdbc:derby:{tmp_path}/vlocal;create=true"
+    cloud = f"jdbc:derby:{tmp_path}/vcloud;create=true"
+    props = {"driver": DRIVER}
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    sink.write_snapshot_jdbc({"t_good": df}, local, properties=props)
+
+    with pytest.raises(ValueError, match="simple SQL identifier"):
+        sink.publish_snapshot_jdbc_atomic(
+            spark, local, cloud,
+            ["t_good", 'bad"; DROP TABLE x'],
+            source_properties=props, target_properties=props,
+        )
+    # nothing staged: not even the good table's __stage exists
+    conn = sink._jdbc_connect(spark, cloud, props)
+    try:
+        assert not sink._table_exists(conn, "t_good__stage")
+        assert not sink._table_exists(conn, "t_good")
+    finally:
+        conn.close()
 
 
 def test_atomic_publish_dialect_default_and_identifier_guard(spark, tmp_path):

@@ -2027,8 +2027,24 @@ def connected_components_incremental(
     contract): a "batch" of 10⁹ pairs would silently become a
     multi-GB broadcast, so past the fuse this raises — chunk the
     batch, or fall back to a full :func:`connected_components` run.
-    Pass ``None`` to disable."""
-    edges = new_pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    Pass ``None`` to disable.
+
+    Compositions: downstream :func:`component_keepers` only needs
+    recomputing for components whose label changed — filter the
+    updated frame to labels in the batch endpoints' merged roots and
+    re-pick keepers there; everything else is stable by construction.
+    Streaming ingest composes via ``foreachBatch``: CC is iterative
+    (no single-pass stateful-operator form exists), so the per-micro-
+    batch merge against the persisted labels IS the streaming mode,
+    exactly as the other incremental families' gates are their
+    stream-static twins."""
+    edges = new_pairs.select(
+        F.col(id1).alias("a"), F.col(id2).alias("b")
+    ).localCheckpoint(eager=False)
+    # ^ new_pairs is typically an expensive banded-join pipeline
+    # (minhash_lsh_incremental's output); it feeds the fuse count, the
+    # endpoint set, AND the contracted edge list — without the
+    # checkpoint the whole candidate pipeline would re-run ~3x
     if max_batch_pairs is not None:
         n = edges.limit(max_batch_pairs + 1).count()
         if n > max_batch_pairs:

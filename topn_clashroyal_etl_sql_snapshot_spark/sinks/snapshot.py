@@ -275,8 +275,16 @@ def _jdbc_url_key(url: str):
     if not parts.netloc or not parts.hostname:
         return None
     scheme = parts.scheme.lower()
-    port = parts.port or _DEFAULT_PORTS.get(scheme)
-    return (scheme, parts.hostname.lower(), port, parts.path)
+    try:
+        port = parts.port
+    except ValueError:
+        # semicolon-property URLs (SQL Server's
+        # 'jdbc:sqlserver://host:1433;databaseName=x') put non-integer
+        # text after the colon; unparseable here means byte comparison
+        # is the only safe identity
+        return None
+    return (scheme, parts.hostname.lower(),
+            port or _DEFAULT_PORTS.get(scheme), parts.path)
 
 
 def _same_jdbc_target(a: str, b: str) -> bool:
@@ -426,6 +434,11 @@ def publish_snapshot_jdbc_atomic(
             "lazy JDBC read would be clobbered by its own staging "
             "overwrite"
         )
+    for name in tables:
+        # refuse BEFORE any name reaches either database's SQL layer
+        # (the staging writes interpolate dbtable verbatim), not just
+        # before the swap DDL
+        _check_publish_identifier(name)
     sprops = dict(source_properties or {})
     tprops = dict(target_properties or {})
 
@@ -461,6 +474,8 @@ def publish_warehouse_jdbc_atomic(
     :func:`publish_snapshot_jdbc_atomic`'s stage-and-swap guarantee
     (same ``__stage`` tables, same single rename transaction with the
     same by-subprotocol dialect default, same rollback semantics)."""
+    for name in tables:
+        _check_publish_identifier(name)  # before any staging DDL
     tprops = dict(target_properties or {})
     for name in tables:
         df = spark.read.parquet(os.path.join(warehouse_dir, name))
