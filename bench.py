@@ -88,6 +88,8 @@ def main() -> None:
     # r11: dedup_components ceded its slot to dedup_components_incremental
     # (identical oracle, strictly more machinery exercised)
     qs["dedup_components"] = llm_queries.dedup_components
+    # r11: docs_pack_greedy ceded its slot to dedup_exact_incremental_gate
+    qs["docs_pack_greedy"] = llm_queries.docs_pack_greedy
     # embedding_pq_adc is a CORRECTNESS row (full-probe/full-rerank ≡
     # brute force); its timed code path is embedding_pq_topk's, already
     # benched median-of-3 — excluded so the bench total stays

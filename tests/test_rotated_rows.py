@@ -150,6 +150,13 @@ CASES = {
         llm_queries.dedup_components,
         llm_queries.DEDUP_COMPONENTS_SQL,
     ),
+    # rotated out r11 for dedup_exact_incremental_gate (the exact
+    # family's incremental gate joins the registered incrementals);
+    # the bit-for-bit window bar keeps running here
+    "docs_pack_greedy": (
+        llm_queries.docs_pack_greedy,
+        llm_queries.DOCS_PACK_GREEDY_SQL,
+    ),
 }
 
 

@@ -1753,9 +1753,12 @@ def docs_dedup_lines(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@register(
-    "docs_pack_greedy",
-    """
+# Rotated out of the driver registry in r11 for
+# dedup_exact_incremental_gate (the third registered incremental —
+# exact joins MinHash and components under the driver oracle); the
+# bit-for-bit window-expression bar keeps running in
+# tests/test_rotated_rows.py and the query stays in the bench.
+DOCS_PACK_GREEDY_SQL = """
     SELECT doc_id, source, n_chars,
            CAST(floor(
              COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
@@ -1764,8 +1767,9 @@ def docs_dedup_lines(spark, sf_dir):
            ) AS BIGINT) AS bin_id
     FROM documents
     ORDER BY source, doc_id
-    """,
-)
+    """
+
+
 def docs_pack_greedy(spark, sf_dir):
     """Greedy sequence packing: documents fill 4096-char training bins
     contiguously in doc_id order within each source shard —
@@ -1834,6 +1838,54 @@ def chunk_by_chars(spark, sf_dir):
         "chunk_chars",
         F.md5(F.col("chunk_text")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "dedup_exact_incremental_gate",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+    ),
+    idx AS (SELECT fingerprint FROM fp WHERE doc_id % 2 = 0),
+    firsts AS (
+      SELECT fingerprint, MIN(doc_id) AS doc_id
+      FROM fp WHERE fingerprint IS NOT NULL
+      GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.fingerprint
+    FROM firsts f
+    WHERE f.fingerprint NOT IN (SELECT fingerprint FROM idx)
+    ORDER BY f.doc_id
+    """,
+)
+def dedup_exact_incremental_gate(spark, sf_dir):
+    """Incremental EXACT dedup vs a persisted fingerprint index (r11
+    driver row for ``dedup.dedup_exact_incremental`` — the third
+    registered incremental, joining MinHash candidates and component
+    merge under the driver oracle). Shaped as a partial RE-FEED so the
+    gate's drop path actually fires at every driver sf (the corpus has
+    no exact duplicates, so a disjoint batch/index split would admit
+    everything and verify only the no-false-positive side): the index
+    holds the even-doc_id fingerprints — yesterday's ingest — and the
+    whole table arrives as today's batch, so the gate must drop
+    exactly the even half via the index anti-join and admit the odd
+    half with within-batch first-seen (vacuous here — fingerprints are
+    unique — and pinned with planted dups in tests/test_dedup.py,
+    alongside the NULL-text exemption this round added). Output =
+    admitted (doc_id, fingerprint): the md5 values themselves ride the
+    hash check, so content_fingerprint parity is re-verified per
+    admitted row. The Bloom-prefiltered twin admits the identical set
+    by construction (grid-pinned); the plain gate is registered
+    because its plan IS the oracle's shape."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    index = docs.filter(F.col("doc_id") % 2 == 0).select(
+        tx.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    admitted, _ = dedup.dedup_exact_incremental(docs, index)
+    return admitted.select(
+        "doc_id",
+        tx.content_fingerprint(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")
 
 
 # The LM-row model is fit from a FIXED reference corpus at import time
