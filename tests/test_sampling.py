@@ -444,6 +444,110 @@ def test_mixture_sample_hits_target_shares(spark):
     )
 
 
+def test_mixture_sample_incremental_day0_equals_batch_mixer(spark):
+    """With an empty ledger the daily gate IS mixture_sample: same
+    kept key set (the anchor-max delegation discipline), and the
+    returned ledger accounts exactly the kept frame's weights."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import sampling
+
+    rows = [(i, "web" if i < 8000 else "wiki") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    shares = {"web": 0.5, "wiki": 0.5}
+    kept, ledger = sampling.mixture_sample_incremental(
+        df, None, "source", shares
+    )
+    batch_mode = sampling.mixture_sample(df, "source", shares)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in batch_mode.collect()
+    )
+    led = {r["source"]: r["kept_w"] for r in ledger.collect()}
+    cnt = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert led == {g: float(n) for g, n in cnt.items()}
+
+
+def test_mixture_sample_incremental_converges_and_self_corrects(spark):
+    """Multi-day ingest: (day 1) a web-heavy batch admits wiki fully
+    and web partially; (day 2) wiki is ABSENT — the gate does not
+    stall, web tops up to its entitlement, the running mix drifts;
+    (day 3) wiki returns and keeps EVERYTHING offered (its accumulated
+    entitlement exceeds supply) — the drift self-corrects and the
+    running shares land near 50/50. Per-day kept weights match the
+    water-filling math within bucket granularity, over-represented
+    groups keep zero, and unknown groups drop."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import sampling
+
+    shares = {"web": 0.5, "wiki": 0.5}
+
+    def mk(start, n_web, n_wiki, n_junk=0):
+        rows = [(start + i, "web") for i in range(n_web)]
+        rows += [(start + 100_000 + i, "wiki") for i in range(n_wiki)]
+        rows += [(start + 200_000 + i, "junk") for i in range(n_junk)]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def counts(df):
+        return {
+            r["source"]: r["n"]
+            for r in df.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    # day 1: 8000 web / 1000 wiki (+ junk, not in the recipe)
+    k1, l1 = sampling.mixture_sample_incremental(
+        mk(0, 8000, 1000, n_junk=500), None, "source", shares
+    )
+    c1 = counts(k1)
+    assert "junk" not in c1
+    assert c1["wiki"] == 1000                      # binding: keeps all
+    assert 850 <= c1["web"] <= 1150                # ~1000 (granularity)
+
+    # day 2: wiki absent; T = (c_web + b_web)/0.5 is the only cap, so
+    # web's entitlement T*0.5 - c_web = b_web: web keeps EVERYTHING
+    k2, l2 = sampling.mixture_sample_incremental(
+        mk(1_000_000, 3000, 0), l1, "source", shares
+    )
+    c2 = counts(k2)
+    assert c2["web"] == 3000 and "wiki" not in c2
+
+    led2 = {r["source"]: r["kept_w"] for r in l2.collect()}
+    # day 3: wiki floods back; entitlement T*s - c_wiki >= supply for
+    # a 3000-doc wiki batch (web is now ~4x over), so wiki keeps all
+    # and web keeps ~nothing
+    k3, l3 = sampling.mixture_sample_incremental(
+        mk(2_000_000, 2000, 3000), l2, "source", shares
+    )
+    c3 = counts(k3)
+    assert c3["wiki"] == 3000
+    assert c3.get("web", 0) <= 250  # over-represented: ~zero admitted
+
+    led3 = {r["source"]: r["kept_w"] for r in l3.collect()}
+    # ledger ≡ sum of actual kept weights across the three days
+    assert led3["wiki"] == float(c1["wiki"] + 3000)
+    assert led3["web"] == float(c1["web"] + 3000 + c3.get("web", 0))
+    # running shares converged near the recipe
+    tot = sum(led3.values())
+    assert abs(led3["wiki"] / tot - 0.5) < 0.07, led3
+    # water-filling twin for day 3: T = min((c_g+b_g)/s_g) over
+    # supplied groups; expected wiki keep = min(max(T*s-c,0),b)
+    t3 = min(
+        (led2.get("web", 0.0) + 2000) / 0.5,
+        (led2.get("wiki", 0.0) + 3000) / 0.5,
+    )
+    want_wiki = min(max(t3 * 0.5 - led2.get("wiki", 0.0), 0.0), 3000)
+    assert c3["wiki"] == want_wiki  # fraction 1.0 — no granularity blur
+
+    # replay determinism: re-running day 3 yields the same kept keys
+    k3b, _ = sampling.mixture_sample_incremental(
+        mk(2_000_000, 2000, 3000), l2, "source", shares
+    )
+    assert sorted(r["doc_id"] for r in k3.collect()) == sorted(
+        r["doc_id"] for r in k3b.collect()
+    )
+
+
 def test_per_group_quantile_cap_matches_duckdb(spark):
     """Percentile gate vs a DuckDB window oracle: keep the top 30% per
     source by score (ties broken by doc_id), ceil keeps >=1 per group."""

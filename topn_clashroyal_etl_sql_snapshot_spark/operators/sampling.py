@@ -377,6 +377,100 @@ def mixture_multipliers(
     return out
 
 
+def mixture_sample_incremental(
+    batch: DataFrame,
+    ledger: DataFrame | None,
+    group_col: str,
+    target_shares: Mapping[str, float],
+    key: str | Column = "doc_id",
+    weight_col: str | None = None,
+    seed: int = 42,
+    buckets: int = DEFAULT_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Daily-ingest domain mixing: admit as much of TODAY's batch as
+    the target recipe allows, so the RUNNING kept corpus converges to
+    ``target_shares`` across days — :func:`mixture_sample` for the
+    incremental regime, where yesterday's keeps are immutable (a
+    downsample-only gate cannot retroactively remove history, so the
+    knob is how much of each domain to admit today).
+
+    ``ledger`` is the persisted per-group accounting of everything
+    kept so far — a two-column ``(group_col, kept_w)`` frame (label-set
+    cardinality, like every mixing model here; pass ``None`` on day
+    0). The gate solves the same water-filling problem as
+    :func:`mixture_fractions`, floored by history: the feasible total
+    is ``T = min over supplied target groups of (c_g + b_g)/s_g``
+    (history + today's supply, fully spent on the binding domain), and
+    each group keeps ``k_g = clamp(T·s_g − c_g, 0, b_g)`` — an
+    over-represented domain keeps nothing until the others catch up,
+    an under-represented one keeps everything offered. With an empty
+    ledger this is EXACTLY :func:`mixture_sample` (test-pinned, the
+    same anchor-max delegation discipline as mixture_fractions).
+
+    A target domain with no supply today does not stall the day: the
+    min skips it, the running mixture drifts off-target by its missing
+    mass, and the formula self-corrects when supply returns (its
+    entitlement ``T·s_g − c_g`` accumulates — it keeps everything
+    offered until caught up). Likewise a day where some group's keep
+    fraction floors below bucket resolution admits zero of it and
+    rolls the entitlement forward — documented drift, not an error,
+    because unlike the one-shot mixer a daily gate gets another day.
+    Unknown groups (absent from ``target_shares``) drop, as in every
+    mixing entry point.
+
+    Returns ``(kept, updated_ledger)``: ``kept`` is the admitted batch
+    subset (hash-bucket membership within each group — replayable,
+    append-stable, whole keys move together); ``updated_ledger`` is the
+    ledger plus the ACTUAL kept weight per group (a lazy label-set
+    aggregation over the kept frame, so bucket-granularity rounding
+    can never silently desynchronize the ledger from the data).
+    Persist it for day N+1. Everything driver-side is label-set
+    bounded — the batch itself is touched by one weights aggregation
+    and one narrow filter."""
+    supply = _group_weights(batch, group_col, weight_col)
+    hist: dict = {}
+    if ledger is not None:
+        hist = {
+            r[group_col]: float(r["kept_w"] or 0.0) for r in ledger.collect()
+        }
+    total_s = float(sum(target_shares.values()))
+    if total_s <= 0:
+        raise ValueError("target shares must sum to a positive value")
+    shares = {g: s / total_s for g, s in target_shares.items()}
+    caps = [
+        (hist.get(g, 0.0) + supply.get(g, 0.0)) / s
+        for g, s in shares.items()
+        if s > 0 and supply.get(g, 0.0) > 0
+    ]
+    if not caps:
+        # nothing admissible today (no target group has supply)
+        kept = batch.filter(F.lit(False))
+    else:
+        t_total = min(caps)
+        fracs = {}
+        for g, s in shares.items():
+            b_g = supply.get(g, 0.0)
+            if b_g <= 0:
+                continue
+            k_g = min(max(t_total * s - hist.get(g, 0.0), 0.0), b_g)
+            fracs[g] = k_g / b_g
+        kept = stratified_hash_sample(
+            batch, group_col, fracs, key, seed, buckets
+        )
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    kept_acc = kept.groupBy(group_col).agg(
+        F.sum(w.cast("double")).alias("kept_w")
+    )
+    merged = (
+        kept_acc if ledger is None
+        else ledger.select(group_col, "kept_w").unionByName(kept_acc)
+    )
+    updated_ledger = merged.groupBy(group_col).agg(
+        F.sum("kept_w").alias("kept_w")
+    )
+    return kept, updated_ledger
+
+
 def replicate_by_multiplier(
     df: DataFrame,
     multipliers: Mapping[str, float],
