@@ -34,6 +34,10 @@ THIS is the shape a daily pipeline runs):
    the labels frame is never shuffled — so ``split_by_component``
    keeps a current, leakage-safe component key across ingest days
    without ever re-walking historical pairs.
+6. **Mixture ledger (r11)** — the admitted docs pass the
+   ``mixture_sample_incremental`` gate against a persisted per-domain
+   kept-weight ledger, so the RUNNING corpus converges to the target
+   recipe across days even though each day's supply is skewed.
 
 Run: ``python examples/incremental_ingest.py [sf_dir]``
 """
@@ -137,6 +141,31 @@ def run(spark, sf_dir: str) -> dict:
         ).collect()
     }
 
+    # Day 1, mixture ledger: the dedup-admitted docs pass the domain
+    # gate against yesterday's per-source kept-weight ledger (here:
+    # the corpus's own counts), so the running mix tracks the recipe
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import sampling
+
+    sources = sorted(
+        r["source"] for r in corpus.select("source").distinct().collect()
+    )
+    recipe = {s: 1.0 / len(sources) for s in sources}
+    day0_ledger = corpus.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("kept_w")
+    )
+    admitted_docs = batch.join(
+        spark.createDataFrame(
+            [(i,) for i in sorted(set(batch_ids) - dropped)], "doc_id long"
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    mixed, ledger1 = sampling.mixture_sample_incremental(
+        admitted_docs, day0_ledger, "source", recipe
+    )
+    n_mixed = mixed.count()
+    ledger_total = ledger1.agg(F.sum("kept_w")).collect()[0][0]
+
     return {
         "corpus": corpus.count(),
         "exact_recrawls_dropped": exact_dropped,
@@ -148,6 +177,8 @@ def run(spark, sf_dir: str) -> dict:
         "updated_index_rows": updated.count(),
         "updated_bloom_words": bloom_updated.count(),
         "updated_labels_rows": labels1.count(),
+        "mixture_admitted": n_mixed,
+        "mixture_ledger_total": ledger_total,
         "pair_endpoint_ids": (
             pairs.select(F.col("id1").alias("i"))
             .unionAll(pairs.select(F.col("id2").alias("i")))

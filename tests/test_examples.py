@@ -133,3 +133,9 @@ def test_incremental_ingest_example(spark):
     # a k-clique contributes k(k-1)/2 pairs but only k label rows
     assert out["planted_pair_shares_component"] is True
     assert out["updated_labels_rows"] >= out["pair_endpoint_ids"]
+    # r11: the mixture ledger gates the dedup-admitted docs and its
+    # accounting is exact (history + actually-admitted)
+    assert 0 <= out["mixture_admitted"] <= out["batch_docs_admitted"]
+    assert out["mixture_ledger_total"] == float(
+        out["corpus"] + out["mixture_admitted"]
+    )
