@@ -118,10 +118,11 @@ def run(spark, sf_dir: str) -> dict:
     )
     keep = dedup.component_keepers(comp, quality)
     batch_ids = [r["doc_id"] for r in batch.select("doc_id").collect()]
+    bset = set(batch_ids)
     dropped = {
         r["id"]
         for r in keep.filter(~F.col("keep")).collect()
-        if r["id"] in set(batch_ids)
+        if r["id"] in bset
     }
     admitted = len(batch_ids) - len(dropped)
     planted_id = 10_000_000 + sample["doc_id"]
@@ -153,12 +154,13 @@ def run(spark, sf_dir: str) -> dict:
     day0_ledger = corpus.groupBy("source").agg(
         F.count(F.lit(1)).cast("double").alias("kept_w")
     )
+    # anti-join against the keep frame — no driver round-trip of ids
+    # (the production shape; `dropped` above is collected only for the
+    # example's reporting)
     admitted_docs = batch.join(
-        spark.createDataFrame(
-            [(i,) for i in sorted(set(batch_ids) - dropped)], "doc_id long"
-        ),
+        keep.filter(~F.col("keep")).select(F.col("id").alias("doc_id")),
         "doc_id",
-        "left_semi",
+        "left_anti",
     )
     mixed, ledger1 = sampling.mixture_sample_incremental(
         admitted_docs, day0_ledger, "source", recipe

@@ -269,6 +269,18 @@ def _group_weights(
     return {r[group_col]: r["_w"] or 0.0 for r in rows}
 
 
+def _normalized_shares(target_shares: Mapping[str, float]) -> dict[str, float]:
+    """Validate + normalize a target-share mapping to sum 1 — the ONE
+    place share validation lives (mixture_multipliers, and through it
+    mixture_fractions/mixture_sample/mixture_resample, plus
+    mixture_sample_incremental all delegate here, per the module's
+    no-re-derivation discipline)."""
+    total_s = float(sum(target_shares.values()))
+    if total_s <= 0:
+        raise ValueError("target shares must sum to a positive value")
+    return {g: s / total_s for g, s in target_shares.items()}
+
+
 def mixture_fractions(
     weights: Mapping[str, float], target_shares: Mapping[str, float]
 ) -> dict[str, float]:
@@ -350,10 +362,7 @@ def mixture_multipliers(
     Groups absent from ``target_shares`` get multiplier 0 (dropped); a
     positive-share group with no corpus weight raises (unsatisfiable
     with or without upsampling)."""
-    total_s = float(sum(target_shares.values()))
-    if total_s <= 0:
-        raise ValueError("target shares must sum to a positive value")
-    shares = {g: s / total_s for g, s in target_shares.items()}
+    shares = _normalized_shares(target_shares)
     for g, s in shares.items():
         if s > 0 and weights.get(g, 0) <= 0:
             raise ValueError(
@@ -404,8 +413,13 @@ def mixture_sample_incremental(
     each group keeps ``k_g = clamp(T·s_g − c_g, 0, b_g)`` — an
     over-represented domain keeps nothing until the others catch up,
     an under-represented one keeps everything offered. With an empty
-    ledger this is EXACTLY :func:`mixture_sample` (test-pinned, the
-    same anchor-max delegation discipline as mixture_fractions).
+    ledger the HAPPY PATH is exactly :func:`mixture_sample` — same
+    kept key set, test-pinned — but the error contracts deliberately
+    differ: the one-shot mixer raises on an unsatisfiable or
+    below-bucket-resolution mixture (its only chance to object), while
+    this gate admits what it can and rolls the shortfall forward,
+    because a daily gate gets another day (see the drift paragraph
+    below).
 
     A target domain with no supply today does not stall the day: the
     min skips it, the running mixture drifts off-target by its missing
@@ -433,10 +447,7 @@ def mixture_sample_incremental(
         hist = {
             r[group_col]: float(r["kept_w"] or 0.0) for r in ledger.collect()
         }
-    total_s = float(sum(target_shares.values()))
-    if total_s <= 0:
-        raise ValueError("target shares must sum to a positive value")
-    shares = {g: s / total_s for g, s in target_shares.items()}
+    shares = _normalized_shares(target_shares)
     caps = [
         (hist.get(g, 0.0) + supply.get(g, 0.0)) / s
         for g, s in shares.items()

@@ -1846,16 +1846,29 @@ def chunk_by_chars(spark, sf_dir):
     WITH fp AS (
       SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
     ),
-    idx AS (SELECT fingerprint FROM fp WHERE doc_id % 2 = 0),
+    idx AS (
+      SELECT DISTINCT fingerprint FROM fp
+      WHERE doc_id % 2 = 0 AND fingerprint IS NOT NULL
+    ),
     firsts AS (
       SELECT fingerprint, MIN(doc_id) AS doc_id
       FROM fp WHERE fingerprint IS NOT NULL
       GROUP BY fingerprint
     )
-    SELECT f.doc_id, f.fingerprint
-    FROM firsts f
-    WHERE f.fingerprint NOT IN (SELECT fingerprint FROM idx)
-    ORDER BY f.doc_id
+    -- NOT EXISTS, not NOT IN: one NULL fingerprint in idx would make
+    -- NOT IN evaluate UNKNOWN for EVERY row and silently empty the
+    -- oracle; and the gate's NULL-text exemption must be mirrored —
+    -- NULL-fingerprint rows are admitted unconditionally (r11 review)
+    SELECT doc_id, fingerprint FROM (
+      SELECT f.doc_id, f.fingerprint
+      FROM firsts f
+      WHERE NOT EXISTS (
+        SELECT 1 FROM idx i WHERE i.fingerprint = f.fingerprint
+      )
+      UNION ALL
+      SELECT doc_id, fingerprint FROM fp WHERE fingerprint IS NULL
+    ) t
+    ORDER BY doc_id
     """,
 )
 def dedup_exact_incremental_gate(spark, sf_dir):
