@@ -548,6 +548,77 @@ def test_mixture_sample_incremental_converges_and_self_corrects(spark):
     )
 
 
+def test_mixture_ledger_fractions_properties():
+    """Hypothesis sweep over the pure water-filling core: fractions
+    stay in [0, 1]; at least one supplied target group is BINDING
+    (keeps all its supply, or sits at/above its entitlement); no group
+    ends above max(history, T*share) — the no-upsample/no-overshoot
+    invariant; and with empty history the fractions equal
+    mixture_fractions over the supplied groups (the one-shot mixer's
+    math, delegated not re-derived)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import sampling
+
+    groups = st.lists(
+        st.sampled_from(["web", "wiki", "books", "code", "news"]),
+        min_size=1, max_size=5, unique=True,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        gs=groups,
+        data=st.data(),
+    )
+    def run(gs, data):
+        # zero or a sensibly-sized weight: denormal supplies (5e-324)
+        # get absorbed by large histories in (hist + supply) and turn
+        # the properties into FP-absorption trivia, a regime no weight
+        # unit (docs/chars/tokens) produces
+        pos = st.one_of(
+            st.just(0.0),
+            st.floats(1e-3, 1e6, allow_nan=False, allow_infinity=False),
+        )
+        share = st.floats(0.01, 1.0, allow_nan=False)
+        hist = {g: data.draw(pos) for g in gs}
+        supply = {g: data.draw(pos) for g in gs}
+        shares = {g: data.draw(share) for g in gs}
+        fracs = sampling.mixture_ledger_fractions(hist, supply, shares)
+        supplied = {g for g in gs if supply[g] > 0}
+        if not supplied:
+            assert fracs == {}
+            return
+        assert set(fracs) == supplied
+        tot = sum(shares.values())
+        t = min((hist[g] + supply[g]) / (shares[g] / tot) for g in supplied)
+        for g, f in fracs.items():
+            assert -1e-12 <= f <= 1 + 1e-12
+            kept = f * supply[g]
+            # never lifted above entitlement (modulo FP slack)
+            assert hist[g] + kept <= max(hist[g], t * shares[g] / tot) * (
+                1 + 1e-9
+            ) + 1e-9
+        # the binding group's fraction is 1 (it defined T)
+        binding = min(
+            supplied, key=lambda g: (hist[g] + supply[g]) / (shares[g] / tot)
+        )
+        assert fracs[binding] >= 1 - 1e-9
+
+        # empty history ≡ the one-shot mixer's fractions on the
+        # supplied slice
+        zero_hist = {g: 0.0 for g in gs}
+        fr0 = sampling.mixture_ledger_fractions(zero_hist, supply, shares)
+        supplied_shares = {g: shares[g] for g in supplied}
+        want = sampling.mixture_fractions(
+            {g: supply[g] for g in supplied}, supplied_shares
+        )
+        for g in supplied:
+            assert abs(fr0[g] - want[g]) < 1e-9, (g, fr0[g], want[g])
+
+    run()
+
+
 def test_per_group_quantile_cap_matches_duckdb(spark):
     """Percentile gate vs a DuckDB window oracle: keep the top 30% per
     source by score (ties broken by doc_id), ceil keeps >=1 per group."""

@@ -386,6 +386,40 @@ def mixture_multipliers(
     return out
 
 
+def mixture_ledger_fractions(
+    hist: Mapping[str, float],
+    supply: Mapping[str, float],
+    target_shares: Mapping[str, float],
+) -> dict[str, float]:
+    """The pure water-filling core of :func:`mixture_sample_incremental`
+    — per-group keep FRACTIONS of today's supply given immutable
+    history: feasible total ``T = min over supplied target groups of
+    (hist_g + supply_g)/share_g``, keep ``k_g = clamp(T·s_g − hist_g,
+    0, supply_g)``, fraction ``k_g/supply_g``. Returns {} when no
+    target group has supply. Extracted so the math is directly
+    property-testable (invariants: 0 ≤ f ≤ 1; the binding group keeps
+    everything; kept never lifts a group above its entitlement
+    ``max(hist, T·s)``; with empty history this is exactly
+    :func:`mixture_fractions` over the supplied groups)."""
+    shares = _normalized_shares(target_shares)
+    caps = [
+        (hist.get(g, 0.0) + supply.get(g, 0.0)) / s
+        for g, s in shares.items()
+        if s > 0 and supply.get(g, 0.0) > 0
+    ]
+    if not caps:
+        return {}
+    t_total = min(caps)
+    fracs = {}
+    for g, s in shares.items():
+        b_g = supply.get(g, 0.0)
+        if b_g <= 0:
+            continue
+        k_g = min(max(t_total * s - hist.get(g, 0.0), 0.0), b_g)
+        fracs[g] = k_g / b_g
+    return fracs
+
+
 def mixture_sample_incremental(
     batch: DataFrame,
     ledger: DataFrame | None,
@@ -447,24 +481,11 @@ def mixture_sample_incremental(
         hist = {
             r[group_col]: float(r["kept_w"] or 0.0) for r in ledger.collect()
         }
-    shares = _normalized_shares(target_shares)
-    caps = [
-        (hist.get(g, 0.0) + supply.get(g, 0.0)) / s
-        for g, s in shares.items()
-        if s > 0 and supply.get(g, 0.0) > 0
-    ]
-    if not caps:
+    fracs = mixture_ledger_fractions(hist, supply, target_shares)
+    if not fracs:
         # nothing admissible today (no target group has supply)
         kept = batch.filter(F.lit(False))
     else:
-        t_total = min(caps)
-        fracs = {}
-        for g, s in shares.items():
-            b_g = supply.get(g, 0.0)
-            if b_g <= 0:
-                continue
-            k_g = min(max(t_total * s - hist.get(g, 0.0), 0.0), b_g)
-            fracs[g] = k_g / b_g
         kept = stratified_hash_sample(
             batch, group_col, fracs, key, seed, buckets
         )
