@@ -474,7 +474,10 @@ def mixture_sample_incremental(
     can never silently desynchronize the ledger from the data).
     Persist it for day N+1. Everything driver-side is label-set
     bounded — the batch itself is touched by one weights aggregation
-    and one narrow filter."""
+    and one narrow filter. Streaming ingest composes via
+    ``foreachBatch`` (the gate needs the batch's per-group supply
+    before it can solve for T, so per-micro-batch is its natural
+    grain — same pattern as :func:`~.dedup.connected_components_incremental`)."""
     supply = _group_weights(batch, group_col, weight_col)
     hist: dict = {}
     if ledger is not None:
