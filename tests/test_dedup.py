@@ -173,6 +173,78 @@ def test_simhash_candidates(spark, corpus):
     assert not unrelated, unrelated
 
 
+def test_banding_overflow_guard(spark):
+    """bands*rows_per_band > k used to hash every doc into one constant
+    bucket per overflowing band — a planted n² self-join uncapped, or
+    silently dead bands capped (r11 review finding). All three entry
+    points that know k must refuse the layout up front."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i} words here") for i in range(4)],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, k=32)
+    with pytest.raises(ValueError, match="exceeds k"):
+        dedup.minhash_lsh_pairs(docs, k=32)  # default 32x4 > 32
+    with pytest.raises(ValueError, match="exceeds k"):
+        dedup.minhash_lsh_verified_pairs(docs, k=32)
+    with pytest.raises(ValueError, match="exceeds k"):
+        dedup.minhash_lsh_incremental(docs, sigs, k=32)
+    # a fitting layout passes
+    dedup.minhash_lsh_pairs(docs, k=32, bands=8, rows_per_band=4).collect()
+
+
+def test_component_keepers_string_ids(spark):
+    """Keeper selection must be id-type agnostic (web doc ids are
+    URLs/hashes): the rank key uses no id arithmetic, so string ids
+    order naturally — best score wins, exact ties fall to the LOWER
+    string, all-unscored components fall to min id (r11 review
+    finding: the old -id tie-break lane raised under ANSI on
+    strings)."""
+    labels = spark.createDataFrame(
+        [("url-b", "url-a"), ("url-a", "url-a"), ("url-z", "url-x"),
+         ("url-x", "url-x")],
+        "id string, comp string",
+    )
+    scores = spark.createDataFrame(
+        [("url-a", 1.0), ("url-b", 5.0)], "id string, score double"
+    )
+    keep = {
+        r["id"]: r["keep"]
+        for r in dedup.component_keepers(labels, scores).collect()
+    }
+    # scored component: url-b's 5.0 beats url-a's 1.0
+    assert keep == {"url-b": True, "url-a": False,
+                    "url-x": True, "url-z": False}
+    # exact-tie component falls to the lexicographically lower id
+    tied = spark.createDataFrame(
+        [("url-q", 2.0), ("url-p", 2.0)], "id string, score double"
+    )
+    lab2 = spark.createDataFrame(
+        [("url-q", "url-p"), ("url-p", "url-p")], "id string, comp string"
+    )
+    keep2 = {
+        r["id"]: r["keep"]
+        for r in dedup.component_keepers(lab2, tied).collect()
+    }
+    assert keep2 == {"url-p": True, "url-q": False}
+
+
+def test_excise_token_spans_overlapping_spans(spark):
+    """Overlapping spans must not fan tokens out or double-count: a
+    token covered by two spans drops once (the covered-position
+    distinct), counts stay per-token exact."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 4), (1, 3, 6), (1, 6, 6)],  # overlap at 3; empty span
+        "doc_id long, span_start long, span_end long",
+    )
+    out = dedup.excise_token_spans(docs, spans).collect()[0]
+    assert out["clean_text"] == "a g h"
+    assert out["n_tokens_kept"] == 3 and out["n_tokens_dropped"] == 5
+
+
 def test_connected_components_chain_and_isolated(spark):
     """Chain a-b-c collapses to one component under min-label
     propagation (takes 2 rounds: c learns a's label through b); an
@@ -1368,9 +1440,13 @@ def test_minhash_incremental_invariant_randomized(spark, seed, cap):
     )
     full = spark.createDataFrame(rows, "doc_id long, text string")
 
+    # bands*rows_per_band must fit k=32 (the r11 overflow guard —
+    # this test previously ran the default 32x4 layout against k=32,
+    # i.e. 24 dead constant-bucket bands on BOTH arms)
     index = dedup.minhash_signatures(cdf, k=32)
     pairs, _ = dedup.minhash_lsh_incremental(
-        bdf, index, k=32, threshold=0.3, max_bucket=cap
+        bdf, index, k=32, bands=8, rows_per_band=4,
+        threshold=0.3, max_bucket=cap
     )
     got = {
         (r["id1"], r["id2"]): round(r["est_jaccard"], 9)
@@ -1379,7 +1455,8 @@ def test_minhash_incremental_invariant_randomized(spark, seed, cap):
     ref_all = {
         (r["id1"], r["id2"]): round(r["est_jaccard"], 9)
         for r in dedup.minhash_lsh_pairs(
-            full, k=32, threshold=0.3, max_bucket=cap
+            full, k=32, bands=8, rows_per_band=4,
+            threshold=0.3, max_bucket=cap
         ).collect()
     }
     ref = {}

@@ -45,6 +45,12 @@ from pyspark.sql import functions as F
 
 from ..functions import text as tx
 
+_WIDE_PLAN_NODES = (
+    "Join", "Aggregate", "Window", "Deduplicate", "Repartition",
+    "RepartitionByExpression", "Sort", "GlobalLimit", "Union",
+)
+
+
 def _spread(docs: DataFrame, id_col: str) -> DataFrame:
     """CPU-parallelism guard. Tokenize/shingle/hash work is CPU-bound
     per row, but parquet splits are byte-sized — a small corpus arrives
@@ -52,8 +58,19 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
     task (measured 3× slower than spread at sf0.1). Repartition by doc
     id only when the input has fewer partitions than cores; at real
     scale (input splits ≥ cores) this is a no-op, so no 100 TB corpus
-    pays an extra full-shuffle."""
+    pays an extra full-shuffle.
+
+    The partition-count probe runs ONLY on narrow (scan/project/
+    filter) plans: under AQE, ``df.rdd`` finalizes the adaptive plan,
+    which EXECUTES any upstream shuffle stages just to read a
+    partition count — and the caller's later consumption re-runs them
+    (r11 review finding). A plan containing a wide node already has a
+    shuffle.partitions-sized output, so the spread would be a no-op
+    there anyway; skip the probe entirely."""
     sc = docs.sparkSession.sparkContext
+    plan = docs._jdf.queryExecution().analyzed().toString()
+    if any(node in plan for node in _WIDE_PLAN_NODES):
+        return docs
     if docs.rdd.getNumPartitions() >= sc.defaultParallelism:
         return docs
     return docs.repartition(sc.defaultParallelism, F.col(id_col))
@@ -524,66 +541,14 @@ def dedup_lines_corpus(
     per-doc rebuild via sort_array over (idx, line) structs on the id
     the explode already carried. Three exchanges total (line-key agg,
     key join, doc rebuild), all key-partitioned, no driver state."""
-    base = _spread(docs, id_col).select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    base, keyed, firsts = _lines_batch_prep(
+        docs, text_col, id_col, min_line_chars
     )
-    lines = base.select(
-        "id",
-        F.posexplode(
-            F.split(F.regexp_replace(F.col("_t"), "\r\n", "\n"), "\n")
-        ).alias("idx", "line"),
-    )
-    keyed = (
-        lines.withColumn(
-            "_dedupable", F.length(F.trim(F.col("line"))) >= min_line_chars
-        )
-        .withColumn("h", F.xxhash64("line"))
-        .withColumn("h2", F.xxhash64(F.lit(1).cast("long"), F.col("line")))
-    )
-    firsts = (
-        keyed.filter(F.col("_dedupable"))
-        .groupBy("h", "h2")
-        .agg(F.min(F.struct("id", "idx")).alias("_first"))
-    )
-    kept = (
-        keyed.join(firsts, ["h", "h2"], "left")
-        .withColumn(
-            "_keep",
-            (~F.col("_dedupable"))
-            | (
-                (F.col("_first.id") == F.col("id"))
-                & (F.col("_first.idx") == F.col("idx"))
-            ),
-        )
-    )
-    rebuilt = kept.groupBy("id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.when(
-                            F.col("_keep"), F.struct(F.col("idx"), F.col("line"))
-                        )
-                    )
-                ),
-                lambda s: s["line"],
-            ),
-        ).alias(out_col),
-        F.count_if(F.col("_keep")).alias("n_lines_kept"),
-        F.count_if(~F.col("_keep")).alias("n_lines_dropped"),
-    )
-    out = base.select(
-        "id", F.col("_t").isNotNull().alias("_has_text")
-    ).join(rebuilt, "id", "left")
-    return out.select(
-        F.col("id").alias(id_col),
-        F.when(F.col("_has_text"), F.coalesce(F.col(out_col), F.lit(""))).alias(
-            out_col
-        ),
-        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
-        F.coalesce("n_lines_dropped", F.lit(0)).alias("n_lines_dropped"),
-    )
+    # the full run IS the incremental finish with every within-batch
+    # first key allowed (new_keys = firsts) — shared machinery, so the
+    # corpus and incremental line families can never drift (r11 review
+    # finding: this body used to restate _lines_batch_prep verbatim)
+    return _lines_incremental_finish(base, keyed, firsts, id_col, out_col)
 
 
 def dedup_lines_incremental(
@@ -845,20 +810,28 @@ def excise_token_spans(
     ``decontam.excise_contaminated`` (NULL text → NULL out_col,
     zero-token text → empty, both zero counts)."""
     stream = token_stream(corpus, text_col, id_col, toks=toks)
-    joined = stream.join(
-        spans.select(F.col(id_col).alias("id"), "span_start", "span_end"),
-        "id",
-        "left",
+    # explode spans to their covered positions and join on (id, pos):
+    # the doc-id-only join fanned every token by every span of its
+    # document (tokens × spans rows for template-heavy docs — r11
+    # review finding); this shape is linear in tokens + covered
+    # positions, and the distinct absorbs overlapping spans so the
+    # left join can never fan a token out
+    covered_pos = (
+        spans.filter(F.col("span_end") > F.col("span_start"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.sequence(F.col("span_start"), F.col("span_end") - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(1))
     )
-    per_token = joined.groupBy("id", "pos").agg(
-        F.first("tok").alias("tok"),
-        F.max(
-            F.when(
-                (F.col("pos") >= F.col("span_start"))
-                & (F.col("pos") < F.col("span_end")),
-                1,
-            ).otherwise(0)
-        ).alias("covered"),
+    per_token = stream.join(covered_pos, ["id", "pos"], "left").select(
+        "id",
+        "pos",
+        "tok",
+        F.coalesce(F.col("_cov"), F.lit(0)).alias("covered"),
     )
     rebuilt = per_token.groupBy(F.col("id").alias(id_col)).agg(
         F.concat_ws(
@@ -1229,6 +1202,48 @@ def minhash_signatures(
     )
 
 
+def _check_banding(k: int, bands: int, rows_per_band: int) -> None:
+    """Refuse band layouts that overrun the signature: slices past k
+    are EMPTY arrays, so every overflowing band hashes every document
+    to one constant bucket — either a planted n² self-join
+    (max_bucket=None) or, capped, silently dead bands that void the
+    documented 1-(1-j^r)^b recall math (r11 review finding). Checked
+    at every entry point that knows k."""
+    if bands * rows_per_band > k:
+        raise ValueError(
+            f"bands*rows_per_band = {bands}*{rows_per_band} = "
+            f"{bands * rows_per_band} exceeds k={k}: bands past the "
+            "signature end would all hash to one constant bucket — "
+            "lower bands/rows_per_band or raise k"
+        )
+
+
+def _estimated_pairs(
+    cands: DataFrame, s1_sigs: DataFrame, s2_sigs: DataFrame,
+    k: int, threshold: float,
+) -> DataFrame:
+    """(id1, id2, est_jaccard ≥ threshold): signature-agreement
+    estimate (fraction of equal min-hashes) joined onto a candidate
+    pair list — the shared estimation tail of :func:`minhash_lsh_pairs`
+    and :func:`minhash_lsh_incremental` (one definition, so the
+    full-run and incremental estimators can never drift)."""
+    s1 = s1_sigs.withColumnsRenamed({"id": "id1", "sig": "sig1"})
+    s2 = s2_sigs.withColumnsRenamed({"id": "id2", "sig": "sig2"})
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(k))
+    return (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )
+
+
 def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(id, band, bucket): each signature exploded to its band hashes —
     the shared indexing step of the self-join and incremental paths."""
@@ -1361,26 +1376,13 @@ def minhash_lsh_pairs(
     :func:`lsh_candidate_pairs`' hot-bucket cap — ON by default since
     r10 (a behavior change on flood corpora; see the note there, and
     pass ``max_bucket=None`` for the old exhaustive join)."""
+    _check_banding(k, bands, rows_per_band)
     sigs = minhash_signatures(docs, text_col, id_col, n, k)
     # consumed three times (banding + both est-join sides); localCheckpoint
     # instead of persist so blocks release on GC (see hashed_postings).
     sigs = sigs.localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket)
-    s1 = sigs.withColumnsRenamed({"id": "id1", "sig": "sig1"})
-    s2 = sigs.withColumnsRenamed({"id": "id2", "sig": "sig2"})
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ).cast("double") / F.lit(float(k))
-    return (
-        cands.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id1", "id2", "est_jaccard")
-    )
+    return _estimated_pairs(cands, sigs, sigs, k, threshold)
 
 
 def minhash_lsh_verified_pairs(
@@ -1411,6 +1413,7 @@ def minhash_lsh_verified_pairs(
     ``max_bucket=None`` for the exhaustive pre-r10 semantics). Pass
     ``toks`` to share one tokenize scan with the other dedup
     families."""
+    _check_banding(k, bands, rows_per_band)
     postings = hashed_postings(docs, text_col, id_col, n, toks=toks)
     # checkpointed like minhash_lsh_pairs' sigs: the banding self-join
     # reads the signature frame on both sides, and without the
@@ -1566,6 +1569,7 @@ def minhash_lsh_incremental(
     :func:`component_keepers` (new docs duplicating an index doc
     normally DROP — the index member is the canonical; within-batch
     components pick a keeper as usual)."""
+    _check_banding(k, bands, rows_per_band)
     sigs_new = (
         minhash_signatures(k=k, postings=new_postings)
         if new_postings is not None
@@ -1606,22 +1610,7 @@ def minhash_lsh_incremental(
     all_sigs = index_sigs.unionAll(sigs_new)
     if not estimate:
         return cands, all_sigs
-    s1 = sigs_new.withColumnsRenamed({"id": "id1", "sig": "sig1"})
-    s2 = all_sigs.withColumnsRenamed({"id": "id2", "sig": "sig2"})
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ).cast("double") / F.lit(float(k))
-    pairs = (
-        cands.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id1", "id2", "est_jaccard")
-    )
-    return pairs, all_sigs
+    return _estimated_pairs(cands, sigs_new, all_sigs, k, threshold), all_sigs
 
 
 # ---------------------------------------------------------------------------
@@ -1654,9 +1643,8 @@ def simhash(tokens_col: Column) -> Column:
         F.array_repeat(F.lit(0), SIMHASH_BITS),
         lambda acc, t: F.zip_with(acc, contrib(t), lambda a, b: a + b),
     )
-    bit_vals = F.array(*[F.lit(v).cast("long") for v in _BIT_VALUES])
     picked = F.zip_with(
-        sums, bit_vals, lambda s, v: F.when(s > 0, v).otherwise(F.lit(0).cast("long"))
+        sums, masks, lambda s, v: F.when(s > 0, v).otherwise(F.lit(0).cast("long"))
     )
     return F.aggregate(
         picked, F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v)
@@ -2110,6 +2098,7 @@ def simhash_verified_pairs(
     chunks: int = 8,
     threshold: float = 0.5,
     toks: DataFrame | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """SimHash candidates post-verified by TRUE Jaccard — same plan
     shape as :func:`minhash_lsh_verified_pairs` with a cheaper candidate
@@ -2139,7 +2128,7 @@ def simhash_verified_pairs(
     if toks is None:
         toks = token_arrays(docs, text_col, id_col).localCheckpoint(eager=False)
     fps = simhash_fingerprints(docs, text_col, id_col, toks=toks)
-    cands = simhash_candidate_pairs(fps, max_hamming, chunks)
+    cands = simhash_candidate_pairs(fps, max_hamming, chunks, max_bucket)
     postings = hashed_postings(docs, text_col, id_col, n, toks=toks)
     return true_jaccard_for_pairs(cands, postings, threshold)
 
@@ -2171,7 +2160,8 @@ def component_keepers(
     polarities), in which case min-id wins outright.
 
     Plan: one comp-keyed aggregation picks each component's champion
-    (``max_by`` over a (score, -id) struct — no window sort), then one
+    (``min_by`` over an (unscored, -score, id) struct — no window
+    sort, no id arithmetic, so ids may be strings), then one
     comp-keyed equi-join marks members. Both shuffles key on the
     high-cardinality component id; payloads are one struct per row —
     at corpus scale this is two linear exchanges, no per-component
@@ -2185,16 +2175,19 @@ def component_keepers(
         id_col,
         "left",
     )
-    # NULL-safe orderable key: scored members always beat unscored
-    # ones; among scored, polarity-adjusted score decides; exact ties
-    # (and the all-unscored case) fall to the lower id via -id.
+    # NULL-safe orderable key, MINIMIZED so the id lane needs no
+    # negation and stays type-agnostic (string/URL doc ids: unary
+    # minus on them would raise under ANSI — r11 review finding):
+    # scored members always beat unscored ones (no=0 < no=1); among
+    # scored, the NEGATED polarity-adjusted score decides; exact ties
+    # (and the all-unscored case) fall to the lower id naturally.
     rank_key = F.struct(
-        F.col("_q").isNotNull().cast("int").alias("has"),
-        (F.coalesce(F.col("_q"), F.lit(0.0)) * F.lit(polarity)).alias("s"),
-        (-F.col(id_col)).alias("ni"),
+        (1 - F.col("_q").isNotNull().cast("int")).alias("no"),
+        (-F.coalesce(F.col("_q"), F.lit(0.0)) * F.lit(polarity)).alias("ns"),
+        F.col(id_col).alias("i"),
     )
     champs = scored.groupBy(comp_col).agg(
-        F.max_by(F.col(id_col), rank_key).alias("_keep_id")
+        F.min_by(F.col(id_col), rank_key).alias("_keep_id")
     )
     return (
         labels.join(champs, comp_col)
