@@ -627,3 +627,59 @@ def test_centroid_similarity_null_elements_and_width_majority(spark):
     )
     with _p.raises(ValueError):
         similarity.centroid_similarity_scores(nul, F.col("vec_id") == 1)
+
+
+def test_degenerate_vector_guards_r11(spark):
+    """r11 review hardening across the module: zero-norm/NULL vectors
+    cannot become pivots (kcenter used to pick every zero vector FIRST
+    — its NULL cosine left best=-2.0 forever — then crash float() on a
+    NULL vector; ivf_centroids crashed on NULL and stored a 0.0 norm
+    that divided by zero downstream); random_projection keeps
+    NULL/empty rows with NULL output instead of dropping them;
+    brute_force_topk refuses an unrestricted n² plan past max_pairs;
+    hyperplane_sketches caps planes at 63; _nearest_centroids refuses
+    an empty centroid list at call time."""
+    import pytest
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]),        # cluster A
+        (2, [0.0, 1.0]), (3, [0.1, 0.9]),        # cluster B
+        (10, [0.0, 0.0]),                        # zero vector
+        (11, None),                              # NULL vector
+        (12, [1.0, None]),                       # NULL element
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # kcenter: pivots come only from the four real vectors
+    pivots = similarity.kcenter_centroids(df, n_centroids=3)
+    assert len(pivots) == 3 and all(n > 0 for _, _, n in pivots)
+
+    # ivf: no crash, no zero-norm pivot
+    cents = similarity.ivf_centroids(df, n_centroids=4)
+    assert len(cents) == 4 and all(n > 0 for _, _, n in cents)
+
+    # random_projection: every input id survives; degenerate rows NULL
+    proj = {
+        r["vec_id"]: r["projected"]
+        for r in similarity.random_projection(df, 2).collect()
+    }
+    assert set(proj) == {0, 1, 2, 3, 10, 11, 12}
+    assert proj[11] is None          # NULL vector -> NULL projection
+    assert proj[0] is not None and len(proj[0]) == 2
+
+    # brute-force fuse: unrestricted n^2 refused past the bound
+    with pytest.raises(ValueError, match="max_pairs"):
+        similarity.brute_force_topk(df, max_pairs=10)
+    # restricted query side passes under the same bound
+    similarity.brute_force_topk(df.filter("embedding is not null"),
+                                query_ids=[0], max_pairs=10).collect()
+
+    # planes ceiling: bit 63 is the sign bit
+    with pytest.raises(ValueError, match="planes"):
+        similarity.hyperplane_sketches(df, planes=64)
+
+    # empty centroid list refused at call time, not mid-execution
+    with pytest.raises(ValueError, match="non-empty"):
+        similarity._nearest_centroids(
+            df.selectExpr("vec_id as id", "embedding as v"), [], 1, "id", "v"
+        )

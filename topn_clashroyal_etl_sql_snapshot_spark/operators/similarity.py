@@ -30,14 +30,19 @@ def _with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def _spread_vectors(df: DataFrame, key: str = "vec_id") -> DataFrame:
-    """CPU-parallelism guard (same rationale as dedup._spread): sketch /
-    assignment work is CPU-bound per row, but a small vector table
-    arrives as one byte-sized parquet split and would serialize into a
-    single task. No-op whenever input splits ≥ cores."""
-    sc = df.sparkSession.sparkContext
-    if key not in df.columns or df.rdd.getNumPartitions() >= sc.defaultParallelism:
+    """CPU-parallelism guard (same rationale and same AQE caveat as
+    dedup._spread, to which this delegates the narrow-plan probe): a
+    small vector table arrives as one byte-sized parquet split and
+    would serialize its CPU-bound sketch/assignment work into a single
+    task; but ``df.rdd`` under AQE executes upstream shuffle stages
+    just to read a partition count, so derived (wide) plans skip the
+    probe entirely — they already carry shuffle.partitions-sized
+    output (r11 review finding, fixed in dedup._spread first)."""
+    if key not in df.columns:
         return df
-    return df.repartition(sc.defaultParallelism, F.col(key))
+    from .dedup import _spread
+
+    return _spread(df, key)
 
 
 def brute_force_topk(
@@ -47,6 +52,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_filter=None,
+    max_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector.
 
@@ -54,7 +60,34 @@ def brute_force_topk(
     shuffle of the corpus side; ranking is a per-query window. Returns
     (query_id, neighbor_id, cosine, rank). Rank ties (at 9-decimal cosine
     granularity) break by neighbor id for cross-engine determinism.
-    """
+
+    ``max_pairs`` is the scale fuse brute_force_neardup_pairs has and
+    this path was missing (r11 review finding): with NO query
+    restriction, every row is a query and the plan is a full n²
+    nested-loop join over a corpus-sized broadcast — a silent
+    multi-hour job (or a driver OOM) rather than an error. The fuse
+    counts both sides (two cheap jobs) and raises past the bound; pass
+    ``None`` only for understood ground-truth runs. The IVF/PQ paths
+    are the scale plans."""
+    if max_pairs is not None:
+        n_corpus = embeddings.count()
+        q_probe = embeddings
+        if query_ids is not None:
+            q_probe = q_probe.filter(F.col(id_col).isin(query_ids))
+        if query_filter is not None:
+            q_probe = q_probe.filter(query_filter)
+        n_queries = (
+            n_corpus
+            if query_ids is None and query_filter is None
+            else q_probe.count()
+        )
+        if n_corpus * n_queries > max_pairs:
+            raise ValueError(
+                f"brute_force_topk refuses a {n_queries}x{n_corpus}-pair "
+                f"nested-loop plan (> max_pairs={max_pairs}). Restrict the "
+                "query side, use ivf_topk / PQ at scale, or pass "
+                "max_pairs=None for an explicit ground-truth run."
+            )
     corpus = _with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_v2"),
@@ -115,9 +148,20 @@ def hyperplane_sketches(
 
     Integer-scaled terms make the plane dot exact and order-independent
     — a raw double SUM would make the sign of near-zero dots depend on
-    partitioning, breaking replay determinism. Headroom: |x|·2⁴⁰ per
-    term keeps sums < 2⁶³ up to ~10⁵ dims at |x| ≤ 100.
+    partitioning, breaking replay determinism. Headroom (long addition
+    WRAPS silently, so headroom is the contract): the per-(id, plane)
+    sum is bounded by dims·max|x|·2⁴⁰, safe while dims·max|x| < 2²³ ≈
+    8.4e6 — e.g. ~8×10⁴ dims at |x| ≤ 100, or 10⁵ dims at |x| ≤ 80;
+    unit-normalized embeddings (|x| ≤ 1) are safe to 8M dims. (The
+    r10-era claim of 10⁵ dims at |x| ≤ 100 overran 2⁶³ by ~19% — r11
+    review finding.) ``planes`` is capped at 63: bit 63 is the long
+    sign bit and ``1 << 63`` does not fit LongType.
     """
+    if not 1 <= planes <= 63:
+        raise ValueError(
+            f"planes={planes} out of range [1, 63]: bucket bits live in "
+            "one signed long (1 << 63 overflows LongType)"
+        )
     total = planes * rotations
     spark = embeddings.sparkSession
     qtable = spark.createDataFrame(
@@ -147,40 +191,6 @@ def hyperplane_sketches(
             ).alias("bucket")
         )
         .select("id", "rot", "bucket")
-    )
-
-
-def hyperplane_sketch(vec_col, planes: int = 16):
-    """Sign-bit sketch: bit p = (v · h_p > 0), hyperplane component
-    h_p[d] derived from xxhash64(p, d) mapped to [-1, 1]. Returns a long
-    bucket id. Deterministic, no stored model."""
-    def plane_dot(p):
-        # fold over dims: acc + v[d] * hash_component(p, d)
-        idx = F.sequence(F.lit(1), F.size(vec_col))
-        return F.aggregate(
-            idx,
-            F.lit(0.0),
-            lambda acc, d: acc
-            + F.element_at(vec_col, d).cast("double")
-            * (
-                (F.xxhash64(p, d).cast("double") / F.lit(float(1 << 63)))
-            ),
-        )
-
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(planes - 1)),
-        lambda p: F.when(plane_dot(p) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            bits,
-            F.array(*[F.lit(1 << i).cast("long") for i in range(planes)]),
-            lambda b, v: b * v,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
     )
 
 
@@ -277,9 +287,23 @@ def ivf_centroids(
     ``orderBy().limit(n)`` compiles to TakeOrderedAndProject (per-
     partition top-n, no global sort shuffle). Returns driver-side
     [(centroid_idx, vector, norm)] — deliberately tiny (a few KB), the
-    same justified-smallness as the card-catalog map literal."""
+    same justified-smallness as the card-catalog map literal.
+
+    NULL vectors, vectors carrying NULL elements, and zero vectors are
+    excluded from the sample up front (r11 review finding: a NULL in
+    the hash-min window crashed float() on the driver, and a zero
+    vector stored norm 0.0 that became a divide-by-zero in
+    _nearest_centroids — the same 'no direction' filter
+    kmeans_parallel_centroids always had)."""
+    vd = F.col(vec_col).cast("array<double>")
+    clean = (
+        F.col(vec_col).isNotNull()
+        & F.forall(vd, lambda x: x.isNotNull())
+        & (vx.norm(F.col(vec_col)) > 0)
+    )
     rows = (
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        embeddings.filter(clean)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy(F.xxhash64(F.col("id")), F.col("id"))
         .limit(n_centroids)
         .collect()
@@ -301,6 +325,13 @@ def _nearest_centroids(
     dot is narrow codegen over an exploded (id, d, x, cidx) stream —
     no join, no HOFs; integer-scaled terms keep the argmax replay-
     deterministic. Ties break toward the lower centroid index."""
+    if not centroids:
+        # sequence(0, -1) would DESCEND to [0, -1] and element_at(cmat,
+        # 0) raises at execution time — fail at call time instead
+        raise ValueError(
+            "centroids must be non-empty (an empty fit usually means the "
+            "fit frame was empty or fully filtered)"
+        )
     cmat = F.array(
         *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec, _ in centroids]
     )
@@ -696,7 +727,13 @@ def kmeans_parallel_centroids(
         for i, old in enumerate(centers):
             got = by_c.get(i)
             if got:
-                new_centers.append([got[d] for d in range(len(old))])
+                # got.get(d, old[d]): a dim no assigned member produced
+                # (mixed-width corpora — shorter vectors than the
+                # center) keeps the previous coordinate instead of a
+                # bare KeyError mid-Lloyd (r11 review finding)
+                new_centers.append(
+                    [got.get(d, old[d]) for d in range(len(old))]
+                )
             else:
                 new_centers.append(old)  # empty cluster keeps its center
         if new_centers == centers:
@@ -764,10 +801,26 @@ def kcenter_centroids(
     for the 10²-10³ pivots semantic dedup uses per shard; for SemDeDup
     at web scale (50k clusters) use :func:`kmeans_parallel_centroids`
     (k-means|| — O(rounds) jobs, independent of k) and feed the
-    resulting centroid list straight to ``_nearest_centroids``."""
-    base = _with_norm(embeddings, vec_col).select(
+    resulting centroid list straight to ``_nearest_centroids``.
+
+    NULL vectors, NULL elements, and zero vectors are excluded up
+    front — the same 'no direction' filter the k-means kernel always
+    had (r11 review finding: a zero-norm row's cosine is NULL via the
+    nullif, greatest() skips NULLs, so its ``best`` stayed -2.0
+    forever and the farthest-point argmin picked every zero vector as
+    a pivot before any real point — then every later cosine was NULL
+    and the whole corpus co-assigned to one usable pivot, an
+    accidental all-pairs join; a NULL vector additionally crashed
+    float() on the driver)."""
+    vd = F.col(vec_col).cast("array<double>")
+    clean = (
+        F.col(vec_col).isNotNull()
+        & F.forall(vd, lambda x: x.isNotNull())
+    )
+    base = _with_norm(embeddings.filter(clean), vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
     )
+    base = base.filter(F.col("n") > 0)
     base = base.localCheckpoint(eager=False)
     first = (
         base.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(1).collect()
@@ -908,7 +961,12 @@ def random_projection(
     array rebuild — two doc-keyed exchanges). Output scale is
     ``1/√out_dim`` so expected norms are preserved. Rounded to 9
     decimals for cross-engine determinism, like every cosine in this
-    module."""
+    module. Rows whose vector is NULL or empty keep their row with a
+    NULL ``out_col`` (r11 review finding: posexplode silently DROPPED
+    them, so a caller replacing the embedding column by inner-joining
+    the projection back lost corpus rows — the module's contract, per
+    ``centroid_similarity_scores``, is that NULL embeddings yield
+    NULL, never vanish)."""
     if out_dim < 1:
         raise ValueError(f"out_dim must be ≥ 1, got {out_dim}")
     # D_max folds (j, d) into one hash lane; any bound ≥ the real
@@ -960,14 +1018,17 @@ def random_projection(
             9,
         ).alias("y")
     )
+    projected = comps.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "y"))),
+            lambda p: p["y"].cast("float"),
+        ).alias(out_col)
+    )
+    # NULL/empty vectors produced no exploded rows — rejoin them so the
+    # output covers every input id, with NULL out_col
     return (
-        comps.groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "y"))),
-                lambda p: p["y"].cast("float"),
-            ).alias(out_col)
-        )
+        embeddings.select(F.col(id_col).alias("id"))
+        .join(projected, "id", "left")
         .select(F.col("id").alias(id_col), out_col)
     )
 
