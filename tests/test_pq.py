@@ -376,3 +376,43 @@ def test_stale_codes_rows_never_eat_survivor_slots(spark):
         )
         assert got == want, (nprobe, got, want)
         assert len(got) == 3
+
+
+def test_pq_degenerate_guards_r11(spark):
+    """r11 review hardening: NULL-element vectors are excluded from
+    fit/encode (they crashed the driver fit when seeded and silently
+    under-summed codes otherwise) and from the query side (they
+    returned k arbitrary neighbors at cosine NULL); a shape-truncated
+    persisted model fails fast instead of reading misaligned flat
+    indices; nprobe=0 raises instead of silently returning empty."""
+    import pytest
+
+    rows = [(i, [float(i), float(i + 1), 1.0, 2.0]) for i in range(12)]
+    rows.append((100, [1.0, None, 3.0, 4.0]))   # NULL element
+    rows.append((101, None))                    # NULL vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    model = pq.fit_pq_codebooks(df, m=2, k=4, lloyd_rounds=2)
+    codes = pq.pq_encode(df, model)
+    ids = {r["vec_id"] for r in codes.collect()}
+    assert 100 not in ids and 101 not in ids and 0 in ids
+
+    # NULL-element query: absent from results, not k NULL-cosine rows
+    out = pq.pq_topk(
+        df, model, k=2, query_filter=F.col("vec_id").isin(0, 100)
+    )
+    got = {r["query_id"] for r in out.collect()}
+    assert got == {0}
+
+    # truncated model fails fast
+    bad = dict(model)
+    bad["codebooks"] = [book[:2] for book in model["codebooks"]]
+    with pytest.raises(ValueError, match="codebooks"):
+        pq.pq_encode(df, bad)
+    bad2 = dict(model)
+    bad2["norms2"] = model["norms2"][:1]
+    with pytest.raises(ValueError, match="norms2"):
+        pq.pq_encode(df, bad2)
+
+    with pytest.raises(ValueError, match="nprobe"):
+        pq.pq_topk(df, model, nprobe=0)

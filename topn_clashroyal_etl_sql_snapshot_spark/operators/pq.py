@@ -69,8 +69,29 @@ _MEAN_SCALE = float(1 << 30)
 
 
 def _check_model(model: dict) -> None:
+    """Validate the persisted model's SHAPE, not just its arithmetic:
+    a JSON-round-tripped model truncated to fewer codes/books than it
+    claims would make the flat-literal element_at indices read
+    MISALIGNED data from the next book — wrong codes and ADC scores
+    with no error (r11 review finding)."""
     if model["dim"] != model["m"] * model["sub_dim"]:
         raise ValueError("inconsistent PQ model: dim != m * sub_dim")
+    m, k, sd = model["m"], model["k"], model["sub_dim"]
+    if len(model["codebooks"]) != m or any(
+        len(book) != k for book in model["codebooks"]
+    ) or any(
+        len(code) != sd for book in model["codebooks"] for code in book
+    ):
+        raise ValueError(
+            f"inconsistent PQ model: codebooks are not {m} books x "
+            f"{k} codes x {sd} floats"
+        )
+    if len(model["norms2"]) != m or any(
+        len(book) != k for book in model["norms2"]
+    ):
+        raise ValueError(
+            f"inconsistent PQ model: norms2 is not {m} x {k}"
+        )
 
 
 def _flat_codes(model: dict):
@@ -201,15 +222,22 @@ def _vec_frame(
     embeddings: DataFrame, id_col: str, vec_col: str, dim: int | None = None
 ) -> DataFrame:
     """(id, v): the double-cast vector stream. With ``dim``, rows whose
-    vector is NULL or the wrong width are EXCLUDED — a short vector
-    would otherwise emit fewer subspaces and silently under-sum its
-    codes/ADC scores (review finding), which is worse than absence."""
+    vector is NULL, the wrong width, OR carrying NULL elements are
+    EXCLUDED — a short vector would otherwise emit fewer subspaces and
+    silently under-sum its codes/ADC scores (review finding), which is
+    worse than absence; a NULL element is the same defect one lane
+    deep (r11 review finding: it crashed float() when seeded, crashed
+    the Lloyd mean when alone in a cluster, and silently under-summed
+    encode otherwise — the ivf_centroids fix, applied here)."""
     out = _spread_vectors(embeddings, id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     if dim is not None:
-        out = out.filter(F.size("v") == dim)
+        out = out.filter(
+            (F.size("v") == dim)
+            & F.forall(F.col("v"), lambda x: x.isNotNull())
+        )
     return out
 
 
@@ -449,13 +477,33 @@ def pq_topk(
     _check_model(model)
     if k < 1 or rerank < 1:
         raise ValueError(f"k and rerank must be ≥ 1, got k={k} rerank={rerank}")
+    if nprobe < 1 or n_coarse < 1:
+        # nprobe=0 would silently return an EMPTY result for every
+        # query (r11 review finding) — reject like the other knobs
+        raise ValueError(
+            f"nprobe and n_coarse must be ≥ 1, got nprobe={nprobe} "
+            f"n_coarse={n_coarse}"
+        )
+    # In full-probe batch mode the centroid list is never consulted —
+    # skip the (corpus-scan) fit entirely rather than running one
+    # wasted job per search (r11 review finding); nprobe ≥ n_coarse
+    # bounds len(cents) without fitting
+    full_probe_batch = (
+        nprobe >= (
+            len(coarse_centroids) if coarse_centroids is not None else n_coarse
+        )
+        and query_filter is not None
+    )
     cents = (
         coarse_centroids
         if coarse_centroids is not None
-        else ivf_centroids(embeddings, n_coarse, id_col, vec_col)
+        else (
+            None
+            if full_probe_batch
+            else ivf_centroids(embeddings, n_coarse, id_col, vec_col)
+        )
     )
     q = embeddings if query_filter is None else embeddings.filter(query_filter)
-    full_probe_batch = nprobe >= len(cents) and query_filter is not None
     if not full_probe_batch:
         corpus_assign = _nearest_centroids(embeddings, cents, 1, id_col, vec_col)
         query_probe = _nearest_centroids(q, cents, nprobe, id_col, vec_col)
@@ -474,7 +522,10 @@ def pq_topk(
 
     if codes is None:
         codes = pq_encode(embeddings, model, id_col, vec_col)
-    n2 = _flat_norms2(model)
+    # named code_norms2, NOT n2: the re-rank frame aliases a COLUMN
+    # "n2", and a captured-variable mixup there would silently score
+    # with the model's norm table instead of per-vector norms
+    code_norms2 = _flat_norms2(model)
     m_, k_ = model["m"], model["k"]
 
     # Per-query LUT as ONE array cell per query (lut[s][code] = scaled
@@ -531,7 +582,14 @@ def pq_topk(
     )
     qtable = (
         _with_norm(q, vec_col)
-        .filter(F.size(vd) == model["dim"])  # _vec_frame's width gate
+        # _vec_frame's gate: width AND no NULL elements — a NULL
+        # element makes every LUT/norm fold NULL, so the query would
+        # return k arbitrary neighbors all at cosine NULL instead of
+        # being absent like other degenerate queries (r11 review)
+        .filter(
+            (F.size(vd) == model["dim"])
+            & F.forall(vd, lambda x: x.isNotNull())
+        )
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
@@ -580,7 +638,16 @@ def pq_topk(
         # cartesian.
         pairs = (
             codes_sel.join(
-                embeddings.select(F.col(id_col).alias("neighbor_id")),
+                # NULL/empty vectors never assign on the probed path
+                # (posexplode emits nothing), so they must not be
+                # candidates here either: a row whose vector was
+                # NULLed after encoding would otherwise ride its stale
+                # codes into a survivor slot and re-rank to cosine
+                # NULL (r11 review finding — the r9 id-presence fix,
+                # one notch deeper)
+                embeddings.filter(
+                    F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+                ).select(F.col(id_col).alias("neighbor_id")),
                 "neighbor_id",
                 "left_semi",
             )
@@ -613,7 +680,7 @@ def pq_topk(
                     F.lit(0.0),
                     lambda acc, s: acc
                     + F.element_at(
-                        n2, (s * k_ + _code_at(s) + 1).cast("int")
+                        code_norms2, (s * k_ + _code_at(s) + 1).cast("int")
                     ),
                 )
             ),
