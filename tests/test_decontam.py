@@ -517,3 +517,24 @@ def test_semantic_score_expr_streams(spark, tmp_path):
         for r in decontam.semantic_contamination_scores(cdf, bdf).collect()
     }
     assert got == want
+
+
+def test_split_leakage_guards_r11(spark):
+    """r11 review hardening: a train_label selecting no documents
+    raises instead of auditing every split against an empty train side
+    (all-clean with zero signal), and the eval-side broadcast has a
+    size fuse like semantic_contamination_scores' benchmark bound."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta", "train"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta", "val")],
+        "doc_id long, text string, split string",
+    )
+    with pytest.raises(ValueError, match="selects no documents"):
+        decontam.split_leakage_report(docs, train_label="training", n=3)
+    with pytest.raises(ValueError, match="max_eval_ngrams"):
+        decontam.split_leakage_report(docs, n=3, max_eval_ngrams=2)
+    out = {r["split"]: r["leaked_docs"]
+           for r in decontam.split_leakage_report(docs, n=3).collect()}
+    assert out == {"val": 1}  # the planted cross-split dup is caught

@@ -30,7 +30,7 @@ Scale design (the asymmetry is the whole point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import dedup
@@ -121,20 +121,11 @@ def contamination_spans(
     end). Shuffle budget: the doc-id window partitioning carries from
     the match stream into the island windows and the final group —
     one exchange end to end, benchmark side broadcast."""
-    from pyspark.sql import Window as W
-
-    toks_stream = dedup.token_stream(corpus, text_col, id_col, toks=toks)
-    w = W.partitionBy("id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
-    grams = (
-        toks_stream.select(
-            "id",
-            "pos",
-            F.xxhash64(F.concat_ws(" ", *leads)).alias("sh"),
-            leads[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .select("id", "pos", "sh")
+    # the positional gram keys come from the SAME recipe as the
+    # benchmark's hashed set (dedup._lead_shingles) — a hand copy here
+    # drifting from it would silently zero every match (r11 review)
+    grams = dedup.positional_hashed_shingles(
+        corpus, text_col, id_col, n, toks=toks
     )
     bench_sh = benchmark_ngrams(benchmark, text_col, id_col, n)
     hits = grams.join(F.broadcast(bench_sh), "sh", "left_semi")
@@ -163,10 +154,9 @@ def excise_contaminated(
     (the usual consumer), not for display. Span semantics come from
     :func:`contamination_spans` (merged [start, end) token intervals).
 
-    Plan: token stream ⋈ spans on the doc id (spans per doc are few —
-    the join multiplies each token row by that doc's span count, then
-    a per-token aggregate collapses it), coverage flag via MAX over
-    the span predicates, per-doc rebuild with ``sort_array`` over
+    Plan: spans explode to their covered (id, pos) positions and the
+    token stream left-joins them on that key (linear in tokens +
+    covered positions; overlap-safe — r11), per-doc rebuild with ``sort_array`` over
     (pos, tok) structs — grouping stays on the doc id the stream is
     already partitioned by. Documents with no spans pass through
     intact (left join). EVERY corpus document gets an output row:
@@ -175,6 +165,13 @@ def excise_contaminated(
     it, never the text) — NULL text keeps a NULL ``out_col``, zero-
     token text an empty one, both with zero counts (without this,
     such docs silently vanished — r6 ADVICE finding)."""
+    if toks is None:
+        # span detection and excision both need the token stream — one
+        # tokenize scan, not two (r11 review finding; the same
+        # materialize-once dedup.exact_substring_excise does)
+        toks = dedup.token_arrays(corpus, text_col, id_col).localCheckpoint(
+            eager=False
+        )
     spans = contamination_spans(corpus, benchmark, text_col, id_col, n, toks=toks)
     # excision tail shared with dedup.exact_substring_excise
     return dedup.excise_token_spans(
@@ -217,6 +214,7 @@ def split_leakage_report(
     id_col: str = "doc_id",
     n: int = 13,
     toks: DataFrame | None = None,
+    max_eval_ngrams: int | None = 5_000_000,
 ) -> DataFrame:
     """Cross-SPLIT contamination audit: for every non-train split, how
     many of ITS documents share an ``n``-gram with the TRAIN split —
@@ -270,18 +268,45 @@ def split_leakage_report(
         )
 
     train = docs.filter(F.col(split_col) == train_label)
+    if train.limit(1).count() == 0:
+        # a mistyped train_label would otherwise audit every split
+        # against an EMPTY train side and report all-clean — the
+        # silent-false-clean failure this module exists to prevent
+        # (r11 review finding)
+        raise ValueError(
+            f"train split {train_label!r} selects no documents — check "
+            f"train_label against the values in {split_col!r}"
+        )
+    # hashed_postings already returns a localCheckpoint — wrapping it
+    # again stored every posting block twice (r11 review finding)
     train_sh = dedup.hashed_postings(
         train, text_col, id_col, n, toks=_side_toks(train)
-    ).localCheckpoint(eager=False)
+    )
     out = None
     for s in sorted(splits):
         eval_side = docs.filter(F.col(split_col) == s)
         eval_sh = dedup.hashed_postings(
             eval_side, text_col, id_col, n, toks=_side_toks(eval_side)
-        ).localCheckpoint(eager=False)
+        )
+        eval_distinct = eval_sh.select("sh").distinct()
+        if max_eval_ngrams is not None:
+            n_sh = eval_distinct.count()
+            if n_sh > max_eval_ngrams:
+                # eval splits are a FRACTION of the corpus, not
+                # eval-suite-sized: at crawl scale their n-gram set is
+                # multi-GB and the forced broadcast below would OOM the
+                # driver — same fuse contract as
+                # semantic_contamination_scores' max_benchmark_rows
+                # (r11 review finding)
+                raise ValueError(
+                    f"split {s!r} has {n_sh} distinct n-grams (> "
+                    f"max_eval_ngrams={max_eval_ngrams}); this audit "
+                    "broadcasts the eval side — sample the split, raise "
+                    "the bound explicitly, or run the audit per shard"
+                )
         shared = (
             train_sh.join(
-                F.broadcast(eval_sh.select("sh").distinct()), "sh", "left_semi"
+                F.broadcast(eval_distinct), "sh", "left_semi"
             )
             .select("sh")
             .distinct()
@@ -368,16 +393,7 @@ def semantic_contamination_scores(
     bench = benchmark_emb.filter(F.col(bvec).isNotNull()).select(
         F.col(bid).alias("_bid"),
         F.col(bvec).alias("_bv"),
-        F.nullif(
-            F.sqrt(
-                F.aggregate(
-                    F.col(bvec),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
-                )
-            ),
-            F.lit(0.0),
-        ).alias("_bn"),
+        F.nullif(vx.norm(F.col(bvec)), F.lit(0.0)).alias("_bn"),
     )
     if max_benchmark_rows is not None:
         n_bench = bench.count()
@@ -391,16 +407,7 @@ def semantic_contamination_scores(
     corpus = corpus_emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.nullif(
-            F.sqrt(
-                F.aggregate(
-                    F.col(vec_col),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
-                )
-            ),
-            F.lit(0.0),
-        ).alias("_n"),
+        F.nullif(vx.norm(F.col(vec_col)), F.lit(0.0)).alias("_n"),
     )
     scored = corpus.join(
         F.broadcast(bench), F.col("_v").isNotNull(), "left"
@@ -524,16 +531,9 @@ def semantic_score_expr(
             for bid, bv, bn in bench
         ]
     )
-    nrm = F.nullif(
-        F.sqrt(
-            F.aggregate(
-                vec,
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
-        ),
-        F.lit(0.0),
-    )
+    # vx.norm IS this exact fold — one definition, so the batch scorer
+    # and this expression twin stay bit-parity by construction
+    nrm = F.nullif(vx.norm(vec), F.lit(0.0))
     scored = F.filter(
         F.transform(
             blit,

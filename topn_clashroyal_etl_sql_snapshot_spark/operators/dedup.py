@@ -1031,16 +1031,52 @@ def shingle_sets(
     Pass ``toks`` (a ``token_arrays`` result) to share one tokenize scan
     with other consumers.
     """
+    stream = token_stream(docs, text_col, id_col, toks=toks)
+    return _lead_shingles(stream, n).select("id", "sh").distinct()
+
+
+def _lead_shingles(stream: DataFrame, n: int) -> DataFrame:
+    """(id, pos, sh): the word n-gram STRING starting at every token
+    position — THE single definition of the shingle recipe (separator,
+    lead window, boundary filter). Both the set form (shingle_sets →
+    hashed_postings) and the positional form
+    (:func:`positional_hashed_shingles`, decontamination's span
+    stream) derive from here, so the two sides of a
+    corpus-vs-benchmark join can never hash differently (r11 review
+    finding: the positional recipe used to be a hand copy in
+    decontam.py — one drifted edit would have silently zeroed every
+    contamination match)."""
     from pyspark.sql import Window
 
-    toks = token_stream(docs, text_col, id_col, toks=toks)
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
     return (
-        toks.select("id", F.concat_ws(" ", *leads).alias("sh"), leads[-1].alias("_last"))
+        stream.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("sh"),
+            leads[-1].alias("_last"),
+        )
         .filter(F.col("_last").isNotNull())
-        .select("id", "sh")
-        .distinct()
+        .select("id", "pos", "sh")
+    )
+
+
+def positional_hashed_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """(id, pos, sh: long) — every token position's hashed n-gram key,
+    ONE xxhash64 per position over the shared :func:`_lead_shingles`
+    recipe. The positional sibling of :func:`hashed_postings` (which
+    dedups to the per-doc set); decontamination spans join this
+    against the benchmark's hashed set."""
+    stream = token_stream(docs, text_col, id_col, toks=toks)
+    return _lead_shingles(stream, n).select(
+        "id", "pos", F.xxhash64("sh").alias("sh")
     )
 
 
