@@ -270,3 +270,74 @@ def test_ovr_scorer_rejects_mismatched_models(spark):
     ovr["models"][1]["n_buckets"] = 1 << 11
     with pytest.raises(ValueError, match="different feature parameters"):
         classifier.score_hashed_logistic_ovr(docs, ovr)
+
+
+def test_classifier_guards_r11(spark):
+    """r11 review hardening: NULL/unparseable labels are excluded from
+    both trainers instead of crashing the weight update mid-epoch; an
+    int-labeled OVR fit works (labels round-trip through string); the
+    OVR scorer raises a diagnostic on an empty-class model; wordlist
+    keys that cannot match (case/punct/width) are normalized or loudly
+    rejected."""
+    rows = [
+        (0, "spark spark table join", 1),
+        (1, "cat dog bird fish", 0),
+        (2, "spark table join merge", 1),
+        (3, "dog cat fish bird", 0),
+        (4, "spark join and dogs", None),     # NULL label
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    m = classifier.train_hashed_logistic(docs, "y", epochs=3)
+    assert m["w_micro"]  # fit survived the NULL-label row
+
+    # string labels (int cast nulls them): used to crash; now they are
+    # excluded and the fit degenerates gracefully to an empty model
+    sdocs = spark.createDataFrame(
+        [(0, "a b", "spam"), (1, "c d", "ham")],
+        "doc_id long, text string, y string",
+    )
+    m2 = classifier.train_hashed_logistic(sdocs, "y", epochs=1)
+    assert m2["w_micro"] == {} and m2["bias_micro"] == 0
+
+    # OVR with INT labels (used to crash createDataFrame's string schema)
+    idocs = spark.createDataFrame(
+        [(0, "spark table join", 0), (1, "cat dog bird", 1),
+         (2, "spark join merge", 0), (3, "dog fish bird", 1),
+         (4, "mystery doc", None)],
+        "doc_id long, text string, lang int",
+    )
+    ovr = classifier.train_hashed_logistic_ovr(idocs, "lang", epochs=2)
+    assert ovr["classes"] == [0, 1]
+    pred = {
+        r["doc_id"]: r["predicted"]
+        for r in classifier.score_hashed_logistic_ovr(
+            idocs.filter("lang is not null"), ovr
+        ).collect()
+    }
+    assert pred[0] == 0 and pred[1] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no classes"):
+        classifier.score_hashed_logistic_ovr(
+            docs, {"classes": [], "models": {}}
+        )
+
+    # wordlist normalization: 'Viagra' matches 'viagra' tokens now
+    wdocs = spark.createDataFrame(
+        [(0, "cheap viagra here"), (1, "clean text only")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in classifier.score_term_weights(
+            wdocs, {"Viagra": -1.0}
+        ).collect()
+    }
+    assert out == {0: 1, 1: 0}
+    with pytest.raises(ValueError, match="never match"):
+        classifier.score_term_weights(wdocs, {"!!!": 1.0})
+    with pytest.raises(ValueError, match="never match"):
+        classifier.score_term_weights(wdocs, {"three word key": 1.0})
+    with pytest.raises(ValueError, match="collide"):
+        classifier.score_term_weights(wdocs, {"Spam": 1.0, "spam": 2.0})

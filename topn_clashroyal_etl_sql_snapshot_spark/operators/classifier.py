@@ -47,6 +47,41 @@ from pyspark.sql import functions as F
 MICRO = 1_000_000
 
 
+def term_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """(id, term) — one row per term OCCURRENCE: unigram tokens plus
+    (optionally) space-joined bigrams. THE single definition of the
+    term stream (r11 review finding: this block was copy-pasted across
+    hashed_features, score_term_weights, and dsir._term_stream — a
+    tokenization or bigram-edge fix had to land in three places or the
+    modules silently diverged, and dsir's cross-module parity is
+    test-pinned)."""
+    from . import dedup
+
+    if toks is None:
+        toks = dedup.token_arrays(docs, text_col, id_col)
+    terms = toks.select("id", F.explode("toks").alias("term"))
+    if bigrams:
+        n = F.size("toks")
+        big = toks.select(
+            "id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("term"),
+        )
+        terms = terms.unionAll(big)
+    return terms
+
+
 def hashed_features(
     docs: DataFrame,
     n_buckets: int = 1 << 18,
@@ -67,24 +102,7 @@ def hashed_features(
     happens in model space, keeping every downstream aggregation an
     exact long sum. Documents with no tokens produce no rows (their
     margin is the bias alone — handled by the scorers' left join)."""
-    from . import dedup
-
-    if toks is None:
-        toks = dedup.token_arrays(docs, text_col, id_col)
-    terms = toks.select("id", F.explode("toks").alias("term"))
-    if bigrams:
-        n = F.size("toks")
-        big = toks.select(
-            "id",
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
-                    F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
-                    lambda a, b: F.concat_ws(" ", a, b),
-                )
-            ).alias("term"),
-        )
-        terms = terms.unionAll(big)
+    terms = term_stream(docs, text_col, id_col, bigrams=bigrams, toks=toks)
     return (
         terms.select(
             "id",
@@ -155,9 +173,19 @@ def train_hashed_logistic(
         feats = hashed_features(
             docs, n_buckets, text_col, id_col, toks=toks, bigrams=bigrams
         ).localCheckpoint(eager=False)
-    labels = docs.select(
-        F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
-    ).localCheckpoint(eager=False)
+    labels = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).try_cast("int").alias("y"),
+        )
+        # NULL labels (including non-numeric strings, which try_cast
+        # nulls deliberately — a plain cast RAISES under ANSI) must not
+        # reach the gradient: their NULL errors made per-feature sums
+        # NULL and crashed the weight update, and they diluted n_docs'
+        # learning-rate scaling (r11 review)
+        .filter(F.col("y").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     stats = labels.join(
         feats.groupBy("id").agg(F.sum("cnt").alias("mass")), "id", "left"
     ).agg(
@@ -174,6 +202,15 @@ def train_hashed_logistic(
         }
     # per-count step so lr is length-scale free
     step = lr / (n_docs * avg_mass)
+
+    # gradient frame = features ∪ one bias pseudo-row per labeled doc
+    feats_b = feats.unionByName(
+        labels.select(
+            "id",
+            F.lit(-1).cast("long").alias("feat"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+    ).localCheckpoint(eager=False)
 
     w_micro: dict[int, int] = {}
     bias_micro = 0
@@ -199,15 +236,27 @@ def train_hashed_logistic(
             .cast("long")
             .alias("err_micro"),
         )
+        # ONE gradient pass per epoch: the bias rides as pseudo-feature
+        # -1 (cnt=1 per labeled doc, unreachable from pmod's
+        # [0, n_buckets) range), so its gradient Σ err·1 falls out of
+        # the same aggregation — the old separate bias collect re-ran
+        # the whole margin join every epoch (r11 review finding), and
+        # a per-epoch checkpoint would pin epoch-many error frames in
+        # the block manager (the OVR comment's reasoning)
         grad_rows = (
-            feats.join(errs, "id")
+            feats_b.join(errs, "id")
             .groupBy("feat")
             .agg(F.sum(F.col("err_micro") * F.col("cnt")).alias("g"))
             .collect()
         )
-        bias_g = errs.agg(F.sum("err_micro").alias("g")).collect()[0]["g"] or 0
+        bias_g = 0
         for r in grad_rows:
-            f_id, g = r["feat"], r["g"]
+            if r["feat"] == -1:
+                bias_g = r["g"] or 0
+        for r in grad_rows:
+            if r["feat"] == -1:
+                continue
+            f_id, g = r["feat"], r["g"] or 0
             w = w_micro.get(f_id, 0) / MICRO
             w -= step * (g / MICRO) + lr * l2 * w
             q = round(w * MICRO)
@@ -353,30 +402,46 @@ def score_term_weights(
     102-105 terms, so the broadcast is trivially small; hot terms cost
     a hash-map probe, not a skewed shuffle. ``bigrams=True`` extends
     matching to space-joined token bigrams ("hash table"), same as
-    :func:`hashed_features`."""
-    from . import dedup
+    :func:`hashed_features`.
+
+    Wordlist keys are normalized through the SAME tokenizer as the
+    corpus (``text.py_tokens``, the mandated driver-side twin) before
+    the join — a raw 'Viagra' or "don't" key would otherwise never
+    match the lowercased alphanumeric token stream and score 0 hits
+    silently (r11 review finding). A key that normalizes to nothing,
+    to more words than the stream carries (2 with ``bigrams=True``,
+    else 1), or to the same term as another key raises: a hand-audited
+    list deserves loud validation, not silent dead entries."""
+    from ..functions.text import py_tokens
 
     spark = docs.sparkSession
-    if toks is None:
-        toks = dedup.token_arrays(docs, text_col, id_col)
-    terms = toks.select("id", F.explode("toks").alias("term"))
-    if bigrams:
-        n = F.size("toks")
-        big = toks.select(
-            "id",
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
-                    F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
-                    lambda a, b: F.concat_ws(" ", a, b),
-                )
-            ).alias("term"),
-        )
-        terms = terms.unionAll(big)
+    terms = term_stream(docs, text_col, id_col, bigrams=bigrams, toks=toks)
+    max_words = 2 if bigrams else 1
+    norm_weights: dict[str, float] = {}
+    for key, w in weights.items():
+        kt = py_tokens(key)
+        if not kt:
+            raise ValueError(
+                f"wordlist key {key!r} normalizes to no tokens — it can "
+                "never match"
+            )
+        if len(kt) > max_words:
+            raise ValueError(
+                f"wordlist key {key!r} normalizes to {len(kt)} words; the "
+                f"term stream carries at most {max_words} "
+                f"(bigrams={bigrams}) — it can never match"
+            )
+        norm = " ".join(kt)
+        if norm in norm_weights:
+            raise ValueError(
+                f"wordlist keys collide after normalization on {norm!r} — "
+                "merge their weights explicitly"
+            )
+        norm_weights[norm] = w
     bias_micro = int(round(bias * MICRO))
     wtab = F.broadcast(
         spark.createDataFrame(
-            [(t, int(round(w * MICRO))) for t, w in weights.items()],
+            [(t, int(round(w * MICRO))) for t, w in norm_weights.items()],
             "term string, w_micro long",
         )
     )
@@ -454,9 +519,20 @@ def train_hashed_logistic_ovr(
             f"(> max_grad_rows={max_grad_rows}): shard the class list "
             "across train_hashed_logistic_ovr calls, or shrink n_buckets."
         )
-    labels = docs.select(
-        F.col(id_col).alias("id"), F.col(label_col).alias("_lbl")
-    ).localCheckpoint(eager=False)
+    labels = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            # string-cast so int/str label columns both round-trip
+            # through the driver-built class table (r11 review: an int
+            # label column crashed createDataFrame's 'cls string'
+            # schema); NULL labels are excluded — they made every
+            # class's y NULL and the NULL gradient sums crashed the
+            # weight update
+            F.col(label_col).cast("string").alias("_lbl"),
+        )
+        .filter(F.col("_lbl").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     stats = labels.join(
         feats.groupBy("id").agg(F.sum("cnt").alias("mass")), "id", "left"
     ).agg(
@@ -473,7 +549,7 @@ def train_hashed_logistic_ovr(
     step = lr / (n_docs * avg_mass)
 
     cls_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(classes)], "ci int, cls string"
+        [(i, str(c)) for i, c in enumerate(classes)], "ci int, cls string"
     )
     ylab = (
         labels.crossJoin(F.broadcast(cls_df))
@@ -482,6 +558,13 @@ def train_hashed_logistic_ovr(
         )
         .localCheckpoint(eager=False)
     )
+    feats_b = feats.unionByName(
+        labels.select(
+            "id",
+            F.lit(-1).cast("long").alias("feat"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+    ).localCheckpoint(eager=False)
     w_micro: list[dict[int, int]] = [dict() for _ in classes]
     bias_micro: list[int] = [0 for _ in classes]
     for _ in range(epochs):
@@ -511,12 +594,12 @@ def train_hashed_logistic_ovr(
         sig = F.lit(1.0) / (
             F.lit(1.0) + F.exp(-margin_micro.cast("double") / F.lit(1e6))
         )
-        # NOT checkpointed: the two consumers below recompute the error
-        # pass, exactly like the sequential trainer — a per-epoch
-        # localCheckpoint would pin `epochs` materialized
-        # (n_docs × n_classes)-row frames in the block manager until
-        # GC + ContextCleaner caught up (review finding), and
-        # checkpoint blocks aren't releasable via DataFrame.unpersist
+        # NOT checkpointed: a per-epoch localCheckpoint would pin
+        # `epochs` materialized (n_docs × n_classes)-row frames in the
+        # block manager until GC + ContextCleaner caught up (review
+        # finding) — and since r11 there is only ONE consumer anyway:
+        # the bias gradient rides the same aggregation as the feature
+        # gradients via pseudo-feature -1
         errs = joined.join(bias_tab, "ci").select(
             "id",
             "ci",
@@ -525,17 +608,18 @@ def train_hashed_logistic_ovr(
             .alias("err_micro"),
         )
         grad_rows = (
-            feats.join(errs, "id")
+            feats_b.join(errs, "id")
             .groupBy("ci", "feat")
             .agg(F.sum(F.col("err_micro") * F.col("cnt")).alias("g"))
             .collect()
         )
         bias_rows = {
-            r["ci"]: r["g"] or 0
-            for r in errs.groupBy("ci").agg(F.sum("err_micro").alias("g")).collect()
+            r["ci"]: r["g"] or 0 for r in grad_rows if r["feat"] == -1
         }
         for r in grad_rows:
-            ci, f_id, g = r["ci"], r["feat"], r["g"]
+            if r["feat"] == -1:
+                continue
+            ci, f_id, g = r["ci"], r["feat"], r["g"] or 0
             w = w_micro[ci].get(f_id, 0) / MICRO
             w -= step * (g / MICRO) + lr * l2 * w
             q = round(w * MICRO)
@@ -571,11 +655,20 @@ def score_hashed_logistic_ovr(
 ) -> DataFrame:
     """(id_col, predicted, margin): argmax class per document over the
     per-class margins (ties break toward the first class in the sorted
-    class list — deterministic). ONE feature pass shared by every
-    class's scorer (all models share n_buckets/bigrams by
-    construction); the per-class margin frames join on the doc id."""
-    first = ovr["models"][ovr["classes"][0]]
-    for cls in ovr["classes"]:
+    class list — deterministic). ONE feature pass and ONE batched
+    margin aggregation for ALL classes — the same (ci, feat) broadcast
+    weight-table shape the OVR trainer uses, so scoring stays one
+    doc-keyed pass independent of class count (r11 review finding: the
+    old per-class loop ran C aggregations and a C-deep left-join
+    tree)."""
+    classes = list(ovr["classes"])
+    if not classes:
+        raise ValueError(
+            "ovr model has no classes (an empty or all-NULL-label fit) "
+            "— nothing to score"
+        )
+    first = ovr["models"][classes[0]]
+    for cls in classes:
         m = ovr["models"][cls]
         if (m["n_buckets"], m["bigrams"]) != (
             first["n_buckets"],
@@ -586,6 +679,7 @@ def score_hashed_logistic_ovr(
                 "parameters (n_buckets/bigrams) — the shared feature pass "
                 "would silently score it wrong"
             )
+    spark = docs.sparkSession
     feats = hashed_features(
         docs,
         first["n_buckets"],
@@ -593,26 +687,59 @@ def score_hashed_logistic_ovr(
         id_col,
         toks=toks,
         bigrams=first["bigrams"],
-    ).localCheckpoint(eager=False)
-    out = docs.select(F.col(id_col).alias("id"))
-    cols = []
-    for i, cls in enumerate(ovr["classes"]):
-        s = score_hashed_logistic(
-            docs, ovr["models"][cls], text_col, id_col, feats=feats
-        ).select(
-            F.col(id_col).alias("id"), F.col("margin").alias(f"_m{i}")
+    )
+    wrows = [
+        (ci, f, w)
+        for ci, cls in enumerate(classes)
+        for f, w in ovr["models"][cls]["w_micro"].items()
+    ]
+    base = docs.select(F.col(id_col).alias("id"))
+    cls_idx = spark.createDataFrame(
+        [(i,) for i in range(len(classes))], "ci int"
+    )
+    pairs = base.crossJoin(F.broadcast(cls_idx))
+    if wrows:
+        wtab = F.broadcast(
+            spark.createDataFrame(wrows, "ci int, feat long, w_micro long")
         )
-        out = out.join(s, "id", "left")
-        cols.append(f"_m{i}")
-    best = F.greatest(*[F.col(c) for c in cols]) if len(cols) > 1 else F.col(cols[0])
+        mm = (
+            feats.join(wtab, "feat")
+            .groupBy("id", "ci")
+            .agg(F.sum(F.col("w_micro") * F.col("cnt")).alias("_mm"))
+        )
+        pairs = pairs.join(mm, ["id", "ci"], "left")
+    else:
+        pairs = pairs.withColumn("_mm", F.lit(None).cast("long"))
+    bias_tab = F.broadcast(
+        spark.createDataFrame(
+            [
+                (i, int(ovr["models"][c]["bias_micro"]))
+                for i, c in enumerate(classes)
+            ],
+            "ci int, _bias long",
+        )
+    )
+    scored = pairs.join(bias_tab, "ci").withColumn(
+        "margin_micro", F.coalesce(F.col("_mm"), F.lit(0)) + F.col("_bias")
+    )
+    # argmax with ties toward the LOWEST class index — the old
+    # coalesce-in-class-order semantics, as one max_by
+    best = scored.groupBy("id").agg(
+        F.max_by(
+            F.struct(F.col("ci").alias("ci"), F.col("margin_micro").alias("mm")),
+            F.struct(
+                F.col("margin_micro").alias("m"), (-F.col("ci")).alias("nc")
+            ),
+        ).alias("_b")
+    )
     pred = F.coalesce(
         *[
-            F.when(F.col(c) == best, F.lit(cls))
-            for c, cls in zip(cols, ovr["classes"])
+            F.when(F.col("_b.ci") == i, F.lit(c))
+            for i, c in enumerate(classes)
         ]
     )
-    return out.select(
+    return best.select(
         F.col("id").alias(id_col),
         pred.alias("predicted"),
-        best.alias("margin"),
+        (F.col("_b.mm").cast("double") / F.lit(1e6)).alias("margin"),
     )

@@ -181,27 +181,12 @@ def fit_term_importance(
 def _term_stream(
     docs: DataFrame, text_col: str, id_col: str, bigrams: bool, toks: DataFrame | None
 ) -> DataFrame:
-    """(id, term) — one row per term OCCURRENCE (unigrams + bigrams),
-    the exploded form of ``classifier.hashed_features``'s stream."""
-    from . import dedup
+    """(id, term) — one row per term OCCURRENCE (unigrams + bigrams):
+    ``classifier.term_stream``, delegated (ONE definition — the r11
+    shared-stream refactor; the cross-module parity is test-pinned)."""
+    from .classifier import term_stream
 
-    if toks is None:
-        toks = dedup.token_arrays(docs, text_col, id_col)
-    terms = toks.select("id", F.explode("toks").alias("term"))
-    if bigrams:
-        n = F.size("toks")
-        big = toks.select(
-            "id",
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
-                    F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
-                    lambda a, b: F.concat_ws(" ", a, b),
-                )
-            ).alias("term"),
-        )
-        terms = terms.unionAll(big)
-    return terms
+    return term_stream(docs, text_col, id_col, bigrams=bigrams, toks=toks)
 
 
 def importance_logweights(
