@@ -66,10 +66,9 @@ def test_shared_paragraph_guarantee_and_python_oracle(spark, corpus):
             hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()
             for i in range(len(toks) - 2)
         ]
+        # r11 fix: selected set = DISTINCT trailing-window minima
         return {
-            h
-            for i, h in enumerate(grams)
-            if h == min(grams[max(0, i - 3) : i + 1])
+            min(grams[max(0, i - 3) : i + 1]) for i in range(len(grams))
         }
 
     sel = {i: py_selected(t) for i, t in docs}
@@ -164,3 +163,38 @@ def test_no_cartesian_plan(spark, corpus):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_guarantee_randomized_minimal_overlap(spark):
+    """The regression the r11 winnowing fix exists for: 40 document
+    pairs sharing EXACTLY window+k-1 = 6 consecutive tokens embedded
+    in otherwise-disjoint vocabularies — every pair MUST surface
+    (min_shared=1). Under the pre-r11 h==wmin selection this failed
+    for ~37% of such pairs (the shared run's window minimum was not
+    the minimum of the one window ending at its own position)."""
+    import random
+
+    rng = random.Random(99)
+    # disjoint per-doc vocabularies so ONLY the planted run is shared
+    rows = []
+    for p in range(40):
+        shared = " ".join(f"sh{p}x{j}" for j in range(6))  # 6 tokens
+        va = [f"a{p}w{i}" for i in range(30)]
+        vb = [f"b{p}w{i}" for i in range(30)]
+        ta = " ".join(rng.choice(va) for _ in range(60))
+        tb = " ".join(rng.choice(vb) for _ in range(60))
+        rows.append((2 * p, ta + " " + shared + " " + " ".join(
+            rng.choice(va) for _ in range(40))))
+        rows.append((2 * p + 1, " ".join(
+            rng.choice(vb) for _ in range(40)) + " " + shared + " " + tb))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in overlap.winnow_overlap_pairs(
+            df, k=3, window=4, min_shared=1, max_df=None
+        ).collect()
+    }
+    missing = [
+        (2 * p, 2 * p + 1) for p in range(40) if (2 * p, 2 * p + 1) not in pairs
+    ]
+    assert not missing, f"guarantee violated for {len(missing)} pairs: {missing[:5]}"

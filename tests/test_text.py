@@ -137,8 +137,10 @@ def test_winnow_fingerprint_guarantee(spark):
     for d in (1, 2):
         assert out[d]["n_fingerprints"] >= 1
         assert 0 < out[d]["density"] <= 1.0
-        # density concentrates near 2/(w+1) = 0.4 for random text
-        assert 0.2 <= out[d]["density"] <= 0.7
+        # distinct-window-minima density for random text sits a bit
+        # above the 2/(w+1)=0.4 position density (partial head windows
+        # add a few, repeats collapse)
+        assert 0.2 <= out[d]["density"] <= 0.8
 
     # the shared 6-token run yields at least one common selected hash:
     # verify via the underlying selection, re-deriving per doc
@@ -161,8 +163,9 @@ def test_winnow_fingerprint_guarantee(spark):
         grams.withColumn(
             "wmin", F.min("h").over(W.partitionBy("id").orderBy("pos").rowsBetween(-3, 0))
         )
-        .filter(F.col("h") == F.col("wmin"))
-        .select("id", "h")
+        # r11 fix: the selected set is the DISTINCT window minima —
+        # the old h==wmin filter broke the sharing guarantee
+        .select("id", F.col("wmin").alias("h"))
         .distinct()
     )
     a = {r["h"] for r in sel.filter(F.col("id") == 1).collect()}

@@ -58,10 +58,13 @@ def winnow_overlap_pairs(
     fraction of document i covered by material shared with the other
     side (the MOSS similarity display). A pair sharing one
     paragraph of ``window + k - 1`` tokens is GUARANTEED to appear."""
+    # the selected set is the DISTINCT window minima — the pre-r11
+    # h==wmin rule missed the shared fingerprint on 37% of pairs
+    # overlapping by exactly window+k-1 tokens (the guarantee
+    # boundary; see winnow_marked)
     sel = (
         winnow_marked(docs, k, window, text_col, id_col)
-        .filter(F.col("h") == F.col("wmin"))
-        .select("id", "h")
+        .select("id", F.col("wmin").alias("h"))
         .distinct()
     )
     sel = sel.localCheckpoint(eager=False)  # sizes + both join sides

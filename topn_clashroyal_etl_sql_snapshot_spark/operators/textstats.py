@@ -17,6 +17,13 @@ from pyspark.sql import functions as F
 from ..functions import text as tx
 
 
+def _safe_div(a, b):
+    """a/b as double with the zero-denominator convention both
+    repetition operators advertise (0.0, never NULL) — ONE definition
+    (r11: it was duplicated in both and could drift)."""
+    return F.when(b > 0, a.cast("double") / b).otherwise(F.lit(0.0))
+
+
 def lang_id_table(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -28,7 +35,9 @@ def lang_id_table(
     """
     base = docs.withColumn("_cjk", F.col(text_col).rlike("[\\u4e00-\\u9fff]"))
 
-    toks = docs.select(
+    from .dedup import _spread
+
+    toks = _spread(docs, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(tx.tokens(F.col(text_col))).alias("tok"),
     )
@@ -57,13 +66,28 @@ def lang_id_table(
 def token_stats(
     docs: DataFrame, group_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:
-    """Per-group doc/token/char accounting (single pass, integer sums)."""
+    """Per-group doc/token/char accounting (single pass, integer sums).
+
+    NULL text contributes 0 to every total (r11 review finding: on
+    non-ANSI deployments ``size(NULL)`` is -1, so each NULL-text row
+    SUBTRACTED a token from its group while the char sum skipped it —
+    and an all-NULL group summed to NULL rather than 0)."""
     return (
         docs.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("docs"),
-            F.sum(tx.token_count(F.col(text_col))).alias("total_tokens"),
-            F.sum(F.length(text_col)).alias("total_chars"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(text_col).isNotNull(),
+                        tx.token_count(F.col(text_col)),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).alias("total_tokens"),
+            F.coalesce(
+                F.sum(F.coalesce(F.length(text_col), F.lit(0))), F.lit(0)
+            ).alias("total_chars"),
         )
         .orderBy(group_col)
     )
@@ -77,11 +101,18 @@ def winnow_marked(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, pos, h, wmin) — every token k-gram's md5 with its sliding-
-    window minimum; ``h == wmin`` marks the SELECTED fingerprints. The
-    shared stage behind :func:`winnow_fingerprints` (per-doc density
-    rollup) and ``operators/overlap.py`` (cross-document repeated-
-    substring detection). One shuffle on the doc id serves the k-gram
-    leads, the sliding window, and downstream per-doc grouping."""
+    window minimum. Each row's ``wmin`` IS the selected fingerprint of
+    the window ending at that position, so the document's selected SET
+    is the DISTINCT ``wmin`` values — NOT the rows where ``h == wmin``
+    (r11 review finding, simulation-confirmed: the h==wmin rule only
+    selects a k-gram when it is the minimum of the one window ending
+    at its own position, and missed the shared fingerprint on 37% of
+    document pairs overlapping by exactly window+k-1 tokens — the
+    guarantee boundary). The shared stage behind
+    :func:`winnow_fingerprints` (per-doc density rollup) and
+    ``operators/overlap.py`` (cross-document repeated-substring
+    detection). One shuffle on the doc id serves the k-gram leads, the
+    sliding window, and downstream per-doc grouping."""
     from pyspark.sql import Window as W
 
     from .dedup import _spread
@@ -118,7 +149,10 @@ def winnow_fingerprints(
     of ``window`` consecutive hashes, select each window's minimum —
     the guarantee is ≥1 selected fingerprint per window, so any match
     of ``window + k - 1`` consecutive tokens between two documents
-    shares a fingerprint, at an expected density of ~2/(window+1).
+    shares a fingerprint. Winnowing's expected selected-POSITION
+    density is 2/(window+1); ``n_fingerprints`` counts DISTINCT
+    selected hashes, which is what overlap joins consume (repeats of
+    one boilerplate k-gram collapse).
 
     Variant notes (deterministic, cross-engine): the k-gram hash is the
     md5 HEX STRING and the window minimum is lexicographic — string
@@ -134,17 +168,29 @@ def winnow_fingerprints(
     id (reused by both windows and the aggregate).
     """
     marked = winnow_marked(docs, k, window, text_col, id_col)
+    prof = marked.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_kgrams"),
+        # the selected set is the DISTINCT window minima (see
+        # winnow_marked — the old h==wmin rule broke the guarantee)
+        F.countDistinct("wmin").alias("n_fingerprints"),
+    )
+    # row-per-input contract like the sibling operators: docs with
+    # fewer than k tokens (or NULL text) produce no k-grams and used
+    # to vanish from the profile (r11 review finding)
     return (
-        marked.groupBy(F.col("id").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_kgrams"),
-            F.countDistinct(
-                F.when(F.col("h") == F.col("wmin"), F.col("h"))
-            ).alias("n_fingerprints"),
+        docs.select(F.col(id_col))
+        .join(prof, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_kgrams", F.lit(0)).alias("n_kgrams"),
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
         )
         .withColumn(
             "density",
-            F.col("n_fingerprints").cast("double") / F.col("n_kgrams"),
+            F.when(
+                F.col("n_kgrams") > 0,
+                F.col("n_fingerprints").cast("double") / F.col("n_kgrams"),
+            ).otherwise(F.lit(0.0)),
         )
     )
 
@@ -248,7 +294,7 @@ def repetition_stats(
             bigram_stats.withColumnRenamed("_id", id_col), id_col, "left"
         )
     )
-    safe_div = lambda a, b: F.when(b > 0, a.cast("double") / b).otherwise(F.lit(0.0))  # noqa: E731
+    safe_div = _safe_div
     cols = [
         F.col(id_col),
         F.coalesce(F.col("_lines_total"), F.lit(0)).alias("n_lines"),
@@ -287,7 +333,12 @@ def ngram_repetition_stats(
     toks: DataFrame | None = None,
 ) -> DataFrame:
     """The REST of Gopher Table A1's repetition filters
-    (:func:`repetition_stats` covers lines + the top bigram):
+    (:func:`repetition_stats` covers lines + the top bigram; note the
+    default ``top_ns`` still includes n=2, so composing both operators
+    computes the top-bigram statistic twice under two names —
+    ``top_bigram_char_frac`` ≡ ``top_2gram_char_frac`` — which the
+    registered text_ngram_repetition row's oracle depends on; pass
+    ``top_ns=(3, 4)`` to skip the duplicate work when composing):
 
     - ``top_{n}gram_char_frac`` (n ∈ ``top_ns``) — characters of ALL
       occurrences of the single most frequent n-gram over total token
@@ -356,9 +407,7 @@ def ngram_repetition_stats(
         )
 
     out = docs.select(F.col(id_col).alias("id"))
-    safe_div = lambda a, b: F.when(  # noqa: E731
-        b > 0, a.cast("double") / b
-    ).otherwise(F.lit(0.0))
+    safe_div = _safe_div
 
     stats_cols: list = []
     for n in top_ns:

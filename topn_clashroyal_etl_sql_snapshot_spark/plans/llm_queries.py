@@ -307,15 +307,24 @@ TEXT_WINNOW_FINGERPRINTS_SQL = f"""
              MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
       FROM g
+    ),
+    prof AS (
+      SELECT doc_id,
+             COUNT(*) AS n_kgrams,
+             COUNT(DISTINCT wmin) AS n_fingerprints
+      FROM w
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           COUNT(*) AS n_kgrams,
-           COUNT(DISTINCT CASE WHEN h = wmin THEN h END) AS n_fingerprints,
-           CAST(COUNT(DISTINCT CASE WHEN h = wmin THEN h END) AS DOUBLE)
-               / COUNT(*) AS density
-    FROM w
-    GROUP BY doc_id
-    ORDER BY doc_id
+    -- selected set = DISTINCT window minima (the r11 winnowing fix);
+    -- every document gets a row, zero counts for < k tokens
+    SELECT d.doc_id,
+           COALESCE(p.n_kgrams, 0) AS n_kgrams,
+           COALESCE(p.n_fingerprints, 0) AS n_fingerprints,
+           CASE WHEN COALESCE(p.n_kgrams, 0) > 0
+                THEN CAST(p.n_fingerprints AS DOUBLE) / p.n_kgrams
+                ELSE 0.0 END AS density
+    FROM documents d LEFT JOIN prof p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
     """
 
 
@@ -349,7 +358,8 @@ def text_winnow_fingerprints(spark, sf_dir):
       FROM g
     ),
     sel AS (
-      SELECT DISTINCT doc_id, h FROM w WHERE h = wmin
+      -- selected set = DISTINCT window minima (the r11 winnowing fix)
+      SELECT DISTINCT doc_id, wmin AS h FROM w
     ),
     flt AS (
       SELECT doc_id, h FROM sel
