@@ -653,7 +653,7 @@ def test_per_group_quantile_cap_matches_duckdb(spark):
                                         ORDER BY score DESC, doc_id) AS rn,
                      COUNT(*) OVER (PARTITION BY source) AS n
               FROM t
-            ) WHERE rn <= CAST(ceil(n * 0.3) AS BIGINT)
+            ) WHERE rn <= CAST(ceil(round(n * 0.3, 9)) AS BIGINT)
         """).fetchall()
     )
     assert got == want

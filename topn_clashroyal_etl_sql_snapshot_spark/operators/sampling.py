@@ -59,11 +59,23 @@ def _cumulative_thresholds(
         raise ValueError("split weights must sum to a positive value")
     out: list[tuple[str, int]] = []
     acc = 0.0
+    prev = 0
     for name, w in weights.items():
         if w < 0:
             raise ValueError(f"negative split weight for {name!r}")
         acc += w / total
-        out.append((name, int(round(acc * buckets))))
+        thr = int(round(acc * buckets))
+        if w > 0 and thr <= prev:
+            # a positive-weight split rounding to ZERO buckets would be
+            # a permanently empty val/test set with no warning — the
+            # same sub-resolution condition mixture_sample raises for
+            # (r11 review finding)
+            raise ValueError(
+                f"split {name!r} (weight {w}) rounds to zero buckets at "
+                f"resolution 1/{buckets} — raise `buckets` or the weight"
+            )
+        out.append((name, thr))
+        prev = thr
     # float rounding must not orphan the top bucket: pin the last
     # threshold to the full range so labels are exhaustive.
     out[-1] = (out[-1][0], buckets)
@@ -87,7 +99,11 @@ def with_split(
     rule leaves the running hash at the seed) — they all land in ONE
     deterministic bucket rather than being dropped; filter beforehand if
     NULL keys should be excluded."""
-    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    # `is not None`, not truthiness: an explicitly-passed empty dict is
+    # a misconfiguration that must surface as the sum-check error, not
+    # silently become the default 98/1/1 (r11 review finding)
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
     b = bucket_expr(key, seed, buckets)
     expr: Column | None = None
     for name, threshold in _cumulative_thresholds(weights, buckets):
@@ -165,7 +181,17 @@ def hash_sample(
     random-per-row sample cannot give."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.filter(bucket_expr(key, seed, buckets) < int(round(fraction * buckets)))
+    thr = int(round(fraction * buckets))
+    if fraction > 0 and thr < 1:
+        # a positive fraction that rounds to zero buckets silently
+        # keeps NOTHING — the condition mixture_sample already raises
+        # for (r11 review finding; fraction=0.0 stays a legitimate
+        # explicit keep-nothing)
+        raise ValueError(
+            f"fraction {fraction} is below bucket resolution "
+            f"(1/{buckets}) and would keep zero rows — raise `buckets`"
+        )
+    return df.filter(bucket_expr(key, seed, buckets) < thr)
 
 
 def target_bucket_threshold(
@@ -183,6 +209,11 @@ def target_bucket_threshold(
     scale must grow ``buckets`` (``hash_sample_target`` does)."""
     if target_rows < 0 or total_rows < 0:
         raise ValueError("row counts must be non-negative")
+    if target_rows == 0:
+        # the ≥1 clamp exists to stop a LARGE corpus flooring a small
+        # positive target to nothing; an explicit target of zero must
+        # keep zero, not ~total/buckets rows (r11 review finding)
+        return 0
     if total_rows <= target_rows:
         return buckets
     return min(buckets, max(1, target_rows * buckets // total_rows))
@@ -266,7 +297,15 @@ def _group_weights(
         .agg(F.sum(w.cast("double")).alias("_w"))
         .collect()
     )
-    return {r[group_col]: r["_w"] or 0.0 for r in rows}
+    # NULL groups are unmixable (no target share can name them) and a
+    # None key crashed replicate_by_multiplier's sorted() when
+    # mixture_multipliers back-filled every corpus group (r11 review
+    # finding) — they drop here, like every unlisted group
+    return {
+        r[group_col]: r["_w"] or 0.0
+        for r in rows
+        if r[group_col] is not None
+    }
 
 
 def _normalized_shares(target_shares: Mapping[str, float]) -> dict[str, float]:
@@ -275,6 +314,11 @@ def _normalized_shares(target_shares: Mapping[str, float]) -> dict[str, float]:
     mixture_fractions/mixture_sample/mixture_resample, plus
     mixture_sample_incremental all delegate here, per the module's
     no-re-derivation discipline)."""
+    neg = {g: v for g, v in target_shares.items() if v < 0}
+    if neg:
+        # a negative share silently inflates the others past 1 and
+        # breaks the total-budget contract (r11 review finding)
+        raise ValueError(f"negative target shares: {neg}")
     total_s = float(sum(target_shares.values()))
     if total_s <= 0:
         raise ValueError("target shares must sum to a positive value")
@@ -614,10 +658,14 @@ def shuffle_order_expr(
     `rand()`'s replay instability.
 
     Returns sort columns (hash, then ``tiebreak`` or the key itself so
-    equal hashes — and NULL keys, which all hash alike — still order
-    totally). Use as ``df.orderBy(*shuffle_order_expr("doc_id"))``, or
-    ``df.repartitionByRange(n, *...)`` to materialize shuffled output
-    files without a single global sort partition."""
+    equal non-NULL hashes still order totally). Honesty note (r11
+    review): NULL keys all hash alike AND the default tiebreak is the
+    key itself — NULL for exactly those rows — so NULL-key rows have
+    no deterministic relative order under the defaults; pass a
+    non-NULL unique ``tiebreak`` (or filter NULL keys first) where
+    that matters. Use as ``df.orderBy(*shuffle_order_expr("doc_id"))``,
+    or ``df.repartitionByRange(n, *...)`` to materialize shuffled
+    output files without a single global sort partition."""
     key_col = F.col(key) if isinstance(key, str) else key
     tb = key_col if tiebreak is None else (
         F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
@@ -652,8 +700,15 @@ def per_group_quantile_cap(
         df.withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(wall))
         .filter(
+            # round at 9 dp before the ceil: n*frac can land an IEEE
+            # epsilon ABOVE the exact decimal integer (100*0.07 =
+            # 7.000000000000001) and ceil would keep one extra row
+            # (r11 review finding); the >=1-per-group guarantee holds
+            # since round preserves any value > 0 at this precision
             F.col("_rn")
-            <= F.ceil(F.col("_n") * F.lit(float(keep_frac))).cast("long")
+            <= F.ceil(
+                F.round(F.col("_n") * F.lit(float(keep_frac)), 9)
+            ).cast("long")
         )
         .drop("_rn", "_n")
     )
