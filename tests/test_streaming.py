@@ -123,6 +123,34 @@ def test_streaming_dedup_matches(spark, landing):
     assert len(hashes) >= len(parseable) - 10  # edge battles lack timestamps
 
 
+def _expected_running_totals(battles):
+    """Python truth for BOTH stateful-API tests (r11: it existed twice
+    and the pair could silently disagree about the oracle): both sides
+    of every ranked 1v1, NOT deduped — the ops consume the raw
+    stream."""
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0])
+    for b in battles:
+        team, opp = b.get("team") or [], b.get("opponent") or []
+        if len(team) != 1 or len(opp) != 1:
+            continue
+        if (b.get("gameMode") or {}).get("id") not in (72000006, 72000464):
+            continue
+        tt = (team[0].get("tag") or "").strip().upper()
+        ot = (opp[0].get("tag") or "").strip().upper()
+        tt = tt if tt.startswith("#") or not tt else "#" + tt
+        ot = ot if ot.startswith("#") or not ot else "#" + ot
+        tc, oc = int(team[0].get("crowns") or 0), int(opp[0].get("crowns") or 0)
+        if tt:
+            want[tt][0] += 1
+            want[tt][1] += 1 if tc > oc else 0
+        if ot:
+            want[ot][0] += 1
+            want[ot][1] += 1 if oc > tc else 0
+    return {k: tuple(v) for k, v in want.items()}
+
+
 def test_stateful_running_player_stats(spark, landing):
     from topn_clashroyal_etl_sql_snapshot_spark.streaming import stateful
 
@@ -147,28 +175,7 @@ def test_stateful_running_player_stats(spark, landing):
 
     # batch truth: both sides of every ranked battle, NOT deduped (the
     # stateful op consumes the raw stream)
-    from collections import defaultdict
-
-    want = defaultdict(lambda: [0, 0])
-    for b in battles:
-        team, opp = b.get("team") or [], b.get("opponent") or []
-        if len(team) != 1 or len(opp) != 1:
-            continue
-        if (b.get("gameMode") or {}).get("id") not in (72000006, 72000464):
-            continue
-        tt = (team[0].get("tag") or "").strip().upper()
-        ot = (opp[0].get("tag") or "").strip().upper()
-        tt = tt if tt.startswith("#") or not tt else "#" + tt
-        ot = ot if ot.startswith("#") or not ot else "#" + ot
-        tc, oc = int(team[0].get("crowns") or 0), int(opp[0].get("crowns") or 0)
-        if tt:
-            want[tt][0] += 1
-            want[tt][1] += 1 if tc > oc else 0
-        if ot:
-            want[ot][0] += 1
-            want[ot][1] += 1 if oc > tc else 0
-
-    assert got == {k: tuple(v) for k, v in want.items()}
+    assert got == _expected_running_totals(battles)
 
 
 def test_stateful_running_player_stats_tws(spark, landing):
@@ -217,28 +224,7 @@ def test_stateful_running_player_stats_tws(spark, landing):
     ).collect()
     got = {r["player_tag"]: (r["uses"], r["wins"]) for r in rows}
 
-    from collections import defaultdict
-
-    want = defaultdict(lambda: [0, 0])
-    for b in battles:
-        team, opp = b.get("team") or [], b.get("opponent") or []
-        if len(team) != 1 or len(opp) != 1:
-            continue
-        if (b.get("gameMode") or {}).get("id") not in (72000006, 72000464):
-            continue
-        tt = (team[0].get("tag") or "").strip().upper()
-        ot = (opp[0].get("tag") or "").strip().upper()
-        tt = tt if tt.startswith("#") or not tt else "#" + tt
-        ot = ot if ot.startswith("#") or not ot else "#" + ot
-        tc, oc = int(team[0].get("crowns") or 0), int(opp[0].get("crowns") or 0)
-        if tt:
-            want[tt][0] += 1
-            want[tt][1] += 1 if tc > oc else 0
-        if ot:
-            want[ot][0] += 1
-            want[ot][1] += 1 if oc > tc else 0
-
-    assert got == {k: tuple(v) for k, v in want.items()}
+    assert got == _expected_running_totals(battles)
 
 
 def test_streaming_session_stats_matches_batch(spark, tmp_path):

@@ -210,9 +210,21 @@ def join_stream_annotations(
             f"how must be inner/left_outer, got {how!r} — stream-stream "
             "right/full outer would need the mirror-image time bound"
         )
-    streaming = docs.isStreaming
-    d = docs.withWatermark("ingest_time", doc_watermark) if streaming else docs
-    a = anns.withWatermark("ann_time", ann_watermark) if streaming else anns
+    # each side watermarks on ITS OWN streaming-ness: keying both on
+    # docs.isStreaming left a streaming anns side unwatermarked when
+    # docs was a batch backfill — an unbounded-state stream-static join
+    # (or a start-time failure for left_outer) instead of the
+    # documented state-bounded plan (r11 review finding)
+    d = (
+        docs.withWatermark("ingest_time", doc_watermark)
+        if docs.isStreaming
+        else docs
+    )
+    a = (
+        anns.withWatermark("ann_time", ann_watermark)
+        if anns.isStreaming
+        else anns
+    )
     d, a = d.alias("d"), a.alias("a")
     cond = (
         (F.col("d.doc_id") == F.col("a.doc_id"))

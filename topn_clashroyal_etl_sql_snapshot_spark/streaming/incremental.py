@@ -56,8 +56,12 @@ def stream_battles(spark: SparkSession, landing_dir: str) -> DataFrame:
 def windowed_match_counts(
     battles: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
-    """Streaming windowed aggregate: ranked-battle counts per (window,
-    gameMode). Watermark bounds state for late battlelog pages."""
+    """Streaming windowed aggregate: BATTLE counts per (window,
+    gameMode) — all modes, no ranked filter (the docstring used to say
+    'ranked-battle counts'; the mode breakdown is the point, and the
+    test pins non-ranked modes appearing — compose
+    ``exprs.is_ranked_1v1`` upstream for the ranked-only view).
+    Watermark bounds state for late battlelog pages."""
     return (
         battles.withColumn("event_time", parse_battle_time(F.col("battleTime")))
         .filter(F.col("event_time").isNotNull())

@@ -40,15 +40,30 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
+def _fold_totals(uses: int, wins: int, batches) -> tuple[int, int]:
+    """THE accumulation rule, shared by both stateful APIs (r11 review:
+    it existed twice, and the cross-API parity test is container-gated
+    on protobuf — a drift could ship unseen)."""
+    for pdf in batches:
+        uses += len(pdf)
+        wins += int(pdf["won"].sum())
+    return uses, wins
+
+
+def _prepared(participants: DataFrame):
+    """Shared select/groupBy preamble of both stateful entry points."""
+    return participants.select(
+        "player_tag", F.col("won").cast("int").alias("won")
+    ).groupBy("player_tag")
+
+
 def _update(
     key: tuple,
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     uses, wins = state.get if state.exists else (0, 0)
-    for pdf in batches:
-        uses += len(pdf)
-        wins += int(pdf["won"].sum())
+    uses, wins = _fold_totals(uses, wins, batches)
     state.update((uses, wins))
     yield pd.DataFrame({"player_tag": [key[0]], "uses": [uses], "wins": [wins]})
 
@@ -57,8 +72,7 @@ def running_player_stats(participants: DataFrame) -> DataFrame:
     """participants stream (player_tag, won) → running (uses, wins) per
     player, emitted each micro-batch with the updated totals."""
     return (
-        participants.select("player_tag", F.col("won").cast("int").alias("won"))
-        .groupBy("player_tag")
+        _prepared(participants)
         .applyInPandasWithState(
             _update,
             outputStructType=OUTPUT_SCHEMA,
@@ -87,9 +101,7 @@ class _RunningStatsProcessor(StatefulProcessor):
         uses, wins = (
             tuple(self._totals.get()) if self._totals.exists() else (0, 0)
         )
-        for pdf in rows:
-            uses += len(pdf)
-            wins += int(pdf["won"].sum())
+        uses, wins = _fold_totals(uses, wins, rows)
         self._totals.update((uses, wins))
         yield pd.DataFrame(
             {"player_tag": [key[0]], "uses": [uses], "wins": [wins]}
@@ -115,14 +127,19 @@ def running_player_stats_tws(
     HDFS-backed store does not support transformWithState; on a real
     cluster RocksDB is what you run for any large keyed state anyway
     (keys spill to local SSD instead of executor heap)."""
+    # TTL requires ProcessingTime time mode — with timeMode="None"
+    # Spark raises STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL
+    # at query start, so the advertised knob was dead on arrival (r11
+    # review finding; the e2e test is protobuf-gated and only ran
+    # TTL-less where it runs at all)
+    time_mode = "ProcessingTime" if state_ttl_ms is not None else "None"
     return (
-        participants.select("player_tag", F.col("won").cast("int").alias("won"))
-        .groupBy("player_tag")
+        _prepared(participants)
         .transformWithStateInPandas(
             statefulProcessor=_RunningStatsProcessor(state_ttl_ms),
             outputStructType=OUTPUT_SCHEMA,
             outputMode="Update",
-            timeMode="None",
+            timeMode=time_mode,
         )
     )
 
