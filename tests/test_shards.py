@@ -185,3 +185,62 @@ def test_small_files_guard(spark, tmp_out):
         r["doc_id"]
         for r in shards.read_training_shards(spark, tmp_out).collect()
     ) == want
+
+
+def test_shards_guards_and_atomic_r11(spark, tmp_path):
+    """r11 review hardening: empty input refused at write time; an
+    existing shard_col column refused (silent data loss otherwise);
+    custom shard_col threads through read/verify; weight_col is
+    recorded in the manifest so a bare verify uses the right
+    semantics; all-NULL weights verify ok (NULL-safe equality); the
+    atomic writer preserves the previous generation through a failed
+    write."""
+    import pytest
+
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import shards as sh
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", (None if i % 2 else i * 10)) for i in range(40)],
+        "doc_id long, text string, n_tokens long",
+    )
+
+    with pytest.raises(ValueError, match="empty shard set"):
+        sh.write_training_shards(
+            df.filter("doc_id < 0"), str(tmp_path / "e"), "doc_id", 4
+        )
+    with pytest.raises(ValueError, match="must be explicit"):
+        sh.with_shard(df.withColumn("shard_id", F.lit(1)), "doc_id", 4)
+
+    # custom shard_col end-to-end, weight recorded + auto-verified
+    p = str(tmp_path / "custom")
+    sh.write_training_shards(
+        df, p, "doc_id", 4, weight_col="n_tokens", shard_col="bucket"
+    )
+    back = sh.read_training_shards(spark, p, shard_ids=[0], shard_col="bucket")
+    assert back.count() > 0 and "bucket" in back.columns
+    rep = sh.verify_shards(spark, p, shard_col="bucket")  # weight_col=auto
+    assert all(r["ok"] for r in rep.collect())
+    # explicit wrong weight column WOULD alarm — proving auto matters
+    rep_wrong = sh.verify_shards(spark, p, weight_col=None, shard_col="bucket")
+    assert not all(r["ok"] for r in rep_wrong.collect())
+
+    # all-NULL weight column: intact data must verify ok
+    dfn = spark.createDataFrame(
+        [(i, f"t{i}", None) for i in range(12)],
+        "doc_id long, text string, w long",
+    )
+    pn = str(tmp_path / "nullw")
+    sh.write_training_shards(dfn, pn, "doc_id", 2, weight_col="w")
+    assert all(r["ok"] for r in sh.verify_shards(spark, pn).collect())
+
+    # atomic: good write serves; a failing second write leaves it intact
+    pa = str(tmp_path / "atomic")
+    sh.write_training_shards_atomic(df, pa, "doc_id", 4, weight_col="n_tokens")
+    v1 = sh.read_training_shards(spark, pa).count()
+    assert v1 == 40
+    with pytest.raises(ValueError, match="empty shard set"):
+        sh.write_training_shards_atomic(
+            df.filter("doc_id < 0"), pa, "doc_id", 4
+        )
+    assert sh.read_training_shards(spark, pa).count() == 40  # old gen intact
+    assert all(r["ok"] for r in sh.verify_shards(spark, pa).collect())

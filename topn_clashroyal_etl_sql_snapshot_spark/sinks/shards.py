@@ -22,13 +22,25 @@ Design:
 - **Write** (:func:`write_training_shards`): one ``partitionBy(shard_id)``
   parquet write — shard directories are Hive-style
   ``shard_id=N/part-*.parquet``, so readers prune to their shard via
-  partition pruning without listing the others.
-- **Manifest**: per-shard ``(shard_id, n_rows, n_weight, content_xor)``
-  computed in ONE groupBy aggregation. ``content_xor`` is
-  ``bit_xor(xxhash64(*columns))`` — order-independent (XOR commutes, so
-  the checksum is stable under any partitioning/row order) and
-  overflow-free (no sum in ANSI mode to trap). The same aggregation
-  re-run at read time is the integrity check (:func:`verify_shards`).
+  partition pruning without listing the others. The manifest is
+  computed from the WRITTEN files read back (r11: computing it from
+  the input lineage re-executed the whole upstream as a second job,
+  and any nondeterminism upstream would make the manifest describe
+  data that was never written — an unresolvable false corruption
+  alarm). :func:`write_training_shards_atomic` adds the
+  stage-and-swap publish (shared machinery with
+  ``snapshot.write_snapshot_atomic``) so a failed write can never
+  destroy the previous good shard set.
+- **Manifest**: per-shard ``(shard_id, n_rows, n_weight, content_xor,
+  weight_col)`` computed in ONE groupBy aggregation over the read-back
+  payload. ``content_xor`` is ``bit_xor(xxhash64(*columns,
+  null_bitmap))`` — order-independent across ROWS (XOR commutes),
+  name-canonical across COLUMNS (sorted), and NULL-position-aware
+  (Spark's xxhash64 skips NULL lanes, so without the bitmap a value
+  sliding between a column and a NULL neighbor hashed identically —
+  r11 review finding). The recorded ``weight_col`` makes verification
+  self-describing. The same aggregation re-run at read time is the
+  integrity check (:func:`verify_shards`).
 """
 
 from __future__ import annotations
@@ -61,15 +73,32 @@ def with_shard(
 ) -> DataFrame:
     """Adds ``shard_col``. Rows sharing a key share a shard (documents
     and their chunks co-locate when keyed on doc id — the leakage /
-    locality property a round-robin assignment loses)."""
+    locality property a round-robin assignment loses). Raises if the
+    column already exists: silently replacing it would drop real data
+    from the payload AND from the content checksum (r11 review
+    finding — e.g. re-sharding read-back shards, where ``shard_id``
+    returns as a regular column; drop or rename it explicitly)."""
+    if shard_col in df.columns:
+        raise ValueError(
+            f"input already has a {shard_col!r} column — dropping or "
+            "renaming it must be explicit, or its data would silently "
+            "vanish from the payload and the checksum"
+        )
     return df.withColumn(shard_col, shard_expr(key, n_shards, seed))
 
 
 def _content_hash(df: DataFrame, exclude: tuple[str, ...]) -> Column:
-    cols = [c for c in df.columns if c not in exclude]
+    # sorted: the hash must not depend on column ORDER (read-back
+    # parquet appends partition columns last). The null bitmap makes
+    # NULL positions significant — xxhash64 skips NULL lanes, so
+    # ('a', NULL) and (NULL, 'a') hashed identically without it.
+    cols = sorted(c for c in df.columns if c not in exclude)
     if not cols:
         raise ValueError("no content columns to checksum")
-    return F.xxhash64(*[F.col(c) for c in cols])
+    bitmap = F.concat_ws(
+        ",", *[F.col(c).isNull().cast("int").cast("string") for c in cols]
+    )
+    return F.xxhash64(*[F.col(c) for c in cols], bitmap)
 
 
 def shard_manifest(
@@ -77,11 +106,12 @@ def shard_manifest(
     weight_col: str | None = None,
     shard_col: str = "shard_id",
 ) -> DataFrame:
-    """(shard_id, n_rows, n_weight, content_xor) per shard, one
-    aggregation. ``n_weight`` sums ``weight_col`` (token counts — the
-    number a training loader actually schedules by) or equals
-    ``n_rows``. ``content_xor`` XORs a row hash over EVERY non-shard
-    column — any lost, duplicated, or altered row flips it."""
+    """(shard_id, n_rows, n_weight, content_xor, weight_col) per shard,
+    one aggregation. ``n_weight`` sums ``weight_col`` (token counts —
+    the number a training loader actually schedules by) or equals
+    ``n_rows``; the column NAME rides along so :func:`verify_shards`
+    can recompute with the same semantics without the caller having to
+    remember them (r11 review finding)."""
     w = (
         F.col(weight_col).cast("long")
         if weight_col
@@ -93,6 +123,10 @@ def shard_manifest(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(w).alias("n_weight"),
             F.bit_xor(_content_hash(sharded, (shard_col,))).alias("content_xor"),
+        )
+        .withColumn(
+            "weight_col",
+            F.lit(weight_col).cast("string"),
         )
         .orderBy(shard_col)
     )
@@ -110,12 +144,24 @@ def write_training_shards(
     records_per_file: int | None = None,
 ) -> None:
     """Shard-assign, write ``path/shard_id=N/`` parquet directories,
-    and write the manifest to ``path/_manifest/``. Two jobs total (the
-    payload write and the manifest aggregation); both scale as one
-    pass over the data. The manifest is computed from the SAME sharded
-    frame that was written, so a later :func:`verify_shards` detects
-    any divergence between what the pipeline produced and what is on
-    disk.
+    and write the manifest to ``path/_manifest/``. The manifest is
+    computed from the written files READ BACK — one extra parquet scan
+    instead of a second execution of the whole upstream lineage, and
+    by construction it describes exactly what is on disk (r11 review
+    finding: a nondeterministic upstream used to make the manifest and
+    the payload describe different data, an undiagnosable permanent
+    verify failure).
+
+    Refuses an EMPTY input: a zero-row partitioned write emits no data
+    files and every later read/verify crashes with an
+    unable-to-infer-schema error — failing fast at the producer beats
+    failing at every consumer (r11 review finding). The overwrite is
+    pinned to STATIC partition-overwrite mode so a session-wide
+    dynamic setting cannot leave stale shard directories from a
+    previous larger write (r11 review finding); it is still an
+    in-place destructive overwrite — use
+    :func:`write_training_shards_atomic` where a mid-write failure
+    must not destroy the previous good generation.
 
     ``coalesce_shards`` (default True) repartitions on the shard key
     before the write — the small-files guard: a raw
@@ -128,26 +174,81 @@ def write_training_shards(
     instead of one monolith. Set ``coalesce_shards=False`` only when
     the input is already partitioned by the shard key (e.g. re-writing
     read-back shards) and the extra exchange would be pure waste."""
+    if df.isEmpty():
+        raise ValueError(
+            "refusing to write an empty shard set: a zero-row "
+            "partitioned write emits no data files and every later "
+            "read_training_shards/verify_shards would crash on it"
+        )
     sharded = with_shard(df, key, n_shards, seed, shard_col)
     if coalesce_shards:
         sharded = sharded.repartition(n_shards, F.col(shard_col))
-    writer = sharded.write.mode("overwrite")
+    writer = sharded.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    )
     if records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", int(records_per_file))
     writer.partitionBy(shard_col).parquet(path)
-    manifest = shard_manifest(sharded, weight_col, shard_col)
+    manifest = shard_manifest(
+        read_training_shards(df.sparkSession, path, shard_col=shard_col),
+        weight_col,
+        shard_col,
+    )
     manifest.write.mode("overwrite").parquet(os.path.join(path, MANIFEST_DIR))
 
 
+def write_training_shards_atomic(
+    df: DataFrame,
+    path: str,
+    key: str | Column,
+    n_shards: int,
+    seed: int = 42,
+    weight_col: str | None = None,
+    shard_col: str = "shard_id",
+    coalesce_shards: bool = True,
+    records_per_file: int | None = None,
+) -> None:
+    """All-or-nothing shard publish: :func:`write_training_shards` into
+    ``<path>__staging``, then the shared stage-and-swap
+    (``snapshot.atomic_dir_publish`` — same crash-recovery discipline
+    as the warehouse snapshot). A failure anywhere before the swap
+    leaves the previous complete shard set serving untouched; readers
+    see the full old generation or the full new one, never a mix and
+    never a payload without its manifest. Local filesystems only (the
+    swap is driver-local renames)."""
+    from .snapshot import atomic_dir_publish
+
+    atomic_dir_publish(
+        path,
+        lambda staging: write_training_shards(
+            df,
+            staging,
+            key,
+            n_shards,
+            seed,
+            weight_col,
+            shard_col,
+            coalesce_shards,
+            records_per_file,
+        ),
+        caller="write_training_shards_atomic",
+    )
+
+
 def read_training_shards(
-    spark: SparkSession, path: str, shard_ids: list[int] | None = None
+    spark: SparkSession,
+    path: str,
+    shard_ids: list[int] | None = None,
+    shard_col: str = "shard_id",
 ) -> DataFrame:
     """Read the payload (all shards, or a worker's subset — the filter
     prunes to the named shard directories via partition pruning;
-    ``shard_id`` comes back as a partition column)."""
+    ``shard_col`` comes back as a partition column). ``shard_col``
+    must match the write (r11: it was hardcoded here while the writer
+    accepted any name)."""
     df = spark.read.option("basePath", path).parquet(path)
     if shard_ids is not None:
-        df = df.filter(F.col("shard_id").isin([int(s) for s in shard_ids]))
+        df = df.filter(F.col(shard_col).isin([int(s) for s in shard_ids]))
     return df
 
 
@@ -158,36 +259,53 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
 def verify_shards(
     spark: SparkSession,
     path: str,
-    weight_col: str | None = None,
+    weight_col: str | None = "auto",
+    shard_col: str = "shard_id",
 ) -> DataFrame:
     """Recompute the manifest from the payload on disk and join it
     against the stored manifest: (shard_id, ok, stored_rows,
     actual_rows, stored_xor, actual_xor), full outer so missing or
     extra shards surface as rows with NULLs on one side. ``ok`` is
-    row-count + weight + checksum equality. One scan of the payload;
-    the integrity decision is ``WHERE NOT ok``."""
+    row-count + weight + checksum equality, NULL-SAFE (an all-NULL
+    weight column sums to NULL on both sides — equal data must verify
+    ok, not alarm; r11 review finding). ``weight_col="auto"`` (the
+    default) reads the weight semantics the manifest recorded at write
+    time, so a bare ``verify_shards(spark, path)`` can never flag an
+    intact shard set just because the caller forgot the write-time
+    weight column (r11 review finding); pass an explicit name or
+    ``None`` to override. One scan of the payload; the integrity
+    decision is ``WHERE NOT ok``."""
+    stored_manifest = read_manifest(spark, path)
+    if weight_col == "auto":
+        wc_rows = stored_manifest.select("weight_col").limit(1).collect()
+        weight_col = wc_rows[0]["weight_col"] if wc_rows else None
     actual = shard_manifest(
-        read_training_shards(spark, path), weight_col
+        read_training_shards(spark, path, shard_col=shard_col),
+        weight_col,
+        shard_col,
     ).select(
-        F.col("shard_id"),
+        F.col(shard_col),
         F.col("n_rows").alias("actual_rows"),
         F.col("n_weight").alias("actual_weight"),
         F.col("content_xor").alias("actual_xor"),
     )
-    stored = read_manifest(spark, path).select(
-        F.col("shard_id"),
+    stored = stored_manifest.select(
+        F.col(shard_col),
         F.col("n_rows").alias("stored_rows"),
         F.col("n_weight").alias("stored_weight"),
         F.col("content_xor").alias("stored_xor"),
     )
-    joined = stored.join(actual, "shard_id", "full_outer")
+    joined = stored.join(actual, shard_col, "full_outer")
     ok = (
-        (F.col("stored_rows") == F.col("actual_rows"))
-        & (F.col("stored_weight") == F.col("actual_weight"))
-        & (F.col("stored_xor") == F.col("actual_xor"))
+        F.col("stored_rows").eqNullSafe(F.col("actual_rows"))
+        & F.col("stored_weight").eqNullSafe(F.col("actual_weight"))
+        & F.col("stored_xor").eqNullSafe(F.col("actual_xor"))
+        # a side missing entirely (full-outer NULL row) must still fail
+        & F.col("stored_rows").isNotNull()
+        & F.col("actual_rows").isNotNull()
     )
     return joined.select(
-        "shard_id",
+        shard_col,
         F.coalesce(ok, F.lit(False)).alias("ok"),
         "stored_rows",
         "actual_rows",
@@ -195,4 +313,4 @@ def verify_shards(
         "actual_weight",
         "stored_xor",
         "actual_xor",
-    ).orderBy("shard_id")
+    ).orderBy(shard_col)

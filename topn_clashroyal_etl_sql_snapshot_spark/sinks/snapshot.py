@@ -80,11 +80,31 @@ def write_snapshot_atomic(
     front — on HDFS use the Hadoop FileSystem rename; on object
     stores point readers through a catalog/manifest and publish by
     updating the pointer."""
-    base = warehouse_dir.rstrip("/")
+    atomic_dir_publish(
+        warehouse_dir,
+        lambda staging: write_snapshot(tables, staging, partition_keys),
+        caller="write_snapshot_atomic",
+    )
+
+
+def atomic_dir_publish(
+    base_dir: str, write_fn, caller: str = "atomic publish"
+) -> None:
+    """Stage-and-swap a directory-valued artifact: ``write_fn(staging)``
+    writes the full new generation to ``<base>__staging``; only after
+    it returns is the serving directory swapped (current → ``__old``,
+    staging → current, ``__old`` removed), with the crash-recovery
+    discipline a publish needs (a run parked at ``__old`` is restored
+    BEFORE re-staging, so the rollback copy is never destroyed while it
+    is the only complete generation). Shared by
+    :func:`write_snapshot_atomic` and the training-shard sink's atomic
+    writer — one implementation, so the two sinks' publish semantics
+    cannot drift (r11)."""
+    base = base_dir.rstrip("/")
     if "://" in base:
         raise ValueError(
-            "write_snapshot_atomic swaps directories with driver-local "
-            f"renames; non-local warehouse_dir {warehouse_dir!r} is not "
+            f"{caller} swaps directories with driver-local "
+            f"renames; non-local path {base_dir!r} is not "
             "supported (use a catalog pointer or Hadoop FileSystem rename)"
         )
     staging, old = base + "__staging", base + "__old"
@@ -97,7 +117,7 @@ def write_snapshot_atomic(
             # crashed between the two renames: __old holds the ONLY
             # complete snapshot — restore it to serving first
             os.rename(old, base)
-    write_snapshot(tables, staging, partition_keys)
+    write_fn(staging)
     if os.path.exists(base):
         os.rename(base, old)
     os.rename(staging, base)
