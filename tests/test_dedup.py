@@ -1529,3 +1529,31 @@ def test_simhash_incremental_matches_full_corpus_plan(spark):
     }
     assert (102, 3) in got_capped
     assert not any(b >= 500 for _, b in got_capped)
+
+
+def test_spread_plan_probe_ignores_node_words_in_literals(spark, tmp_path):
+    """r11 advisor finding: the wide-plan probe must anchor node names
+    to plan-tree line starts — a filter literal containing 'Join us'
+    (or a column named Sort_key) is still a NARROW plan and gets the
+    CPU-spread repartition; a genuine aggregate plan is still detected
+    as wide and skipped."""
+    par = spark.sparkContext.defaultParallelism
+    p = str(tmp_path / "narrow.parquet")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)],
+        "doc_id long, Sort_key string",
+    ).coalesce(1).write.parquet(p)
+    # a tiny parquet scan is one split → one partition, and scan+filter
+    # is a narrow plan — the probe must spread it despite the literal
+    narrow = spark.read.parquet(p).filter(
+        F.col("Sort_key") != "Join us, Window shoppers Union"
+    )
+    assert narrow.rdd.getNumPartitions() < par
+    spread = dedup._spread(narrow, "doc_id")
+    assert spread.rdd.getNumPartitions() == par
+    wide = (
+        spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+        .groupBy("doc_id")
+        .count()
+    )
+    assert dedup._spread(wide, "doc_id") is wide

@@ -416,3 +416,25 @@ def test_pq_degenerate_guards_r11(spark):
 
     with pytest.raises(ValueError, match="nprobe"):
         pq.pq_topk(df, model, nprobe=0)
+
+
+def test_fitted_centroids_below_nprobe_take_full_probe_path(spark):
+    """r11 advisor finding: when ivf_centroids returns fewer centroids
+    than requested (small corpus) and len(cents) <= nprobe < n_coarse,
+    the search must switch to the full-probe shortcut (the probed path
+    would pay two assignment jobs for an effectively full probe) —
+    identical results, visible as the BNLJ short-circuit in the plan."""
+    from pyspark.sql import functions as F
+
+    df, _, _ = _clustered(spark, n=20)
+    model = pq.fit_pq_codebooks(df, m=4, k=4, lloyd_rounds=1)
+    kw = dict(k=2, rerank=30, query_filter=F.col("vec_id") < 5)
+    # n_coarse=50 on a 20-vector corpus fits 20 centroids; nprobe=25
+    # sits between them — effectively a full probe
+    eff_full = pq.pq_topk(df, model, n_coarse=50, nprobe=25, **kw)
+    plan = eff_full._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    want = sorted(
+        map(tuple, pq.pq_topk(df, model, n_coarse=50, nprobe=50, **kw).collect())
+    )
+    assert sorted(map(tuple, eff_full.collect())) == want

@@ -244,3 +244,35 @@ def test_shards_guards_and_atomic_r11(spark, tmp_path):
         )
     assert sh.read_training_shards(spark, pa).count() == 40  # old gen intact
     assert all(r["ok"] for r in sh.verify_shards(spark, pa).collect())
+
+
+def test_verify_r12_manifest_compat_and_auto_sentinel(spark, tmp_path):
+    """r11 advisor findings: a pre-r11 manifest (no weight_col column,
+    old checksum format) raises a rewrite instruction instead of
+    crashing or reporting intact shards as corrupted; the auto-weight
+    sentinel is a non-string object, so a payload column literally
+    named 'auto' is treated as a column name, never as the sentinel."""
+    df = spark.createDataFrame(
+        [(i, f"t{i}", i + 1) for i in range(30)],
+        "doc_id long, text string, auto long",
+    )
+    p = str(tmp_path / "autocol")
+    shards.write_training_shards(df, p, "doc_id", 3, weight_col="auto")
+    # default (sentinel) reads the recorded name; the string "auto"
+    # names the COLUMN — both verify green on intact data
+    assert all(r["ok"] for r in shards.verify_shards(spark, p).collect())
+    rep = shards.verify_shards(spark, p, weight_col="auto").collect()
+    assert all(r["ok"] for r in rep)
+    assert {r["stored_weight"] for r in rep} != {r["stored_rows"] for r in rep}
+
+    # simulate a pre-r11 manifest: drop weight_col from the stored one
+    import os
+
+    mpath = os.path.join(p, shards.MANIFEST_DIR)
+    old = spark.read.parquet(mpath).drop("weight_col")
+    old_rows, old_schema = old.collect(), old.schema
+    spark.createDataFrame(old_rows, old_schema).write.mode(
+        "overwrite"
+    ).parquet(mpath)
+    with pytest.raises(ValueError, match="predates the current format"):
+        shards.verify_shards(spark, p)

@@ -50,6 +50,22 @@ _WIDE_PLAN_NODES = (
     "RepartitionByExpression", "Sort", "GlobalLimit", "Union",
 )
 
+# Node names are matched at the START of a plan-tree line (after the
+# tree-drawing prefix and an optional unresolved-plan quote), word-
+# bounded — raw substring containment classified any plan whose COLUMN
+# NAMES or string literals contained a node word (a literal 'Join us')
+# as wide and silently skipped the CPU-spread (r11 advisor finding).
+# Longest alternative first so 'Repartition' can't shadow
+# 'RepartitionByExpression' (either way one matches, but keep it
+# deterministic).
+import re as _re
+
+_WIDE_PLAN_RE = _re.compile(
+    r"^[\s+:\-]*'?(?:%s)\b"
+    % "|".join(sorted(_WIDE_PLAN_NODES, key=len, reverse=True)),
+    _re.MULTILINE,
+)
+
 
 def _spread(docs: DataFrame, id_col: str) -> DataFrame:
     """CPU-parallelism guard. Tokenize/shingle/hash work is CPU-bound
@@ -66,10 +82,13 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
     partition count — and the caller's later consumption re-runs them
     (r11 review finding). A plan containing a wide node already has a
     shuffle.partitions-sized output, so the spread would be a no-op
-    there anyway; skip the probe entirely."""
+    there anyway; skip the probe entirely. Node detection anchors on
+    plan-tree line starts (``_WIDE_PLAN_RE``), not raw substring
+    containment, so a column name or filter literal containing a node
+    word cannot fake a wide plan (r11 advisor finding)."""
     sc = docs.sparkSession.sparkContext
     plan = docs._jdf.queryExecution().analyzed().toString()
-    if any(node in plan for node in _WIDE_PLAN_NODES):
+    if _WIDE_PLAN_RE.search(plan):
         return docs
     if docs.rdd.getNumPartitions() >= sc.defaultParallelism:
         return docs

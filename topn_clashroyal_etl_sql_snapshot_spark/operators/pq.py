@@ -503,6 +503,18 @@ def pq_topk(
             else ivf_centroids(embeddings, n_coarse, id_col, vec_col)
         )
     )
+    # Re-check against the FITTED centroid count: ivf_centroids can
+    # return fewer than n_coarse on a small/filtered corpus, and with
+    # len(cents) <= nprobe < n_coarse the probed path would pay two
+    # extra assignment jobs for an effectively full probe — identical
+    # results, wasted work (r11 advisor finding).
+    if (
+        not full_probe_batch
+        and query_filter is not None
+        and cents is not None
+        and nprobe >= len(cents)
+    ):
+        full_probe_batch = True
     q = embeddings if query_filter is None else embeddings.filter(query_filter)
     if not full_probe_batch:
         corpus_assign = _nearest_centroids(embeddings, cents, 1, id_col, vec_col)

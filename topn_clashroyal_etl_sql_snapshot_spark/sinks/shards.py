@@ -53,6 +53,19 @@ from pyspark.sql import functions as F
 MANIFEST_DIR = "_manifest"
 
 
+class _AutoWeight:
+    """Non-string sentinel for :func:`verify_shards`'s default weight
+    semantics — a STRING sentinel ("auto") would collide with a payload
+    column literally named ``auto`` (r11 advisor finding): strings
+    always name columns, only this object means 'read the manifest'."""
+
+    def __repr__(self) -> str:  # shows as the default in help()/docs
+        return "AUTO_WEIGHT"
+
+
+AUTO_WEIGHT = _AutoWeight()
+
+
 def shard_expr(key: str | Column, n_shards: int, seed: int = 42) -> Column:
     """Deterministic shard id in [0, n_shards) — IS
     ``sampling.bucket_expr`` (delegated, not re-implemented, so shard
@@ -172,8 +185,13 @@ def write_training_shards(
     pair it with ``records_per_file`` (Spark's ``maxRecordsPerFile``)
     so a big shard re-splits into bounded files WITHIN its directory
     instead of one monolith. Set ``coalesce_shards=False`` only when
-    the input is already partitioned by the shard key (e.g. re-writing
-    read-back shards) and the extra exchange would be pure waste."""
+    the input is already clustered by the shard key and the extra
+    exchange would be pure waste. Note for the re-write-read-back-
+    shards case specifically: ``with_shard`` REFUSES an input that
+    already carries ``shard_col`` (silent replacement would drop the
+    column from payload and checksum), so drop or rename the read-back
+    ``shard_id`` before passing the frame here (r11 advisor finding —
+    this docstring used to recommend the flow without that step)."""
     if df.isEmpty():
         raise ValueError(
             "refusing to write an empty shard set: a zero-row "
@@ -259,7 +277,7 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
 def verify_shards(
     spark: SparkSession,
     path: str,
-    weight_col: str | None = "auto",
+    weight_col: str | None | _AutoWeight = AUTO_WEIGHT,
     shard_col: str = "shard_id",
 ) -> DataFrame:
     """Recompute the manifest from the payload on disk and join it
@@ -268,15 +286,33 @@ def verify_shards(
     extra shards surface as rows with NULLs on one side. ``ok`` is
     row-count + weight + checksum equality, NULL-SAFE (an all-NULL
     weight column sums to NULL on both sides — equal data must verify
-    ok, not alarm; r11 review finding). ``weight_col="auto"`` (the
-    default) reads the weight semantics the manifest recorded at write
-    time, so a bare ``verify_shards(spark, path)`` can never flag an
-    intact shard set just because the caller forgot the write-time
-    weight column (r11 review finding); pass an explicit name or
-    ``None`` to override. One scan of the payload; the integrity
-    decision is ``WHERE NOT ok``."""
+    ok, not alarm; r11 review finding). ``weight_col=AUTO_WEIGHT``
+    (the default — a non-string sentinel, so a payload column
+    literally named "auto" cannot collide with it) reads the weight
+    semantics the manifest recorded at write time, so a bare
+    ``verify_shards(spark, path)`` can never flag an intact shard set
+    just because the caller forgot the write-time weight column (r11
+    review finding); pass an explicit name or ``None`` to override.
+    One scan of the payload; the integrity decision is ``WHERE NOT
+    ok``.
+
+    A manifest WITHOUT the ``weight_col`` column predates the current
+    format (which also changed the checksum to sorted-column +
+    NULL-bitmap) — its checksums are incomparable with the recomputed
+    ones, so verification cannot distinguish corruption from format
+    drift; that raises loudly with a rewrite instruction instead of
+    crashing on the missing column or reporting an intact shard set as
+    corrupted (r11 advisor finding)."""
     stored_manifest = read_manifest(spark, path)
-    if weight_col == "auto":
+    if "weight_col" not in stored_manifest.columns:
+        raise ValueError(
+            f"manifest at {path!r} predates the current format (no "
+            "weight_col column; its content_xor also used the old "
+            "unordered/NULL-blind hash, so a checksum compare would "
+            "report intact shards as corrupted) — rewrite the shards "
+            "with write_training_shards to upgrade the manifest"
+        )
+    if isinstance(weight_col, _AutoWeight):
         wc_rows = stored_manifest.select("weight_col").limit(1).collect()
         weight_col = wc_rows[0]["weight_col"] if wc_rows else None
     actual = shard_manifest(
