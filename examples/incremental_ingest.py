@@ -34,6 +34,11 @@ THIS is the shape a daily pipeline runs):
    the labels frame is never shuffled — so ``split_by_component``
    keeps a current, leakage-safe component key across ingest days
    without ever re-walking historical pairs.
+   **Persisted keepers (r12)**: the corpus keeper decisions ride the
+   same incremental discipline — ``component_keepers_incremental``
+   re-picks champions only inside components the batch touched and
+   reuses every other prior decision verbatim (equal to the full
+   re-pick, test-pinned).
 6. **Mixture ledger (r11)** — the admitted docs pass the
    ``mixture_sample_incremental`` gate against a persisted per-domain
    kept-weight ledger, so the RUNNING corpus converges to the target
@@ -134,13 +139,26 @@ def run(spark, sf_dir: str) -> dict:
     day0_labels = dedup.connected_components(
         dedup.minhash_lsh_verified_pairs(corpus, threshold=0.5)
     ).localCheckpoint(eager=True)
-    labels1 = dedup.connected_components_incremental(day0_labels, pairs)
+    labels1 = dedup.connected_components_incremental(
+        day0_labels, pairs
+    ).localCheckpoint(eager=True)
     planted_comp = {
         r["id"]: r["comp"]
         for r in labels1.filter(
             F.col("id").isin(planted_id, sample["doc_id"])
         ).collect()
     }
+
+    # Day 1, persisted keepers (r12): champions re-picked ONLY inside
+    # batch-touched components, prior decisions reused verbatim — the
+    # corpus-wide keeper frame follows the labels frame incrementally
+    day0_keepers = dedup.component_keepers(
+        day0_labels, quality
+    ).localCheckpoint(eager=True)
+    keepers1 = dedup.component_keepers_incremental(
+        labels1, day0_keepers, pairs, quality
+    )
+    n_keepers1 = keepers1.filter(F.col("keep")).count()
 
     # Day 1, mixture ledger: the dedup-admitted docs pass the domain
     # gate against yesterday's per-source kept-weight ledger (here:
@@ -179,6 +197,8 @@ def run(spark, sf_dir: str) -> dict:
         "updated_index_rows": updated.count(),
         "updated_bloom_words": bloom_updated.count(),
         "updated_labels_rows": labels1.count(),
+        "updated_keeper_rows": keepers1.count(),
+        "updated_keep_true": n_keepers1,
         "mixture_admitted": n_mixed,
         "mixture_ledger_total": ledger_total,
         "pair_endpoint_ids": (

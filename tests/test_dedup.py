@@ -1557,3 +1557,127 @@ def test_spread_plan_probe_ignores_node_words_in_literals(spark, tmp_path):
         .count()
     )
     assert dedup._spread(wide, "doc_id") is wide
+
+
+def _keeper_map(rows):
+    return {r["id"]: (r["comp"], r["keep"]) for r in rows}
+
+
+def test_component_keepers_incremental_basics(spark):
+    """Changed-components-only keeper recompute: a batch edge merging
+    two old components re-picks ONE champion across the union (the
+    stale keeper rows keyed by the losing component's OLD label must
+    vanish, not survive as a duplicate champion); untouched components
+    reuse their prior decisions byte-for-byte; the result equals the
+    full component_keepers over the updated labels."""
+    hist = spark.createDataFrame(
+        [(2, 3), (5, 6), (100, 101)], "id1 long, id2 long"
+    )
+    labels0 = dedup.connected_components(hist)
+    scores = spark.createDataFrame(
+        [(2, 1.0), (3, 9.0), (5, 2.0), (6, 8.0), (100, 4.0), (101, 3.0)],
+        "id long, score double",
+    )
+    keep0 = dedup.component_keepers(labels0, scores)
+    assert _keeper_map(keep0.collect())[6] == (5, True)  # comp 5 champion
+
+    new = spark.createDataFrame([(3, 6)], "id1 long, id2 long")
+    labels1 = dedup.connected_components_incremental(labels0, new)
+    got = _keeper_map(
+        dedup.component_keepers_incremental(
+            labels1, keep0, new, scores
+        ).collect()
+    )
+    want = _keeper_map(dedup.component_keepers(labels1, scores).collect())
+    assert got == want
+    # merged component {2,3,5,6} relabeled to 2; 3 (score 9) is the one
+    # champion — old comp-5 keeper rows are gone, untouched 100 stands
+    assert got[3] == (2, True) and got[6] == (2, False)
+    assert got[100] == (100, True) and got[101] == (100, False)
+    assert sum(1 for c, k in got.values() if k and c == 2) == 1
+
+    # idempotent re-feed: same batch against updated labels + keepers
+    again = _keeper_map(
+        dedup.component_keepers_incremental(
+            labels1,
+            dedup.component_keepers_incremental(labels1, keep0, new, scores),
+            new,
+            scores,
+        ).collect()
+    )
+    assert again == got
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15])
+def test_component_keepers_incremental_matches_full(spark, seed):
+    """Randomized differential over (history, batch) splits: incremental
+    keeper recompute ≡ full component_keepers(updated labels) — random
+    graphs, partial scores (unscored members exercise the min-id
+    fallback), both score polarities."""
+    rng = random.Random(seed)
+    hist_edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(40)
+    ]
+    hist_edges = [(a, b) for a, b in hist_edges if a != b]
+    new_edges = [
+        (rng.randrange(90), rng.randrange(90)) for _ in range(30)
+    ]
+    new_edges = [(a, b) for a, b in new_edges if a != b]
+    ids = sorted({x for e in hist_edges + new_edges for x in e})
+    scored = [
+        (i, round(rng.uniform(0, 10), 3)) for i in ids if rng.random() < 0.7
+    ]
+    hdf = spark.createDataFrame(hist_edges, "id1 long, id2 long")
+    ndf = spark.createDataFrame(new_edges, "id1 long, id2 long")
+    sdf = spark.createDataFrame(scored, "id long, score double")
+    hib = seed % 2 == 0
+
+    labels0 = dedup.connected_components(hdf)
+    keep0 = dedup.component_keepers(labels0, sdf, higher_is_better=hib)
+    labels1 = dedup.connected_components_incremental(labels0, ndf)
+    got = _keeper_map(
+        dedup.component_keepers_incremental(
+            labels1, keep0, ndf, sdf, higher_is_better=hib
+        ).collect()
+    )
+    want = _keeper_map(
+        dedup.component_keepers(labels1, sdf, higher_is_better=hib).collect()
+    )
+    assert got == want
+
+
+def test_component_keepers_incremental_fuse_and_plan(spark, tmp_path):
+    """The batch fuse trips before any work; on persisted parquet
+    frames (a real day-N run) the final adaptive plan joins everything
+    by broadcast at this size — the persisted keepers/labels frames are
+    never sort-merge/shuffle-hash joined, and no Python or cartesian
+    appears anywhere."""
+    hist = spark.createDataFrame(
+        [(i, i + 1000) for i in range(100)], "id1 long, id2 long"
+    )
+    scores = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(2000)], "id long, score double"
+    )
+    lab_p, keep_p = str(tmp_path / "lab"), str(tmp_path / "keep")
+    labels0 = dedup.connected_components(hist)
+    labels0.write.parquet(lab_p)
+    labels0 = spark.read.parquet(lab_p)
+    dedup.component_keepers(labels0, scores).write.parquet(keep_p)
+    keep0 = spark.read.parquet(keep_p)
+
+    batch = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id1 long, id2 long"
+    )
+    with pytest.raises(ValueError, match="max_batch_pairs"):
+        dedup.component_keepers_incremental(
+            labels0, keep0, batch, scores, max_batch_pairs=5
+        )
+    labels1 = dedup.connected_components_incremental(labels0, batch)
+    out = dedup.component_keepers_incremental(labels1, keep0, batch, scores)
+    out.collect()
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]  # AQE appends pre-adaptive SMJs
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan

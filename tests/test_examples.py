@@ -133,6 +133,11 @@ def test_incremental_ingest_example(spark):
     # a k-clique contributes k(k-1)/2 pairs but only k label rows
     assert out["planted_pair_shares_component"] is True
     assert out["updated_labels_rows"] >= out["pair_endpoint_ids"]
+    # r12: the persisted keeper frame follows the labels frame — one
+    # keeper row per labeled id, exactly one keep per component (so
+    # keep_true == number of distinct components ≤ label rows)
+    assert out["updated_keeper_rows"] == out["updated_labels_rows"]
+    assert 1 <= out["updated_keep_true"] <= out["updated_labels_rows"]
     # r11: the mixture ledger gates the dedup-admitted docs and its
     # accounting is exact (history + actually-admitted)
     assert 0 <= out["mixture_admitted"] <= out["batch_docs_admitted"]

@@ -2072,10 +2072,11 @@ def connected_components_incremental(
     batch, or fall back to a full :func:`connected_components` run.
     Pass ``None`` to disable.
 
-    Compositions: downstream :func:`component_keepers` only needs
-    recomputing for components whose label changed — filter the
-    updated frame to labels in the batch endpoints' merged roots and
-    re-pick keepers there; everything else is stable by construction.
+    Compositions: downstream keeper selection only needs recomputing
+    for components touched by the batch —
+    :func:`component_keepers_incremental` implements exactly that
+    (filter the updated frame to the touched components, re-pick
+    keepers there, union the untouched prior keepers).
     Streaming ingest composes via ``foreachBatch``: CC is iterative
     (no single-pass stateful-operator form exists), so the per-micro-
     batch merge against the persisted labels IS the streaming mode,
@@ -2252,3 +2253,106 @@ def component_keepers(
             (F.col(id_col) == F.col("_keep_id")).alias("keep"),
         )
     )
+
+
+def component_keepers_incremental(
+    updated_labels: DataFrame,
+    prior_keepers: DataFrame,
+    new_pairs: DataFrame,
+    scores: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    id_col: str = "id",
+    comp_col: str = "comp",
+    score_col: str = "score",
+    higher_is_better: bool = True,
+    max_batch_pairs: int | None = 1_000_000,
+) -> DataFrame:
+    """Changed-components-only keeper recompute — the composition
+    :func:`connected_components_incremental`'s docstring promises,
+    implemented (r11 verdict, Next #3): at 10¹¹ docs, re-picking
+    keepers corpus-wide after a daily merge would negate the
+    incremental CC win, so only components TOUCHED by the batch are
+    re-picked and every other keeper decision is reused verbatim.
+
+    Inputs: ``updated_labels`` is the post-merge labels frame
+    (:func:`connected_components_incremental`'s return),
+    ``prior_keepers`` the persisted previous :func:`component_keepers`
+    (or this function's) result — (id, comp, keep) with comp = the
+    PRE-merge labels — ``new_pairs`` the day's pair batch (the same
+    frame fed to the CC merge), and ``scores`` the per-doc quality
+    frame ``component_keepers`` expects. Returns the full updated
+    (id, comp, keep) frame, exactly equal to
+    ``component_keepers(updated_labels, scores)`` (randomized
+    differential, test-pinned) provided ``scores`` is the same frame
+    both calls see.
+
+    A component is touched iff it contains a batch endpoint. Its
+    membership can only change through a batch edge, so untouched
+    components keep identical members, labels, and champions — reused
+    without recomputation. Crucially the touched set collects BOTH
+    label generations: the endpoints' comps in ``updated_labels`` (the
+    merged labels the re-pick filters on) AND their comps in
+    ``prior_keepers`` (a merge can relabel component A to B's smaller
+    root, and A's stale keeper rows — keyed by the OLD label — must
+    fall to the anti-join, not survive as a duplicate champion).
+
+    Plan — the two corpus-sized persisted frames are never shuffled:
+    batch endpoints broadcast-probe ``prior_keepers`` and
+    ``updated_labels`` (two map-side scans) to build the touched-root
+    set (batch-bounded: ≤ 2 comps per endpoint); touched roots
+    broadcast back against both frames for the semi/anti split (two
+    more map-side scans, zero exchanges on either persisted frame).
+    Only the re-pick itself exchanges: ``scores`` is semi-filtered to
+    the touched membership (AQE broadcasts the member-id side while it
+    fits, degrading to one id-keyed shuffle join when a huge component
+    is touched — membership is component-bounded, not batch-bounded,
+    so no broadcast pin would be honest), then
+    :func:`component_keepers` runs at touched size. ``max_batch_pairs``
+    is the same broadcast fuse as the CC merge and fires for the same
+    reason."""
+    edges = new_pairs.select(
+        F.col(id1).alias("a"), F.col(id2).alias("b")
+    ).localCheckpoint(eager=False)
+    if max_batch_pairs is not None:
+        n = edges.limit(max_batch_pairs + 1).count()
+        if n > max_batch_pairs:
+            raise ValueError(
+                f"new_pairs exceeds max_batch_pairs={max_batch_pairs}: the "
+                "incremental keeper recompute broadcasts batch-bounded "
+                "endpoint/root maps; chunk the batch or run "
+                "component_keepers over the full labels frame"
+            )
+    ep = (
+        edges.select(F.col("a").alias(id_col))
+        .unionAll(edges.select(F.col("b").alias(id_col)))
+        .distinct()
+        .localCheckpoint(eager=False)  # probes BOTH label generations
+    )
+    touched = (
+        updated_labels.join(F.broadcast(ep), id_col, "inner")
+        .select(comp_col)
+        .unionByName(
+            prior_keepers.join(F.broadcast(ep), id_col, "inner").select(
+                comp_col
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by semi, anti, and scores
+    )
+    members = updated_labels.join(F.broadcast(touched), comp_col, "left_semi")
+    # AQE picks the join strategy for the scores restriction: member
+    # ids broadcast while touched membership is small (the common
+    # case), one id-keyed shuffle when a giant component is touched
+    touched_scores = scores.join(
+        members.select(F.col(id_col).alias("_mid")),
+        scores[id_col] == F.col("_mid"),
+        "left_semi",
+    )
+    repicked = component_keepers(
+        members, touched_scores, id_col, comp_col, score_col, higher_is_better
+    )
+    untouched = prior_keepers.join(
+        F.broadcast(touched), comp_col, "left_anti"
+    ).select(id_col, comp_col, "keep")
+    return untouched.unionByName(repicked)
