@@ -43,13 +43,25 @@ THIS is the shape a daily pipeline runs):
    ``mixture_sample_incremental`` gate against a persisted per-domain
    kept-weight ledger, so the RUNNING corpus converges to the target
    recipe across days even though each day's supply is skewed.
+7. **Joint-atomic publish (r12)** — the day's SIX coupled states
+   (fingerprint index, Bloom bitmap, MinHash index, component labels,
+   keeper decisions, mixture ledger) plus the day's admitted shard
+   set are written under ONE generation directory and committed by a
+   single atomic pointer flip (``snapshot.publish_generation``) — a
+   mid-day crash can never desynchronize them (e.g. a ledger counting
+   docs the shard write never committed); day N+1 reopens everything
+   through ``current_generation``. This is the reference's
+   one-transaction refresh (``scripts/etl_snapshot_topn.py:363-364``)
+   applied to the incremental loop's file states.
 
-Run: ``python examples/incremental_ingest.py [sf_dir]``
+Run: ``python examples/incremental_ingest.py [sf_dir] [state_root]``
 """
 
 from __future__ import annotations
 
+import os
 import sys
+import tempfile
 from pathlib import Path
 
 _REPO = Path(__file__).resolve().parent.parent
@@ -59,10 +71,16 @@ if str(_REPO) not in sys.path:
 from pyspark.sql import functions as F
 
 from topn_clashroyal_etl_sql_snapshot_spark.operators import dedup
+from topn_clashroyal_etl_sql_snapshot_spark.sinks import shards
+from topn_clashroyal_etl_sql_snapshot_spark.sinks import snapshot as snap
 from topn_clashroyal_etl_sql_snapshot_spark.sources.readers import read_testdata
 
+_STATES = ("fingerprints", "bloom", "minhash", "labels", "keepers", "ledger")
 
-def run(spark, sf_dir: str) -> dict:
+
+def run(spark, sf_dir: str, state_root: str | None = None) -> dict:
+    if state_root is None:
+        state_root = tempfile.mkdtemp(prefix="ingest_state_")
     docs = read_testdata(spark, sf_dir, "documents")
     # split the testdata corpus into an established corpus and a
     # "today's crawl" batch; plant a cross-batch near-duplicate AND an
@@ -81,15 +99,41 @@ def run(spark, sf_dir: str) -> dict:
         )
     )
 
-    # Day 0: persist-once indexes (localCheckpoint stands in for the
-    # parquet writes; same reuse semantics)
     from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
 
-    fp_index = corpus.select(
-        tx.content_fingerprint(F.col("text")).alias("fingerprint")
-    ).localCheckpoint(eager=True)
-    bloom = dedup.bloom_bitmap(fp_index).localCheckpoint(eager=True)
-    index = dedup.minhash_signatures(corpus).localCheckpoint(eager=True)
+    quality = docs.select(
+        F.col("doc_id").alias("id"),
+        F.length("text").cast("double").alias("score"),
+    )
+
+    # Day 0: build all six coupled states and commit them as ONE
+    # generation (a crash mid-write leaves no generation at all)
+    def day0(gen: str) -> None:
+        corpus.select(
+            tx.content_fingerprint(F.col("text")).alias("fingerprint")
+        ).write.parquet(os.path.join(gen, "fingerprints"))
+        fp = spark.read.parquet(os.path.join(gen, "fingerprints"))
+        dedup.bloom_bitmap(fp).write.parquet(os.path.join(gen, "bloom"))
+        dedup.minhash_signatures(corpus).write.parquet(
+            os.path.join(gen, "minhash")
+        )
+        labels0 = dedup.connected_components(
+            dedup.minhash_lsh_verified_pairs(corpus, threshold=0.5)
+        ).localCheckpoint(eager=True)  # two consumers below
+        labels0.write.parquet(os.path.join(gen, "labels"))
+        dedup.component_keepers(labels0, quality).write.parquet(
+            os.path.join(gen, "keepers")
+        )
+        corpus.groupBy("source").agg(
+            F.count(F.lit(1)).cast("double").alias("kept_w")
+        ).write.parquet(os.path.join(gen, "ledger"))
+
+    gen1 = snap.publish_generation(state_root, day0)
+
+    # Day 1 opens yesterday's generation through the pointer — every
+    # state is a plain parquet read of the committed set
+    cur = snap.current_generation(state_root)
+    st = {name: spark.read.parquet(os.path.join(cur, name)) for name in _STATES}
 
     # Day 1, exact gate first: identical recrawls drop before any
     # shingling happens — the batch probes the bitmap, and only the
@@ -97,7 +141,7 @@ def run(spark, sf_dir: str) -> dict:
     # broadcast; at production scale the index never shuffles)
     n_batch_raw = batch.count()
     batch, fp_updated, bloom_updated = dedup.dedup_exact_incremental_bloom(
-        batch, fp_index, bloom
+        batch, st["fingerprints"], st["bloom"]
     )
     batch = batch.localCheckpoint(eager=True)
     exact_dropped = n_batch_raw - batch.count()
@@ -105,7 +149,7 @@ def run(spark, sf_dir: str) -> dict:
     # Day 1, near-dup: batch vs index + within-batch, one pass over
     # the surviving batch texts
     pairs, updated = dedup.minhash_lsh_incremental(
-        batch, index, threshold=0.5
+        batch, st["minhash"], threshold=0.5
     )
     pairs = pairs.localCheckpoint(eager=True)
 
@@ -117,11 +161,10 @@ def run(spark, sf_dir: str) -> dict:
     # wants quality-based keeps INSIDE the batch scores both tiers,
     # keeping corpus scores strictly above batch scores.
     comp = dedup.connected_components(pairs)
-    quality = corpus.select(
-        F.col("doc_id").alias("id"),
-        F.length("text").cast("double").alias("score"),
+    corpus_quality = quality.join(
+        corpus.select(F.col("doc_id").alias("id")), "id", "left_semi"
     )
-    keep = dedup.component_keepers(comp, quality)
+    keep = dedup.component_keepers(comp, corpus_quality)
     batch_ids = [r["doc_id"] for r in batch.select("doc_id").collect()]
     bset = set(batch_ids)
     dropped = {
@@ -133,14 +176,10 @@ def run(spark, sf_dir: str) -> dict:
     planted_id = 10_000_000 + sample["doc_id"]
 
     # Day 1, persisted labels: merge the day's pairs into the corpus
-    # component labeling (day-0 labels = the corpus's own near-dup
-    # components) — the labels frame is only map-side scanned, and the
-    # planted near-dup must land in its corpus twin's component
-    day0_labels = dedup.connected_components(
-        dedup.minhash_lsh_verified_pairs(corpus, threshold=0.5)
-    ).localCheckpoint(eager=True)
+    # component labeling — the labels frame is only map-side scanned,
+    # and the planted near-dup must land in its corpus twin's component
     labels1 = dedup.connected_components_incremental(
-        day0_labels, pairs
+        st["labels"], pairs
     ).localCheckpoint(eager=True)
     planted_comp = {
         r["id"]: r["comp"]
@@ -152,26 +191,20 @@ def run(spark, sf_dir: str) -> dict:
     # Day 1, persisted keepers (r12): champions re-picked ONLY inside
     # batch-touched components, prior decisions reused verbatim — the
     # corpus-wide keeper frame follows the labels frame incrementally
-    day0_keepers = dedup.component_keepers(
-        day0_labels, quality
-    ).localCheckpoint(eager=True)
     keepers1 = dedup.component_keepers_incremental(
-        labels1, day0_keepers, pairs, quality
-    )
+        labels1, st["keepers"], pairs, quality
+    ).localCheckpoint(eager=True)
     n_keepers1 = keepers1.filter(F.col("keep")).count()
 
     # Day 1, mixture ledger: the dedup-admitted docs pass the domain
-    # gate against yesterday's per-source kept-weight ledger (here:
-    # the corpus's own counts), so the running mix tracks the recipe
+    # gate against yesterday's per-source kept-weight ledger, so the
+    # running mix tracks the recipe
     from topn_clashroyal_etl_sql_snapshot_spark.operators import sampling
 
     sources = sorted(
         r["source"] for r in corpus.select("source").distinct().collect()
     )
     recipe = {s: 1.0 / len(sources) for s in sources}
-    day0_ledger = corpus.groupBy("source").agg(
-        F.count(F.lit(1)).cast("double").alias("kept_w")
-    )
     # anti-join against the keep frame — no driver round-trip of ids
     # (the production shape; `dropped` above is collected only for the
     # example's reporting)
@@ -181,10 +214,39 @@ def run(spark, sf_dir: str) -> dict:
         "left_anti",
     )
     mixed, ledger1 = sampling.mixture_sample_incremental(
-        admitted_docs, day0_ledger, "source", recipe
+        admitted_docs, st["ledger"], "source", recipe
     )
+    mixed = mixed.localCheckpoint(eager=True)
     n_mixed = mixed.count()
-    ledger_total = ledger1.agg(F.sum("kept_w")).collect()[0][0]
+
+    # Day 1 commit: all six updated states AND the day's admitted
+    # shard set move in ONE pointer flip — no partial day-1 state can
+    # ever serve
+    def day1(gen: str) -> None:
+        fp_updated.write.parquet(os.path.join(gen, "fingerprints"))
+        bloom_updated.write.parquet(os.path.join(gen, "bloom"))
+        updated.write.parquet(os.path.join(gen, "minhash"))
+        labels1.write.parquet(os.path.join(gen, "labels"))
+        keepers1.write.parquet(os.path.join(gen, "keepers"))
+        ledger1.write.parquet(os.path.join(gen, "ledger"))
+        if n_mixed:
+            shards.write_training_shards(
+                mixed, os.path.join(gen, "shards"), key="doc_id", n_shards=4
+            )
+
+    gen2 = snap.publish_generation(state_root, day1)
+    cur2 = snap.current_generation(state_root)
+    ledger_total = (
+        spark.read.parquet(os.path.join(cur2, "ledger"))
+        .agg(F.sum("kept_w"))
+        .collect()[0][0]
+    )
+    shards_ok = bool(n_mixed) and all(
+        r["ok"]
+        for r in shards.verify_shards(
+            spark, os.path.join(cur2, "shards")
+        ).collect()
+    )
 
     return {
         "corpus": corpus.count(),
@@ -211,6 +273,9 @@ def run(spark, sf_dir: str) -> dict:
             len(planted_comp) == 2
             and planted_comp[planted_id] == planted_comp[sample["doc_id"]]
         ),
+        "generations": [os.path.basename(gen1), os.path.basename(gen2)],
+        "current_generation": os.path.basename(cur2),
+        "day1_shards_verified": shards_ok,
     }
 
 
@@ -218,7 +283,8 @@ if __name__ == "__main__":
     from topn_clashroyal_etl_sql_snapshot_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    root = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark(app_name="incremental_ingest_example")
-    out = run(spark, sf_dir)
+    out = run(spark, sf_dir, root)
     print(out)
     spark.stop()

@@ -144,3 +144,9 @@ def test_incremental_ingest_example(spark):
     assert out["mixture_ledger_total"] == float(
         out["corpus"] + out["mixture_admitted"]
     )
+    # r12: both days committed through the joint-atomic generation
+    # publish — the pointer names day 1's complete state set, and the
+    # day's shard set verified against its manifest inside it
+    assert out["generations"] == ["gen-000001", "gen-000002"]
+    assert out["current_generation"] == "gen-000002"
+    assert out["day1_shards_verified"] is (out["mixture_admitted"] > 0)

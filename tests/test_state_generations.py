@@ -1,0 +1,199 @@
+"""Joint-atomic generation publish (sinks/snapshot.py::publish_generation):
+the daily-ingest loop's coupled persisted states (fingerprint index +
+Bloom bitmap, MinHash index, component labels, mixture ledger, shards)
+must move together — failure injection at every boundary proves the old
+generation survives intact, and the persisted-state round-trip pins the
+on-disk schemas as the de-facto contract (r11 verdict, Next #1 and #7).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from topn_clashroyal_etl_sql_snapshot_spark.sinks import snapshot as sink
+
+
+def _write_states(spark, gen_dir, tag):
+    for name in ("fingerprints", "bloom", "minhash", "labels", "ledger"):
+        spark.createDataFrame(
+            [(tag, name)], "gen string, state string"
+        ).write.parquet(os.path.join(gen_dir, name))
+
+
+def _read_tags(spark, gen_dir):
+    return {
+        name: spark.read.parquet(os.path.join(gen_dir, name)).collect()[0]["gen"]
+        for name in ("fingerprints", "bloom", "minhash", "labels", "ledger")
+    }
+
+
+def test_generation_publish_all_or_nothing(spark, tmp_path):
+    root = str(tmp_path / "state")
+    assert sink.current_generation(root) is None
+
+    g1 = sink.publish_generation(root, lambda d: _write_states(spark, d, "day0"))
+    assert sink.current_generation(root) == g1
+    assert _read_tags(spark, g1) == {k: "day0" for k in _read_tags(spark, g1)}
+
+    # failure injection at EVERY boundary: after writing k of the 5
+    # states, the writer dies — the pointer must still name gen 1 and
+    # every day0 state must read back byte-intact
+    for boundary in range(5):
+        names = ("fingerprints", "bloom", "minhash", "labels", "ledger")
+
+        def failing(d, stop=boundary):
+            for i, name in enumerate(names):
+                if i == stop:
+                    raise RuntimeError(f"injected crash before {name}")
+                spark.createDataFrame(
+                    [("dayX", name)], "gen string, state string"
+                ).write.parquet(os.path.join(d, name))
+
+        with pytest.raises(RuntimeError, match="injected crash"):
+            sink.publish_generation(root, failing)
+        assert sink.current_generation(root) == g1, boundary
+        assert all(v == "day0" for v in _read_tags(spark, g1).values())
+
+    # next successful publish cleans the orphan and flips atomically;
+    # keep=1 retains the previous generation for in-flight readers
+    g2 = sink.publish_generation(
+        root, lambda d: _write_states(spark, d, "day1")
+    )
+    assert sink.current_generation(root) == g2 and g2 != g1
+    assert all(v == "day1" for v in _read_tags(spark, g2).values())
+    assert os.path.exists(g1)  # keep=1
+    gens = sorted(n for n in os.listdir(root) if n.startswith("gen-"))
+    assert gens == [os.path.basename(g1), os.path.basename(g2)]
+
+    g3 = sink.publish_generation(
+        root, lambda d: _write_states(spark, d, "day2")
+    )
+    assert not os.path.exists(g1)  # pruned past keep
+    assert os.path.exists(g2) and sink.current_generation(root) == g3
+
+
+def test_generation_publish_guards(tmp_path):
+    with pytest.raises(ValueError, match="non-local"):
+        sink.publish_generation("s3://bucket/state", lambda d: None)
+    with pytest.raises(ValueError, match="keep"):
+        sink.publish_generation(str(tmp_path / "x"), lambda d: None, keep=-1)
+    # corrupt pointer refuses loudly rather than resolving a bogus path
+    root = str(tmp_path / "bad")
+    os.makedirs(root)
+    with open(os.path.join(root, "_CURRENT"), "w") as f:
+        f.write("not-a-generation")
+    with pytest.raises(ValueError, match="corrupt generation pointer"):
+        sink.current_generation(root)
+
+
+def test_persisted_state_round_trip_schemas(spark, tmp_path):
+    """The incremental loop's real states, written through the
+    generation publish on day 0 and REOPENED from the pointer in a
+    fresh Spark session for day 1 — pins the on-disk schemas (the
+    de-facto contract) and that every incremental operator accepts its
+    own persisted output."""
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import dedup, sampling
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"some document text number {i} " * 3 + ("dup" if i % 4 else ""),
+             "web" if i % 2 else "books")
+            for i in range(40)
+        ],
+        "doc_id long, text string, source string",
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    root = str(tmp_path / "state")
+
+    def day0(gen):
+        corpus.select(
+            tx.content_fingerprint(F.col("text")).alias("fingerprint")
+        ).write.parquet(os.path.join(gen, "fingerprints"))
+        dedup.bloom_bitmap(
+            corpus.select(
+                tx.content_fingerprint(F.col("text")).alias("fingerprint")
+            )
+        ).write.parquet(os.path.join(gen, "bloom"))
+        dedup.minhash_signatures(corpus).write.parquet(
+            os.path.join(gen, "minhash")
+        )
+        pairs0 = dedup.minhash_lsh_verified_pairs(corpus, threshold=0.5)
+        labels0 = dedup.connected_components(pairs0)
+        labels0.write.parquet(os.path.join(gen, "labels"))
+        dedup.component_keepers(
+            labels0,
+            corpus.select(
+                F.col("doc_id").alias("id"),
+                F.length("text").cast("double").alias("score"),
+            ),
+        ).write.parquet(os.path.join(gen, "keepers"))
+        corpus.groupBy("source").agg(
+            F.count(F.lit(1)).cast("double").alias("kept_w")
+        ).write.parquet(os.path.join(gen, "ledger"))
+
+    sink.publish_generation(root, day0)
+
+    # fresh session state: reads must not lean on this session's temp
+    # views/caches
+    s2 = spark.newSession()
+    gen = sink.current_generation(root)
+    fp = s2.read.parquet(os.path.join(gen, "fingerprints"))
+    bloom = s2.read.parquet(os.path.join(gen, "bloom"))
+    mh = s2.read.parquet(os.path.join(gen, "minhash"))
+    labels = s2.read.parquet(os.path.join(gen, "labels"))
+    keepers = s2.read.parquet(os.path.join(gen, "keepers"))
+    ledger = s2.read.parquet(os.path.join(gen, "ledger"))
+
+    # the on-disk schemas ARE the contract — exact, not just readable
+    assert [(f.name, f.dataType.simpleString()) for f in fp.schema] == [
+        ("fingerprint", "string")
+    ]
+    assert [(f.name, f.dataType.simpleString()) for f in bloom.schema] == [
+        ("word", "bigint"), ("bits", "bigint")
+    ]
+    assert [(f.name, f.dataType.simpleString()) for f in mh.schema] == [
+        ("id", "bigint"), ("sig", "array<bigint>")
+    ]
+    assert [(f.name, f.dataType.simpleString()) for f in labels.schema] == [
+        ("id", "bigint"), ("comp", "bigint")
+    ]
+    assert [(f.name, f.dataType.simpleString()) for f in keepers.schema] == [
+        ("id", "bigint"), ("comp", "bigint"), ("keep", "boolean")
+    ]
+    assert [(f.name, f.dataType.simpleString()) for f in ledger.schema] == [
+        ("source", "string"), ("kept_w", "double")
+    ]
+
+    # day 1 consumes the reopened states end to end
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    surv, fp1, bloom1 = dedup.dedup_exact_incremental_bloom(batch, fp, bloom)
+    pairs, mh1 = dedup.minhash_lsh_incremental(surv, mh, threshold=0.5)
+    pairs = pairs.localCheckpoint(eager=True)
+    labels1 = dedup.connected_components_incremental(labels, pairs)
+    keepers1 = dedup.component_keepers_incremental(
+        labels1,
+        keepers,
+        pairs,
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.length("text").cast("double").alias("score"),
+        ),
+    )
+    kept, ledger1 = sampling.mixture_sample_incremental(
+        surv, ledger, "source", {"web": 0.5, "books": 0.5}
+    )
+    # every updated state keeps its schema — gen-2 is schema-stable
+    for new, old in (
+        (fp1, fp), (bloom1, bloom), (mh1, mh),
+        (labels1, labels), (keepers1, keepers), (ledger1, ledger),
+    ):
+        assert [(f.name, f.dataType.simpleString()) for f in new.schema] == [
+            (f.name, f.dataType.simpleString()) for f in old.schema
+        ]
+    assert labels1.count() >= labels.count()
+    assert kept.count() <= batch.count()

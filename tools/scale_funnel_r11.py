@@ -26,9 +26,12 @@ Per scale the persisted index covers 10% of the batch (doc_id % 10
 == 0, the planted already-ingested slice) plus 2M synthetic
 fingerprints so the index is realistically larger than any batch;
 both index and bitmap are read back from parquet like a real day-N
-run. Timed run = the whole composition through the shard WRITE (the
-sink is part of the shape), m3 interleaved-warm, shard output
-overwritten per run.
+run. Timed run = the whole composition through the day's PUBLISH —
+r12: the updated fingerprint index, updated Bloom bitmap, and the
+day's shard set commit together through
+``snapshot.publish_generation`` (one atomic pointer flip — the
+joint-atomic semantics the production loop runs), so the timed shape
+now includes the coupled-state writes, not just the shard sink.
 
 Run: python tools/scale_funnel_r11.py
 """
@@ -37,7 +40,6 @@ from __future__ import annotations
 
 import gc
 import os
-import shutil
 import statistics
 import sys
 import time
@@ -61,6 +63,7 @@ from topn_clashroyal_etl_sql_snapshot_spark.operators.textstats import (  # noqa
     repetition_stats,
 )
 from topn_clashroyal_etl_sql_snapshot_spark.sinks import shards  # noqa: E402
+from topn_clashroyal_etl_sql_snapshot_spark.sinks import snapshot as snap  # noqa: E402
 from topn_clashroyal_etl_sql_snapshot_spark.testing.telemetry import (  # noqa: E402
     cpu_busy as _cpu_busy,
 )
@@ -141,13 +144,14 @@ def build_index(spark, batch_dir: str, mult: int) -> tuple[str, str]:
 
 
 def run_pipeline(spark, batch_dir: str, idx_path: str, bmp_path: str,
-                 shard_dir: str) -> dict[str, int]:
+                 state_root: str) -> dict[str, int]:
     batch = spark.read.parquet(f"{batch_dir}/documents.parquet")
     index = spark.read.parquet(idx_path)
     bitmap = spark.read.parquet(bmp_path)
 
-    # 1. incremental exact gate vs the persisted day-N-1 state
-    admitted, _, _ = dedup.dedup_exact_incremental_bloom(
+    # 1. incremental exact gate vs the persisted day-N-1 state; the
+    # updated (index, bitmap) pair is part of the day's publish below
+    admitted, idx_updated, bmp_updated = dedup.dedup_exact_incremental_bloom(
         batch, index, bitmap, m_bits=M_BITS, k=K, max_fill=0.5
     )
     # 2. hygiene (pure projections)
@@ -189,15 +193,23 @@ def run_pipeline(spark, batch_dir: str, idx_path: str, bmp_path: str,
         kept, comp, {"train": 0.9, "val": 0.05, "test": 0.05}
     )
 
-    # 7. training-shard sink + manifest (part of the timed shape)
-    shutil.rmtree(shard_dir, ignore_errors=True)
-    shards.write_training_shards(
-        kept.select("doc_id", "text", "source", "split"),
-        shard_dir,
-        key="doc_id",
-        n_shards=8,
+    # 7. joint-atomic day publish (part of the timed shape): updated
+    # exact-gate state + the day's shard set commit in ONE pointer
+    # flip — r12, the production crash-consistency semantics
+    def day_publish(gen: str) -> None:
+        idx_updated.write.parquet(os.path.join(gen, "fingerprints"))
+        bmp_updated.write.parquet(os.path.join(gen, "bloom"))
+        shards.write_training_shards(
+            kept.select("doc_id", "text", "source", "split"),
+            os.path.join(gen, "shards"),
+            key="doc_id",
+            n_shards=8,
+        )
+
+    snap.publish_generation(state_root, day_publish)
+    out = shards.read_training_shards(
+        spark, os.path.join(snap.current_generation(state_root), "shards")
     )
-    out = shards.read_training_shards(spark, shard_dir)
     return {r["split"]: r["n"] for r in
             out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
 
@@ -213,15 +225,15 @@ def main() -> None:
         fill = dedup.bloom_fill_fraction(
             spark.read.parquet(bmp), M_BITS
         )
-        shard_dir = f"{OUT}/shards_x{mult}"
-        run_pipeline(spark, bdir, idx, bmp, shard_dir)  # warm
+        state_root = f"{OUT}/state_x{mult}"
+        run_pipeline(spark, bdir, idx, bmp, state_root)  # warm
         samples, counts = [], None
         l0 = os.getloadavg()[0]
         b0, t0j = _cpu_busy()
         for _ in range(3):
             gc.collect()
             t0 = time.perf_counter()
-            counts = run_pipeline(spark, bdir, idx, bmp, shard_dir)
+            counts = run_pipeline(spark, bdir, idx, bmp, state_root)
             samples.append(time.perf_counter() - t0)
         b1, t1j = _cpu_busy()
         points[mult] = {

@@ -124,6 +124,113 @@ def atomic_dir_publish(
     shutil.rmtree(old, ignore_errors=True)
 
 
+_GEN_PREFIX = "gen-"
+_CURRENT_FILE = "_CURRENT"
+
+
+def _gen_number(name: str) -> int | None:
+    if not name.startswith(_GEN_PREFIX):
+        return None
+    tail = name[len(_GEN_PREFIX):]
+    return int(tail) if tail.isdigit() else None
+
+
+def current_generation(root: str) -> str | None:
+    """Absolute path of the generation directory the ``_CURRENT``
+    pointer names, or ``None`` before the first
+    :func:`publish_generation`. Readers resolve state through this —
+    one ``open()`` + path join, never a directory listing race."""
+    ptr = os.path.join(root, _CURRENT_FILE)
+    try:
+        with open(ptr, encoding="utf-8") as f:
+            name = f.read().strip()
+    except FileNotFoundError:
+        return None
+    if _gen_number(name) is None:
+        raise ValueError(
+            f"corrupt generation pointer {ptr!r}: {name!r} is not a "
+            f"{_GEN_PREFIX}N name"
+        )
+    return os.path.join(root, name)
+
+
+def publish_generation(
+    root: str, write_fn, keep: int = 1, caller: str = "publish_generation"
+) -> str:
+    """Joint-atomic publish for a SET of coupled state directories —
+    the daily-ingest loop persists four-plus states that must move
+    together (fingerprint index + Bloom bitmap, MinHash index,
+    component labels, mixture ledger, the day's shards), and a crash
+    between per-directory swaps would desynchronize them silently
+    (ledger counting docs the shard write never committed). N
+    directory renames cannot be made atomic, so the commit point is
+    ONE pointer: ``write_fn(gen_dir)`` writes every state directory
+    under a fresh ``<root>/gen-N/``, and only after it returns is
+    ``<root>/_CURRENT`` atomically replaced (tmp file + ``os.replace``
+    — POSIX rename atomicity) to name the new generation. Readers go
+    through :func:`current_generation`: they see the complete old
+    state set or the complete new one, never a mix — the reference's
+    one-transaction refresh semantics
+    (``scripts/etl_snapshot_topn.py:363-364``, ``db/schema.sql:3``)
+    applied to the incremental loop's file states.
+
+    Crash recovery needs no special cases: a failure anywhere inside
+    ``write_fn`` (or between it and the flip) leaves an ORPHAN gen
+    directory the pointer never named — the old generation is intact
+    and still current, and the next publish removes orphans (any gen
+    newer than the pointer's target) before staging. ``keep`` previous
+    generations are retained after a successful flip (readers mid-scan
+    on the old generation keep their files); older ones are pruned.
+
+    Single-writer contract (the reference's cron-driven ETL shape):
+    concurrent publishers would race the orphan cleanup. Local
+    filesystems only, like :func:`atomic_dir_publish` — on object
+    stores the SAME pointer pattern applies through the store's
+    conditional-put. Returns the new generation directory."""
+    if "://" in root:
+        raise ValueError(
+            f"{caller} writes a driver-local pointer file; non-local "
+            f"path {root!r} is not supported (use the store's "
+            "conditional-put to flip the pointer there)"
+        )
+    if keep < 0:
+        raise ValueError(f"keep must be ≥ 0, got {keep}")
+    os.makedirs(root, exist_ok=True)
+    cur = current_generation(root)
+    cur_n = _gen_number(os.path.basename(cur)) if cur else 0
+    gens = sorted(
+        n
+        for name in os.listdir(root)
+        if (n := _gen_number(name)) is not None
+    )
+    # orphans: staged by a crashed run, never flipped to — the pointer
+    # is the source of truth, so anything newer than it is dead weight
+    for n in gens:
+        if n > cur_n:
+            shutil.rmtree(
+                os.path.join(root, f"{_GEN_PREFIX}{n:06d}"),
+                ignore_errors=True,
+            )
+    new_n = cur_n + 1
+    gen_dir = os.path.join(root, f"{_GEN_PREFIX}{new_n:06d}")
+    shutil.rmtree(gen_dir, ignore_errors=True)
+    os.makedirs(gen_dir)
+    write_fn(gen_dir)
+    tmp = os.path.join(root, _CURRENT_FILE + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(f"{_GEN_PREFIX}{new_n:06d}")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _CURRENT_FILE))  # THE commit
+    for n in gens:
+        if n <= cur_n - keep:
+            shutil.rmtree(
+                os.path.join(root, f"{_GEN_PREFIX}{n:06d}"),
+                ignore_errors=True,
+            )
+    return gen_dir
+
+
 def write_snapshot_jdbc(
     tables: dict[str, DataFrame],
     url: str,
