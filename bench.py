@@ -90,6 +90,8 @@ def main() -> None:
     qs["dedup_components"] = llm_queries.dedup_components
     # r11: docs_pack_greedy ceded its slot to dedup_exact_incremental_gate
     qs["docs_pack_greedy"] = llm_queries.docs_pack_greedy
+    # r12: text_language_id ceded its slot to mixture_gate
+    qs["text_language_id"] = llm_queries.text_language_id
     # embedding_pq_adc is a CORRECTNESS row (full-probe/full-rerank ≡
     # brute force); its timed code path is embedding_pq_topk's, already
     # benched median-of-3 — excluded so the bench total stays

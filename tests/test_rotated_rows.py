@@ -157,6 +157,14 @@ CASES = {
         llm_queries.docs_pack_greedy,
         llm_queries.DOCS_PACK_GREEDY_SQL,
     ),
+    # rotated out r12 for mixture_gate (the incremental mixer was the
+    # only substantial r11 capability outside the driver's oracle);
+    # the confusion-matrix bar keeps running here, and the lang-ID
+    # expression stays driver-covered as curation_funnel's first gate
+    "text_language_id": (
+        llm_queries.text_language_id,
+        llm_queries.TEXT_LANGUAGE_ID_SQL,
+    ),
 }
 
 

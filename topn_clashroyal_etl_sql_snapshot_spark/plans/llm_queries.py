@@ -132,9 +132,7 @@ _MARKER_SQL = {
     "de": "('der','die','und','nicht','ist')",
 }
 
-@register(
-    "text_language_id",
-    f"""
+TEXT_LANGUAGE_ID_SQL = f"""
     WITH c AS (
       SELECT doc_id, lang, text,
              len(list_filter({_TOKS_SQL}, x -> x IN {_MARKER_SQL['en']})) AS c_en,
@@ -156,12 +154,20 @@ _MARKER_SQL = {
     FROM p
     GROUP BY lang, predicted_lang
     ORDER BY lang, predicted_lang
-    """,
-)
+    """
+
+
 def text_language_id(spark, sf_dir):
     """Heuristic language ID (marker-token argmax + CJK check) crossed
     against the label — the confusion-matrix scan. Uses the relational
-    (explode + codegen) form; identical semantics to ``tx.lang_id``."""
+    (explode + codegen) form; identical semantics to ``tx.lang_id``.
+
+    Rotated OUT of the driver registry in r12 for ``mixture_gate``
+    (the thinner of the verdict's two suggested donors): the identical
+    confusion-matrix SQL bar keeps running in
+    tests/test_rotated_rows.py, the bench series continues via
+    bench.py's rotation bookkeeping, and the lang-ID expression itself
+    stays driver-covered as a GATE inside the curation_funnel row."""
     from ..operators.textstats import lang_id_table
 
     docs = read_testdata(spark, sf_dir, "documents")
@@ -1636,6 +1642,93 @@ def docs_split_by_component(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# The incremental mixer's driver row (registered r12, the round's
+# flagship-gap close): equal EXACT-binary shares over four sources so
+# every float in the water-filling is reproducible bit-for-bit in SQL
+# (0.25 is exact, the four-term sum is exactly 1.0, and each group's
+# cap/entitlement arithmetic is integer-valued-double in, correctly-
+# rounded division out — identical IEEE ops in both engines).
+_MIXTURE_SHARES = {"src0": 0.25, "src1": 0.25, "src2": 0.25, "src3": 0.25}
+
+_MIXTURE_GATE_SQL = f"""
+    WITH hist AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM documents WHERE doc_id % 40 = 0 GROUP BY source
+    ),
+    shares(source, s0) AS (
+      VALUES {", ".join(f"('{g}', {s!r})" for g, s in _MIXTURE_SHARES.items())}
+    ),
+    norm AS (
+      SELECT source, s0 / (SELECT SUM(s0) FROM shares) AS s FROM shares
+    ),
+    supply AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS b
+      FROM documents GROUP BY source
+    ),
+    grp AS (
+      SELECT n.source, n.s, COALESCE(h.c, 0.0) AS c, COALESCE(sp.b, 0.0) AS b
+      FROM norm n
+      LEFT JOIN hist h USING (source)
+      LEFT JOIN supply sp USING (source)
+    ),
+    tt AS (SELECT MIN((c + b) / s) AS t FROM grp WHERE s > 0 AND b > 0),
+    fr AS (
+      SELECT source,
+             LEAST(GREATEST((SELECT t FROM tt) * s - c, 0.0), b) / b AS f
+      FROM grp WHERE b > 0
+    ),
+    thr AS (
+      -- int(round(f*buckets)) with PYTHON'S half-even tie rule: at an
+      -- exact .5 round to the even neighbor, else ROUND agrees with
+      -- nearest (stratified_hash_sample's threshold, reproduced)
+      SELECT source,
+             CASE WHEN f * 10000 = FLOOR(f * 10000) + 0.5
+                  THEN CAST(FLOOR(f * 10000) AS BIGINT)
+                       + CAST(FLOOR(f * 10000) AS BIGINT) % 2
+                  ELSE CAST(ROUND(f * 10000, 0) AS BIGINT) END AS thr
+      FROM fr
+    ),
+    src AS (SELECT DISTINCT doc_id FROM documents),
+    {xxh64_bucket_ctes('src', 'doc_id')}
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN thr USING (source)
+    JOIN _xxbkt x ON x.doc_id = d.doc_id
+    WHERE x._bucket < thr.thr
+    ORDER BY d.doc_id
+    """
+
+
+@register("mixture_gate", _MIXTURE_GATE_SQL)
+def mixture_gate(spark, sf_dir):
+    """The incremental domain-mixture gate
+    (``sampling.mixture_sample_incremental``) as a driver row: day-0
+    ledger = the ``doc_id % 40 == 0`` slice of documents counted per
+    source (entirely inside src0, so src0 enters the day
+    OVER-represented and keeps a PARTIAL hash-bucket fraction — 12/25
+    at the gate sf — while src1-3 bind at fraction 1.0 and unlisted
+    sources drop), today's batch = the full table. The oracle solves
+    the same water-filling as static CTEs — feasible total
+    T = min((hist+supply)/share), per-group keep
+    clamp(T·s − hist, 0, supply)/supply — with Python's half-even
+    threshold rounding reproduced, and checks every admitted
+    (doc_id, source) through the bit-exact xxh64 bucket arithmetic.
+    Registered r12 by rotating out text_language_id (SQL bar →
+    tests/test_rotated_rows.py, bench series continues)."""
+    from ..operators import sampling
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    ledger = (
+        docs.filter(F.col("doc_id") % 40 == 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("double").alias("kept_w"))
+    )
+    kept, _ = sampling.mixture_sample_incremental(
+        docs, ledger, "source", dict(_MIXTURE_SHARES)
+    )
+    return kept.select("doc_id", "source").orderBy("doc_id")
 
 
 def docs_per_group_cap(spark, sf_dir):
