@@ -1150,16 +1150,83 @@ def true_jaccard_for_pairs(
     )
     postings = postings.join(cand_ids, "id", "left_semi")
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # LENGTH FILTER (AllPairs/PPJoin's first prune, r12): jaccard ≥ t
+    # bounds the set-size ratio — even when the smaller set is fully
+    # contained, j = min/max — so pairs with min(n1,n2) < t·max(n1,n2)
+    # cannot verify and are dropped BEFORE their postings explode
+    # through the pair joins. Sizes are one tiny per-doc count frame;
+    # the filter costs two broadcast-ish joins on the (already
+    # distinct) pair list and the sizes ride along to the final
+    # jaccard, replacing the two post-aggregation joins the old plan
+    # paid anyway. High-precision candidate generators (MinHash bands)
+    # lose ~nothing; wide-radius SimHash screens on templated corpora
+    # lose ~40% of candidates here (measured r12, sf0.1).
+    sized = (
+        cands.select("id1", "id2")
+        .join(sizes.withColumnsRenamed({"id": "id1", "n_sh": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "n_sh": "n2"}), "id2")
+        .filter(
+            F.least("n1", "n2").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("n1", "n2")
+        )
+        .localCheckpoint(eager=False)  # pair joins + final size lookup
+    )
     p1 = postings.select(F.col("id").alias("id1"), "sh")
     p2 = postings.select(F.col("id").alias("id2"), "sh")
     inter = (
-        cands.select("id1", "id2")
+        sized.select("id1", "id2")
         .join(p1, "id1")
         .join(p2, ["id2", "sh"])
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
+        inter.join(sized, ["id1", "id2"])
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def true_jaccard_for_pairs_dense(
+    cands: DataFrame, postings: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard verification for DENSE candidate sets — same
+    result as :func:`true_jaccard_for_pairs`, different plan. The
+    per-pair plan pays O(|cands| · shingles/doc) through the pair
+    joins; when a wide screen admits candidates ≫ corpus size (a
+    radius-15 SimHash screen on the templated sf0.1 corpus admits
+    3.2M pairs for 5k docs — r12 measurement), that term dwarfs the
+    inverted-index intersection O(Σ df²) the exact plan pays. This
+    path intersects the candidate-restricted postings through the
+    inverted index (UNCAPPED — no max_df, so the relation is exact),
+    then keeps only verified pairs that are candidates (one broadcast
+    of the tiny verified relation over the candidate list — the
+    candidate frame never shuffles). Measured on the case above:
+    per-pair verify ~19 s, dense verify ~3 s, identical rows.
+    Candidates must carry ``id1 < id2`` (every generator here does)."""
+    cands = cands.localCheckpoint(eager=False)
+    cand_ids = (
+        cands.select(F.col("id1").alias("id"))
+        .unionAll(cands.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    p = postings.join(cand_ids, "id", "left_semi").localCheckpoint(
+        eager=False
+    )  # sizes + both self-join sides
+    sizes = p.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        p.select(F.col("id").alias("id1"), "sh")
+        .join(p.select(F.col("id").alias("id2"), "sh"), "sh")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
         inter.join(sizes.withColumnsRenamed({"id": "id1", "n_sh": "n1"}), "id1")
         .join(sizes.withColumnsRenamed({"id": "id2", "n_sh": "n2"}), "id2")
         .withColumn(
@@ -1170,6 +1237,9 @@ def true_jaccard_for_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+    return F.broadcast(jac).join(
+        cands.select("id1", "id2"), ["id1", "id2"]
+    ).select("id1", "id2", "jaccard")
 
 
 def jaccard_pairs(
@@ -1799,11 +1869,26 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket: int | None = 10_000,
+    piece_radius: int = 0,
 ) -> DataFrame:
     """Hamming-≤-k candidates by pigeonhole: split 64 bits into ``chunks``
     pieces; any pair within hamming ≤ chunks-1 shares ≥1 exact chunk.
     Join per (chunk_idx, chunk_value), verify with bit_count(xor).
     Returns (id1, id2, hamming).
+
+    ``piece_radius=1`` (r12) extends the guarantee to hamming ≤
+    ``2·chunks − 1`` at the SAME piece layout — the multi-index
+    scheme: a pair with ≤ 2·chunks−1 flips has some piece with ≤ 1
+    flipped bit (pigeonhole), so one join side expands each piece to
+    its ``width+1`` single-bit-flip variants (identity included) and
+    the equi-join catches within-piece distance ≤ 1. This beats
+    narrowing the pieces for the same radius by the bucket-heat term:
+    radius 15 as 16 exact 4-bit pieces costs ~n² in-bucket volume,
+    as 8 expanded 8-bit pieces ~(8+1)·8·n²/2⁸ ≈ 0.28·n² (measured
+    35.7 s vs 7-8 s on the sf0.1 corpus). Generally the guarantee is
+    ``chunks·(piece_radius+1) − 1``; only radii 0 and 1 are
+    implemented (2-bit expansion grows variants quadratically for a
+    marginal volume win).
 
     Bits distribute as evenly as possible (64 need not divide by
     ``chunks``), so e.g. chunks=6 gives 11/11/11/11/10/10-bit pieces —
@@ -1823,6 +1908,13 @@ def simhash_candidate_pairs(
     contract as ``jaccard_pairs``'s max_df boilerplate cap). Set
     ``max_bucket=None`` to recover the unconditional pigeonhole
     guarantee on small corpora."""
+    if piece_radius not in (0, 1):
+        raise ValueError(
+            f"piece_radius must be 0 or 1, got {piece_radius} (wider "
+            "per-piece radii grow the variant expansion quadratically; "
+            "lower `chunks` instead — the guarantee is "
+            "chunks·(piece_radius+1) − 1)"
+        )
     pieces = _simhash_pieces(fingerprints, chunks).localCheckpoint(
         eager=False
     )
@@ -1836,6 +1928,25 @@ def simhash_candidate_pairs(
         pieces = pieces.join(hot, ["chunk", "val"], "left_anti")
     a = pieces.select(F.col("id").alias("id1"), F.col("sh64").alias("h1"), "chunk", "val")
     b = pieces.select(F.col("id").alias("id2"), F.col("sh64").alias("h2"), "chunk", "val")
+    if piece_radius == 1:
+        # one side expands each piece value to identity + every
+        # single-bit flip WITHIN its piece width (widths vary when 64
+        # doesn't divide by chunks); the equi-join then catches pairs
+        # whose piece differs by ≤ 1 bit. Variants are distinct, so a
+        # matching chunk contributes each ordered pair exactly once.
+        # (A bare-id join + post-distinct fingerprint re-join was
+        # A/B'd here and LOST — 19.4 vs 14.7 s entry m3: the payload
+        # trim saves less than the unfiltered distinct + two extra
+        # joins cost.)
+        base, extra = divmod(SIMHASH_BITS, chunks)
+        variants = F.expr(
+            f"concat(array(val), transform(sequence(0, {base} - 1 + "
+            f"(CASE WHEN chunk < {extra} THEN 1 ELSE 0 END)), "
+            "i -> val ^ shiftleft(CAST(1 AS BIGINT), i)))"
+        )
+        b = b.select(
+            "id2", "h2", "chunk", F.explode(variants).alias("val")
+        )
     return (
         a.join(b, ["chunk", "val"])
         .filter(F.col("id1") < F.col("id2"))
@@ -2145,47 +2256,103 @@ def connected_components_incremental(
     return updated_hist.unionByName(new_rows)
 
 
+_SIMHASH_RADIUS_FLOOR = 15
+
+
 def simhash_verified_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    max_hamming: int = 7,
-    chunks: int = 8,
+    max_hamming: int | None = None,
+    chunks: int | None = None,
     threshold: float = 0.5,
     toks: DataFrame | None = None,
     max_bucket: int | None = 10_000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """SimHash candidates post-verified by TRUE Jaccard — same plan
     shape as :func:`minhash_lsh_verified_pairs` with a cheaper candidate
     generator: one 64-bit fingerprint per doc instead of k=128
-    min-hashes. Pigeonhole with ``chunks=8`` guarantees every pair
-    within hamming ≤ 7 shares an exact 8-bit chunk.
+    min-hashes.
+
+    DERIVED DEFAULTS (r12): ``chunks=None`` sizes the pigeonhole from
+    the corpus via :func:`simhash_chunks_for` — piece width grows
+    ~log n so buckets stay cold as the corpus grows (the r7 sf0.3
+    measurement's fix). When the cold layout's exact-piece radius
+    (``chunks − 1``) falls below ``_SIMHASH_RADIUS_FLOOR`` (15), the
+    plan switches to ``piece_radius=1`` (single-bit piece expansion,
+    :func:`simhash_candidate_pairs`) with ``ceil((floor+1)/2)`` pieces
+    — radius ``2·chunks − 1`` at a fraction of the narrow-piece
+    volume (measured: radius-15 as 16 exact 4-bit pieces ran 35.7 s
+    on the sf0.1 corpus; as 8 expanded 8-bit pieces ~7 s). Past the
+    corpus size where even expanded pieces can't reach the floor with
+    cold buckets (~10⁵ docs per 2⁸ bucket), the radius degrades to
+    ``2·chunks − 1`` of the cold layout — the honest scale trade; the
+    cap bounds volume there. ``max_hamming=None`` pins the screen to
+    the derived layout's full guarantee radius. Both knobs accept
+    explicit values (the hamming screen is candidate PRUNING, not
+    semantics — the contract is jaccard ≥ threshold after
+    verification, so a wider screen only adds verify work, never
+    wrong pairs). The r11 default (fixed chunks=8, hamming ≤ 7) was
+    tuned at the gate scale and measured 241/256 at sf0.1 — the 15
+    missed pairs sit at hamming 8-12, above the old SCREEN, not lost
+    to bucket caps (r12 measurement); the derived layout (exact
+    radius 63 at n=500, expanded radius 15 at n=5000) recalls
+    256/256 at every sf.
 
     RECALL CONTRACT (measured, not assumed): a 64-bit SimHash is a
     HIGH-similarity tool — even set-jaccard ≥ 0.8 pairs can land at
     hamming ~10-12 when token multiplicities differ (cos θ ≈ 2j/(1+j);
-    at j = 0.8, E[hamming] ≈ 64·θ/π ≈ 10). On the driver corpus at
-    sf0.01 every true pair measures hamming ≤ 5, so this plan equals
-    the exact oracle there; at sf0.1 it recalls 241/256 (94%) of
-    jaccard ≥ 0.5 pairs. Where exactness at moderate thresholds
-    matters, use :func:`minhash_lsh_verified_pairs` (its S-curve is a
-    direct function of jaccard, miss probability ≤ 5e-8 at j ≥ 0.8);
-    SimHash earns its keep as the cheapest near-exact-duplicate screen.
-    ``max_bucket`` bounds in-bucket candidate volume when the corpus
-    outgrows the chunk keyspace (see :func:`simhash_candidate_pairs`).
+    at j = 0.8, E[hamming] ≈ 64·θ/π ≈ 10), and at j = 0.5 the
+    expectation is ~17 — ABOVE the floor radius, so a pair at exactly
+    the default threshold can still be missed. Where exactness at
+    moderate thresholds matters, use
+    :func:`minhash_lsh_verified_pairs` (its S-curve is a direct
+    function of jaccard, miss probability ≤ 5e-8 at j ≥ 0.8); SimHash
+    earns its keep as the cheapest near-exact-duplicate screen. At
+    true corpus scale the radius floor costs in-bucket volume
+    (n²/2^w with w pinned at 4 bits) and ``max_bucket`` becomes the
+    bound — the cap's weakest-candidates-first recall contract
+    (:func:`simhash_candidate_pairs`) is then the operative one.
 
-    The fingerprint and shingle-posting scans share ONE tokenize pass
-    (``token_arrays``, locally checkpointed as one array row per doc):
-    normalize + regex-split is the dominant per-row cost and both
-    consumers need the same tokens. An externally supplied ``toks``
-    (already checkpointed) extends that sharing across dedup families.
-    Returns (id1, id2, jaccard)."""
+    ``n_docs`` skips the sizing ``count()`` when the caller already
+    holds the corpus size. The fingerprint and shingle-posting scans
+    share ONE tokenize pass (``token_arrays``, locally checkpointed as
+    one array row per doc): normalize + regex-split is the dominant
+    per-row cost and both consumers need the same tokens. An
+    externally supplied ``toks`` (already checkpointed) extends that
+    sharing across dedup families. Returns (id1, id2, jaccard)."""
+    piece_radius = 0
+    if chunks is None:
+        if n_docs is None:
+            n_docs = docs.count()
+        chunks = simhash_chunks_for(n_docs)
+        target = _SIMHASH_RADIUS_FLOOR if max_hamming is None else max_hamming
+        if chunks - 1 < target:
+            # the cold layout's exact radius misses the target: switch
+            # to single-bit piece expansion — same-or-wider pieces
+            # (colder buckets), radius 2·chunks − 1
+            piece_radius = 1
+            chunks = max(2, min(chunks, (target + 2) // 2))
+    if max_hamming is None:
+        max_hamming = chunks * (piece_radius + 1) - 1
     if toks is None:
         toks = token_arrays(docs, text_col, id_col).localCheckpoint(eager=False)
     fps = simhash_fingerprints(docs, text_col, id_col, toks=toks)
-    cands = simhash_candidate_pairs(fps, max_hamming, chunks, max_bucket)
+    cands = simhash_candidate_pairs(
+        fps, max_hamming, chunks, max_bucket, piece_radius
+    )
     postings = hashed_postings(docs, text_col, id_col, n, toks=toks)
+    if piece_radius == 1:
+        # the wide-radius regime: on template-heavy corpora the screen
+        # admits candidates ≫ corpus size (hamming compresses), and the
+        # per-pair verify plan's O(|cands|·sh/doc) term dominates —
+        # pick the verification plan from the MEASURED candidate count
+        # (one cheap job over the checkpointed candidate frame)
+        cands = cands.localCheckpoint(eager=False)
+        if cands.count() > 4 * n_docs:
+            return true_jaccard_for_pairs_dense(cands, postings, threshold)
     return true_jaccard_for_pairs(cands, postings, threshold)
 
 

@@ -900,14 +900,17 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @register("dedup_simhash", _JACCARD_PAIRS_SQL)
 def dedup_simhash(spark, sf_dir):
-    """SimHash-64 pigeonhole candidates (hamming ≤ 7 guaranteed by 8-bit
-    chunks) post-verified by true Jaccard. On the driver's pinned
-    sf0.01 corpus every true pair measures hamming ≤ 5, so the exact
-    oracle matches; the data-dependence is measured and documented in
-    ``simhash_verified_pairs`` (94% recall at sf0.1 — SimHash is the
-    cheap near-exact-duplicate screen; MinHash-LSH is the exact-recall
-    plan and is registered separately). Tokenization comes from the
-    shared dedup-family session cache."""
+    """SimHash-64 pigeonhole candidates post-verified by true Jaccard,
+    at the r12 DERIVED defaults: ``simhash_verified_pairs`` sizes the
+    chunk layout from the corpus (``simhash_chunks_for``, radius floor
+    15) and screens at the derived layout's full pigeonhole radius —
+    the same call is recall-complete at sf0.001/0.01/0.1 (256/256 at
+    sf0.1, where the old fixed hamming ≤ 7 screen measured 241/256:
+    the misses sat at hamming 8-12, above the screen, not in capped
+    buckets — r12 measurement). The probabilistic contract at exactly
+    the threshold stays documented at the operator; MinHash-LSH
+    remains the exact-recall plan and is registered separately.
+    Tokenization comes from the shared dedup-family session cache."""
     docs = read_testdata(spark, sf_dir, "documents")
     return dedup.simhash_verified_pairs(
         docs, threshold=0.5, toks=_toks_cached(spark, sf_dir)
