@@ -147,6 +147,22 @@ def main() -> None:
         "docs_semantic_decontam": 3,
     }
 
+    # Box-drift hardening (r12, verdict #6): SPARK_GRAFT_BENCH_MIN_OF=k
+    # (k ≥ 2) re-runs every entry at least k times warm and records the
+    # MIN — the least-contended sample, the standard drift-robust
+    # statistic — instead of the single-shot/median reading. Two
+    # consecutive rounds needed manual drift adjudication (r10 0.94x,
+    # r11 1.11x — both box-level, verified by idle-box m3); a driver
+    # that opts in stops paying that tax. Default (unset/1) keeps the
+    # historical single-shot + median-of-3-for-HEAVY behavior and the
+    # output schema is identical either way; BENCH_DIAG records the
+    # statistic in use.
+    try:
+        min_of = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_MIN_OF", "1")))
+    except ValueError:
+        min_of = 1
+    agg = min if min_of > 1 else statistics.median
+
     timings: dict[str, float] = {}
     repeats: dict[str, int] = {}
     raw_samples: dict[str, list[float]] = {}
@@ -157,7 +173,7 @@ def main() -> None:
     # costing a manual adjudication rerun next round.
     entry_load: dict[str, dict[str, float]] = {}
     for name, fn in sorted(qs.items()):
-        n = HEAVY.get(name, 1)
+        n = max(HEAVY.get(name, 1), min_of)
         samples = []
         load1 = os.getloadavg()[0]
         busy0, tot0 = _cpu_busy()
@@ -189,7 +205,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             continue
-        timings[name] = round(statistics.median(samples), 4)
+        timings[name] = round(agg(samples), 4)
         repeats[name] = n
         if n > 1:
             raw_samples[name] = [round(s, 4) for s in samples]
@@ -261,15 +277,15 @@ def main() -> None:
         samples = []
         load1 = os.getloadavg()[0]
         busy0, tot0 = _cpu_busy()
-        for _ in range(HEAVY["cr_pipeline"]):
+        for _ in range(max(HEAVY["cr_pipeline"], min_of)):
             # Same hygiene as the main loop: release dead refs + cached
             # blocks so the 30 earlier queries' block-manager residue
             # doesn't bleed into the flagship timing.
             gc.collect()
             spark.catalog.clearCache()
             samples.append(run_pipeline())
-        timings["cr_pipeline"] = round(statistics.median(samples), 4)
-        repeats["cr_pipeline"] = HEAVY["cr_pipeline"]
+        timings["cr_pipeline"] = round(agg(samples), 4)
+        repeats["cr_pipeline"] = max(HEAVY["cr_pipeline"], min_of)
         raw_samples["cr_pipeline"] = [round(s, 4) for s in samples]
         busy1, tot1 = _cpu_busy()
         entry_load["cr_pipeline"] = {
@@ -286,7 +302,8 @@ def main() -> None:
     # leaving BENCH_r07 unparseable. Diagnostics (per-sample arrays,
     # repeat counts) go on their own earlier line; the FINAL line is the
     # compact driver contract with medians only.
-    diag = {"repeats": repeats, "samples": raw_samples, "load": entry_load}
+    diag = {"repeats": repeats, "samples": raw_samples, "load": entry_load,
+            "stat": "min" if min_of > 1 else "median", "min_of": min_of}
     if errors:
         diag["errors"] = errors
     print("BENCH_DIAG " + json.dumps(diag))
