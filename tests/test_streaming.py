@@ -782,3 +782,82 @@ def test_tws_processor_logic_matches_old_api():
     assert new_rows[0].to_dict("records") == [
         {"player_tag": "#TAG", "uses": 6, "wins": 4}
     ]
+
+
+def test_streaming_mixture_gate_matches_sequential_replay(spark, tmp_path):
+    """The foreachBatch mixture gate (r12) ≡ replaying the same
+    micro-batches through mixture_sample_incremental by hand: same
+    admitted key set, same final ledger — and the persisted ledger's
+    total equals exactly what was admitted (the accounting-from-actuals
+    contract). File mtimes are staggered so the file source's
+    oldest-first ordering pins the batch sequence."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.incremental import (
+        streaming_mixture_gate,
+    )
+
+    recipe = {"a": 0.5, "b": 0.25, "c": 0.25}
+    # skewed supply per batch: b floods day 0, a floods day 1, c day 2
+    batches = [
+        [(i, "b") for i in range(40)] + [(100 + i, "a") for i in range(5)],
+        [(200 + i, "a") for i in range(40)] + [(300 + i, "c") for i in range(10)],
+        [(400 + i, "c") for i in range(30)] + [(500 + i, "b") for i in range(10)],
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    for k, rows in enumerate(batches):
+        with open(land / f"batch{k}.jsonl", "w") as f:
+            for doc_id, source in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "source": source}) + "\n")
+        os.utime(land / f"batch{k}.jsonl", (1_000_000 + k, 1_000_000 + k))
+
+    schema = "doc_id long, source string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(land))
+    )
+    state_dir, out_dir = str(tmp_path / "state"), str(tmp_path / "out")
+    q = (
+        streaming_mixture_gate(stream, state_dir, out_dir, "source", recipe)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    admitted = spark.read.parquet(out_dir)
+    got_ids = {r["doc_id"] for r in admitted.collect()}
+    ledger = spark.read.parquet(os.path.join(state_dir, "ledger"))
+    got_ledger = {r["source"]: r["kept_w"] for r in ledger.collect()}
+
+    # sequential replay twin
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import sampling
+
+    led = None
+    want_ids: set[int] = set()
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, schema)
+        kept, led = sampling.mixture_sample_incremental(
+            bdf, led, "source", recipe
+        )
+        want_ids |= {r["doc_id"] for r in kept.collect()}
+        led = spark.createDataFrame(led.collect(), led.schema)
+    want_ledger = {r["source"]: r["kept_w"] for r in led.collect()}
+
+    assert got_ids == want_ids and got_ids
+    assert got_ledger == want_ledger
+    # accounting from actuals: ledger total == admitted count (unit w)
+    assert sum(got_ledger.values()) == float(len(got_ids))
+    # the gate did real work: the flooded day-0 'b' supply was capped
+    per_src = {
+        r["source"]: r["n"]
+        for r in admitted.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_src.get("b", 0) < 50  # 50 offered across batches

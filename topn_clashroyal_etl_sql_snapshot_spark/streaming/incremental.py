@@ -171,3 +171,64 @@ def incremental_snapshot_query(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def streaming_mixture_gate(
+    docs_stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    group_col: str,
+    target_shares,
+    key: str = "doc_id",
+    weight_col: str | None = None,
+):
+    """foreachBatch twin of ``sampling.mixture_sample_incremental`` —
+    the streaming composition its docstring names (r12): the gate
+    needs each micro-batch's per-group supply before it can solve for
+    the feasible total, so per-micro-batch IS its natural grain.
+
+    Per micro-batch: open the persisted per-group ledger (absent on
+    day 0), gate the batch against it, append the admitted rows to
+    ``out_dir``, and republish the updated ledger through the
+    stage-and-swap (``atomic_dir_publish``) so a crash mid-write can
+    never leave a half-written ledger — the updated rows are
+    collected first (label-set bounded, the mixing family's standard
+    driver-side footprint) because the new ledger is derived FROM the
+    parquet being replaced. The admitted append and the ledger swap
+    are not jointly atomic here; a production day publishes both
+    through ``snapshot.publish_generation`` (see
+    examples/incremental_ingest.py) — this twin is the lightweight
+    continuous form.
+
+    Returns the configured ``writeStream`` (checkpoint under
+    ``state_dir/_checkpoint``); the caller picks the trigger, e.g.
+    ``.trigger(availableNow=True).start()``."""
+    import os
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators import sampling
+        from ..sinks.snapshot import atomic_dir_publish
+
+        spark = batch_df.sparkSession
+        ledger_path = os.path.join(state_dir, "ledger")
+        ledger = (
+            spark.read.parquet(ledger_path)
+            if os.path.exists(ledger_path)
+            else None
+        )
+        kept, updated = sampling.mixture_sample_incremental(
+            batch_df, ledger, group_col, target_shares, key, weight_col
+        )
+        kept.write.mode("append").parquet(out_dir)
+        rows, schema = updated.collect(), updated.schema
+        atomic_dir_publish(
+            ledger_path,
+            lambda staging: spark.createDataFrame(rows, schema)
+            .coalesce(1)
+            .write.parquet(staging),
+            caller="streaming_mixture_gate ledger publish",
+        )
+
+    return docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+    )
