@@ -1681,3 +1681,101 @@ def test_component_keepers_incremental_fuse_and_plan(spark, tmp_path):
     )
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_piece_radius_expansion_guarantee_and_guards(spark):
+    """piece_radius=1 extends the pigeonhole guarantee to 2·chunks−1:
+    every pair within that radius is found (exhaustively planted — one
+    fingerprint per hamming distance 0..radius via prefix bit flips,
+    where the exact-piece join provably misses the upper half);
+    piece_radius=2 raises; results carry exact hammings."""
+    chunks = 4  # radius 7 with expansion, 3 exact
+    base = 0x0123456789ABCDEF
+    rows = [(0, base)]
+    for h in range(1, 8):
+        rows.append((h, base ^ ((1 << h) - 1)))  # h low-bit flips
+    # 7 flips SPREAD 2/2/2/1 across the four 16-bit pieces: no clean
+    # piece (exact join must miss), but piece 3 carries exactly one
+    # flip — the expansion must catch it at the guarantee boundary
+    spread = (1 | 2) | (3 << 16) | (3 << 32) | (1 << 48)
+    rows.append((99, base ^ spread))
+    fps = spark.createDataFrame(rows, "id long, sh64 long")
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in dedup.simhash_candidate_pairs(
+            fps, max_hamming=7, chunks=chunks, piece_radius=1
+        ).collect()
+    }
+    # pair (0, h) differs in exactly h bits — ALL must be present
+    for h in range(1, 8):
+        assert got[(0, h)] == h, (h, got)
+    assert got[(0, 99)] == 7
+    # the exact-piece join at the same layout misses the spread pair
+    exact = {
+        (r["id1"], r["id2"])
+        for r in dedup.simhash_candidate_pairs(
+            fps, max_hamming=7, chunks=chunks, piece_radius=0
+        ).collect()
+    }
+    assert (0, 99) not in exact
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="piece_radius"):
+        dedup.simhash_candidate_pairs(fps, 7, chunks, piece_radius=2)
+
+
+def test_dense_and_sparse_verification_agree(spark):
+    """true_jaccard_for_pairs_dense ≡ true_jaccard_for_pairs on the
+    same candidate list and postings — same pairs, same jaccards
+    (the dense path is a plan choice, not a semantic one)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox leaps over the lazy dog"),
+            (4, "completely different text about spark plans"),
+            (5, "completely different text about spark plans entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    postings = dedup.hashed_postings(docs)
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (1, 4)], "id1 long, id2 long"
+    )
+    sparse = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.true_jaccard_for_pairs(cands, postings, 0.3).collect()
+    }
+    dense = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.true_jaccard_for_pairs_dense(
+            cands, postings, 0.3
+        ).collect()
+    }
+    assert sparse == dense and sparse
+
+
+def test_simhash_derived_defaults_pick_layout_by_corpus(spark):
+    """simhash_verified_pairs' derived defaults: a small corpus takes
+    the exact wide-chunk layout; a corpus past the cold-layout radius
+    switches to piece expansion — both recall a planted near-dup pair,
+    and an explicit chunks pin keeps the legacy behavior."""
+    texts = [(i, f"unique document number {i} with filler words "
+              f"{'alpha beta gamma delta ' * 3}{i}") for i in range(60)]
+    # planted near-dup of doc 0
+    texts.append((1000, texts[0][1] + " trailing banner"))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    # derived path (chunks=None): n=61 → chunks_for=64, exact radius 63
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in dedup.simhash_verified_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1000) in pairs
+    # explicit legacy pin still works
+    pairs_pinned = {
+        (r["id1"], r["id2"])
+        for r in dedup.simhash_verified_pairs(
+            docs, threshold=0.5, max_hamming=7, chunks=8
+        ).collect()
+    }
+    assert (0, 1000) in pairs_pinned

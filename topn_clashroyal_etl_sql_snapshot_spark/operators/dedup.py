@@ -2477,7 +2477,16 @@ def component_keepers_incremental(
     so no broadcast pin would be honest), then
     :func:`component_keepers` runs at touched size. ``max_batch_pairs``
     is the same broadcast fuse as the CC merge and fires for the same
-    reason."""
+    reason.
+
+    When to use it (measured, tools/scale_keepers_r12.py): the
+    incremental arm is SCAN-bounded — near-flat 3.5/3.0/4.1 s across
+    2M/6M/20M labels with a fixed 5k-pair batch — while the full
+    re-pick is SHUFFLE-bounded (2.0/2.0/5.5 s: two corpus-sized
+    exchanges of labels + scores). Fixed probe overheads make the
+    full re-pick CHEAPER below the crossover (~10-15M labels on the
+    32-thread box); production label frames sit far past it, and the
+    gap grows as shuffle-vs-scan from there."""
     edges = new_pairs.select(
         F.col(id1).alias("a"), F.col(id2).alias("b")
     ).localCheckpoint(eager=False)
