@@ -190,9 +190,14 @@ def run(spark, sf_dir: str, state_root: str | None = None) -> dict:
 
     # Day 1, persisted keepers (r12): champions re-picked ONLY inside
     # batch-touched components, prior decisions reused verbatim — the
-    # corpus-wide keeper frame follows the labels frame incrementally
+    # corpus-wide keeper frame follows the labels frame incrementally.
+    # Scored with the SAME corpus-only frame as the admission gate
+    # (review finding: scoring batch members here let a dedup-DROPPED
+    # batch doc out-score its corpus twin and be published as the
+    # component's keeper — the persisted keepers must agree with the
+    # admission policy's corpus-is-canonical rule)
     keepers1 = dedup.component_keepers_incremental(
-        labels1, st["keepers"], pairs, quality
+        labels1, st["keepers"], pairs, corpus_quality
     ).localCheckpoint(eager=True)
     n_keepers1 = keepers1.filter(F.col("keep")).count()
 

@@ -197,3 +197,23 @@ def test_persisted_state_round_trip_schemas(spark, tmp_path):
         ]
     assert labels1.count() >= labels.count()
     assert kept.count() <= batch.count()
+
+
+def test_noncanonical_generation_names_are_cleaned(spark, tmp_path):
+    """Cleanup removes gen directories by their LISTED name: a
+    non-canonically padded orphan ('gen-07') and an old generation
+    ('gen-02') must actually disappear, not be no-op'd by a rebuilt
+    gen-%06d path (review finding)."""
+    root = str(tmp_path / "state")
+    sink.publish_generation(root, lambda d: _write_states(spark, d, "day0"))
+
+    os.makedirs(os.path.join(root, "gen-07"))     # orphan, n > current
+    g2 = sink.publish_generation(
+        root, lambda d: _write_states(spark, d, "day1")
+    )
+    assert not os.path.exists(os.path.join(root, "gen-07"))
+    assert sink.current_generation(root) == g2
+
+    os.makedirs(os.path.join(root, "gen-0"))      # stale, n < keep line
+    sink.publish_generation(root, lambda d: _write_states(spark, d, "day2"))
+    assert not os.path.exists(os.path.join(root, "gen-0"))

@@ -828,9 +828,10 @@ def test_streaming_mixture_gate_matches_sequential_replay(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
 
     admitted = spark.read.parquet(out_dir)
+    assert "batch_id" in admitted.columns  # per-batch provenance dirs
     got_ids = {r["doc_id"] for r in admitted.collect()}
     ledger = spark.read.parquet(os.path.join(state_dir, "ledger"))
     got_ledger = {r["source"]: r["kept_w"] for r in ledger.collect()}
@@ -861,3 +862,29 @@ def test_streaming_mixture_gate_matches_sequential_replay(spark, tmp_path):
         .collect()
     }
     assert per_src.get("b", 0) < 50  # 50 offered across batches
+
+    # replay idempotence (foreachBatch is at-least-once): re-deliver
+    # every batch via a FRESH checkpoint against the same state — the
+    # ledger's recorded batch marker must skip them all, leaving both
+    # the admitted output and the ledger byte-identical
+    q2 = (
+        streaming_mixture_gate(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(land)),
+            state_dir,
+            out_dir,
+            "source",
+            recipe,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+    again_ids = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    again_ledger = {
+        r["source"]: r["kept_w"]
+        for r in spark.read.parquet(os.path.join(state_dir, "ledger")).collect()
+    }
+    assert again_ids == got_ids and again_ledger == got_ledger

@@ -1126,6 +1126,20 @@ def hashed_postings(
     return p.localCheckpoint(eager=False)
 
 
+def _checkpointed_once(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=False)`` unless the frame already IS a
+    bare checkpoint/RDD (its analyzed plan is a single LogicalRDD
+    node) — re-checkpointing an already-materialized frame stores a
+    second full copy of its rows in block storage for nothing (review
+    finding: simhash_verified_pairs checkpoints its candidate frame
+    for the plan-choice count, and the verifier then checkpointed the
+    3.2M-pair frame AGAIN)."""
+    plan = df._jdf.queryExecution().analyzed().toString().strip()
+    if plan.startswith("LogicalRDD") and "\n" not in plan:
+        return df
+    return df.localCheckpoint(eager=False)
+
+
 def true_jaccard_for_pairs(
     cands: DataFrame, postings: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
@@ -1140,9 +1154,10 @@ def true_jaccard_for_pairs(
     stays codegen'd (no HOFs).
     Returns (id1, id2, jaccard) with jaccard ≥ threshold."""
     # The pair list is consumed twice (id extraction + the pair joins);
-    # checkpoint it so the candidate generator's join runs once. Small by
-    # contract — every generator here is bucketed, never all-pairs.
-    cands = cands.localCheckpoint(eager=False)
+    # checkpoint it so the candidate generator's join runs once — unless
+    # the caller already materialized it. Small by contract — every
+    # generator here is bucketed, never all-pairs.
+    cands = _checkpointed_once(cands)
     cand_ids = (
         cands.select(F.col("id1").alias("id"))
         .unionAll(cands.select(F.col("id2").alias("id")))
@@ -1209,7 +1224,7 @@ def true_jaccard_for_pairs_dense(
     candidate frame never shuffles). Measured on the case above:
     per-pair verify ~19 s, dense verify ~3 s, identical rows.
     Candidates must carry ``id1 < id2`` (every generator here does)."""
-    cands = cands.localCheckpoint(eager=False)
+    cands = _checkpointed_once(cands)
     cand_ids = (
         cands.select(F.col("id1").alias("id"))
         .unionAll(cands.select(F.col("id2").alias("id")))

@@ -198,19 +198,20 @@ def publish_generation(
     os.makedirs(root, exist_ok=True)
     cur = current_generation(root)
     cur_n = _gen_number(os.path.basename(cur)) if cur else 0
+    # (number, LISTED name) pairs: cleanup must remove the directory
+    # by the name it actually has — rebuilding gen-%06d from the
+    # parsed number silently no-ops on non-canonically padded names
+    # like 'gen-07' (review finding), leaving them behind forever
     gens = sorted(
-        n
+        (n, name)
         for name in os.listdir(root)
         if (n := _gen_number(name)) is not None
     )
     # orphans: staged by a crashed run, never flipped to — the pointer
     # is the source of truth, so anything newer than it is dead weight
-    for n in gens:
+    for n, name in gens:
         if n > cur_n:
-            shutil.rmtree(
-                os.path.join(root, f"{_GEN_PREFIX}{n:06d}"),
-                ignore_errors=True,
-            )
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     new_n = cur_n + 1
     gen_dir = os.path.join(root, f"{_GEN_PREFIX}{new_n:06d}")
     shutil.rmtree(gen_dir, ignore_errors=True)
@@ -222,12 +223,9 @@ def publish_generation(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, _CURRENT_FILE))  # THE commit
-    for n in gens:
+    for n, name in gens:
         if n <= cur_n - keep:
-            shutil.rmtree(
-                os.path.join(root, f"{_GEN_PREFIX}{n:06d}"),
-                ignore_errors=True,
-            )
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     return gen_dir
 
 

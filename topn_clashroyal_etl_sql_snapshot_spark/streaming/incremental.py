@@ -188,16 +188,27 @@ def streaming_mixture_gate(
     the feasible total, so per-micro-batch IS its natural grain.
 
     Per micro-batch: open the persisted per-group ledger (absent on
-    day 0), gate the batch against it, append the admitted rows to
-    ``out_dir``, and republish the updated ledger through the
-    stage-and-swap (``atomic_dir_publish``) so a crash mid-write can
-    never leave a half-written ledger — the updated rows are
-    collected first (label-set bounded, the mixing family's standard
-    driver-side footprint) because the new ledger is derived FROM the
-    parquet being replaced. The admitted append and the ledger swap
-    are not jointly atomic here; a production day publishes both
-    through ``snapshot.publish_generation`` (see
-    examples/incremental_ingest.py) — this twin is the lightweight
+    day 0), gate the batch against it, OVERWRITE the admitted rows
+    into ``out_dir/batch_id=N`` (Hive-style — readers of ``out_dir``
+    get a provenance ``batch_id`` column), and republish the updated
+    ledger through the stage-and-swap (``atomic_dir_publish``) with
+    the applied batch id recorded INSIDE the staged directory (an
+    underscore-prefixed marker file, invisible to parquet readers,
+    that therefore moves ATOMICALLY with the ledger it describes).
+    The updated rows are collected first (label-set bounded, the
+    mixing family's standard driver-side footprint) because the new
+    ledger is derived FROM the parquet being replaced.
+
+    Replay safety (foreachBatch is at-least-once — review finding): a
+    replayed batch id ≤ the ledger's recorded marker is SKIPPED, so
+    the ledger counts each batch exactly once; a crash between the
+    admitted write and the ledger swap re-delivers the batch, which
+    re-OVERWRITES the same ``batch_id=N`` directory with identical
+    content (the gate is deterministic given the same prior ledger)
+    and then completes the swap — exactly-once for both surfaces. A
+    production day that must also move shards and other coupled
+    states in one commit uses ``snapshot.publish_generation`` (see
+    examples/incremental_ingest.py); this twin is the lightweight
     continuous form.
 
     Returns the configured ``writeStream`` (checkpoint under
@@ -205,28 +216,44 @@ def streaming_mixture_gate(
     ``.trigger(availableNow=True).start()``."""
     import os
 
+    marker = "_last_batch"
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators import sampling
         from ..sinks.snapshot import atomic_dir_publish
 
         spark = batch_df.sparkSession
         ledger_path = os.path.join(state_dir, "ledger")
-        ledger = (
-            spark.read.parquet(ledger_path)
-            if os.path.exists(ledger_path)
-            else None
-        )
+        ledger = None
+        if os.path.exists(ledger_path):
+            try:
+                with open(
+                    os.path.join(ledger_path, marker), encoding="utf-8"
+                ) as f:
+                    if batch_id <= int(f.read().strip()):
+                        return  # at-least-once replay of an applied batch
+            except FileNotFoundError:
+                pass
+            ledger = spark.read.parquet(ledger_path)
         kept, updated = sampling.mixture_sample_incremental(
             batch_df, ledger, group_col, target_shares, key, weight_col
         )
-        kept.write.mode("append").parquet(out_dir)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
         rows, schema = updated.collect(), updated.schema
+
+        def _stage(staging: str) -> None:
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                staging
+            )
+            with open(
+                os.path.join(staging, marker), "w", encoding="utf-8"
+            ) as f:
+                f.write(str(batch_id))
+
         atomic_dir_publish(
-            ledger_path,
-            lambda staging: spark.createDataFrame(rows, schema)
-            .coalesce(1)
-            .write.parquet(staging),
-            caller="streaming_mixture_gate ledger publish",
+            ledger_path, _stage, caller="streaming_mixture_gate ledger publish"
         )
 
     return docs_stream.writeStream.foreachBatch(_process).option(
