@@ -1,0 +1,167 @@
+"""The packaged daily-ingest loop (plans/ingest.py): bootstrap →
+day-N runs through the incremental gates with one atomic generation
+commit per day. Covers the planted-duplicate paths, quality-steered
+admission, crash injection mid-day (old generation keeps serving, the
+rerun succeeds), and the re-feed no-op day."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from topn_clashroyal_etl_sql_snapshot_spark.plans import ingest
+from topn_clashroyal_etl_sql_snapshot_spark.sinks import shards, snapshot as snap
+
+
+def _docs(spark, ids, tag="doc"):
+    # per-id token streams: documents share NO trigrams, so nothing
+    # near-duplicates anything unless a test plants it deliberately
+    rows = [
+        (i, " ".join(f"{tag}{i}w{j}" for j in range(30)),
+         "web" if i % 2 else "books")
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+RECIPE = {"web": 0.5, "books": 0.5}
+
+
+def test_bootstrap_and_one_day(spark, tmp_path):
+    root = str(tmp_path / "state")
+    corpus = _docs(spark, range(1, 41))
+    gen1 = ingest.bootstrap_state(spark, corpus, root)
+    assert snap.current_generation(root) == gen1
+    st = ingest.open_state(spark, root)
+    assert set(st) == set(ingest.STATE_NAMES)
+    assert st["ledger"].count() == 2  # web + books
+
+    # batch: two genuinely new docs, one byte-identical recrawl of doc
+    # 1, one near-dup of doc 2 (same text + banner)
+    base = {r["doc_id"]: r for r in corpus.collect()}
+    batch = _docs(spark, [100, 101]).unionAll(
+        spark.createDataFrame(
+            [
+                (200, base[1]["text"], base[1]["source"]),
+                (201, base[2]["text"] + " trailing crawl banner",
+                 base[2]["source"]),
+            ],
+            "doc_id long, text string, source string",
+        )
+    )
+    rep = ingest.run_daily_ingest(
+        spark, batch, root, RECIPE, n_shards=2
+    )
+    assert rep["batch_in"] == 4
+    assert rep["exact_dropped"] == 1          # the recrawl
+    assert rep["neardup_dropped"] == 1        # the banner near-dup
+    admitted_ids = {r["doc_id"] for r in rep["admitted"].collect()}
+    assert admitted_ids == {100, 101}
+    assert snap.current_generation(root) == rep["generation"] != gen1
+
+    # ledger accounting: corpus (40) + exactly what the gate admitted
+    total = (
+        spark.read.parquet(os.path.join(rep["generation"], "ledger"))
+        .agg(F.sum("kept_w"))
+        .collect()[0][0]
+    )
+    assert total == 40.0 + rep["mixture_admitted"]
+    # the day's shards verify against their manifest inside the gen
+    if rep["mixture_admitted"]:
+        ver = shards.verify_shards(
+            spark, os.path.join(rep["generation"], "shards")
+        )
+        assert all(r["ok"] for r in ver.collect())
+
+    # persisted keepers stayed consistent: one keep per component
+    keepers = spark.read.parquet(os.path.join(rep["generation"], "keepers"))
+    per_comp = keepers.groupBy("comp").agg(
+        F.sum(F.col("keep").cast("int")).alias("k")
+    )
+    assert {r["k"] for r in per_comp.collect()} == {1}
+
+
+def test_quality_steers_within_batch_admission(spark, tmp_path):
+    root = str(tmp_path / "state")
+    ingest.bootstrap_state(spark, _docs(spark, range(1, 21)), root)
+    # two within-batch near-dups (no corpus overlap); quality prefers
+    # the HIGHER id — min-id would pick 300
+    text = "completely novel batch content " + "zeta eta theta " * 10
+    batch = spark.createDataFrame(
+        [(300, text, "web"), (301, text + " tail", "web")],
+        "doc_id long, text string, source string",
+    )
+    quality = spark.createDataFrame(
+        [(300, 1.0), (301, 9.0)], "doc_id long, score double"
+    )
+    rep = ingest.run_daily_ingest(spark, batch, root, RECIPE, quality=quality)
+    admitted = {r["doc_id"] for r in rep["admitted"].collect()}
+    assert admitted == {301}
+    # and a corpus-duplicating doc can NEVER win on quality: re-run a
+    # day where the near-dup of an indexed doc carries a huge score
+    corpus_row = _docs(spark, [1]).collect()[0]
+    batch2 = spark.createDataFrame(
+        [(400, corpus_row["text"] + " banner", corpus_row["source"])],
+        "doc_id long, text string, source string",
+    )
+    rep2 = ingest.run_daily_ingest(
+        spark, batch2, root, RECIPE,
+        quality=spark.createDataFrame(
+            [(400, 1e12)], "doc_id long, score double"
+        ),
+    )
+    assert rep2["neardup_dropped"] == 1 and rep2["n_admitted"] == 0
+
+
+def test_crash_mid_day_keeps_old_generation_then_rerun(
+    spark, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "state")
+    gen1 = ingest.bootstrap_state(spark, _docs(spark, range(1, 21)), root)
+    batch = _docs(spark, [500, 501], tag="fresh")
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected shard-sink crash")
+
+    monkeypatch.setattr(ingest.shard_sink, "write_training_shards", boom)
+    with pytest.raises(RuntimeError, match="injected shard-sink crash"):
+        ingest.run_daily_ingest(spark, batch, root, RECIPE, n_shards=2)
+    # the pointer never moved; day-0 state serves complete
+    assert snap.current_generation(root) == gen1
+    assert ingest.open_state(spark, root)["ledger"].count() == 2
+
+    monkeypatch.undo()
+    rep = ingest.run_daily_ingest(spark, batch, root, RECIPE, n_shards=2)
+    assert rep["n_admitted"] == 2
+    assert snap.current_generation(root) == rep["generation"]
+
+
+def test_refeed_day_is_a_noop(spark, tmp_path):
+    root = str(tmp_path / "state")
+    ingest.bootstrap_state(spark, _docs(spark, range(1, 21)), root)
+    batch = _docs(spark, [600, 601], tag="fresh")
+    rep1 = ingest.run_daily_ingest(spark, batch, root, RECIPE)
+    assert rep1["n_admitted"] == 2
+    led1 = {
+        (r["source"], r["kept_w"]) for r in rep1["ledger"].collect()
+    }
+    # same batch again: every doc is now byte-identical to an indexed
+    # one — the exact gate drops everything, no state drifts
+    rep2 = ingest.run_daily_ingest(spark, batch, root, RECIPE, n_shards=2)
+    assert rep2["exact_dropped"] == 2 and rep2["n_admitted"] == 0
+    assert rep2["mixture_admitted"] == 0
+    led2 = {
+        (r["source"], r["kept_w"]) for r in rep2["ledger"].collect()
+    }
+    assert led2 == led1
+    # publish still succeeded (gen advanced, no shards dir for an
+    # empty day)
+    assert snap.current_generation(root) == rep2["generation"]
+    assert not os.path.exists(os.path.join(rep2["generation"], "shards"))
+
+
+def test_open_state_before_bootstrap_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="bootstrap_state"):
+        ingest.open_state(spark, str(tmp_path / "nope"))

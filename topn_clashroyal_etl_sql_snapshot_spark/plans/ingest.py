@@ -1,0 +1,259 @@
+"""The daily-ingest loop as a packaged, tested API.
+
+``examples/incremental_ingest.py`` documents the composition in the
+open; THIS module is the product form (r12): bootstrap a seed corpus's
+persisted state set once, then run each day's crawl batch through the
+incremental gates and commit everything in one atomic generation.
+
+State set (one directory per state under each ``gen-N``):
+
+======== =============================================================
+name     contents / producing operator
+======== =============================================================
+fingerprints  ``content_fingerprint`` per corpus doc (exact gate index)
+bloom         ``dedup.bloom_bitmap`` over the fingerprints (prefilter)
+minhash       ``dedup.minhash_signatures`` (near-dup candidate index)
+labels        ``dedup.connected_components`` (corpus near-dup labeling)
+keepers       ``dedup.component_keepers`` (canonical-member decisions)
+ledger        per-``group_col`` kept weights (domain-mixture accounting)
+======== =============================================================
+
+Every day-N update goes through the states' INCREMENTAL operators —
+the persisted frames are broadcast-probed, never shuffled — and all
+six (plus the day's admitted shard set) commit via ONE
+``snapshot.publish_generation`` pointer flip: a mid-day crash leaves
+day N−1 serving, complete and self-consistent, and the rerun starts
+clean (the orphaned generation is pruned). Admission policy is
+corpus-canonical: a batch doc that near-duplicates an INDEXED doc is
+dropped (the corpus member stays canonical); within-batch duplicate
+groups keep one member. ``quality`` (an ``(id, score)`` frame, higher
+wins) steers both the within-batch keep and the persisted keeper
+merge; with the default ``None`` both fall back to
+``component_keepers``' deterministic min-id rule.
+
+No reference analog (the reference's loop is a full TRUNCATE+RELOAD
+snapshot, ``scripts/etl_snapshot_topn.py`` — SURVEY.md §2.A5); this is
+the training-data-pipeline extension surface's composition layer.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..operators import dedup, sampling
+from ..sinks import shards as shard_sink
+from ..sinks import snapshot as snap
+
+STATE_NAMES = (
+    "fingerprints", "bloom", "minhash", "labels", "keepers", "ledger"
+)
+
+
+def _empty_scores(ids: DataFrame, id_col: str = "id") -> DataFrame:
+    """A zero-row (id, score) frame with the id type taken from a real
+    frame — component_keepers then scores every member as unscored and
+    its min-id fallback decides (the default keep policy)."""
+    return (
+        ids.select(F.col(id_col).alias("id"))
+        .filter(F.lit(False))
+        .withColumn("score", F.lit(0.0))
+    )
+
+
+def bootstrap_state(
+    spark: SparkSession,
+    corpus: DataFrame,
+    state_root: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality: DataFrame | None = None,
+    threshold: float = 0.5,
+) -> str:
+    """Day 0: build all six persisted states from the seed corpus and
+    commit them as generation 1 (one atomic pointer flip — a crash
+    mid-bootstrap leaves NO generation, and the rerun starts clean).
+    Returns the generation directory."""
+
+    def day0(gen: str) -> None:
+        corpus.select(
+            tx.content_fingerprint(F.col(text_col)).alias("fingerprint")
+        ).write.parquet(os.path.join(gen, "fingerprints"))
+        # read back: the bitmap derives from the exact rows just
+        # written, without re-running the fingerprint scan
+        fp = spark.read.parquet(os.path.join(gen, "fingerprints"))
+        dedup.bloom_bitmap(fp).write.parquet(os.path.join(gen, "bloom"))
+        dedup.minhash_signatures(corpus, text_col, id_col).write.parquet(
+            os.path.join(gen, "minhash")
+        )
+        labels0 = dedup.connected_components(
+            dedup.minhash_lsh_verified_pairs(
+                corpus, text_col, id_col, threshold=threshold
+            )
+        ).localCheckpoint(eager=True)  # labels + keepers both consume
+        labels0.write.parquet(os.path.join(gen, "labels"))
+        q0 = (
+            _empty_scores(labels0) if quality is None
+            else quality.select(F.col(id_col).alias("id"), "score")
+        )
+        dedup.component_keepers(labels0, q0).write.parquet(
+            os.path.join(gen, "keepers")
+        )
+        corpus.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("double").alias("kept_w")
+        ).write.parquet(os.path.join(gen, "ledger"))
+
+    return snap.publish_generation(state_root, day0)
+
+
+def open_state(spark: SparkSession, state_root: str) -> dict[str, DataFrame]:
+    """The current generation's six states as plain parquet reads —
+    raises before the first :func:`bootstrap_state`."""
+    cur = snap.current_generation(state_root)
+    if cur is None:
+        raise ValueError(
+            f"no generation published under {state_root!r} — run "
+            "bootstrap_state first"
+        )
+    return {
+        name: spark.read.parquet(os.path.join(cur, name))
+        for name in STATE_NAMES
+    }
+
+
+def run_daily_ingest(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_root: str,
+    target_shares: Mapping[str, float],
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality: DataFrame | None = None,
+    threshold: float = 0.5,
+    mixture_weight_col: str | None = None,
+    n_shards: int = 0,
+    shard_weight_col: str | None = None,
+) -> dict:
+    """One ingest day, end to end:
+
+    1. exact gate (Bloom-prefiltered) vs the persisted fingerprint
+       index — byte-identical recrawls drop before any shingling;
+    2. near-dup pairs vs the persisted MinHash index (batch texts
+       touched once);
+    3. admission — corpus-canonical ``component_keepers`` over the
+       day's pair components (index members always win their cross
+       components; within-batch groups keep one member by ``quality``
+       or min-id);
+    4. persisted labels and keepers merge incrementally
+       (changed components only — the frames are never shuffled);
+    5. the admitted docs pass the mixture ledger gate;
+    6. everything — six updated states plus (optionally,
+       ``n_shards > 0``) the day's admitted shard set — commits as ONE
+       new generation.
+
+    Returns a report dict: counts (``batch_in``, ``exact_dropped``,
+    ``neardup_dropped``, ``admitted``, ``mixture_admitted``), the new
+    ``generation`` path, and the day's frames (``admitted``, ``mixed``,
+    ``pairs``, ``labels``, ``keepers``, ``ledger`` — all checkpointed,
+    safe to consume after the publish)."""
+    st = open_state(spark, state_root)
+    n_in = batch.count()
+
+    surv, fp1, bloom1 = dedup.dedup_exact_incremental_bloom(
+        batch, st["fingerprints"], st["bloom"], text_col=text_col
+    )
+    surv = surv.localCheckpoint(eager=True)
+    n_surv = surv.count()
+
+    pairs, mh1 = dedup.minhash_lsh_incremental(
+        surv, st["minhash"], text_col, id_col, threshold=threshold
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+
+    # Admission: index-side endpoints get a constant score ABOVE every
+    # unscored batch member (component_keepers' scored-beats-unscored
+    # rule), so the corpus member wins each cross component outright;
+    # the user's quality frame, when given, decides within-batch groups
+    # (its scores apply to batch members; index members keep a floor
+    # strictly above — corpus immutability is not a quality question)
+    comp = dedup.connected_components(pairs)
+    batch_ids = surv.select(F.col(id_col).alias("id"))
+    index_members = comp.select("id").join(batch_ids, "id", "left_anti")
+    q_parts = [index_members.withColumn("score", F.lit(float("inf")))]
+    if quality is not None:
+        q_parts.append(
+            quality.select(F.col(id_col).alias("id"), "score").join(
+                batch_ids, "id", "left_semi"
+            )
+        )
+    admission_scores = q_parts[0] if len(q_parts) == 1 else (
+        q_parts[0].unionByName(q_parts[1])
+    )
+    keep = dedup.component_keepers(comp, admission_scores)
+    admitted = surv.join(
+        keep.filter(~F.col("keep")).select(F.col("id").alias(id_col)),
+        id_col,
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    n_admitted = admitted.count()
+
+    labels1 = dedup.connected_components_incremental(
+        st["labels"], pairs
+    ).localCheckpoint(eager=True)
+    merge_q = (
+        _empty_scores(labels1) if quality is None
+        else quality.select(F.col(id_col).alias("id"), "score")
+    )
+    keepers1 = dedup.component_keepers_incremental(
+        labels1, st["keepers"], pairs, merge_q
+    ).localCheckpoint(eager=True)
+
+    mixed, ledger1 = sampling.mixture_sample_incremental(
+        admitted,
+        st["ledger"],
+        group_col,
+        target_shares,
+        key=id_col,
+        weight_col=mixture_weight_col,
+    )
+    mixed = mixed.localCheckpoint(eager=True)
+    ledger1 = ledger1.localCheckpoint(eager=True)
+    n_mixed = mixed.count()
+
+    def day(gen: str) -> None:
+        fp1.write.parquet(os.path.join(gen, "fingerprints"))
+        bloom1.write.parquet(os.path.join(gen, "bloom"))
+        mh1.write.parquet(os.path.join(gen, "minhash"))
+        labels1.write.parquet(os.path.join(gen, "labels"))
+        keepers1.write.parquet(os.path.join(gen, "keepers"))
+        ledger1.write.parquet(os.path.join(gen, "ledger"))
+        if n_shards > 0 and n_mixed:
+            shard_sink.write_training_shards(
+                mixed,
+                os.path.join(gen, "shards"),
+                key=id_col,
+                n_shards=n_shards,
+                weight_col=shard_weight_col,
+            )
+
+    gen = snap.publish_generation(state_root, day)
+    return {
+        "generation": gen,
+        "batch_in": n_in,
+        "exact_dropped": n_in - n_surv,
+        "neardup_dropped": n_surv - n_admitted,
+        "admitted": admitted,
+        "n_admitted": n_admitted,
+        "mixture_admitted": n_mixed,
+        "mixed": mixed,
+        "pairs": pairs,
+        "labels": labels1,
+        "keepers": keepers1,
+        "ledger": ledger1,
+    }
