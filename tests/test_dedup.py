@@ -1779,3 +1779,55 @@ def test_simhash_derived_defaults_pick_layout_by_corpus(spark):
         ).collect()
     }
     assert (0, 1000) in pairs_pinned
+
+
+def test_simhash_incremental_piece_radius_matches_full_run(spark):
+    """piece_radius=1 on the incremental path ≡ the new-doc-involving
+    subset of the full-run generator at the same (chunks, radius,
+    cap) — including a planted batch-vs-index pair at hamming 10 that
+    the exact-piece join provably misses at chunks=8."""
+    base = 0x0123456789ABCDEF
+    # index: base plus distinct far fingerprints
+    idx_rows = [(1, base)] + [(10 + i, (base * (i + 3)) & ((1 << 64) - 1))
+                              for i in range(6)]
+    # batch: hamming-10 variant of base (flips spread 2/1/2/1/1/1/1/1
+    # over the eight 8-bit pieces — no clean piece, one ≤1-flip piece)
+    spread = (3 | (1 << 8) | (3 << 16) | (1 << 24) | (1 << 32)
+              | (1 << 40) | (1 << 48) | (1 << 56))
+    batch_rows = [(101, base ^ spread), (102, 0x5A5A5A5A5A5A5A5A)]
+    idf = spark.createDataFrame(idx_rows, "id long, sh64 long")
+    bdf = spark.createDataFrame(batch_rows, "id long, sh64 long")
+
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in dedup.simhash_incremental_pairs(
+            bdf, idf, max_hamming=15, chunks=8, piece_radius=1
+        ).collect()
+    }
+    assert got.get((101, 1)) == 10
+    # exact-piece incremental at the same layout misses it
+    exact = {
+        (r["id1"], r["id2"])
+        for r in dedup.simhash_incremental_pairs(
+            bdf, idf, max_hamming=15, chunks=8, piece_radius=0
+        ).collect()
+    }
+    assert (101, 1) not in exact
+
+    # ≡ the new-involving subset of the full-run generator
+    full = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in dedup.simhash_candidate_pairs(
+            idf.unionAll(bdf), max_hamming=15, chunks=8, piece_radius=1
+        ).collect()
+    }
+    new_ids = {101, 102}
+    want = {}
+    for (a, b), h in full.items():
+        if a in new_ids and b not in new_ids:
+            want[(a, b)] = h
+        elif b in new_ids and a not in new_ids:
+            want[(b, a)] = h
+        elif a in new_ids and b in new_ids:
+            want[(min(a, b), max(a, b))] = h
+    assert got == want

@@ -1984,6 +1984,7 @@ def simhash_incremental_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket: int | None = 10_000,
+    piece_radius: int = 0,
 ) -> DataFrame:
     """Hamming-≤-k pairs of a NEW batch of 64-bit fingerprints against
     a PERSISTED fingerprint index — the pigeonhole family's
@@ -2003,7 +2004,19 @@ def simhash_incremental_pairs(
     the union (same pigeonhole guarantee: any pair within hamming ≤
     chunks-1 shares an exact chunk; same ``max_bucket`` hot-bucket
     cap, counted over batch ∪ index so the subset invariant holds
-    cap-for-cap; id namespaces must not collide — caller contract)."""
+    cap-for-cap; id namespaces must not collide — caller contract).
+
+    ``piece_radius=1`` (r12): the same multi-index extension as
+    :func:`simhash_candidate_pairs` — the BATCH side (the small frame)
+    expands each piece to its single-bit-flip variants, so the
+    guarantee widens to hamming ≤ ``2·chunks − 1`` while the index
+    pieces stay untouched; the ≡-full-run-subset invariant holds
+    radius-for-radius because within-piece distance ≤ 1 is symmetric
+    (the variant match fires regardless of which side expanded)."""
+    if piece_radius not in (0, 1):
+        raise ValueError(
+            f"piece_radius must be 0 or 1, got {piece_radius}"
+        )
     p_new = _simhash_pieces(new_fps, chunks).localCheckpoint(eager=False)
     p_idx = _simhash_pieces(index_fps, chunks).localCheckpoint(eager=False)
     right = (
@@ -2017,9 +2030,19 @@ def simhash_incremental_pairs(
         ).localCheckpoint(eager=False)
         p_new = p_new.join(hot, ["chunk", "val"], "left_anti")
         right = right.join(hot, ["chunk", "val"], "left_anti")
+    left = p_new.withColumnsRenamed({"id": "id1", "sh64": "h1"})
+    if piece_radius == 1:
+        base, extra = divmod(SIMHASH_BITS, chunks)
+        variants = F.expr(
+            f"concat(array(val), transform(sequence(0, {base} - 1 + "
+            f"(CASE WHEN chunk < {extra} THEN 1 ELSE 0 END)), "
+            "i -> val ^ shiftleft(CAST(1 AS BIGINT), i)))"
+        )
+        left = left.select(
+            "id1", "h1", "chunk", F.explode(variants).alias("val")
+        )
     return (
-        p_new.withColumnsRenamed({"id": "id1", "sh64": "h1"})
-        .join(right, ["chunk", "val"])
+        left.join(right, ["chunk", "val"])
         .filter(F.col("_idx") | (F.col("id1") < F.col("id2")))
         .select(
             "id1",
