@@ -165,3 +165,24 @@ def test_refeed_day_is_a_noop(spark, tmp_path):
 def test_open_state_before_bootstrap_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="bootstrap_state"):
         ingest.open_state(spark, str(tmp_path / "nope"))
+
+
+def test_empty_day_publishes_unchanged_state(spark, tmp_path):
+    """A day with an EMPTY batch (real pipelines see them) must run
+    clean end to end: zero drops, zero admissions, every state carried
+    forward value-identical into the new generation."""
+    root = str(tmp_path / "state")
+    ingest.bootstrap_state(spark, _docs(spark, range(1, 21)), root)
+    before = {
+        name: sorted(map(tuple, df.collect()))
+        for name, df in ingest.open_state(spark, root).items()
+    }
+    empty = _docs(spark, [])
+    rep = ingest.run_daily_ingest(spark, empty, root, RECIPE, n_shards=2)
+    assert rep["batch_in"] == 0 and rep["n_admitted"] == 0
+    assert rep["exact_dropped"] == 0 and rep["mixture_admitted"] == 0
+    after = {
+        name: sorted(map(tuple, df.collect()))
+        for name, df in ingest.open_state(spark, root).items()
+    }
+    assert after == before

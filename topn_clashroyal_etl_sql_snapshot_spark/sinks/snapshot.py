@@ -223,6 +223,14 @@ def publish_generation(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, _CURRENT_FILE))  # THE commit
+    # fsync the DIRECTORY so the rename itself survives power loss —
+    # the tmp file's content was fsynced above, but the directory
+    # entry swap is a separate durability unit on POSIX
+    dirfd = os.open(root, os.O_RDONLY)
+    try:
+        os.fsync(dirfd)
+    finally:
+        os.close(dirfd)
     for n, name in gens:
         if n <= cur_n - keep:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
