@@ -186,3 +186,59 @@ def test_empty_day_publishes_unchanged_state(spark, tmp_path):
         for name, df in ingest.open_state(spark, root).items()
     }
     assert after == before
+
+
+def test_mixture_dropped_docs_stay_admittable(spark, tmp_path):
+    """A doc the MIXTURE gate drops must not enter the dedup indexes:
+    when its domain's entitlement catches up, the recrawl is admitted
+    (before the r12 review fix its fingerprint was committed on day 1
+    and the recrawl died at the exact gate forever)."""
+    root = str(tmp_path / "state")
+    ingest.bootstrap_state(spark, _docs(spark, range(1, 21)), root)
+    # day 1: web floods (ids 701..719 odd = web), books trickles — the
+    # water-filling caps web hard
+    day1 = _docs(spark, [701, 703, 705, 707, 709, 711, 702], tag="d1")
+    rep1 = ingest.run_daily_ingest(spark, day1, root, RECIPE)
+    day1_admitted = {r["doc_id"] for r in rep1["mixed"].collect()}
+    dropped = {
+        r["doc_id"] for r in rep1["admitted"].collect()
+    } - day1_admitted
+    assert dropped, "setup must mixture-drop at least one web doc"
+
+    # day 2: recrawl the dropped docs alongside fresh books supply —
+    # entitlement has accrued, so at least one recrawl is admitted
+    refeed = day1.filter(F.col("doc_id").isin([*dropped]))
+    day2 = refeed.unionAll(_docs(spark, [802, 804, 806, 808], tag="d2"))
+    rep2 = ingest.run_daily_ingest(spark, day2, root, RECIPE)
+    assert rep2["exact_dropped"] == 0  # the recrawls were NOT indexed
+    day2_admitted = {r["doc_id"] for r in rep2["mixed"].collect()}
+    assert day2_admitted & dropped
+
+
+def test_rejected_doc_never_crowned_in_persisted_keepers(spark, tmp_path):
+    """The persisted keeper merge must agree with admission: a batch
+    doc rejected as a near-dup of an indexed doc can never become the
+    committed component keeper, no matter its quality score (the
+    keeper-merge twin of the corpus-immutability rule)."""
+    root = str(tmp_path / "state")
+    corpus = _docs(spark, range(1, 21))
+    ingest.bootstrap_state(spark, corpus, root)
+    row = corpus.filter(F.col("doc_id") == 1).collect()[0]
+    batch = spark.createDataFrame(
+        [(900, row["text"] + " banner", row["source"])],
+        "doc_id long, text string, source string",
+    )
+    rep = ingest.run_daily_ingest(
+        spark, batch, root, RECIPE,
+        quality=spark.createDataFrame(
+            [(900, 1e12)], "doc_id long, score double"
+        ),
+    )
+    assert rep["n_admitted"] == 0
+    kmap = {
+        r["id"]: r["keep"]
+        for r in spark.read.parquet(
+            os.path.join(rep["generation"], "keepers")
+        ).collect()
+    }
+    assert kmap.get(900) is False and kmap.get(1) is True

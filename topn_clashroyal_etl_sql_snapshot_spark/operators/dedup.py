@@ -1252,7 +1252,13 @@ def true_jaccard_for_pairs_dense(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
-    return F.broadcast(jac).join(
+    # no forced broadcast of the verified relation: it is tiny on
+    # curated corpora, but the dense path is selected exactly on
+    # duplicate-heavy inputs where verified pairs can approach O(n²) —
+    # a broadcast PIN there would blow the driver/broadcast limits
+    # where AQE degrades gracefully to a pair-keyed shuffle (review
+    # finding); AQE still broadcasts it whenever it measures small
+    return jac.join(
         cands.select("id1", "id2"), ["id1", "id2"]
     ).select("id1", "id2", "jaccard")
 
@@ -2373,6 +2379,20 @@ def simhash_verified_pairs(
             # (colder buckets), radius 2·chunks − 1
             piece_radius = 1
             chunks = max(2, min(chunks, (target + 2) // 2))
+        if max_hamming is not None and chunks * (piece_radius + 1) - 1 < max_hamming:
+            # the DEFAULT floor degrades silently at huge corpora (the
+            # documented trade), but an EXPLICIT max_hamming is a
+            # caller requirement — screening below it without a
+            # guarantee must be a loud choice, not a silent one
+            # (review finding)
+            raise ValueError(
+                f"requested max_hamming={max_hamming} exceeds the "
+                f"guarantee radius {chunks * (piece_radius + 1) - 1} of "
+                f"the corpus-derived layout ({chunks} chunks, "
+                f"piece_radius={piece_radius}) — pass chunks/"
+                "piece_radius explicitly to accept best-effort recall, "
+                "or max_hamming=None for the derived floor"
+            )
     if max_hamming is None:
         max_hamming = chunks * (piece_radius + 1) - 1
     if toks is None:

@@ -10,7 +10,7 @@ State set (one directory per state under each ``gen-N``):
 ======== =============================================================
 name     contents / producing operator
 ======== =============================================================
-fingerprints  ``content_fingerprint`` per corpus doc (exact gate index)
+fingerprints  ``content_fingerprint`` per corpus + rejected-duplicate doc
 bloom         ``dedup.bloom_bitmap`` over the fingerprints (prefilter)
 minhash       ``dedup.minhash_signatures`` (near-dup candidate index)
 labels        ``dedup.connected_components`` (corpus near-dup labeling)
@@ -27,9 +27,11 @@ clean (the orphaned generation is pruned). Admission policy is
 corpus-canonical: a batch doc that near-duplicates an INDEXED doc is
 dropped (the corpus member stays canonical); within-batch duplicate
 groups keep one member. ``quality`` (an ``(id, score)`` frame, higher
-wins) steers both the within-batch keep and the persisted keeper
+wins; scores should be ≥ 0 — absent docs default to 0.0 in the keeper
+merge) steers both the within-batch keep and the persisted keeper
 merge; with the default ``None`` both fall back to
-``component_keepers``' deterministic min-id rule.
+``component_keepers``' deterministic min-id rule over non-rejected
+members.
 
 No reference analog (the reference's loop is a full TRUNCATE+RELOAD
 snapshot, ``scripts/etl_snapshot_topn.py`` — SURVEY.md §2.A5); this is
@@ -153,7 +155,12 @@ def run_daily_ingest(
     4. persisted labels and keepers merge incrementally
        (changed components only — the frames are never shuffled);
     5. the admitted docs pass the mixture ledger gate;
-    6. everything — six updated states plus (optionally,
+    6. the dedup-state deltas are built from the PERSISTABLE doc set:
+       near-dup-rejected docs are indexed (cheap exact-gate rejection
+       of their recrawls, transitive near-dup rejection), docs the
+       MIXTURE gate dropped are not (their recrawls must stay
+       admittable when the recipe's entitlement catches up);
+    7. everything — six updated states plus (optionally,
        ``n_shards > 0``) the day's admitted shard set — commits as ONE
        new generation.
 
@@ -165,13 +172,17 @@ def run_daily_ingest(
     st = open_state(spark, state_root)
     n_in = batch.count()
 
-    surv, fp1, bloom1 = dedup.dedup_exact_incremental_bloom(
+    # the gate's own updated index/bitmap cover EVERY exact-gate
+    # survivor — the committed state deltas are rebuilt below from the
+    # persistable doc set instead (mixture-dropped docs must stay
+    # re-admittable; review finding)
+    surv, _, _ = dedup.dedup_exact_incremental_bloom(
         batch, st["fingerprints"], st["bloom"], text_col=text_col
     )
     surv = surv.localCheckpoint(eager=True)
     n_surv = surv.count()
 
-    pairs, mh1 = dedup.minhash_lsh_incremental(
+    pairs, _ = dedup.minhash_lsh_incremental(
         surv, st["minhash"], text_col, id_col, threshold=threshold
     )
     pairs = pairs.localCheckpoint(eager=True)
@@ -206,10 +217,26 @@ def run_daily_ingest(
     labels1 = dedup.connected_components_incremental(
         st["labels"], pairs
     ).localCheckpoint(eager=True)
-    merge_q = (
-        _empty_scores(labels1) if quality is None
-        else quality.select(F.col(id_col).alias("id"), "score")
+    # Keeper-merge scoring: REJECTED batch docs are excluded from the
+    # scoring frame entirely (unscored members lose to any scored one),
+    # so a dedup-dropped doc can never be crowned the persisted keeper
+    # of a component whose corpus twin it duplicates — the same policy
+    # contradiction the ingest example fixed (review finding). Every
+    # non-rejected labeled doc scores COALESCE(quality, 0.0), keeping
+    # the default (quality=None) champion identical to min-id over the
+    # component's non-rejected members.
+    rejected_ids = (
+        keep.filter(~F.col("keep"))
+        .select("id")
+        .join(batch_ids, "id", "left_semi")
     )
+    merge_ids = labels1.select("id").join(rejected_ids, "id", "left_anti")
+    if quality is None:
+        merge_q = merge_ids.withColumn("score", F.lit(0.0))
+    else:
+        merge_q = merge_ids.join(
+            quality.select(F.col(id_col).alias("id"), "score"), "id", "left"
+        ).select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
     keepers1 = dedup.component_keepers_incremental(
         labels1, st["keepers"], pairs, merge_q
     ).localCheckpoint(eager=True)
@@ -225,6 +252,23 @@ def run_daily_ingest(
     mixed = mixed.localCheckpoint(eager=True)
     ledger1 = ledger1.localCheckpoint(eager=True)
     n_mixed = mixed.count()
+
+    # Committed dedup-state deltas: near-dup-REJECTED docs ARE indexed
+    # (a recrawl of a duplicate should die at the cheap exact gate, and
+    # its own near-dups stay transitively rejectable), but docs the
+    # MIXTURE gate dropped are NOT — their domain's entitlement accrues
+    # and the recipe may want exactly those recrawls later; indexing
+    # them would block that admission forever (review finding).
+    rejected_docs = surv.join(admitted.select(id_col), id_col, "left_anti")
+    to_index = rejected_docs.unionByName(mixed).localCheckpoint(eager=True)
+    new_fps = to_index.select(
+        tx.content_fingerprint(F.col(text_col)).alias("fingerprint")
+    ).distinct()
+    fp1 = st["fingerprints"].unionByName(new_fps)
+    bloom1 = dedup.bloom_bitmap_merge(st["bloom"], dedup.bloom_bitmap(new_fps))
+    mh1 = st["minhash"].unionByName(
+        dedup.minhash_signatures(to_index, text_col, id_col)
+    )
 
     def day(gen: str) -> None:
         fp1.write.parquet(os.path.join(gen, "fingerprints"))

@@ -87,6 +87,23 @@ def write_snapshot_atomic(
     )
 
 
+def recover_parked_dir(base_dir: str) -> None:
+    """Crash recovery for :func:`atomic_dir_publish`'s one exposed
+    window: a crash between its two renames leaves the ONLY complete
+    generation parked at ``<base>__old`` with ``<base>`` missing.
+    atomic_dir_publish itself restores that before re-staging, but a
+    READER that runs before the next publish (e.g. the streaming
+    mixture gate opening its ledger) must perform the same restore or
+    it would mistake the parked state for day 0 (r12 review finding:
+    the gate re-ran against an empty ledger and then overwrote the
+    restored history). Idempotent and cheap — one existence check in
+    the common case."""
+    base = base_dir.rstrip("/")
+    old = base + _OLD_SUFFIX
+    if os.path.exists(old) and not os.path.exists(base):
+        os.rename(old, base)
+
+
 def atomic_dir_publish(
     base_dir: str, write_fn, caller: str = "atomic publish"
 ) -> None:
@@ -217,6 +234,23 @@ def publish_generation(
     shutil.rmtree(gen_dir, ignore_errors=True)
     os.makedirs(gen_dir)
     write_fn(gen_dir)
+    # fsync the generation's CONTENTS before the flip: Spark's parquet
+    # writes land in the page cache, and a pointer that durably names a
+    # generation whose files were lost to power loss would break the
+    # complete-old-or-complete-new guarantee (review finding). One
+    # open+fsync per file — state publishes are file-count bounded.
+    for dirpath, _dirnames, filenames in os.walk(gen_dir):
+        for fname in filenames:
+            fd = os.open(os.path.join(dirpath, fname), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        dfd = os.open(dirpath, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     tmp = os.path.join(root, _CURRENT_FILE + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(f"{_GEN_PREFIX}{new_n:06d}")

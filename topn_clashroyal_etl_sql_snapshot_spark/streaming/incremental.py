@@ -211,6 +211,15 @@ def streaming_mixture_gate(
     examples/incremental_ingest.py); this twin is the lightweight
     continuous form.
 
+    OPERATIONAL CONTRACT: Spark numbers batches per CHECKPOINT, so the
+    checkpoint directory and the ledger's ``_last_batch`` marker form
+    one lineage. Resetting/replacing the checkpoint against an
+    existing ``state_dir`` (new landing data, fresh query) requires
+    deleting the marker file too — otherwise the new query's low batch
+    ids are skipped as replays and new data is silently dropped;
+    keeping BOTH (the replay test's shape) is what makes redelivery
+    exactly-once.
+
     Returns the configured ``writeStream`` (checkpoint under
     ``state_dir/_checkpoint``); the caller picks the trigger, e.g.
     ``.trigger(availableNow=True).start()``."""
@@ -220,10 +229,15 @@ def streaming_mixture_gate(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators import sampling
-        from ..sinks.snapshot import atomic_dir_publish
+        from ..sinks.snapshot import atomic_dir_publish, recover_parked_dir
 
         spark = batch_df.sparkSession
         ledger_path = os.path.join(state_dir, "ledger")
+        # a crash between the publish's two renames parks the ledger at
+        # ledger__old — restore it BEFORE the day-0 check, or the
+        # replayed batch would gate against an empty ledger and then
+        # overwrite the history (review finding)
+        recover_parked_dir(ledger_path)
         ledger = None
         if os.path.exists(ledger_path):
             try:
