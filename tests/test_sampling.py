@@ -599,11 +599,17 @@ def test_mixture_ledger_fractions_properties():
             assert hist[g] + kept <= max(hist[g], t * shares[g] / tot) * (
                 1 + 1e-9
             ) + 1e-9
-        # the binding group's fraction is 1 (it defined T)
+        # the binding group's fraction is 1 (it defined T) — up to
+        # CANCELLATION slack: its keep is T·s − hist, and with
+        # hist ≫ supply (hypothesis found hist=131072, supply=0.001)
+        # the subtraction loses ~log2(hist/supply) bits, so the
+        # fraction can sit ~1e-8 off exact 1.0; the operator clamps to
+        # [0, supply] regardless, so this is test-reconstruction
+        # arithmetic, not an operator hazard
         binding = min(
             supplied, key=lambda g: (hist[g] + supply[g]) / (shares[g] / tot)
         )
-        assert fracs[binding] >= 1 - 1e-9
+        assert fracs[binding] >= 1 - 1e-6
 
         # empty history ≡ the one-shot mixer's fractions on the
         # supplied slice
