@@ -242,3 +242,40 @@ def test_rejected_doc_never_crowned_in_persisted_keepers(spark, tmp_path):
         ).collect()
     }
     assert kmap.get(900) is False and kmap.get(1) is True
+
+
+def test_append_only_states_are_hardlinked_not_rewritten(spark, tmp_path):
+    """The fingerprint/minhash states carry forward as hardlinks of
+    the previous generation's part files plus the day's delta — and
+    stay readable after the older generation is pruned (hardlinks
+    share inodes, pruning only unlinks names)."""
+    root = str(tmp_path / "state")
+    ingest.bootstrap_state(spark, _docs(spark, range(1, 21)), root)
+    rep1 = ingest.run_daily_ingest(
+        spark, _docs(spark, [700, 701], tag="d1"), root, RECIPE
+    )
+    fp_dir = os.path.join(rep1["generation"], "fingerprints")
+    linked = [
+        f for f in os.listdir(fp_dir)
+        if f.startswith("part-")
+        and os.stat(os.path.join(fp_dir, f)).st_nlink > 1
+    ]
+    assert linked, "no hardlinked part files in the day's fingerprints"
+    n_fp1 = spark.read.parquet(fp_dir).count()
+    assert n_fp1 == 22  # 20 corpus + 2 admitted deltas
+
+    # two more days: gen-1 and gen-2 get pruned (keep=1), yet the
+    # current generation's linked files must still read intact
+    ingest.run_daily_ingest(spark, _docs(spark, [710], tag="d2"), root, RECIPE)
+    rep3 = ingest.run_daily_ingest(
+        spark, _docs(spark, [720], tag="d3"), root, RECIPE
+    )
+    assert not os.path.exists(rep1["generation"])  # pruned
+    st = ingest.open_state(spark, root)
+    assert st["fingerprints"].count() == 24
+    assert st["minhash"].count() == 24
+    # and the exact gate still works against the linked index
+    rep4 = ingest.run_daily_ingest(
+        spark, _docs(spark, [700, 701], tag="d1"), root, RECIPE
+    )
+    assert rep4["exact_dropped"] == 2

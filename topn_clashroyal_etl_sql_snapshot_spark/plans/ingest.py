@@ -264,16 +264,25 @@ def run_daily_ingest(
     new_fps = to_index.select(
         tx.content_fingerprint(F.col(text_col)).alias("fingerprint")
     ).distinct()
-    fp1 = st["fingerprints"].unionByName(new_fps)
     bloom1 = dedup.bloom_bitmap_merge(st["bloom"], dedup.bloom_bitmap(new_fps))
-    mh1 = st["minhash"].unionByName(
-        dedup.minhash_signatures(to_index, text_col, id_col)
-    )
+    new_sigs = dedup.minhash_signatures(to_index, text_col, id_col)
+
+    # fingerprints and minhash are APPEND-ONLY states: the previous
+    # generation's part files hardlink into the new one and only the
+    # day's DELTA is written — the full-rewrite form dominated the
+    # publish cost (funnel measurement, SCALE.md r12 addendum). The
+    # bitmap (16 MB, bit-merged) and labels/keepers (rows change in
+    # place) stay full writes.
+    prev = snap.current_generation(state_root)
 
     def day(gen: str) -> None:
-        fp1.write.parquet(os.path.join(gen, "fingerprints"))
+        fp_dir = os.path.join(gen, "fingerprints")
+        snap.link_state_files(os.path.join(prev, "fingerprints"), fp_dir)
+        new_fps.write.mode("append").parquet(fp_dir)
+        mh_dir = os.path.join(gen, "minhash")
+        snap.link_state_files(os.path.join(prev, "minhash"), mh_dir)
+        new_sigs.write.mode("append").parquet(mh_dir)
         bloom1.write.parquet(os.path.join(gen, "bloom"))
-        mh1.write.parquet(os.path.join(gen, "minhash"))
         labels1.write.parquet(os.path.join(gen, "labels"))
         keepers1.write.parquet(os.path.join(gen, "keepers"))
         ledger1.write.parquet(os.path.join(gen, "ledger"))

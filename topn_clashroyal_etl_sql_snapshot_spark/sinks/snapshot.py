@@ -87,6 +87,34 @@ def write_snapshot_atomic(
     )
 
 
+def link_state_files(src_dir: str, dst_dir: str) -> int:
+    """Hardlink a previous generation's parquet data files into a new
+    generation's state directory — the APPEND form for append-only
+    states (r12): the day's publish then writes only the DELTA part
+    files into the same directory instead of rewriting the
+    corpus-sized state (measured on the composed funnel: the
+    fingerprint-index rewrite dominated the publish delta, +45.8 s at
+    the 10x point). Hardlinks keep every generation SELF-CONTAINED —
+    pruning the old generation unlinks names, never shared inodes —
+    and cost no data IO or extra disk. Falls back to copies on
+    filesystems without hardlink support. Returns the number of files
+    carried over."""
+    os.makedirs(dst_dir, exist_ok=True)
+    n = 0
+    for fname in os.listdir(src_dir):
+        # data + their Hadoop-LocalFS checksum twins; skip _SUCCESS
+        # (the new write emits its own markers)
+        if not (fname.startswith("part-") or fname.startswith(".part-")):
+            continue
+        src, dst = os.path.join(src_dir, fname), os.path.join(dst_dir, fname)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+        n += 1
+    return n
+
+
 def recover_parked_dir(base_dir: str) -> None:
     """Crash recovery for :func:`atomic_dir_publish`'s one exposed
     window: a crash between its two renames leaves the ONLY complete
