@@ -1755,6 +1755,107 @@ def test_dense_and_sparse_verification_agree(spark):
     assert sparse == dense and sparse
 
 
+def test_length_filter_is_a_plan_choice_not_a_semantic_one(spark):
+    """true_jaccard_for_pairs(length_filter=True) ≡ the default plan —
+    the AllPairs prune drops only pairs that cannot verify (min size <
+    t·max size), so results are identical; the flag exists because the
+    prune's fixed costs only pay on low-precision screens (r12 verdict
+    finding #2: applying it unconditionally regressed the
+    high-precision MinHash paths)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "short text"),
+            (4, "the quick brown fox jumps over the lazy dog and then "
+                "keeps running through a much longer stretch of prose "
+                "that inflates its shingle set well past doc one's"),
+        ],
+        "doc_id long, text string",
+    )
+    postings = dedup.hashed_postings(docs)
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 4)], "id1 long, id2 long"
+    )
+    plain = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.true_jaccard_for_pairs(cands, postings, 0.3).collect()
+    }
+    filtered = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.true_jaccard_for_pairs(
+            cands, postings, 0.3, length_filter=True
+        ).collect()
+    }
+    assert plain == filtered and plain
+
+
+def test_simhash_screenless_dense_plan_fires_and_matches(spark, monkeypatch):
+    """On a template-compressed corpus the r13 volume estimator must
+    pick the SCREENLESS plan (simhash_candidate_pairs never runs —
+    pinned by a raising monkeypatch) and its output must equal the
+    screened pipeline assembled by hand at the same layout: exact
+    verification + hamming post-filter ≡ pigeonhole screen + per-pair
+    verification wherever bucket caps don't fire."""
+    texts = [
+        (i, "common template words repeated across every document "
+            "in this synthetic crawl slice " * 3 + f"tail marker {i % 7}")
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    # ground truth: the screened plan assembled by hand (layout pinned)
+    fps = dedup.simhash_fingerprints(docs)
+    cands = dedup.simhash_candidate_pairs(
+        fps, max_hamming=15, chunks=8, piece_radius=1
+    )
+    postings = dedup.hashed_postings(docs)
+    want = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in dedup.true_jaccard_for_pairs(cands, postings, 0.5).collect()
+    }
+
+    def _boom(*a, **k):  # pragma: no cover — fires only on regression
+        raise AssertionError(
+            "screenless regime regressed: simhash_candidate_pairs ran"
+        )
+
+    monkeypatch.setattr(dedup, "simhash_candidate_pairs", _boom)
+    got = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in dedup.simhash_verified_pairs(
+            docs, threshold=0.5, chunks=8, piece_radius=1
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_simhash_spread_fingerprints_keep_the_screen(spark, monkeypatch):
+    """Cold fingerprint space (random 64-bit values, wide pieces) must
+    stay on the screened plan — the estimator's Σ C(m,2) sits far
+    below the dense crossover, and skipping the screen there would pay
+    the full inverted-index join for nothing. Pinned by counting
+    simhash_candidate_pairs calls."""
+    rng = random.Random(13)
+    rows = [
+        (i, f"doc {i} " + " ".join(
+            f"w{rng.randrange(10_000)}" for _ in range(30)))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    calls = []
+    real = dedup.simhash_candidate_pairs
+
+    def _counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(dedup, "simhash_candidate_pairs", _counting)
+    dedup.simhash_verified_pairs(
+        docs, threshold=0.5, chunks=4, piece_radius=0
+    ).collect()
+    assert calls, "spread corpus unexpectedly took the screenless plan"
+
+
 def test_simhash_derived_defaults_pick_layout_by_corpus(spark):
     """simhash_verified_pairs' derived defaults: a small corpus takes
     the exact wide-chunk layout; a corpus past the cold-layout radius

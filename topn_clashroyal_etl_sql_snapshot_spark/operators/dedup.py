@@ -1141,7 +1141,10 @@ def _checkpointed_once(df: DataFrame) -> DataFrame:
 
 
 def true_jaccard_for_pairs(
-    cands: DataFrame, postings: DataFrame, threshold: float = 0.5
+    cands: DataFrame,
+    postings: DataFrame,
+    threshold: float = 0.5,
+    length_filter: bool = False,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs: join candidates to
     the postings on each side, count shared shingles, divide by union
@@ -1165,27 +1168,34 @@ def true_jaccard_for_pairs(
     )
     postings = postings.join(cand_ids, "id", "left_semi")
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # LENGTH FILTER (AllPairs/PPJoin's first prune, r12): jaccard ≥ t
-    # bounds the set-size ratio — even when the smaller set is fully
-    # contained, j = min/max — so pairs with min(n1,n2) < t·max(n1,n2)
-    # cannot verify and are dropped BEFORE their postings explode
-    # through the pair joins. Sizes are one tiny per-doc count frame;
-    # the filter costs two broadcast-ish joins on the (already
-    # distinct) pair list and the sizes ride along to the final
-    # jaccard, replacing the two post-aggregation joins the old plan
-    # paid anyway. High-precision candidate generators (MinHash bands)
-    # lose ~nothing; wide-radius SimHash screens on templated corpora
-    # lose ~40% of candidates here (measured r12, sf0.1).
-    sized = (
-        cands.select("id1", "id2")
-        .join(sizes.withColumnsRenamed({"id": "id1", "n_sh": "n1"}), "id1")
-        .join(sizes.withColumnsRenamed({"id": "id2", "n_sh": "n2"}), "id2")
-        .filter(
-            F.least("n1", "n2").cast("double")
-            >= F.lit(float(threshold)) * F.greatest("n1", "n2")
+    # LENGTH FILTER (AllPairs/PPJoin's first prune, r12; OPT-IN since
+    # r13): jaccard ≥ t bounds the set-size ratio — even when the
+    # smaller set is fully contained, j = min/max — so pairs with
+    # min(n1,n2) < t·max(n1,n2) cannot verify and are dropped BEFORE
+    # their postings explode through the pair joins. The prune pays
+    # only when the generator's precision is LOW (wide-radius SimHash
+    # screens on templated corpora lose ~40% of candidates here —
+    # measured r12, sf0.1); high-precision generators (MinHash bands)
+    # prune ~nothing, and the filter's fixed costs — a sized pair
+    # list, two extra joins, a localCheckpoint — are then pure
+    # overhead on every call (r12's unconditional application
+    # regressed dedup_minhash_incremental 4.75 → 7.6 s idle m3; r12
+    # verdict finding #2). Callers that know their screen is
+    # imprecise pass length_filter=True; the precision-known MinHash
+    # paths keep the r11 plan.
+    sized = cands.select("id1", "id2")
+    if length_filter:
+        sized = (
+            sized
+            .join(sizes.withColumnsRenamed({"id": "id1", "n_sh": "n1"}), "id1")
+            .join(sizes.withColumnsRenamed({"id": "id2", "n_sh": "n2"}), "id2")
+            .filter(
+                F.least("n1", "n2").cast("double")
+                >= F.lit(float(threshold)) * F.greatest("n1", "n2")
+            )
+            .select("id1", "id2")
+            .localCheckpoint(eager=False)  # consumed by both pair joins
         )
-        .localCheckpoint(eager=False)  # pair joins + final size lookup
-    )
     p1 = postings.select(F.col("id").alias("id1"), "sh")
     p2 = postings.select(F.col("id").alias("id2"), "sh")
     inter = (
@@ -1195,8 +1205,13 @@ def true_jaccard_for_pairs(
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # set sizes join AFTER the intersection count: inter holds only
+    # pairs that share ≥1 shingle, far fewer rows than the candidate
+    # list on imprecise screens, and the per-doc sizes frame is tiny
+    # (AQE broadcasts it)
     return (
-        inter.join(sized, ["id1", "id2"])
+        inter.join(sizes.withColumnsRenamed({"id": "id1", "n_sh": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "n_sh": "n2"}), "id2")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -1221,9 +1236,14 @@ def true_jaccard_for_pairs_dense(
     inverted index (UNCAPPED — no max_df, so the relation is exact),
     then keeps only verified pairs that are candidates (one broadcast
     of the tiny verified relation over the candidate list — the
-    candidate frame never shuffles). Measured on the case above:
-    per-pair verify ~19 s, dense verify ~3 s, identical rows.
-    Candidates must carry ``id1 < id2`` (every generator here does)."""
+    candidate frame never shuffles). Measured on the case above
+    (r13 re-measurement — the r12 attribution overstated the per-pair
+    term's share of the composite): per-pair verify ~23 s standalone,
+    dense verify ~5.5 s, identical rows; candidate GENERATION (~27 s)
+    dominated the composite either way, which is why
+    :func:`simhash_verified_pairs` now skips the screen entirely in
+    the dense regime. Candidates must carry ``id1 < id2`` (every
+    generator here does)."""
     cands = _checkpointed_once(cands)
     cand_ids = (
         cands.select(F.col("id1").alias("id"))
@@ -1891,6 +1911,7 @@ def simhash_candidate_pairs(
     chunks: int = 4,
     max_bucket: int | None = 10_000,
     piece_radius: int = 0,
+    pieces: DataFrame | None = None,
 ) -> DataFrame:
     """Hamming-≤-k candidates by pigeonhole: split 64 bits into ``chunks``
     pieces; any pair within hamming ≤ chunks-1 shares ≥1 exact chunk.
@@ -1936,9 +1957,15 @@ def simhash_candidate_pairs(
             "lower `chunks` instead — the guarantee is "
             "chunks·(piece_radius+1) − 1)"
         )
-    pieces = _simhash_pieces(fingerprints, chunks).localCheckpoint(
-        eager=False
-    )
+    if pieces is None:
+        pieces = _simhash_pieces(fingerprints, chunks).localCheckpoint(
+            eager=False
+        )
+    # ^ callers that already sliced the fingerprints (the verified-pairs
+    # wrapper slices once for its volume estimator) pass ``pieces`` — a
+    # checkpointed, UNCAPPED ``_simhash_pieces(fingerprints, chunks)``
+    # frame — so the fingerprint aggregation + chunk explode runs once
+    # per plan, not once per consumer (r13)
     # ^ pieces has THREE consumers (the df-cap bucket count and both
     # self-join sides), each of which would otherwise recompute the
     # upstream fingerprint aggregation + chunk explode; materializing
@@ -2301,6 +2328,16 @@ def connected_components_incremental(
 
 
 _SIMHASH_RADIUS_FLOOR = 15
+# screenless-dense crossover: when the estimated in-bucket collision
+# volume Σ C(m,2) (a LOWER bound on the candidate join's output)
+# exceeds this many pairs per document, the pigeonhole screen is
+# generating — not pruning — work, and simhash_verified_pairs skips it
+# for the exact inverted-index plan. Calibrated r13 on the sf0.1
+# templated corpus (est ≫ 32·n fires it; entry m3 15.6 → 4.3 s,
+# hash-identical at all three sf) and on spread fingerprints
+# (chunks=4: est ≈ 4·n²/2¹⁶ stays below until n ~ half a million
+# docs, by which point the screen genuinely prunes).
+_SIMHASH_DENSE_FACTOR = 32
 
 
 def simhash_verified_pairs(
@@ -2314,6 +2351,7 @@ def simhash_verified_pairs(
     toks: DataFrame | None = None,
     max_bucket: int | None = 10_000,
     n_docs: int | None = None,
+    piece_radius: int | None = None,
 ) -> DataFrame:
     """SimHash candidates post-verified by TRUE Jaccard — same plan
     shape as :func:`minhash_lsh_verified_pairs` with a cheaper candidate
@@ -2361,17 +2399,49 @@ def simhash_verified_pairs(
     (:func:`simhash_candidate_pairs`) is then the operative one.
 
     ``n_docs`` skips the sizing ``count()`` when the caller already
-    holds the corpus size. The fingerprint and shingle-posting scans
+    holds the corpus size. ``piece_radius`` (r13, threaded to
+    :func:`simhash_candidate_pairs`) pins the per-piece expansion when
+    ``chunks`` is explicit — an explicit (chunks, piece_radius) pair
+    accepts best-effort recall at radius ``chunks·(piece_radius+1)−1``
+    (the remedy the r12 guarantee error named but did not expose —
+    advisor finding). The fingerprint and shingle-posting scans
     share ONE tokenize pass (``token_arrays``, locally checkpointed as
     one array row per doc): normalize + regex-split is the dominant
     per-row cost and both consumers need the same tokens. An
     externally supplied ``toks`` (already checkpointed) extends that
-    sharing across dedup families. Returns (id1, id2, jaccard)."""
-    piece_radius = 0
+    sharing across dedup families. Returns (id1, id2, jaccard).
+
+    PLAN CHOICE (r13): before generating candidates at all, the
+    expected in-bucket collision volume ``Σ_buckets C(m,2)`` is read
+    off the (capped) piece-bucket populations — one tiny aggregation
+    over the already-checkpointed pieces frame, no join. When it
+    exceeds ``_SIMHASH_DENSE_FACTOR · n_docs`` the corpus is
+    template-compressed: the pigeonhole screen would admit candidates
+    ≫ corpus (r12 measured 3.19M pairs for 5k docs at radius 15,
+    0.008% precision) and the candidate JOIN itself — not
+    verification — dominates (r12 verdict: generation ~27 s of the
+    ~26 s composite, dense verify ~5.5 s). In that regime the screen
+    buys nothing: the plan skips it and computes the EXACT
+    inverted-index Jaccard over the corpus postings (the
+    :func:`jaccard_pairs` dense intersection, uncapped), then applies
+    the hamming screen as a post-filter on the verified pairs' two
+    fingerprints — bit-identical semantics where bucket caps don't
+    fire (the candidate set at ``max_hamming`` = guarantee radius IS
+    {pairs: hamming ≤ radius} by pigeonhole), and strictly-better
+    recall where they would (capped hot buckets lose weakest
+    candidates; the screenless plan keeps every verified pair within
+    the radius). Scale contract: the dense plan pays O(Σ df²) — the
+    honest price of exactness on a template-compressed corpus, and
+    the SAME term the r12 candidate-restricted dense verifier already
+    paid (in the fire regime the candidate-doc set ≈ the corpus);
+    compose exact-dedup-first (the standing family contract) so df
+    stays bounded. Cold corpora never fire it: a spread fingerprint
+    space keeps Σ C(m,2) ≈ chunks·n²/2^w ≪ factor·n."""
     if chunks is None:
         if n_docs is None:
             n_docs = docs.count()
         chunks = simhash_chunks_for(n_docs)
+        piece_radius = 0
         target = _SIMHASH_RADIUS_FLOOR if max_hamming is None else max_hamming
         if chunks - 1 < target:
             # the cold layout's exact radius misses the target: switch
@@ -2389,25 +2459,83 @@ def simhash_verified_pairs(
                 f"requested max_hamming={max_hamming} exceeds the "
                 f"guarantee radius {chunks * (piece_radius + 1) - 1} of "
                 f"the corpus-derived layout ({chunks} chunks, "
-                f"piece_radius={piece_radius}) — pass chunks/"
-                "piece_radius explicitly to accept best-effort recall, "
-                "or max_hamming=None for the derived floor"
+                f"piece_radius={piece_radius}) — pass chunks AND "
+                "piece_radius explicitly to accept best-effort recall "
+                "at radius chunks·(piece_radius+1)−1, or "
+                "max_hamming=None for the derived floor"
             )
+    elif piece_radius is None:
+        piece_radius = 0
     if max_hamming is None:
         max_hamming = chunks * (piece_radius + 1) - 1
     if toks is None:
         toks = token_arrays(docs, text_col, id_col).localCheckpoint(eager=False)
     fps = simhash_fingerprints(docs, text_col, id_col, toks=toks)
-    cands = simhash_candidate_pairs(
-        fps, max_hamming, chunks, max_bucket, piece_radius
-    )
     postings = hashed_postings(docs, text_col, id_col, n, toks=toks)
+
+    # volume estimator: Σ C(m,2) over the cap-surviving piece buckets —
+    # a lower bound on the candidate join's output rows (exact-value
+    # collisions only; piece expansion only adds more), and the term
+    # that actually predicted r12's cost. One aggregation over the
+    # checkpointed pieces frame.
+    pieces = _simhash_pieces(fps, chunks).localCheckpoint(eager=False)
+    capped = pieces
+    if max_bucket is not None:
+        hot = _hot_buckets(pieces, max_bucket, keys=("chunk", "val"))
+        capped = pieces.join(hot, ["chunk", "val"], "left_anti")
+    est = (
+        capped.groupBy("chunk", "val")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("v"))
+        .collect()[0]["v"]
+        or 0
+    )
+    if n_docs is None:
+        n_docs = docs.count()
+
+    if est > _SIMHASH_DENSE_FACTOR * n_docs:
+        # template-compressed regime: screenless exact verification +
+        # hamming post-filter (see PLAN CHOICE above)
+        p = postings.localCheckpoint(eager=False)
+        sizes = p.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        inter = (
+            p.select(F.col("id").alias("id1"), "sh")
+            .join(p.select(F.col("id").alias("id2"), "sh"), "sh")
+            .filter(F.col("id1") < F.col("id2"))
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        jac = (
+            inter.join(sizes.withColumnsRenamed({"id": "id1", "n_sh": "n1"}), "id1")
+            .join(sizes.withColumnsRenamed({"id": "id2", "n_sh": "n2"}), "id2")
+            .withColumn(
+                "jaccard",
+                F.col("n_common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        # the hamming screen, applied to the tiny verified relation:
+        # two fingerprint lookups (AQE broadcasts the 16-byte/doc fps
+        # frame) instead of a 3M-row candidate join
+        return (
+            jac.join(fps.withColumnsRenamed({"id": "id1", "sh64": "h1"}), "id1")
+            .join(fps.withColumnsRenamed({"id": "id2", "sh64": "h2"}), "id2")
+            .filter(
+                F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= max_hamming
+            )
+            .select("id1", "id2", "jaccard")
+        )
+
+    cands = simhash_candidate_pairs(
+        fps, max_hamming, chunks, max_bucket, piece_radius, pieces=pieces
+    )
     if piece_radius == 1:
-        # the wide-radius regime: on template-heavy corpora the screen
-        # admits candidates ≫ corpus size (hamming compresses), and the
-        # per-pair verify plan's O(|cands|·sh/doc) term dominates —
-        # pick the verification plan from the MEASURED candidate count
-        # (one cheap job over the checkpointed candidate frame)
+        # mid regime: the screen is selective enough to be worth
+        # running, but wide-radius candidates can still outnumber the
+        # per-pair verifier's comfort zone — pick the verification
+        # plan from the MEASURED candidate count (one cheap job over
+        # the checkpointed candidate frame)
         cands = cands.localCheckpoint(eager=False)
         if cands.count() > 4 * n_docs:
             return true_jaccard_for_pairs_dense(cands, postings, threshold)

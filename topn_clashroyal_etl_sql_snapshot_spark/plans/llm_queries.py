@@ -901,16 +901,23 @@ def dedup_minhash_lsh(spark, sf_dir):
 @register("dedup_simhash", _JACCARD_PAIRS_SQL)
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 pigeonhole candidates post-verified by true Jaccard,
-    at the r12 DERIVED defaults: ``simhash_verified_pairs`` sizes the
+    at the DERIVED defaults: ``simhash_verified_pairs`` sizes the
     chunk layout from the corpus (``simhash_chunks_for``, radius floor
     15) and screens at the derived layout's full pigeonhole radius —
     the same call is recall-complete at sf0.001/0.01/0.1 (256/256 at
     sf0.1, where the old fixed hamming ≤ 7 screen measured 241/256:
     the misses sat at hamming 8-12, above the screen, not in capped
-    buckets — r12 measurement). The probabilistic contract at exactly
-    the threshold stays documented at the operator; MinHash-LSH
-    remains the exact-recall plan and is registered separately.
-    Tokenization comes from the shared dedup-family session cache."""
+    buckets — r12 measurement). r13: the operator now reads the
+    piece-bucket populations BEFORE generating candidates and, on
+    template-compressed corpora like this one (estimated collision
+    volume ≫ 32·n), skips the screen for the exact inverted-index
+    plan + hamming post-filter — the r12 candidate join was ~27 s of
+    the ~26 s sf0.1 composite for 0.008%-precision candidates; the
+    screenless plan reads 4.3 s m3 idle, hash-identical at every sf.
+    The probabilistic contract at exactly the threshold stays
+    documented at the operator; MinHash-LSH remains the exact-recall
+    plan and is registered separately. Tokenization comes from the
+    shared dedup-family session cache."""
     docs = read_testdata(spark, sf_dir, "documents")
     return dedup.simhash_verified_pairs(
         docs, threshold=0.5, toks=_toks_cached(spark, sf_dir)
