@@ -215,6 +215,75 @@ def test_mixture_dropped_docs_stay_admittable(spark, tmp_path):
     assert day2_admitted & dropped
 
 
+def test_losers_of_mixture_dropped_winners_stay_admittable(spark, tmp_path):
+    """The committed-representative rule (r13 advisor finding): when a
+    within-batch near-dup component's WINNER is then dropped by the
+    mixture gate, the component's content never entered the corpus —
+    so its losers must not be indexed either (pre-r13 their
+    fingerprints committed and every recrawl of the content died at
+    the exact gate forever), and the component must not enter the
+    persisted labels/keepers (no non-corpus doc may read keep=True)."""
+    root = str(tmp_path / "state")
+    # bootstrap with web heavily OVER-represented (20 web, 2 books):
+    # web's entitlement T·s − c is deeply negative, so the gate admits
+    # ZERO web while books catches up — the winner's mixture drop is
+    # deterministic, not a supply race
+    ingest.bootstrap_state(
+        spark, _docs(spark, [*range(1, 41, 2), 2, 4]), root
+    )
+    # day 1: 6 fresh web docs + a planted within-batch near-dup PAIR
+    # (901 wins by quality, 903 loses) + ONE books doc so the
+    # water-filling has a binding supplied group (a target group with
+    # no supply is skipped by the min — it would UNCAP web)
+    flood = _docs(spark, [701, 703, 705, 707, 709, 711], tag="d1")
+    twin_text = " ".join(f"twin{j}" for j in range(30))
+    pair = spark.createDataFrame(
+        [(901, twin_text, "web"), (903, twin_text + " banner", "web")],
+        "doc_id long, text string, source string",
+    )
+    day1 = flood.unionAll(pair).unionAll(_docs(spark, [702], tag="d1"))
+    rep1 = ingest.run_daily_ingest(
+        spark, day1, root, RECIPE,
+        quality=spark.createDataFrame(
+            [(901, 5.0), (903, 1.0)], "doc_id long, score double"
+        ),
+    )
+    admitted = {r["doc_id"] for r in rep1["admitted"].collect()}
+    mixed = {r["doc_id"] for r in rep1["mixed"].collect()}
+    assert 901 in admitted and 903 not in admitted  # quality picked 901
+    assert 901 not in mixed  # the over-represented domain admits zero
+    # the loser was NOT indexed: neither twin's fingerprint committed
+    st = ingest.open_state(spark, root)
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+
+    day_fps = {
+        r["fingerprint"]
+        for r in pair.select(
+            tx.content_fingerprint(F.col("text")).alias("fingerprint")
+        ).collect()
+    }
+    committed_fps = {r["fingerprint"] for r in st["fingerprints"].collect()}
+    assert not (day_fps & committed_fps)
+    # and the ghost component never entered labels/keepers
+    labeled = {r["id"] for r in st["labels"].collect()}
+    assert not ({901, 903} & labeled)
+    kept = {r["id"] for r in st["keepers"].collect()}
+    assert not ({901, 903} & kept)
+
+    # day 2: books-heavy supply accrues web entitlement; recrawls of
+    # BOTH twins are admissible again — exactly one of them is
+    # admitted (they still near-dup each other within the batch)
+    recrawl = spark.createDataFrame(
+        [(951, twin_text, "web"), (953, twin_text + " banner", "web")],
+        "doc_id long, text string, source string",
+    )
+    day2 = recrawl.unionAll(_docs(spark, [802, 804, 806, 808], tag="d2"))
+    rep2 = ingest.run_daily_ingest(spark, day2, root, RECIPE)
+    assert rep2["exact_dropped"] == 0  # nothing was silently blocked
+    day2_admitted = {r["doc_id"] for r in rep2["admitted"].collect()}
+    assert len(day2_admitted & {951, 953}) == 1
+
+
 def test_rejected_doc_never_crowned_in_persisted_keepers(spark, tmp_path):
     """The persisted keeper merge must agree with admission: a batch
     doc rejected as a near-dup of an indexed doc can never become the

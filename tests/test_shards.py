@@ -276,3 +276,49 @@ def test_verify_r12_manifest_compat_and_auto_sentinel(spark, tmp_path):
     ).parquet(mpath)
     with pytest.raises(ValueError, match="predates the current format"):
         shards.verify_shards(spark, p)
+
+    # r13 (advisor finding): the manifest-only migration path — restate
+    # the write-time weight semantics, re-stamp _manifest in place
+    # (payload untouched), and verification works again
+    shards.upgrade_manifest(spark, p, weight_col="auto")
+    rep2 = shards.verify_shards(spark, p).collect()
+    assert all(r["ok"] for r in rep2)
+    # the payload data files were not rewritten — weights preserved
+    assert {r["stored_weight"] for r in rep2} != {r["stored_rows"] for r in rep2}
+    # already-current manifests refuse (nothing to migrate)
+    with pytest.raises(ValueError, match="already in the current format"):
+        shards.upgrade_manifest(spark, p, weight_col="auto")
+
+
+def test_upgrade_manifest_refuses_untrustworthy_payload(spark, tmp_path):
+    """upgrade_manifest must NOT re-stamp over real damage: with rows
+    missing from the payload (or the wrong weight semantics restated),
+    the format-independent row/weight cross-check fails loudly and the
+    old manifest stays in place."""
+    import glob
+    import os
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", i + 1) for i in range(30)],
+        "doc_id long, text string, w long",
+    )
+    p = str(tmp_path / "damaged")
+    shards.write_training_shards(df, p, "doc_id", 3, weight_col="w")
+    mpath = os.path.join(p, shards.MANIFEST_DIR)
+    old = spark.read.parquet(mpath).drop("weight_col")
+    rows, schema = old.collect(), old.schema
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(mpath)
+
+    # wrong weight semantics: the stored n_weight came from column w
+    with pytest.raises(ValueError, match="cannot be trusted"):
+        shards.upgrade_manifest(spark, p)  # weight_col=None ≠ write-time
+
+    # lost data: drop one shard's parquet files entirely
+    victim = glob.glob(os.path.join(p, "shard_id=0", "*.parquet"))
+    assert victim
+    for f in victim:
+        os.remove(f)
+    with pytest.raises(ValueError, match="cannot be trusted"):
+        shards.upgrade_manifest(spark, p, weight_col="w")
+    # the old manifest is still there, un-restamped
+    assert "weight_col" not in spark.read.parquet(mpath).columns

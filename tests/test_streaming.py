@@ -863,10 +863,17 @@ def test_streaming_mixture_gate_matches_sequential_replay(spark, tmp_path):
     }
     assert per_src.get("b", 0) < 50  # 50 offered across batches
 
-    # replay idempotence (foreachBatch is at-least-once): re-deliver
-    # every batch via a FRESH checkpoint against the same state — the
-    # ledger's recorded batch marker must skip them all, leaving both
-    # the admitted output and the ledger byte-identical
+    # replay idempotence (foreachBatch is at-least-once): simulate a
+    # crash AFTER the ledger swap but BEFORE the checkpoint commit by
+    # deleting the last batch's commit marker, then restart the SAME
+    # checkpoint — Spark redelivers batch 2 under the same query
+    # lineage, the ledger's recorded batch marker skips it, and both
+    # the admitted output and the ledger stay byte-identical
+    os.remove(os.path.join(state_dir, "_checkpoint", "commits", "2"))
+    # the local checksum FS keeps a .crc sidecar; a real crash loses both
+    crc = os.path.join(state_dir, "_checkpoint", "commits", ".2.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
     q2 = (
         streaming_mixture_gate(
             spark.readStream.schema(schema)
@@ -877,7 +884,6 @@ def test_streaming_mixture_gate_matches_sequential_replay(spark, tmp_path):
             "source",
             recipe,
         )
-        .option("checkpointLocation", str(tmp_path / "ckpt2"))
         .trigger(availableNow=True)
         .start()
     )
@@ -888,3 +894,54 @@ def test_streaming_mixture_gate_matches_sequential_replay(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(state_dir, "ledger")).collect()
     }
     assert again_ids == got_ids and again_ledger == got_ledger
+
+    # lineage guard (r13, advisor finding): a FRESH checkpoint against
+    # the same state_dir restarts batch ids at 0 — under the pre-r13
+    # marker those batches were silently skipped even when they carried
+    # NEW data; now the gate raises loudly instead of dropping it
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    q3 = (
+        streaming_mixture_gate(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(land)),
+            state_dir,
+            out_dir,
+            "source",
+            recipe,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_reset"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(StreamingQueryException, match="checkpoint was reset"):
+        q3.awaitTermination(180)
+    # the guard fired BEFORE any state mutation: output + ledger intact
+    assert {r["doc_id"] for r in spark.read.parquet(out_dir).collect()} == got_ids
+
+    # pre-r13 markers carry no lineage: bare-int markers keep the
+    # legacy same-lineage skip semantics (no retroactive hard-fail on
+    # states written by older code)
+    marker_path = os.path.join(state_dir, "ledger", "_last_batch")
+    with open(marker_path, encoding="utf-8") as f:
+        rec = _json.load(f)
+    with open(marker_path, "w", encoding="utf-8") as f:
+        f.write(str(rec["last_batch"]))
+    q4 = (
+        streaming_mixture_gate(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(land)),
+            state_dir,
+            out_dir,
+            "source",
+            recipe,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_legacy"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q4.awaitTermination(180)
+    assert {r["doc_id"] for r in spark.read.parquet(out_dir).collect()} == got_ids

@@ -152,14 +152,18 @@ def run_daily_ingest(
        day's pair components (index members always win their cross
        components; within-batch groups keep one member by ``quality``
        or min-id);
-    4. persisted labels and keepers merge incrementally
-       (changed components only — the frames are never shuffled);
-    5. the admitted docs pass the mixture ledger gate;
+    4. the admitted docs pass the mixture ledger gate;
+    5. persisted labels and keepers merge incrementally over the day's
+       COMMITTED components only (changed components only — the frames
+       are never shuffled);
     6. the dedup-state deltas are built from the PERSISTABLE doc set:
-       near-dup-rejected docs are indexed (cheap exact-gate rejection
-       of their recrawls, transitive near-dup rejection), docs the
-       MIXTURE gate dropped are not (their recrawls must stay
-       admittable when the recipe's entitlement catches up);
+       near-dup losers are indexed only when their component has a
+       committed representative — an index member or a mixture-admitted
+       winner (cheap exact-gate rejection of their recrawls, transitive
+       near-dup rejection); docs the MIXTURE gate dropped are not
+       indexed, and neither are losers of a mixture-dropped winner
+       (their content never entered the corpus, so every recrawl of the
+       component must stay admittable — r13 advisor finding);
     7. everything — six updated states plus (optionally,
        ``n_shards > 0``) the day's admitted shard set — commits as ONE
        new generation.
@@ -214,8 +218,51 @@ def run_daily_ingest(
     ).localCheckpoint(eager=True)
     n_admitted = admitted.count()
 
+    mixed, ledger1 = sampling.mixture_sample_incremental(
+        admitted,
+        st["ledger"],
+        group_col,
+        target_shares,
+        key=id_col,
+        weight_col=mixture_weight_col,
+    )
+    mixed = mixed.localCheckpoint(eager=True)
+    ledger1 = ledger1.localCheckpoint(eager=True)
+    n_mixed = mixed.count()
+
+    # Committed-representative rule (r13, advisor finding): a day
+    # component's state deltas commit only when the component has a
+    # COMMITTED representative — an index member (the corpus doc is
+    # canonical) or a batch winner the mixture gate admitted. The r12
+    # form indexed EVERY near-dup loser; when the loser's winning twin
+    # was then mixture-dropped (re-admittable by design), the loser's
+    # fingerprint/minhash still committed, so every recrawl of that
+    # content died at the exact gate forever while the content itself
+    # never entered the corpus — and the persisted keepers could crown
+    # a doc the corpus never committed. Losers of mixture-dropped
+    # winners are now treated exactly like mixture-dropped docs (not
+    # indexed, not labeled: the whole component stays admittable), and
+    # the labels/keepers deltas merge only committed components, so
+    # the persisted states describe corpus content and nothing else.
+    comp_of = comp.select(F.col("id").alias(id_col), "comp")
+    committed_comps = (
+        comp.join(batch_ids, "id", "left_anti")  # index-member comps
+        .select("comp")
+        .unionByName(
+            comp_of.join(mixed.select(id_col), id_col, "left_semi")
+            .select("comp")
+        )
+        .distinct()
+    )
+    pairs_committed = (
+        pairs.join(comp.withColumnRenamed("id", "id1").select("id1", "comp"), "id1")
+        .join(committed_comps, "comp", "left_semi")
+        .drop("comp")
+        .localCheckpoint(eager=True)
+    )
+
     labels1 = dedup.connected_components_incremental(
-        st["labels"], pairs
+        st["labels"], pairs_committed
     ).localCheckpoint(eager=True)
     # Keeper-merge scoring: REJECTED batch docs are excluded from the
     # scoring frame entirely (unscored members lose to any scored one),
@@ -238,29 +285,24 @@ def run_daily_ingest(
             quality.select(F.col(id_col).alias("id"), "score"), "id", "left"
         ).select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
     keepers1 = dedup.component_keepers_incremental(
-        labels1, st["keepers"], pairs, merge_q
+        labels1, st["keepers"], pairs_committed, merge_q
     ).localCheckpoint(eager=True)
 
-    mixed, ledger1 = sampling.mixture_sample_incremental(
-        admitted,
-        st["ledger"],
-        group_col,
-        target_shares,
-        key=id_col,
-        weight_col=mixture_weight_col,
-    )
-    mixed = mixed.localCheckpoint(eager=True)
-    ledger1 = ledger1.localCheckpoint(eager=True)
-    n_mixed = mixed.count()
-
-    # Committed dedup-state deltas: near-dup-REJECTED docs ARE indexed
-    # (a recrawl of a duplicate should die at the cheap exact gate, and
-    # its own near-dups stay transitively rejectable), but docs the
-    # MIXTURE gate dropped are NOT — their domain's entitlement accrues
-    # and the recipe may want exactly those recrawls later; indexing
-    # them would block that admission forever (review finding).
+    # Committed dedup-state deltas: near-dup losers of COMMITTED
+    # components ARE indexed (a recrawl of a duplicate should die at
+    # the cheap exact gate, and its own near-dups stay transitively
+    # rejectable), but docs the MIXTURE gate dropped are NOT — their
+    # domain's entitlement accrues and the recipe may want exactly
+    # those recrawls later; indexing them would block that admission
+    # forever (review finding) — and neither are losers whose winner
+    # the mixture gate dropped (committed-representative rule above).
     rejected_docs = surv.join(admitted.select(id_col), id_col, "left_anti")
-    to_index = rejected_docs.unionByName(mixed).localCheckpoint(eager=True)
+    indexable_losers = (
+        rejected_docs.join(comp_of, id_col)
+        .join(committed_comps, "comp", "left_semi")
+        .drop("comp")
+    )
+    to_index = indexable_losers.unionByName(mixed).localCheckpoint(eager=True)
     new_fps = to_index.select(
         tx.content_fingerprint(F.col(text_col)).alias("fingerprint")
     ).distinct()

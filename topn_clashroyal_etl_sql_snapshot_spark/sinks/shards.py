@@ -274,6 +274,89 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, MANIFEST_DIR))
 
 
+def upgrade_manifest(
+    spark: SparkSession,
+    path: str,
+    weight_col: str | None = None,
+    shard_col: str = "shard_id",
+) -> None:
+    """Manifest-ONLY upgrade for shard sets written before the current
+    manifest format — the migration path :func:`verify_shards`' loud
+    pre-format refusal lacked (r12 advisor finding: the only remedy it
+    offered was rewriting the whole payload). Recomputes the manifest
+    from the payload and atomically replaces ``path/_manifest``,
+    leaving the data files untouched.
+
+    Integrity contract: the old ``content_xor`` is incomparable by
+    design (unordered/NULL-blind hash — the reason verification
+    refuses), so the re-stamp verifies what IS format-independent
+    first: per-shard ``n_rows`` and ``n_weight`` from the stored
+    manifest must match the payload exactly (full-outer, so missing or
+    extra shards fail too), and the helper raises without writing
+    anything if they don't — a payload that fails even the row/weight
+    check cannot be trusted enough to re-stamp. ``weight_col`` must
+    restate the write-time weight semantics (the pre-format manifest
+    did not record it — that omission is what this migrates); it is
+    recorded in the new manifest, after which a bare
+    ``verify_shards(spark, path)`` works again. Raises on an
+    already-current manifest (nothing to migrate — run
+    :func:`verify_shards`)."""
+    stored = read_manifest(spark, path)
+    if "weight_col" in stored.columns:
+        raise ValueError(
+            f"manifest at {path!r} is already in the current format — "
+            "nothing to upgrade; run verify_shards instead"
+        )
+    actual = shard_manifest(
+        read_training_shards(spark, path, shard_col=shard_col),
+        weight_col,
+        shard_col,
+    ).localCheckpoint(eager=True)  # consumed by the check AND the write
+    mism = (
+        stored.select(
+            shard_col,
+            F.col("n_rows").alias("stored_rows"),
+            F.col("n_weight").alias("stored_weight"),
+        )
+        .join(
+            actual.select(
+                shard_col,
+                F.col("n_rows").alias("actual_rows"),
+                F.col("n_weight").alias("actual_weight"),
+            ),
+            shard_col,
+            "full_outer",
+        )
+        .filter(
+            ~(
+                F.col("stored_rows").eqNullSafe(F.col("actual_rows"))
+                & F.col("stored_weight").eqNullSafe(F.col("actual_weight"))
+                & F.col("stored_rows").isNotNull()
+                & F.col("actual_rows").isNotNull()
+            )
+        )
+    )
+    bad = mism.limit(5).collect()
+    if bad:
+        raise ValueError(
+            f"upgrade_manifest at {path!r}: stored rows/weights disagree "
+            f"with the payload for shards "
+            f"{[r[shard_col] for r in bad]} (weight_col={weight_col!r}) — "
+            "the payload cannot be trusted enough to re-stamp; if the "
+            "weight semantics differ from the write, pass the write-time "
+            "weight_col, otherwise rewrite with write_training_shards"
+        )
+    from .snapshot import atomic_dir_publish
+
+    atomic_dir_publish(
+        os.path.join(path, MANIFEST_DIR),
+        lambda staging: actual.coalesce(1).write.mode("overwrite").parquet(
+            staging
+        ),
+        caller="upgrade_manifest",
+    )
+
+
 def verify_shards(
     spark: SparkSession,
     path: str,
@@ -309,8 +392,10 @@ def verify_shards(
             f"manifest at {path!r} predates the current format (no "
             "weight_col column; its content_xor also used the old "
             "unordered/NULL-blind hash, so a checksum compare would "
-            "report intact shards as corrupted) — rewrite the shards "
-            "with write_training_shards to upgrade the manifest"
+            "report intact shards as corrupted) — run "
+            "upgrade_manifest(spark, path, weight_col=<write-time "
+            "column>) to re-stamp the manifest in place, or rewrite "
+            "with write_training_shards"
         )
     if isinstance(weight_col, _AutoWeight):
         wc_rows = stored_manifest.select("weight_col").limit(1).collect()

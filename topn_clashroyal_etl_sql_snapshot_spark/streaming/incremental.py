@@ -211,21 +211,54 @@ def streaming_mixture_gate(
     examples/incremental_ingest.py); this twin is the lightweight
     continuous form.
 
-    OPERATIONAL CONTRACT: Spark numbers batches per CHECKPOINT, so the
-    checkpoint directory and the ledger's ``_last_batch`` marker form
-    one lineage. Resetting/replacing the checkpoint against an
-    existing ``state_dir`` (new landing data, fresh query) requires
-    deleting the marker file too — otherwise the new query's low batch
-    ids are skipped as replays and new data is silently dropped;
-    keeping BOTH (the replay test's shape) is what makes redelivery
-    exactly-once.
+    OPERATIONAL CONTRACT (ENFORCED since r13 — advisor finding: the
+    documented hazard was silent data loss): Spark numbers batches per
+    CHECKPOINT, so the checkpoint directory and the ledger's
+    ``_last_batch`` marker form one lineage. The marker therefore
+    records the checkpoint's streaming-query id alongside the applied
+    batch id, and a batch whose id ≤ the marker is skipped as a
+    replay ONLY when it comes from the SAME lineage; a low batch id
+    from a DIFFERENT query id means the checkpoint was reset against
+    an existing ``state_dir`` — batch ids restarted at 0 and the old
+    guard would have silently dropped the new data — and the gate
+    RAISES instead, naming the remedy (new ``state_dir``, or delete
+    the ledger marker after verifying the landing data doesn't replay
+    rows the ledger already counted). A different-lineage batch id
+    ABOVE the marker is admitted and adopts the new lineage (the
+    operator retired the old checkpoint deliberately). Pre-r13 markers
+    carry no lineage and keep the legacy same-lineage semantics.
 
     Returns the configured ``writeStream`` (checkpoint under
     ``state_dir/_checkpoint``); the caller picks the trigger, e.g.
     ``.trigger(availableNow=True).start()``."""
+    import json
     import os
 
     marker = "_last_batch"
+
+    def _lineage(spark) -> str | None:
+        # the streaming-query id IS the lineage token: it is minted
+        # when a checkpoint directory is created and persists across
+        # restarts of the same checkpoint (it lives in the
+        # checkpoint's metadata file), so a fresh/reset checkpoint —
+        # the hazard — shows up as a new id. Read it from the
+        # executing query's thread-local property (probe-verified to
+        # survive the py4j callback boundary in foreachBatch), which
+        # is correct even when the caller overrides
+        # checkpointLocation; fall back to this gate's default
+        # checkpoint metadata for exotic harnesses that invoke
+        # _process outside a streaming thread.
+        qid = spark.sparkContext.getLocalProperty("sql.streaming.queryId")
+        if qid:
+            return qid
+        try:
+            with open(
+                os.path.join(state_dir, "_checkpoint", "metadata"),
+                encoding="utf-8",
+            ) as f:
+                return json.load(f).get("id")
+        except (FileNotFoundError, ValueError):
+            return None
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators import sampling
@@ -238,14 +271,34 @@ def streaming_mixture_gate(
         # replayed batch would gate against an empty ledger and then
         # overwrite the history (review finding)
         recover_parked_dir(ledger_path)
+        lineage = _lineage(spark)
         ledger = None
         if os.path.exists(ledger_path):
             try:
                 with open(
                     os.path.join(ledger_path, marker), encoding="utf-8"
                 ) as f:
-                    if batch_id <= int(f.read().strip()):
-                        return  # at-least-once replay of an applied batch
+                    raw = f.read().strip()
+                rec = json.loads(raw)
+                if isinstance(rec, dict):
+                    last, was = rec["last_batch"], rec.get("lineage")
+                else:  # pre-r13 marker: bare int, no lineage
+                    last, was = int(rec), None
+                if batch_id <= last:
+                    if was is not None and lineage is not None and was != lineage:
+                        raise RuntimeError(
+                            f"streaming_mixture_gate: batch {batch_id} from "
+                            f"query lineage {lineage!r} is ≤ the ledger's "
+                            f"applied marker {last} written by lineage "
+                            f"{was!r} — the checkpoint was reset against an "
+                            f"existing state_dir, and skipping would "
+                            f"silently drop new data. Use a fresh "
+                            f"state_dir, or delete "
+                            f"{os.path.join(ledger_path, marker)} after "
+                            f"verifying the new stream does not replay "
+                            f"rows the ledger already counted."
+                        )
+                    return  # at-least-once replay of an applied batch
             except FileNotFoundError:
                 pass
             ledger = spark.read.parquet(ledger_path)
@@ -264,7 +317,7 @@ def streaming_mixture_gate(
             with open(
                 os.path.join(staging, marker), "w", encoding="utf-8"
             ) as f:
-                f.write(str(batch_id))
+                json.dump({"last_batch": batch_id, "lineage": lineage}, f)
 
         atomic_dir_publish(
             ledger_path, _stage, caller="streaming_mixture_gate ledger publish"
