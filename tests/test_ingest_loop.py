@@ -348,3 +348,39 @@ def test_append_only_states_are_hardlinked_not_rewritten(spark, tmp_path):
         spark, _docs(spark, [700, 701], tag="d1"), root, RECIPE
     )
     assert rep4["exact_dropped"] == 2
+
+
+def test_ingest_compacts_append_states_at_the_fileset_bound(spark, tmp_path):
+    """Delta compaction inside the daily ingest (r13, r12 verdict
+    missing #1): with compact_max_files pinned low, a later day crosses
+    the bound, the fingerprint/minhash states rewrite compacted (the
+    report says which mode each day took), the file count drops back,
+    and the exact gate still rejects recrawls ACROSS the compaction
+    boundary — days indexed before the compaction stay indexed."""
+    root = str(tmp_path / "state")
+    ingest.bootstrap_state(spark, _docs(spark, range(1, 21)), root)
+
+    def _files(gen, state):
+        d = os.path.join(gen, state)
+        return [f for f in os.listdir(d) if f.startswith("part-")]
+
+    day_ids = [[700, 701], [710, 711], [720, 721], [730, 731]]
+    modes, counts = [], []
+    for k, ids in enumerate(day_ids):
+        rep = ingest.run_daily_ingest(
+            spark, _docs(spark, ids, tag=f"d{k}"), root, RECIPE,
+            compact_max_files=3,
+        )
+        modes.append(rep["state_modes"]["fingerprints"])
+        counts.append(len(_files(rep["generation"], "fingerprints")))
+    assert "compacted" in modes and "linked" in modes, modes
+    # the bound holds: never more than max_files + the day's delta
+    assert max(counts) <= 3 + 1, (modes, counts)
+    # recrawls of EVERY prior day die at the exact gate — including
+    # days whose filesets were folded away by a later compaction
+    all_recrawls = None
+    for k, ids in enumerate(day_ids):
+        d = _docs(spark, ids, tag=f"d{k}")
+        all_recrawls = d if all_recrawls is None else all_recrawls.unionAll(d)
+    rep = ingest.run_daily_ingest(spark, all_recrawls, root, RECIPE)
+    assert rep["exact_dropped"] == 8

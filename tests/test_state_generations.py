@@ -217,3 +217,54 @@ def test_noncanonical_generation_names_are_cleaned(spark, tmp_path):
     os.makedirs(os.path.join(root, "gen-0"))      # stale, n < keep line
     sink.publish_generation(root, lambda d: _write_states(spark, d, "day2"))
     assert not os.path.exists(os.path.join(root, "gen-0"))
+
+
+def test_publish_append_state_bounds_file_count_over_many_days(
+    spark, tmp_path
+):
+    """publish_append_state (r13, r12 verdict missing #1): a simulated
+    multi-day link-chain stays O(delta) on ordinary days, compacts when
+    the accumulated fileset count reaches max_files — so the data-file
+    count stays BOUNDED across arbitrarily many days instead of growing
+    one fileset per day — and every generation remains self-contained
+    (reads survive pruning the whole chain behind it). Contents equal
+    the cumulative union at every step."""
+    root = tmp_path / "chain"
+    day0 = root / "day-000"
+    spark.createDataFrame(
+        [(i,) for i in range(5)], "v long"
+    ).coalesce(1).write.parquet(str(day0))
+    prev = day0
+    want = set(range(5))
+    max_files, seen_modes, counts = 4, [], []
+    for d in range(1, 16):
+        delta = spark.createDataFrame(
+            [(100 * d + j,) for j in range(2)], "v long"
+        ).coalesce(1)
+        want |= {100 * d + j for j in range(2)}
+        cur = root / f"day-{d:03d}"
+        mode = sink.publish_append_state(
+            spark, str(prev), str(cur), delta, max_files=max_files
+        )
+        seen_modes.append(mode)
+        got = {r["v"] for r in spark.read.parquet(str(cur)).collect()}
+        assert got == want, f"day {d} content drift ({mode})"
+        n_files = len(
+            [f for f in os.listdir(cur) if f.startswith("part-")]
+        )
+        counts.append(n_files)
+        prev = cur
+    # both modes exercised, and compaction recurs as the chain regrows
+    assert "compacted" in seen_modes and "linked" in seen_modes
+    assert seen_modes.count("compacted") >= 2
+    # the bound: a day never serves more than max_files + the day's
+    # delta worth of data files
+    assert max(counts) <= max_files + 1, counts
+    # self-containment across the WHOLE chain: prune every older day
+    import shutil
+
+    for d in ("day-000", *(f"day-{i:03d}" for i in range(1, 15))):
+        shutil.rmtree(root / d)
+    assert {
+        r["v"] for r in spark.read.parquet(str(root / "day-015")).collect()
+    } == want

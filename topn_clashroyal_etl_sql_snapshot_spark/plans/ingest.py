@@ -141,6 +141,7 @@ def run_daily_ingest(
     mixture_weight_col: str | None = None,
     n_shards: int = 0,
     shard_weight_col: str | None = None,
+    compact_max_files: int = 64,
 ) -> dict:
     """One ingest day, end to end:
 
@@ -170,9 +171,13 @@ def run_daily_ingest(
 
     Returns a report dict: counts (``batch_in``, ``exact_dropped``,
     ``neardup_dropped``, ``admitted``, ``mixture_admitted``), the new
-    ``generation`` path, and the day's frames (``admitted``, ``mixed``,
+    ``generation`` path, the day's frames (``admitted``, ``mixed``,
     ``pairs``, ``labels``, ``keepers``, ``ledger`` — all checkpointed,
-    safe to consume after the publish)."""
+    safe to consume after the publish), and ``state_modes`` — which
+    append-form mode each append-only state took this day
+    (``"linked"`` or ``"compacted"``; ``compact_max_files`` bounds the
+    accumulated fileset count, see
+    :func:`~..sinks.snapshot.publish_append_state`)."""
     st = open_state(spark, state_root)
     n_in = batch.count()
 
@@ -312,18 +317,31 @@ def run_daily_ingest(
     # fingerprints and minhash are APPEND-ONLY states: the previous
     # generation's part files hardlink into the new one and only the
     # day's DELTA is written — the full-rewrite form dominated the
-    # publish cost (funnel measurement, SCALE.md r12 addendum). The
-    # bitmap (16 MB, bit-merged) and labels/keepers (rows change in
+    # publish cost (funnel measurement, SCALE.md r12 addendum) — until
+    # the accumulated fileset count reaches ``compact_max_files``, at
+    # which point the day rewrites the state compacted and the link
+    # chain resets (r13: without it a year of ingest left the indexes
+    # as hundreds of small part-file groups — r12 verdict missing #1).
+    # The bitmap (16 MB, bit-merged) and labels/keepers (rows change in
     # place) stay full writes.
     prev = snap.current_generation(state_root)
+    modes: dict[str, str] = {}
 
     def day(gen: str) -> None:
-        fp_dir = os.path.join(gen, "fingerprints")
-        snap.link_state_files(os.path.join(prev, "fingerprints"), fp_dir)
-        new_fps.write.mode("append").parquet(fp_dir)
-        mh_dir = os.path.join(gen, "minhash")
-        snap.link_state_files(os.path.join(prev, "minhash"), mh_dir)
-        new_sigs.write.mode("append").parquet(mh_dir)
+        modes["fingerprints"] = snap.publish_append_state(
+            spark,
+            os.path.join(prev, "fingerprints"),
+            os.path.join(gen, "fingerprints"),
+            new_fps,
+            max_files=compact_max_files,
+        )
+        modes["minhash"] = snap.publish_append_state(
+            spark,
+            os.path.join(prev, "minhash"),
+            os.path.join(gen, "minhash"),
+            new_sigs,
+            max_files=compact_max_files,
+        )
         bloom1.write.parquet(os.path.join(gen, "bloom"))
         labels1.write.parquet(os.path.join(gen, "labels"))
         keepers1.write.parquet(os.path.join(gen, "keepers"))
@@ -351,4 +369,5 @@ def run_daily_ingest(
         "labels": labels1,
         "keepers": keepers1,
         "ledger": ledger1,
+        "state_modes": modes,
     }
