@@ -384,3 +384,69 @@ def test_ingest_compacts_append_states_at_the_fileset_bound(spark, tmp_path):
         all_recrawls = d if all_recrawls is None else all_recrawls.unionAll(d)
     rep = ingest.run_daily_ingest(spark, all_recrawls, root, RECIPE)
     assert rep["exact_dropped"] == 8
+
+
+def test_gates_stage_matches_hand_composed_funnel(spark, tmp_path):
+    """The optional gates= stage (r13, r12 verdict missing #2): running
+    the curate_stream corpus gates INSIDE run_daily_ingest produces
+    exactly the states and admissions of the hand-composed funnel
+    (gate the batch first, then ingest the survivors), with the gate
+    drop count surfaced in the report — the production funnel
+    (hygiene → lang → quality → dedup → mixture) in one call against
+    one atomic generation."""
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.corpus import (
+        curate_stream,
+    )
+
+    corpus = _docs(spark, range(1, 21))
+    # day batch: English-looking docs that PASS the language/quality
+    # gates (the _docs gibberish fails lang-id — probe-verified) + one
+    # doc the quality gate must drop (tiny, repetitive) + one
+    # 'und'-language doc (digits only)
+    import random as _random
+
+    pool = ("the quick brown fox jumps over a lazy dog while many "
+            "people watch from the old wooden bridge and talk about "
+            "weather harvest rivers mountains evening morning travel "
+            "stories music gardens letters").split()
+    rows = []
+    for i in (701, 702, 703, 704):
+        rng = _random.Random(i)
+        words = [pool[rng.randrange(len(pool))] for _ in range(40)]
+        rows.append((i, " ".join(words), "web" if i % 2 else "books"))
+    rows += [
+        (801, "aa aa aa aa", "web"),
+        (803, "123 456 789 000", "books"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    gate = lambda df: curate_stream(df, min_quality=0.3)  # noqa: E731
+    n_after_gate = gate(batch).count()
+    assert n_after_gate < 6  # the planted docs actually drop
+
+    root_a = str(tmp_path / "packaged")
+    ingest.bootstrap_state(spark, corpus, root_a)
+    rep_a = ingest.run_daily_ingest(spark, batch, root_a, RECIPE, gates=gate)
+    assert rep_a["gate_dropped"] == 6 - n_after_gate
+    assert rep_a["batch_in"] == 6
+
+    # hand-composed twin: gate outside, ingest the survivors
+    root_b = str(tmp_path / "composed")
+    ingest.bootstrap_state(spark, corpus, root_b)
+    rep_b = ingest.run_daily_ingest(spark, gate(batch), root_b, RECIPE)
+    assert rep_b["gate_dropped"] == 0
+
+    mixed_a = {r["doc_id"] for r in rep_a["mixed"].collect()}
+    mixed_b = {r["doc_id"] for r in rep_b["mixed"].collect()}
+    assert mixed_a == mixed_b and mixed_a
+    # identical committed states (fingerprints prove the indexes derive
+    # from the GATED text on both arms)
+    st_a = ingest.open_state(spark, root_a)
+    st_b = ingest.open_state(spark, root_b)
+    fps_a = {r["fingerprint"] for r in st_a["fingerprints"].collect()}
+    fps_b = {r["fingerprint"] for r in st_b["fingerprints"].collect()}
+    assert fps_a == fps_b
+    led_a = {(r["source"], r["kept_w"]) for r in st_a["ledger"].collect()}
+    led_b = {(r["source"], r["kept_w"]) for r in st_b["ledger"].collect()}
+    assert led_a == led_b
