@@ -302,7 +302,19 @@ def main() -> None:
     # leaving BENCH_r07 unparseable. Diagnostics (per-sample arrays,
     # repeat counts) go on their own earlier line; the FINAL line is the
     # compact driver contract with medians only.
+    # Per-entry sample spread (r12 verdict #6): max/min ratio across an
+    # entry's repeats — the direct box-drift witness (a loaded run shows
+    # ratios well past the ±5% honesty band without needing a judge-side
+    # m3 rerun). Full map in BENCH_DIAG; the final line carries the run
+    # max + the three widest entries (the line must stay under the
+    # driver's ~2,000-char tail window — measured ~1,600 at 47 entries).
+    spreads = {
+        name: round(max(s) / max(min(s), 1e-9), 2)
+        for name, s in raw_samples.items()
+        if len(s) > 1
+    }
     diag = {"repeats": repeats, "samples": raw_samples, "load": entry_load,
+            "spread": spreads,
             "stat": "min" if min_of > 1 else "median", "min_of": min_of}
     if errors:
         diag["errors"] = errors
@@ -311,6 +323,7 @@ def main() -> None:
     # bytes): max load1 seen at any entry start + the busiest and
     # idlest per-entry CPU fractions. Per-entry detail is in BENCH_DIAG.
     busies = [v["cpu_busy"] for v in entry_load.values()] or [0.0]
+    worst = sorted(spreads.items(), key=lambda kv: -kv[1])[:3]
     out = {
         "metric": "total_query_sec",
         "value": total,
@@ -323,6 +336,10 @@ def main() -> None:
             ),
             "cpu_busy_min": min(busies),
             "cpu_busy_max": max(busies),
+        },
+        "spread": {
+            "max": max(spreads.values(), default=1.0),
+            "top": dict(worst),
         },
     }
     print(json.dumps(out))
