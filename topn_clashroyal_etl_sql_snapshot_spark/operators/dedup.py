@@ -2495,8 +2495,10 @@ def simhash_verified_pairs(
 
     if est > _SIMHASH_DENSE_FACTOR * n_docs:
         # template-compressed regime: screenless exact verification +
-        # hamming post-filter (see PLAN CHOICE above)
-        p = postings.localCheckpoint(eager=False)
+        # hamming post-filter (see PLAN CHOICE above). hashed_postings
+        # already returns a checkpointed frame — _checkpointed_once
+        # avoids storing a second copy of the corpus postings
+        p = _checkpointed_once(postings)
         sizes = p.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
         inter = (
             p.select(F.col("id").alias("id1"), "sh")
