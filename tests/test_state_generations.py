@@ -268,3 +268,83 @@ def test_publish_append_state_bounds_file_count_over_many_days(
     assert {
         r["v"] for r in spark.read.parquet(str(root / "day-015")).collect()
     } == want
+
+
+def test_publish_lock_excludes_live_concurrent_writer(spark, tmp_path):
+    """r13: the single-writer contract is enforced — a second publish
+    against a root whose _LOCK names a LIVE pid refuses loudly (no
+    staging, no pointer movement) instead of racing the first writer's
+    staging cleanup."""
+    root = str(tmp_path / "state")
+    g1 = sink.publish_generation(root, lambda d: _write_states(spark, d, "day0"))
+    assert not os.path.exists(os.path.join(root, "_LOCK"))  # released
+    with open(os.path.join(root, "_LOCK"), "w") as f:
+        f.write(f"{os.getpid()} test-holder")  # this process: alive
+    with pytest.raises(sink.ConcurrentPublishError, match="live publisher"):
+        sink.publish_generation(
+            root, lambda d: _write_states(spark, d, "day1")
+        )
+    # nothing staged, pointer untouched, the holder's lock intact
+    assert sink.current_generation(root) == g1
+    assert sorted(
+        n for n in os.listdir(root) if n.startswith("gen-")
+    ) == [os.path.basename(g1)]
+    assert os.path.exists(os.path.join(root, "_LOCK"))
+    os.unlink(os.path.join(root, "_LOCK"))
+
+
+def test_publish_lock_breaks_stale_holder_and_proceeds(spark, tmp_path):
+    """A holder that CRASHED (pid no longer alive) must not wedge the
+    store: the stale lock is broken, the publish succeeds, and the
+    lock is released afterwards."""
+    import subprocess
+
+    root = str(tmp_path / "state")
+    sink.publish_generation(root, lambda d: _write_states(spark, d, "day0"))
+    child = subprocess.Popen(["sleep", "0"])
+    child.wait()  # reaped: kill(pid, 0) now raises ProcessLookupError
+    with open(os.path.join(root, "_LOCK"), "w") as f:
+        f.write(f"{child.pid} crashed-holder")
+    g2 = sink.publish_generation(
+        root, lambda d: _write_states(spark, d, "day1")
+    )
+    assert sink.current_generation(root) == g2
+    assert all(v == "day1" for v in _read_tags(spark, g2).values())
+    assert not os.path.exists(os.path.join(root, "_LOCK"))
+
+
+def test_publish_lock_refuses_unparseable_lock(spark, tmp_path):
+    """Corrupt lock content is never auto-deleted — refuse and point
+    the operator at the file (same posture as the corrupt-pointer
+    guard)."""
+    root = str(tmp_path / "state")
+    os.makedirs(root)
+    with open(os.path.join(root, "_LOCK"), "w") as f:
+        f.write("not-a-pid")
+    with pytest.raises(sink.ConcurrentPublishError, match="unparseable"):
+        sink.publish_generation(
+            root, lambda d: _write_states(spark, d, "day0")
+        )
+
+
+def test_publish_cas_refuses_moved_pointer(spark, tmp_path):
+    """The flip re-reads _CURRENT and aborts if it moved during
+    staging (lock broken on a pid-reused holder, manual operator
+    flip): the established pointer is never overwritten by a publish
+    staged against a stale parent, and the lock is still released."""
+    root = str(tmp_path / "state")
+    sink.publish_generation(root, lambda d: _write_states(spark, d, "day0"))
+
+    def hostile(gen_dir):
+        _write_states(spark, gen_dir, "day1")
+        # a racing writer flips the pointer mid-publish
+        with open(os.path.join(root, "_CURRENT"), "w") as f:
+            f.write("gen-000777")
+
+    with pytest.raises(sink.ConcurrentPublishError, match="_CURRENT moved"):
+        sink.publish_generation(root, hostile)
+    # the hostile flip wins (this publish must NOT overwrite it) and
+    # the lock is released so the store is not wedged
+    with open(os.path.join(root, "_CURRENT")) as f:
+        assert f.read().strip() == "gen-000777"
+    assert not os.path.exists(os.path.join(root, "_LOCK"))

@@ -220,6 +220,84 @@ def atomic_dir_publish(
 
 _GEN_PREFIX = "gen-"
 _CURRENT_FILE = "_CURRENT"
+_LOCK_FILE = "_LOCK"
+
+
+class ConcurrentPublishError(RuntimeError):
+    """A second writer attempted to publish into a generation root
+    while another publish was in flight (or the ``_CURRENT`` pointer
+    moved under a publish). Raised LOUDLY instead of letting the
+    writers race: without exclusion, two publishers both read the same
+    current generation, the second's staging ``rmtree`` destroys the
+    first's half-written files, and the surviving flip silently drops
+    the loser's delta — lost updates with no error anywhere."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by another user
+    return True
+
+
+def _acquire_publish_lock(root: str, caller: str) -> str:
+    """Take ``<root>/_LOCK`` with ``O_CREAT|O_EXCL`` — the POSIX
+    create-exclusive primitive, atomic on local filesystems (which is
+    the module's contract; see :func:`publish_generation`). The lock
+    file records the holder's pid so a holder that CRASHED without
+    releasing does not wedge the store forever: on contention the pid
+    is liveness-probed (``kill(pid, 0)`` — publishers share the host
+    under the local-FS contract) and a dead holder's lock is broken
+    and re-acquired. Pid-reuse can false-positive a dead holder as
+    live — the failure mode is then a spurious
+    :class:`ConcurrentPublishError` telling the operator to remove the
+    named lock file, never a silent lost update. A lock file with
+    unparseable content is treated the same way (refuse loudly, point
+    at the file) rather than auto-deleted."""
+    path = os.path.join(root, _LOCK_FILE)
+    for _attempt in range(2):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(path, encoding="utf-8") as f:
+                    holder = f.read().split()
+            except FileNotFoundError:
+                continue  # released between the two opens — retry
+            if not holder or not holder[0].isdigit():
+                raise ConcurrentPublishError(
+                    f"{caller}: lock file {path!r} has unparseable "
+                    f"content {holder!r}; if no publisher is running, "
+                    "remove it manually"
+                )
+            pid = int(holder[0])
+            if not _pid_alive(pid):
+                # stale: the holder crashed between taking the lock
+                # and its finally-release — break it and retry ONCE
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+                continue
+            raise ConcurrentPublishError(
+                f"{caller}: generation root {root!r} is locked by a "
+                f"live publisher (pid {pid}); concurrent publishes "
+                "would race the staging cleanup and lose one writer's "
+                f"delta — wait for it, or remove {path!r} if the pid "
+                "is a reused one"
+            )
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(f"{os.getpid()} {caller}")
+            f.flush()
+            os.fsync(f.fileno())
+        return path
+    raise ConcurrentPublishError(
+        f"{caller}: could not acquire {path!r} after breaking a stale "
+        "lock — another publisher took it first"
+    )
 
 
 def _gen_number(name: str) -> int | None:
@@ -276,11 +354,23 @@ def publish_generation(
     generations are retained after a successful flip (readers mid-scan
     on the old generation keep their files); older ones are pruned.
 
-    Single-writer contract (the reference's cron-driven ETL shape):
-    concurrent publishers would race the orphan cleanup. Local
-    filesystems only, like :func:`atomic_dir_publish` — on object
-    stores the SAME pointer pattern applies through the store's
-    conditional-put. Returns the new generation directory."""
+    Single-writer contract — ENFORCED, not just documented (r13; the
+    same promotion the streaming gate's lineage contract got):
+    concurrent publishers would race the staging cleanup and the
+    orphan pruning, and the surviving flip would silently drop the
+    losing writer's delta. The whole publish runs under an exclusive
+    ``<root>/_LOCK`` (:func:`_acquire_publish_lock` — create-exclusive
+    with pid-liveness stale-lock breaking, released in ``finally`` on
+    any failure), and the pointer flip is additionally guarded by a
+    compare-and-swap re-read: if ``_CURRENT`` moved since the publish
+    began (a lock broken on a reused pid, an operator's manual flip),
+    the flip is ABORTED with :class:`ConcurrentPublishError` and the
+    staged generation is left as an orphan — the established pointer
+    is never overwritten by a publish that staged against a stale
+    parent. Local filesystems only, like :func:`atomic_dir_publish` —
+    on object stores the SAME pointer pattern applies through the
+    store's conditional-put (whose precondition IS this CAS). Returns
+    the new generation directory."""
     if "://" in root:
         raise ValueError(
             f"{caller} writes a driver-local pointer file; non-local "
@@ -290,6 +380,19 @@ def publish_generation(
     if keep < 0:
         raise ValueError(f"keep must be ≥ 0, got {keep}")
     os.makedirs(root, exist_ok=True)
+    lock = _acquire_publish_lock(root, caller)
+    try:
+        return _publish_generation_locked(root, write_fn, keep, caller)
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _publish_generation_locked(
+    root: str, write_fn, keep: int, caller: str
+) -> str:
     cur = current_generation(root)
     cur_n = _gen_number(os.path.basename(cur)) if cur else 0
     # (number, LISTED name) pairs: cleanup must remove the directory
@@ -328,6 +431,23 @@ def publish_generation(
             os.fsync(dfd)
         finally:
             os.close(dfd)
+    # Compare-and-swap: re-read the pointer and refuse to flip if it
+    # no longer names the parent this publish staged against. Under
+    # the lock this only fires on the documented escape hatches (a
+    # stale lock broken against a pid-reused live holder, an
+    # operator's manual pointer edit) — but when it fires, the
+    # alternative is silently replacing a generation this writer never
+    # saw. The staged directory stays behind as an orphan; the serving
+    # pointer is untouched.
+    recheck = current_generation(root)
+    recheck_n = _gen_number(os.path.basename(recheck)) if recheck else 0
+    if recheck_n != cur_n:
+        raise ConcurrentPublishError(
+            f"{caller}: _CURRENT moved from gen {cur_n} to "
+            f"{recheck_n} while this publish was staging gen {new_n} "
+            "— another writer flipped the pointer; this publish's "
+            "staged generation was NOT committed"
+        )
     tmp = os.path.join(root, _CURRENT_FILE + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(f"{_GEN_PREFIX}{new_n:06d}")
