@@ -683,3 +683,103 @@ def test_degenerate_vector_guards_r11(spark):
         similarity._nearest_centroids(
             df.selectExpr("vec_id as id", "embedding as v"), [], 1, "id", "v"
         )
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding near-dup (r13): batch vs persisted sketch index
+# ---------------------------------------------------------------------------
+
+
+def _split_batch(df, pred):
+    return df.filter(pred), df.filter(~pred)
+
+
+def test_lsh_incremental_equals_new_involving_subset(spark, vectors):
+    """The defining invariant (same as every other incremental dedup
+    family): the incremental run over (batch, persisted index) returns
+    exactly the batch-involving subset of the full-corpus run — here at
+    threshold -1 so the CANDIDATE sets themselves are compared, not
+    just the verified survivors."""
+    df, _ = vectors
+    pred = (F.col("vec_id") % 4 == 0) | (F.col("vec_id") >= 100)
+    batch, index = _split_batch(df, pred)
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+
+    full = similarity.lsh_neardup_pairs(
+        df, threshold=-1.0, planes=4, rotations=2
+    ).collect()
+    want = {
+        (frozenset((r["id1"], r["id2"])), r["cosine"])
+        for r in full
+        if r["id1"] in batch_ids or r["id2"] in batch_ids
+    }
+
+    idx_sk = similarity.hyperplane_sketches(index, planes=4, rotations=2)
+    pairs, updated = similarity.lsh_neardup_incremental(
+        batch, idx_sk, index, threshold=-1.0, planes=4, rotations=2
+    )
+    got = pairs.collect()
+    assert {
+        (frozenset((r["id1"], r["id2"])), r["cosine"]) for r in got
+    } == want
+    # orientation contract: id1 is ALWAYS a batch doc; within-batch
+    # pairs additionally keep id1 < id2
+    for r in got:
+        assert r["id1"] in batch_ids
+        if r["id2"] in batch_ids:
+            assert r["id1"] < r["id2"]
+    # updated_sketches is tomorrow's index: exactly the full-corpus
+    # sketch set (deterministic hyperplanes — no stored model)
+    full_sk = sorted(
+        tuple(r)
+        for r in similarity.hyperplane_sketches(
+            df, planes=4, rotations=2
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in updated.collect()) == full_sk
+
+
+def test_lsh_incremental_recalls_planted_against_index(spark, vectors):
+    """The production case: planted near-dups arrive as the daily
+    batch, their sources sit in the persisted index — every planted
+    pair is found, oriented (new, old), and nothing else survives the
+    strict verify."""
+    df, _ = vectors
+    batch, index = _split_batch(df, F.col("vec_id") >= 100)
+    idx_sk = similarity.hyperplane_sketches(index, planes=8)
+    pairs, _ = similarity.lsh_neardup_incremental(
+        batch, idx_sk, index, threshold=0.99, planes=8
+    )
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert got == {(100, 0), (101, 1), (102, 2)}
+
+
+def test_lsh_incremental_cap_matches_full_run_cap(spark, vectors):
+    """Hot-bucket cap parity: the cap counts the COMBINED batch ∪
+    index population per (rot, bucket) — exactly the full run's
+    counts — so capped runs agree pair-for-pair too (planes=2 makes
+    every bucket hot at max_bucket=8, exercising real drops)."""
+    df, _ = vectors
+    pred = F.col("vec_id") % 3 == 0
+    batch, index = _split_batch(df, pred)
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+
+    full = similarity.lsh_neardup_pairs(
+        df, threshold=-1.0, planes=2, max_bucket=8
+    ).collect()
+    want = {
+        frozenset((r["id1"], r["id2"]))
+        for r in full
+        if r["id1"] in batch_ids or r["id2"] in batch_ids
+    }
+    idx_sk = similarity.hyperplane_sketches(index, planes=2)
+    pairs, _ = similarity.lsh_neardup_incremental(
+        batch, idx_sk, index, threshold=-1.0, planes=2, max_bucket=8
+    )
+    got = {frozenset((r["id1"], r["id2"])) for r in pairs.collect()}
+    assert got == want
+    # and the cap actually bit: the uncapped run finds strictly more
+    uncapped = similarity.lsh_neardup_pairs(
+        df, threshold=-1.0, planes=2
+    ).count()
+    assert uncapped > len(full)

@@ -201,6 +201,7 @@ def lsh_neardup_pairs(
     rotations: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs, LSH-bucketed: candidates are pairs
     sharing a (rotation, bucket) key; only candidates get exact cosine
@@ -225,7 +226,14 @@ def lsh_neardup_pairs(
     ``brute_force_neardup_pairs`` on a sampled/blocked subset. At
     permissive thresholds (≤ 0.5, θ ≈ 60°) sign-bit LSH degenerates —
     candidates approach all-pairs; that regime is inherent to the
-    similarity level, not the plan."""
+    similarity level, not the plan.
+
+    ``max_bucket`` (r13, default off to preserve the exact-recall
+    contract above) drops (rot, bucket) keys whose population exceeds
+    it before the self-join — the same hot-bucket guard as
+    ``dedup.lsh_candidate_pairs`` for corpora with boilerplate
+    clusters, and the cap the incremental form
+    (:func:`lsh_neardup_incremental`) mirrors count-for-count."""
     # Materialize the sketches EAGERLY: both self-join sides consume
     # them, and the 64-aggregate sketch tree is expensive for Catalyst —
     # an eager local checkpoint truncates the lineage so the downstream
@@ -234,6 +242,11 @@ def lsh_neardup_pairs(
     # dedup.hashed_postings.)
     sk = hyperplane_sketches(embeddings, planes, rotations, id_col, vec_col)
     sk = sk.localCheckpoint(eager=True)
+    if max_bucket is not None:
+        from .dedup import _hot_buckets
+
+        hot = _hot_buckets(sk, max_bucket, keys=("rot", "bucket"))
+        sk = sk.join(hot, ["rot", "bucket"], "left_anti")
     a = sk.select(F.col("id").alias("id1"), "rot", "bucket")
     b = sk.select(F.col("id").alias("id2"), "rot", "bucket")
     cands = (
@@ -245,24 +258,132 @@ def lsh_neardup_pairs(
     return exact_cosine_for_pairs(cands, embeddings, threshold, id_col, vec_col)
 
 
+def lsh_neardup_incremental(
+    new_embeddings: DataFrame,
+    index_sketches: DataFrame,
+    index_embeddings: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 16,
+    rotations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental embedding near-dup: a NEW batch against a PERSISTED
+    sketch index — the daily-ingest shape for the EMBEDDING family,
+    completing the symmetry every other dedup family already has
+    (exact, line, MinHash, SimHash, components, keepers all grew
+    batch-vs-persisted-index modes r10-r12). Re-sketching a 100 TB
+    corpus to admit a 0.1% daily crawl is infeasible; this sketches
+    the batch ONCE and touches the index only through its (rot,
+    bucket) keys plus the id-keyed vector fetch for verified
+    candidates — cost scales with |batch| + the index rows whose
+    buckets the batch actually hits, never a full corpus scan.
+
+    What makes the increment POSSIBLE is a property
+    :func:`hyperplane_sketches` already has: its hyperplane
+    coefficients are derived from ``xxhash64(plane, dim)``, not a
+    stored model — a batch sketched today under the same
+    (planes, rotations) lands in exactly the buckets yesterday's
+    corpus sketching used, with no model artifact to version or
+    drift. ``index_sketches`` is a persisted
+    :func:`hyperplane_sketches` output; ``index_embeddings`` is the
+    corpus vector table (verification reads only candidate ids from
+    it — at scale the id-keyed join prunes to the hit set). Id
+    namespaces must not collide (caller contract, same as
+    :func:`dedup.minhash_lsh_incremental`).
+
+    Returns ``(pairs, updated_sketches)``:
+
+    - ``pairs`` = (id1, id2, cosine) at ``cosine ≥ threshold``,
+      exact-cosine verified: batch-vs-index collisions keep id1 = new
+      doc in EVERY orientation; within-batch pairs keep id1 < id2.
+      Because sketches are deterministic, this is exactly the
+      new-doc-involving subset of :func:`lsh_neardup_pairs` over the
+      full corpus (invariant test-pinned), with the same S-curve
+      recall semantics at the candidate stage and bit-identical
+      cosines at the verify stage.
+    - ``updated_sketches`` = index ∪ batch sketches — write it back
+      and it is tomorrow's index (lazy union; the persist amortizes
+      into the caller's generation publish).
+
+    ``max_bucket`` caps hot (rot, bucket) keys counted over the
+    COMBINED batch ∪ index population — exactly the counts the
+    full-corpus run sees, so the subset invariant holds cap-for-cap
+    (a boilerplate cluster in the index would otherwise make every
+    colliding batch pay an O(|cluster|·|batch∩bucket|) join)."""
+    from .dedup import _hot_buckets
+
+    sk_new = hyperplane_sketches(
+        new_embeddings, planes, rotations, id_col, vec_col
+    ).localCheckpoint(eager=False)
+    # ONE join covers both candidate classes (the minhash_lsh_incremental
+    # shape): right side is index ∪ batch with an _idx flag — index
+    # collisions keep every orientation (disjoint namespaces), batch
+    # collisions keep id1 < id2.
+    banded_new = sk_new
+    right = (
+        index_sketches.withColumn("_idx", F.lit(True))
+        .unionByName(sk_new.withColumn("_idx", F.lit(False)))
+        .withColumnRenamed("id", "id2")
+    )
+    if max_bucket is not None:
+        hot = _hot_buckets(
+            right.select(F.col("id2").alias("id"), "rot", "bucket"),
+            max_bucket,
+            keys=("rot", "bucket"),
+        ).localCheckpoint(eager=False)
+        banded_new = banded_new.join(hot, ["rot", "bucket"], "left_anti")
+        right = right.join(hot, ["rot", "bucket"], "left_anti")
+    cands = (
+        banded_new.withColumnRenamed("id", "id1")
+        .join(right, ["rot", "bucket"])
+        .filter(F.col("_idx") | (F.col("id1") < F.col("id2")))
+        .select("id1", "id2")
+        .distinct()
+    )
+    pairs = exact_cosine_for_pairs(
+        cands,
+        new_embeddings,
+        threshold,
+        id_col,
+        vec_col,
+        embeddings2=index_embeddings.unionByName(new_embeddings),
+    )
+    return pairs, index_sketches.unionByName(sk_new)
+
+
 def exact_cosine_for_pairs(
     cands: DataFrame,
     embeddings: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    embeddings2: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-cosine verification of (id1, id2) candidate pairs — the
     shared tail of every bucketed near-dup plan (LSH, semantic/IVF):
     join both vectors back, fold the dot in fixed order (bit-identical
     to the brute-force path), keep pairs at/above ``threshold``.
-    Returns (id1, id2, cosine)."""
-    vecs = _with_norm(embeddings, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
-    )
+    Returns (id1, id2, cosine).
+
+    ``embeddings2`` resolves the id2 side from a DIFFERENT frame (the
+    incremental shape: id1 is always a batch doc, so the id1 join
+    probes only the batch-sized frame instead of shuffling the full
+    corpus twice); identical fold expressions on both sides, so the
+    cosines stay bit-identical to the single-frame form."""
+    def _sided(df):
+        return _with_norm(df, vec_col).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.col("_norm").alias("n"),
+        )
+
+    vecs = _sided(embeddings)
+    vecs2 = vecs if embeddings2 is None else _sided(embeddings2)
     return (
         cands.join(vecs.withColumnsRenamed({"id": "id1", "v": "v1", "n": "n1"}), "id1")
-        .join(vecs.withColumnsRenamed({"id": "id2", "v": "v2", "n": "n2"}), "id2")
+        .join(vecs2.withColumnsRenamed({"id": "id2", "v": "v2", "n": "n2"}), "id2")
         .withColumn(
             "cosine",
             F.round(
