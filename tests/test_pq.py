@@ -438,3 +438,70 @@ def test_fitted_centroids_below_nprobe_take_full_probe_path(spark):
         map(tuple, pq.pq_topk(df, model, n_coarse=50, nprobe=50, **kw).collect())
     )
     assert sorted(map(tuple, eff_full.collect())) == want
+
+
+def test_hof_fit_assignment_bit_identical_to_compiled_kernel(spark):
+    """r13: the fit's per-round assignment moved to the HOF form
+    (_assign_codes_hof — sample-scale rows should not pay the
+    compiled kernel's corpus-scale PLAN cost, re-optimized every
+    round). Bit-parity is the contract: replaying the fit's Lloyd
+    rounds through the ORIGINAL compiled kernel (_assign_codes
+    with_subvec=True, the encode/search path) must reproduce the
+    fitted model exactly — same scaled terms in the same fold order,
+    same argmax tie-break."""
+    df, _, _ = _clustered(spark, n=90, n_clusters=5, seed=17)
+    m, k, rounds = 4, 8, 3
+    got = pq.fit_pq_codebooks(df, m=m, k=k, lloyd_rounds=rounds)
+
+    sd = DIM // m
+    vecs = pq._vec_frame(df, "vec_id", "embedding", dim=DIM)
+    seeds = (
+        vecs.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(k).collect()
+    )
+    books = [
+        [[float(x) for x in r["v"][s * sd : (s + 1) * sd]] for r in seeds]
+        for s in range(m)
+    ]
+
+    def model(bs):
+        return {
+            "m": m,
+            "k": k,
+            "sub_dim": sd,
+            "dim": DIM,
+            "codebooks": bs,
+            "norms2": [[sum(x * x for x in c) for c in book] for book in bs],
+        }
+
+    for _ in range(rounds):
+        assign = pq._assign_codes(vecs, model(books), with_subvec=True)
+        stats = (
+            assign.groupBy("s", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.round(
+                            F.element_at("xs", t + 1) * F.lit(pq._MEAN_SCALE)
+                        ).cast("long")
+                    ).alias(f"_sx{t}")
+                    for t in range(sd)
+                ],
+            )
+            .collect()
+        )
+        acc = {
+            (r["s"], r["code"]): [
+                r[f"_sx{t}"] / (r["n"] * pq._MEAN_SCALE) for t in range(sd)
+            ]
+            for r in stats
+        }
+        new_books = [
+            [acc[(s, j)] if (s, j) in acc else books[s][j] for j in range(k)]
+            for s in range(m)
+        ]
+        if new_books == books:
+            break
+        books = new_books
+
+    assert got == model(books)

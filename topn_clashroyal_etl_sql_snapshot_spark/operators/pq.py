@@ -241,6 +241,72 @@ def _vec_frame(
     return out
 
 
+def _assign_codes_hof(vecs: DataFrame, model: dict) -> DataFrame:
+    """(id, s, code, xs): the Lloyd round's assignment as PER-ROW
+    higher-order functions instead of the exploded K-compiled-SUM
+    kernel — the FIT-ONLY twin of :func:`_assign_codes`
+    (with_subvec=True), bit-identical by construction (r13, pinned by
+    ``tests/test_pq.py``):
+
+    - each scaled term is the SAME expression, ``CAST(round(x · c ·
+      2³⁰) AS long)``, folded in the same t-order (long addition is
+      exact, so fold ≡ SUM);
+    - the argmax is the same (score − round(½‖c‖²·2³⁰), −j) struct
+      max with the low-index tie-break.
+
+    Why it exists: the exploded kernel's plan embeds the M·K·sub_dim
+    literal array once PER compiled sum column — K copies — and at
+    fit time that tree is rebuilt and re-optimized EVERY Lloyd round
+    (the codebook literals change), so each round paid ~2-3 s of
+    Catalyst + Janino on a 1,000-row sample whose actual compute is
+    microseconds (measured r13: a 100-row, 2-round fit cost 9-14 s
+    wall; whole-stage codegen off halved only the first fit —
+    steady-state was pure analysis cost). The HOF form references the
+    literal array ONCE inside a lambda, interpreted per row — exactly
+    the shape-specific trade :func:`pq_encode`'s docstring records
+    (HOF wins where rows are batch-bounded; the fit's sample IS
+    bounded by ``sample_rows``), so encode/search keep the compiled
+    kernel for corpus-scale streams and the fit stops paying
+    corpus-scale plan costs on sample-scale data."""
+    flat, n2 = _flat_codes(model), _flat_norms2(model)
+    m, k, sd = model["m"], model["k"], model["sub_dim"]
+    s, scale = F.col("s"), F.lit(_TERM_SCALE)
+
+    def term(j, t):
+        return F.round(
+            F.element_at("xs", (t + 1).cast("int"))
+            * F.element_at(flat, ((s * k + j) * sd + t + 1).cast("int"))
+            * scale
+        ).cast("long")
+
+    def score(j):
+        dot = F.aggregate(
+            F.sequence(F.lit(0), F.lit(sd - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + term(j, t),
+        )
+        half_n2 = F.round(
+            F.lit(0.5) * F.element_at(n2, (s * k + j + 1).cast("int")) * scale
+        ).cast("long")
+        return F.struct((dot - half_n2).alias("score"), (-j).alias("nj"))
+
+    scored = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), score)
+    return (
+        vecs.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            "v",
+        )
+        .select("id", "s", F.slice("v", s * sd + 1, sd).alias("xs"))
+        .select(
+            "id",
+            "s",
+            (-F.array_max(scored)["nj"]).cast("int").alias("code"),
+            "xs",
+        )
+    )
+
+
 def fit_pq_codebooks(
     embeddings: DataFrame,
     m: int = 4,
@@ -360,7 +426,10 @@ def fit_pq_codebooks(
     # sd-times-wider row stream (sd is a compile-time constant ≤ a few
     # hundred; same integer-scaled sums, same means, order-free).
     for _ in range(lloyd_rounds):
-        assign = _assign_codes(vecs, _model(books), with_subvec=True)
+        # r13: HOF assignment — bit-identical to
+        # _assign_codes(with_subvec=True) (test-pinned) at a fraction
+        # of the per-round PLAN cost; see _assign_codes_hof.
+        assign = _assign_codes_hof(vecs, _model(books))
         stats = (
             assign.groupBy("s", "code")
             .agg(
