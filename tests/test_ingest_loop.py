@@ -450,3 +450,140 @@ def test_gates_stage_matches_hand_composed_funnel(spark, tmp_path):
     led_a = {(r["source"], r["kept_w"]) for r in st_a["ledger"].collect()}
     led_b = {(r["source"], r["kept_w"]) for r in st_b["ledger"].collect()}
     assert led_a == led_b
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding) dedup in the loop — r13 optional states
+# ---------------------------------------------------------------------------
+
+_DIM = 8
+
+
+def _vec(seed, like=None, eps=0.0):
+    import random as _r
+
+    if like is None:
+        rng = _r.Random(seed)
+        return [float(rng.gauss(0, 1)) for _ in range(_DIM)]
+    rng = _r.Random(seed)
+    return [float(x + rng.gauss(0, eps)) for x in like]
+
+
+def _docs_vec(spark, rows):
+    """rows: (doc_id, tag, source, embedding) — texts share no
+    trigrams across ids, so only EMBEDDINGS can near-duplicate."""
+    data = [
+        (i, " ".join(f"{tag}{i}w{j}" for j in range(30)), src, emb)
+        for (i, tag, src, emb) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "doc_id long, text string, source string, embedding array<float>",
+    )
+
+
+def test_semantic_dedup_in_the_loop(spark, tmp_path):
+    """A batch doc whose TEXT is novel but whose EMBEDDING duplicates
+    a corpus doc drops in admission; its semantic twin in the corpus
+    stays canonical; the day's admissions advance the sketch index so
+    day 2 catches semantic near-dups of day-1 content."""
+    root = str(tmp_path / "state")
+    corpus = _docs_vec(
+        spark,
+        [(i, "seed", "web" if i % 2 else "books", _vec(i)) for i in range(1, 21)],
+    )
+    ingest.bootstrap_state(spark, corpus, root, vec_col="embedding",
+                           semantic_threshold=0.95, semantic_planes=8,
+                           semantic_rotations=2)
+    st = ingest.open_state(spark, root)
+    assert set(st) == set(ingest.STATE_NAMES) | {"sketches", "vectors"}
+
+    # day 1: 300 is genuinely new; 301 has novel text but ~doc-1's
+    # embedding (cosine ≈ 0.9999) — only the semantic leg can catch it
+    day1 = _docs_vec(
+        spark,
+        [
+            (300, "new", "web", _vec(300)),
+            (301, "fresh", "web", _vec(9301, like=_vec(1), eps=1e-3)),
+        ],
+    )
+    rep1 = ingest.run_daily_ingest(
+        spark, day1, root, RECIPE, vec_col="embedding",
+        semantic_threshold=0.95, semantic_planes=8, semantic_rotations=2,
+    )
+    assert rep1["neardup_dropped"] == 1
+    assert {r["doc_id"] for r in rep1["admitted"].collect()} == {300}
+    assert rep1["state_modes"].keys() >= {"sketches", "vectors"}
+
+    # the corpus doc stays the component's keeper; 301 never keeps
+    keepers = {r["id"]: r["keep"] for r in rep1["keepers"].collect()}
+    assert keepers.get(1) is True and keepers.get(301) in (False, None)
+
+    # day 2: a semantic near-dup of day-1-admitted 300 — caught only
+    # if the sketch/vector states actually advanced; plus a byte
+    # recrawl of the day-1 REJECTED 301 (its fingerprint committed:
+    # its component representative, corpus doc 1, is committed)
+    d1 = {r["doc_id"]: r for r in day1.collect()}
+    day2 = _docs_vec(
+        spark,
+        [(400, "later", "books", _vec(9400, like=_vec(300), eps=1e-3))],
+    ).unionAll(
+        spark.createDataFrame(
+            [(401, d1[301]["text"], "web", d1[301]["embedding"])],
+            "doc_id long, text string, source string, embedding array<float>",
+        )
+    )
+    rep2 = ingest.run_daily_ingest(
+        spark, day2, root, RECIPE, vec_col="embedding",
+        semantic_threshold=0.95, semantic_planes=8, semantic_rotations=2,
+    )
+    assert rep2["exact_dropped"] == 1      # 401, at the cheap gate
+    assert rep2["neardup_dropped"] == 1    # 400, vs the ADVANCED index
+    assert rep2["mixture_admitted"] == 0
+
+
+def test_semantic_state_handshake_is_enforced(spark, tmp_path):
+    """vec_col and the persisted semantic states must agree — both
+    mismatches raise loudly instead of silently dropping or stalling
+    the semantic index."""
+    root_text = str(tmp_path / "text_only")
+    ingest.bootstrap_state(spark, _docs(spark, range(1, 11)), root_text)
+    with pytest.raises(ValueError, match="no semantic states"):
+        ingest.run_daily_ingest(
+            spark, _docs_vec(spark, [(50, "x", "web", _vec(50))]),
+            root_text, RECIPE, vec_col="embedding",
+        )
+
+    root_sem = str(tmp_path / "semantic")
+    corpus = _docs_vec(
+        spark, [(i, "seed", "web", _vec(i)) for i in range(1, 11)]
+    )
+    ingest.bootstrap_state(spark, corpus, root_sem, vec_col="embedding")
+    with pytest.raises(ValueError, match="semantic states"):
+        ingest.run_daily_ingest(
+            spark, _docs(spark, [60]), root_sem, RECIPE
+        )
+
+
+def test_semantic_bootstrap_components_span_both_relations(spark, tmp_path):
+    """Day-0 labels come from the UNION of the text and embedding
+    relations: two corpus docs with disjoint texts but one embedding
+    share a component and exactly one keeper."""
+    root = str(tmp_path / "state")
+    corpus = _docs_vec(
+        spark,
+        [
+            (1, "alpha", "web", _vec(1)),
+            (2, "beta", "web", _vec(92, like=_vec(1), eps=1e-3)),
+            (3, "gamma", "books", _vec(3)),
+        ],
+    )
+    ingest.bootstrap_state(
+        spark, corpus, root, vec_col="embedding",
+        semantic_threshold=0.95, semantic_planes=8, semantic_rotations=2,
+    )
+    st = ingest.open_state(spark, root)
+    labels = {r["id"]: r["comp"] for r in st["labels"].collect()}
+    assert labels[1] == labels[2]
+    keepers = {r["id"]: r["keep"] for r in st["keepers"].collect()}
+    assert [keepers.get(1), keepers.get(2)].count(True) == 1

@@ -16,6 +16,10 @@ minhash       ``dedup.minhash_signatures`` (near-dup candidate index)
 labels        ``dedup.connected_components`` (corpus near-dup labeling)
 keepers       ``dedup.component_keepers`` (canonical-member decisions)
 ledger        per-``group_col`` kept weights (domain-mixture accounting)
+sketches      ``similarity.hyperplane_sketches`` (OPTIONAL, ``vec_col``
+              runs: the semantic near-dup LSH index)
+vectors       the corpus embedding column (OPTIONAL, with ``sketches``:
+              exact-cosine verification side)
 ======== =============================================================
 
 Every day-N update goes through the states' INCREMENTAL operators —
@@ -55,6 +59,11 @@ STATE_NAMES = (
     "fingerprints", "bloom", "minhash", "labels", "keepers", "ledger"
 )
 
+# Optional semantic-dedup states (r13): present iff the loop runs with
+# ``vec_col`` — hyperplane sketches (the LSH index) and the corpus
+# vectors (exact-cosine verification side). Both append-only.
+SEMANTIC_STATE_NAMES = ("sketches", "vectors")
+
 
 def _empty_scores(ids: DataFrame, id_col: str = "id") -> DataFrame:
     """A zero-row (id, score) frame with the id type taken from a real
@@ -76,11 +85,22 @@ def bootstrap_state(
     id_col: str = "doc_id",
     quality: DataFrame | None = None,
     threshold: float = 0.5,
+    vec_col: str | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_planes: int = 16,
+    semantic_rotations: int = 1,
 ) -> str:
-    """Day 0: build all six persisted states from the seed corpus and
+    """Day 0: build the persisted states from the seed corpus and
     commit them as generation 1 (one atomic pointer flip — a crash
     mid-bootstrap leaves NO generation, and the rerun starts clean).
-    Returns the generation directory."""
+    Returns the generation directory.
+
+    ``vec_col`` (r13) turns on SEMANTIC dedup: the corpus's hyperplane
+    sketches and vectors persist as two extra append-only states, the
+    day-0 near-dup relation is the union of the text (MinHash) and
+    embedding (cosine ≥ ``semantic_threshold``) pairs, and every
+    subsequent :func:`run_daily_ingest` must pass the same ``vec_col``
+    (enforced — the states must advance together)."""
 
     def day0(gen: str) -> None:
         corpus.select(
@@ -93,10 +113,33 @@ def bootstrap_state(
         dedup.minhash_signatures(corpus, text_col, id_col).write.parquet(
             os.path.join(gen, "minhash")
         )
-        labels0 = dedup.connected_components(
-            dedup.minhash_lsh_verified_pairs(
-                corpus, text_col, id_col, threshold=threshold
+        rel = dedup.minhash_lsh_verified_pairs(
+            corpus, text_col, id_col, threshold=threshold
+        )
+        if vec_col is not None:
+            from ..operators import similarity
+
+            similarity.hyperplane_sketches(
+                corpus, semantic_planes, semantic_rotations, id_col, vec_col
+            ).write.parquet(os.path.join(gen, "sketches"))
+            corpus.select(id_col, vec_col).write.parquet(
+                os.path.join(gen, "vectors")
             )
+            sem = similarity.lsh_neardup_pairs(
+                corpus,
+                semantic_threshold,
+                semantic_planes,
+                semantic_rotations,
+                id_col,
+                vec_col,
+            )
+            rel = (
+                rel.select("id1", "id2")
+                .unionByName(sem.select("id1", "id2"))
+                .distinct()
+            )
+        labels0 = dedup.connected_components(
+            rel
         ).localCheckpoint(eager=True)  # labels + keepers both consume
         labels0.write.parquet(os.path.join(gen, "labels"))
         q0 = (
@@ -114,18 +157,24 @@ def bootstrap_state(
 
 
 def open_state(spark: SparkSession, state_root: str) -> dict[str, DataFrame]:
-    """The current generation's six states as plain parquet reads —
-    raises before the first :func:`bootstrap_state`."""
+    """The current generation's states as plain parquet reads — the
+    core six always, plus the semantic pair (``sketches``/``vectors``)
+    when the generation carries them. Raises before the first
+    :func:`bootstrap_state`."""
     cur = snap.current_generation(state_root)
     if cur is None:
         raise ValueError(
             f"no generation published under {state_root!r} — run "
             "bootstrap_state first"
         )
-    return {
+    st = {
         name: spark.read.parquet(os.path.join(cur, name))
         for name in STATE_NAMES
     }
+    for name in SEMANTIC_STATE_NAMES:
+        if os.path.isdir(os.path.join(cur, name)):
+            st[name] = spark.read.parquet(os.path.join(cur, name))
+    return st
 
 
 def run_daily_ingest(
@@ -143,6 +192,10 @@ def run_daily_ingest(
     shard_weight_col: str | None = None,
     compact_max_files: int = 64,
     gates: Callable[[DataFrame], DataFrame] | None = None,
+    vec_col: str | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_planes: int = 16,
+    semantic_rotations: int = 1,
 ) -> dict:
     """One ingest day, end to end:
 
@@ -161,7 +214,14 @@ def run_daily_ingest(
     1. exact gate (Bloom-prefiltered) vs the persisted fingerprint
        index — byte-identical recrawls drop before any shingling;
     2. near-dup pairs vs the persisted MinHash index (batch texts
-       touched once);
+       touched once) — and, on ``vec_col`` runs, SEMANTIC near-dup
+       pairs vs the persisted sketch index
+       (:func:`~..operators.similarity.lsh_neardup_incremental`,
+       cosine ≥ ``semantic_threshold``), unioned into one relation:
+       a batch doc that semantically duplicates a corpus doc drops in
+       admission exactly like a text near-dup, and the two extra
+       append-only states (sketches, vectors) advance and commit with
+       everything else;
     3. admission — corpus-canonical ``component_keepers`` over the
        day's pair components (index members always win their cross
        components; within-batch groups keep one member by ``quality``
@@ -192,6 +252,26 @@ def run_daily_ingest(
     accumulated fileset count, see
     :func:`~..sinks.snapshot.publish_append_state`)."""
     st = open_state(spark, state_root)
+    # Semantic-state handshake (r13): the persisted semantic states and
+    # the call's ``vec_col`` must agree — running WITHOUT vec_col
+    # against a semantic-bootstrapped store would publish a generation
+    # missing the sketches/vectors (data loss) or silently stop
+    # advancing the semantic index (recall decay on every later day);
+    # running WITH vec_col against a text-only store has no index to
+    # probe. Both are loud errors, not defaults.
+    if vec_col is not None and "sketches" not in st:
+        raise ValueError(
+            f"run_daily_ingest(vec_col={vec_col!r}) but the current "
+            f"generation under {state_root!r} has no semantic states — "
+            "bootstrap_state with vec_col first"
+        )
+    if vec_col is None and "sketches" in st:
+        raise ValueError(
+            f"the current generation under {state_root!r} carries "
+            "semantic states (sketches/vectors) but vec_col was not "
+            "passed — the semantic index must advance with every day "
+            "or lose recall; pass the vec_col it was bootstrapped with"
+        )
     n_in = batch.count()
     n_gated = n_in
     if gates is not None:
@@ -211,6 +291,30 @@ def run_daily_ingest(
     pairs, _ = dedup.minhash_lsh_incremental(
         surv, st["minhash"], text_col, id_col, threshold=threshold
     )
+    if vec_col is not None:
+        from ..operators import similarity
+
+        # embedding near-dups vs the persisted sketch index — same
+        # orientation contract as the MinHash leg (id1 = new doc on
+        # cross pairs, id1 < id2 within batch), so the union feeds the
+        # identical component/admission machinery; the relation is the
+        # ids, scores differ per leg (est_jaccard vs cosine) and drop
+        # at the union
+        sem_pairs, _ = similarity.lsh_neardup_incremental(
+            surv.select(id_col, vec_col),
+            st["sketches"],
+            st["vectors"],
+            threshold=semantic_threshold,
+            planes=semantic_planes,
+            rotations=semantic_rotations,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        pairs = (
+            pairs.select("id1", "id2")
+            .unionByName(sem_pairs.select("id1", "id2"))
+            .distinct()
+        )
     pairs = pairs.localCheckpoint(eager=True)
 
     # Admission: index-side endpoints get a constant score ABOVE every
@@ -330,6 +434,13 @@ def run_daily_ingest(
     ).distinct()
     bloom1 = dedup.bloom_bitmap_merge(st["bloom"], dedup.bloom_bitmap(new_fps))
     new_sigs = dedup.minhash_signatures(to_index, text_col, id_col)
+    if vec_col is not None:
+        from ..operators import similarity
+
+        new_sketches = similarity.hyperplane_sketches(
+            to_index, semantic_planes, semantic_rotations, id_col, vec_col
+        )
+        new_vectors = to_index.select(id_col, vec_col)
 
     # fingerprints and minhash are APPEND-ONLY states: the previous
     # generation's part files hardlink into the new one and only the
@@ -359,6 +470,23 @@ def run_daily_ingest(
             new_sigs,
             max_files=compact_max_files,
         )
+        if vec_col is not None:
+            # same append-only discipline as fingerprints/minhash: the
+            # sketch index and the verification vectors only ever grow
+            modes["sketches"] = snap.publish_append_state(
+                spark,
+                os.path.join(prev, "sketches"),
+                os.path.join(gen, "sketches"),
+                new_sketches,
+                max_files=compact_max_files,
+            )
+            modes["vectors"] = snap.publish_append_state(
+                spark,
+                os.path.join(prev, "vectors"),
+                os.path.join(gen, "vectors"),
+                new_vectors,
+                max_files=compact_max_files,
+            )
         bloom1.write.parquet(os.path.join(gen, "bloom"))
         labels1.write.parquet(os.path.join(gen, "labels"))
         keepers1.write.parquet(os.path.join(gen, "keepers"))
