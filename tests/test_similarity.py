@@ -783,3 +783,54 @@ def test_lsh_incremental_cap_matches_full_run_cap(spark, vectors):
         df, threshold=-1.0, planes=2
     ).count()
     assert uncapped > len(full)
+
+
+def test_lsh_incremental_randomized_differential(spark):
+    """Randomized differential x3 (the incremental-operator pattern:
+    CC merge x4, keepers x5): random corpora, random batch splits,
+    random layouts — the incremental run must equal the new-involving
+    subset of the full run every time, including verified cosines."""
+    import random as _r
+
+    for trial in range(3):
+        rng = _r.Random(1000 + trial)
+        n = rng.randint(20, 40)
+        vecs = {
+            i: [rng.gauss(0, 1) for _ in range(DIM)] for i in range(n)
+        }
+        # plant a few near-dups of random sources
+        for j in range(rng.randint(1, 4)):
+            src = rng.randrange(n)
+            vecs[200 + j] = [x + rng.gauss(0, 0.02) for x in vecs[src]]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        frac = rng.choice((2, 3, 4))
+        pred = F.col("vec_id") % frac == 0
+        batch, index = df.filter(pred), df.filter(~pred)
+        batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+        planes = rng.choice((4, 6, 8))
+        rots = rng.choice((1, 2))
+        thr = rng.choice((-1.0, 0.9))
+
+        full = similarity.lsh_neardup_pairs(
+            df, threshold=thr, planes=planes, rotations=rots
+        ).collect()
+        want = {
+            (frozenset((r["id1"], r["id2"])), r["cosine"])
+            for r in full
+            if r["id1"] in batch_ids or r["id2"] in batch_ids
+        }
+        idx_sk = similarity.hyperplane_sketches(
+            index, planes=planes, rotations=rots
+        )
+        pairs, _ = similarity.lsh_neardup_incremental(
+            batch, idx_sk, index,
+            threshold=thr, planes=planes, rotations=rots,
+        )
+        got = {
+            (frozenset((r["id1"], r["id2"])), r["cosine"])
+            for r in pairs.collect()
+        }
+        assert got == want, (trial, planes, rots, thr, frac)
