@@ -391,6 +391,18 @@ def test_publish_lock_under_real_contention(tmp_path):
                 break
         out.put((wid, committed))
 
+    # plant a STALE lock (dead pid) before the stampede: the workers
+    # race the takeover too — exactly one may win each break, and no
+    # break may delete another worker's live lock (the r13 rename
+    # protocol; an unlink-then-create break admitted two publishers)
+    import subprocess
+
+    os.makedirs(root, exist_ok=True)
+    dead = subprocess.Popen(["sleep", "0"])
+    dead.wait()
+    with open(os.path.join(root, "_LOCK"), "w") as f:
+        f.write(f"{dead.pid} crashed-publisher")
+
     q = mp.get_context("fork").Queue()
     procs = [
         mp.get_context("fork").Process(target=worker, args=(w, q))

@@ -53,13 +53,25 @@ def main() -> None:
                     qs[extra] = fn
                     break
 
+    # validate EVERY name before timing anything: a typo'd first
+    # entry would silently skip the JVM warm-up (its cost then lands
+    # on the first timed entry — inflating exactly the referee
+    # reading this harness exists to make reproducible) and a later
+    # unknown name would crash after partial output (r13 review
+    # finding)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(
+            f"unknown entries: {', '.join(unknown)} — not in queries() "
+            "or reachable as a bench-only callable",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
     import statistics
 
     # warm the JVM once on the first requested entry (uncounted)
-    try:
-        qs[names[0]](spark, sf_dir).collect()
-    except Exception:
-        pass
+    qs[names[0]](spark, sf_dir).collect()
 
     total = 0.0
     for name in names:

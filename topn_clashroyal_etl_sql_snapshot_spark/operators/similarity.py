@@ -268,6 +268,7 @@ def lsh_neardup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 10_000,
+    new_sketches: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental embedding near-dup: a NEW batch against a PERSISTED
     sketch index — the daily-ingest shape for the EMBEDDING family,
@@ -311,11 +312,22 @@ def lsh_neardup_incremental(
     COMBINED batch ∪ index population — exactly the counts the
     full-corpus run sees, so the subset invariant holds cap-for-cap
     (a boilerplate cluster in the index would otherwise make every
-    colliding batch pay an O(|cluster|·|batch∩bucket|) join)."""
+    colliding batch pay an O(|cluster|·|batch∩bucket|) join).
+
+    ``new_sketches`` (a :func:`hyperplane_sketches` frame for the
+    batch, same ``planes``/``rotations``) skips the batch sketch pass
+    — the same sharing device as ``dedup.minhash_lsh_incremental``'s
+    ``new_postings``: a caller that also persists the batch's
+    sketches (the ingest loop's state delta) computes them ONCE and
+    feeds both uses."""
     from .dedup import _hot_buckets
 
-    sk_new = hyperplane_sketches(
-        new_embeddings, planes, rotations, id_col, vec_col
+    sk_new = (
+        new_sketches
+        if new_sketches is not None
+        else hyperplane_sketches(
+            new_embeddings, planes, rotations, id_col, vec_col
+        )
     ).localCheckpoint(eager=False)
     # ONE join covers both candidate classes (the minhash_lsh_incremental
     # shape): right side is index ∪ batch with an _idx flag — index

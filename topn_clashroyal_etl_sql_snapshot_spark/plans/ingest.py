@@ -89,6 +89,7 @@ def bootstrap_state(
     semantic_threshold: float = 0.9,
     semantic_planes: int = 16,
     semantic_rotations: int = 1,
+    semantic_max_bucket: int | None = 10_000,
 ) -> str:
     """Day 0: build the persisted states from the seed corpus and
     commit them as generation 1 (one atomic pointer flip — a crash
@@ -125,6 +126,10 @@ def bootstrap_state(
             corpus.select(id_col, vec_col).write.parquet(
                 os.path.join(gen, "vectors")
             )
+            # SAME hot-bucket cap as every later day (r13 review
+            # finding: the uncapped default left day 0 open to an
+            # O(B²) boilerplate-cluster join and made day-0 labels
+            # disagree cap-for-cap with the daily runs)
             sem = similarity.lsh_neardup_pairs(
                 corpus,
                 semantic_threshold,
@@ -132,6 +137,7 @@ def bootstrap_state(
                 semantic_rotations,
                 id_col,
                 vec_col,
+                max_bucket=semantic_max_bucket,
             )
             rel = (
                 rel.select("id1", "id2")
@@ -196,6 +202,7 @@ def run_daily_ingest(
     semantic_threshold: float = 0.9,
     semantic_planes: int = 16,
     semantic_rotations: int = 1,
+    semantic_max_bucket: int | None = 10_000,
 ) -> dict:
     """One ingest day, end to end:
 
@@ -291,9 +298,17 @@ def run_daily_ingest(
     pairs, _ = dedup.minhash_lsh_incremental(
         surv, st["minhash"], text_col, id_col, threshold=threshold
     )
+    surv_sketches = None
     if vec_col is not None:
         from ..operators import similarity
 
+        # ONE sketch pass for the day: the probe consumes it here and
+        # the committed state delta filters it below (r13 review
+        # finding — recomputing sketches for to_index paid the
+        # expensive dims×planes aggregation twice per day)
+        surv_sketches = similarity.hyperplane_sketches(
+            surv, semantic_planes, semantic_rotations, id_col, vec_col
+        ).localCheckpoint(eager=True)
         # embedding near-dups vs the persisted sketch index — same
         # orientation contract as the MinHash leg (id1 = new doc on
         # cross pairs, id1 < id2 within batch), so the union feeds the
@@ -309,6 +324,8 @@ def run_daily_ingest(
             rotations=semantic_rotations,
             id_col=id_col,
             vec_col=vec_col,
+            max_bucket=semantic_max_bucket,
+            new_sketches=surv_sketches,
         )
         pairs = (
             pairs.select("id1", "id2")
@@ -435,10 +452,10 @@ def run_daily_ingest(
     bloom1 = dedup.bloom_bitmap_merge(st["bloom"], dedup.bloom_bitmap(new_fps))
     new_sigs = dedup.minhash_signatures(to_index, text_col, id_col)
     if vec_col is not None:
-        from ..operators import similarity
-
-        new_sketches = similarity.hyperplane_sketches(
-            to_index, semantic_planes, semantic_rotations, id_col, vec_col
+        # filter the day's ONE sketch pass down to the committed docs
+        # (to_index ⊆ surv, so the semi-join is exact)
+        new_sketches = surv_sketches.join(
+            to_index.select(F.col(id_col).alias("id")), "id", "left_semi"
         )
         new_vectors = to_index.select(id_col, vec_col)
 

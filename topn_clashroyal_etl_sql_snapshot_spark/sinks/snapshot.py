@@ -244,29 +244,49 @@ def _pid_alive(pid: int) -> bool:
 
 
 def _acquire_publish_lock(root: str, caller: str) -> str:
-    """Take ``<root>/_LOCK`` with ``O_CREAT|O_EXCL`` — the POSIX
-    create-exclusive primitive, atomic on local filesystems (which is
-    the module's contract; see :func:`publish_generation`). The lock
-    file records the holder's pid so a holder that CRASHED without
-    releasing does not wedge the store forever: on contention the pid
-    is liveness-probed (``kill(pid, 0)`` — publishers share the host
-    under the local-FS contract) and a dead holder's lock is broken
-    and re-acquired. Pid-reuse can false-positive a dead holder as
-    live — the failure mode is then a spurious
-    :class:`ConcurrentPublishError` telling the operator to remove the
-    named lock file, never a silent lost update. A lock file with
-    unparseable content is treated the same way (refuse loudly, point
-    at the file) rather than auto-deleted."""
+    """Take ``<root>/_LOCK`` atomically WITH its content: the pid is
+    written to a per-process temp file first and ``os.link`` publishes
+    it under the lock name — link is create-exclusive AND atomic on
+    local filesystems (the module's contract; see
+    :func:`publish_generation`), so no contender can ever observe an
+    empty or half-written lock (an ``O_EXCL``-create-then-write
+    protocol has exactly that window, and a contender reading it would
+    mis-diagnose a healthy lock as corrupt — r13 review finding).
+
+    The recorded pid lets a holder that CRASHED without releasing be
+    broken without wedging the store: on contention the pid is
+    liveness-probed (``kill(pid, 0)`` — publishers share the host
+    under the local-FS contract), and a dead holder's lock is taken
+    over by ``os.rename``-ing it to a per-process name — rename is
+    atomic and consumes the source, so when several contenders detect
+    the same stale lock EXACTLY ONE wins the rename (the losers see
+    ``FileNotFoundError`` and retry against whatever lock the winner
+    re-creates); an unlink-then-create protocol would let a second
+    breaker delete the first breaker's fresh lock and admit two
+    publishers (r13 review finding). Pid-reuse can false-positive a
+    dead holder as live — the failure mode is then a spurious
+    :class:`ConcurrentPublishError` naming the lock file, never a
+    silent lost update. A lock with unparseable content (manual touch,
+    pre-protocol leftovers) is refused loudly rather than
+    auto-deleted."""
     path = os.path.join(root, _LOCK_FILE)
-    for _attempt in range(2):
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(f"{os.getpid()} {caller}")
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        for _attempt in range(3):
+            try:
+                os.link(tmp, path)
+                return path
+            except FileExistsError:
+                pass
             try:
                 with open(path, encoding="utf-8") as f:
                     holder = f.read().split()
             except FileNotFoundError:
-                continue  # released between the two opens — retry
+                continue  # released between link and read — retry
             if not holder or not holder[0].isdigit():
                 raise ConcurrentPublishError(
                     f"{caller}: lock file {path!r} has unparseable "
@@ -275,12 +295,15 @@ def _acquire_publish_lock(root: str, caller: str) -> str:
                 )
             pid = int(holder[0])
             if not _pid_alive(pid):
-                # stale: the holder crashed between taking the lock
-                # and its finally-release — break it and retry ONCE
+                # stale: take it over via atomic rename — exactly one
+                # contender wins; our own next link() attempt then
+                # races fairly for the vacated name
+                stale = f"{path}.stale.{os.getpid()}"
                 try:
-                    os.unlink(path)
+                    os.rename(path, stale)
                 except FileNotFoundError:
-                    pass
+                    continue  # another breaker won the takeover
+                os.unlink(stale)
                 continue
             raise ConcurrentPublishError(
                 f"{caller}: generation root {root!r} is locked by a "
@@ -289,15 +312,15 @@ def _acquire_publish_lock(root: str, caller: str) -> str:
                 f"delta — wait for it, or remove {path!r} if the pid "
                 "is a reused one"
             )
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write(f"{os.getpid()} {caller}")
-            f.flush()
-            os.fsync(f.fileno())
-        return path
-    raise ConcurrentPublishError(
-        f"{caller}: could not acquire {path!r} after breaking a stale "
-        "lock — another publisher took it first"
-    )
+        raise ConcurrentPublishError(
+            f"{caller}: could not acquire {path!r} after repeated "
+            "contention — another publisher kept winning the lock"
+        )
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _gen_number(name: str) -> int | None:
