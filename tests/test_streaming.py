@@ -945,3 +945,132 @@ def test_streaming_mixture_gate_matches_sequential_replay(spark, tmp_path):
     )
     assert q4.awaitTermination(180)
     assert {r["doc_id"] for r in spark.read.parquet(out_dir).collect()} == got_ids
+
+
+def test_streaming_semantic_gate_end_to_end(spark, tmp_path):
+    """r13 streaming twin of the ingest loop's semantic leg: per
+    micro-batch embedding near-dup admission against a persisted
+    sketch/vector index committed one atomic generation per batch.
+    Covers: within-batch dedup (min-id keeps), index-dup drops, the
+    index ADVANCING (day-2 catches a near-dup of a day-1 admission),
+    exactly-once replay after a simulated crash, and the reset-
+    checkpoint lineage guard."""
+    import json as _json
+    import os
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import snapshot as snap
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.incremental import (
+        streaming_semantic_gate,
+    )
+
+    DIM = 8
+
+    def vec(seed, like=None):
+        rng = _r.Random(seed)
+        if like is None:
+            return [rng.gauss(0, 1) for _ in range(DIM)]
+        return [x + rng.gauss(0, 1e-3) for x in like]
+
+    v = {i: vec(i) for i in (1, 2, 3, 4, 5, 11)}
+    batches = [
+        # batch 0: five new docs + a within-batch near-dup of doc 1
+        [(i, v[i]) for i in (1, 2, 3, 4, 5)] + [(6, vec(906, v[1]))],
+        # batch 1: an index near-dup of doc 2, and a genuinely new doc
+        [(10, vec(910, v[2])), (11, v[11])],
+        # batch 2: near-dup of the REJECTED 10 (≈ doc 2 transitively —
+        # only the index copy exists) and of the ADMITTED 11
+        [(20, vec(920, v[2])), (21, vec(921, v[11]))],
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    for k, rows in enumerate(batches):
+        with open(land / f"b{k}.jsonl", "w") as f:
+            for doc_id, emb in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "embedding": emb}) + "\n")
+        os.utime(land / f"b{k}.jsonl", (1_000_000 + k, 1_000_000 + k))
+
+    schema = "doc_id long, embedding array<float>"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(land))
+        )
+
+    state_dir, out_dir = str(tmp_path / "state"), str(tmp_path / "out")
+    q = (
+        streaming_semantic_gate(
+            stream(), state_dir, out_dir,
+            threshold=0.95, planes=8, rotations=2,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240), "stream did not finish in time"
+
+    admitted = spark.read.parquet(out_dir)
+    got = {r["doc_id"] for r in admitted.collect()}
+    assert got == {1, 2, 3, 4, 5, 11}
+
+    # the persisted states hold exactly the admitted docs
+    cur = snap.current_generation(state_dir)
+    vec_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(cur, "vectors")).collect()
+    }
+    sk_ids = {
+        r["id"]
+        for r in spark.read.parquet(os.path.join(cur, "sketches"))
+        .select("id").distinct().collect()
+    }
+    assert vec_ids == got and sk_ids == got
+    n_gens_before = len(
+        [d for d in os.listdir(state_dir) if d.startswith("gen-")]
+    )
+
+    # exactly-once: crash after the batch-2 publish but before the
+    # checkpoint commit — redelivery must skip (marker), not re-append
+    os.remove(os.path.join(state_dir, "_checkpoint", "commits", "2"))
+    crc = os.path.join(state_dir, "_checkpoint", "commits", ".2.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = (
+        streaming_semantic_gate(
+            stream(), state_dir, out_dir,
+            threshold=0.95, planes=8, rotations=2,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(240)
+    cur2 = snap.current_generation(state_dir)
+    assert cur2 == cur  # no new generation: the replay was skipped
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    } == got
+    vec_rows = spark.read.parquet(os.path.join(cur2, "vectors")).count()
+    assert vec_rows == len(got)  # no doubled state rows
+    assert len(
+        [d for d in os.listdir(state_dir) if d.startswith("gen-")]
+    ) == n_gens_before
+
+    # lineage guard: a FRESH checkpoint against the same state_dir
+    # restarts batch ids at 0 — raise, never silently skip new data
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    q3 = (
+        streaming_semantic_gate(
+            stream(), state_dir, out_dir,
+            threshold=0.95, planes=8, rotations=2,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_reset"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(StreamingQueryException, match="checkpoint was reset"):
+        q3.awaitTermination(240)

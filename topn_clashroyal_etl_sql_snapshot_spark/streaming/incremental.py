@@ -173,6 +173,69 @@ def incremental_snapshot_query(
     )
 
 
+def _query_lineage(spark: SparkSession, state_dir: str) -> str | None:
+    """The streaming-query id IS the lineage token: it is minted when
+    a checkpoint directory is created and persists across restarts of
+    the same checkpoint (it lives in the checkpoint's metadata file),
+    so a fresh/reset checkpoint — the batch-ids-restart-at-0 hazard —
+    shows up as a new id. Read it from the executing query's
+    thread-local property (probe-verified to survive the py4j
+    callback boundary in foreachBatch), which is correct even when
+    the caller overrides checkpointLocation; fall back to the gate's
+    default checkpoint metadata under ``state_dir`` for exotic
+    harnesses that invoke the batch function outside a streaming
+    thread. Shared by every exactly-once gate in this module."""
+    import json
+    import os
+
+    qid = spark.sparkContext.getLocalProperty("sql.streaming.queryId")
+    if qid:
+        return qid
+    try:
+        with open(
+            os.path.join(state_dir, "_checkpoint", "metadata"),
+            encoding="utf-8",
+        ) as f:
+            return json.load(f).get("id")
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _replay_guard(
+    marker_path: str, batch_id: int, lineage: str | None, gate: str
+) -> bool:
+    """True when ``batch_id`` was already applied by the SAME lineage
+    (skip the replay — exactly-once); raises when it is ≤ the marker
+    but came from a DIFFERENT lineage (a reset checkpoint against an
+    existing state dir: batch ids restarted at 0 and skipping would
+    silently drop new data); False when the batch is new. The same
+    contract ``streaming_mixture_gate`` enforces, shared."""
+    import json
+
+    try:
+        with open(marker_path, encoding="utf-8") as f:
+            rec = json.loads(f.read().strip())
+    except FileNotFoundError:
+        return False
+    if isinstance(rec, dict):
+        last, was = rec["last_batch"], rec.get("lineage")
+    else:  # pre-r13 marker: bare int, no lineage
+        last, was = int(rec), None
+    if batch_id > last:
+        return False
+    if was is not None and lineage is not None and was != lineage:
+        raise RuntimeError(
+            f"{gate}: batch {batch_id} from query lineage {lineage!r} "
+            f"is ≤ the applied marker {last} written by lineage "
+            f"{was!r} — the checkpoint was reset against an existing "
+            f"state_dir, and skipping would silently drop new data. "
+            f"Use a fresh state_dir, or delete {marker_path} after "
+            f"verifying the new stream does not replay rows the state "
+            f"already counted."
+        )
+    return True
+
+
 def streaming_mixture_gate(
     docs_stream: DataFrame,
     state_dir: str,
@@ -237,28 +300,7 @@ def streaming_mixture_gate(
     marker = "_last_batch"
 
     def _lineage(spark) -> str | None:
-        # the streaming-query id IS the lineage token: it is minted
-        # when a checkpoint directory is created and persists across
-        # restarts of the same checkpoint (it lives in the
-        # checkpoint's metadata file), so a fresh/reset checkpoint —
-        # the hazard — shows up as a new id. Read it from the
-        # executing query's thread-local property (probe-verified to
-        # survive the py4j callback boundary in foreachBatch), which
-        # is correct even when the caller overrides
-        # checkpointLocation; fall back to this gate's default
-        # checkpoint metadata for exotic harnesses that invoke
-        # _process outside a streaming thread.
-        qid = spark.sparkContext.getLocalProperty("sql.streaming.queryId")
-        if qid:
-            return qid
-        try:
-            with open(
-                os.path.join(state_dir, "_checkpoint", "metadata"),
-                encoding="utf-8",
-            ) as f:
-                return json.load(f).get("id")
-        except (FileNotFoundError, ValueError):
-            return None
+        return _query_lineage(spark, state_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators import sampling
@@ -274,33 +316,13 @@ def streaming_mixture_gate(
         lineage = _lineage(spark)
         ledger = None
         if os.path.exists(ledger_path):
-            try:
-                with open(
-                    os.path.join(ledger_path, marker), encoding="utf-8"
-                ) as f:
-                    raw = f.read().strip()
-                rec = json.loads(raw)
-                if isinstance(rec, dict):
-                    last, was = rec["last_batch"], rec.get("lineage")
-                else:  # pre-r13 marker: bare int, no lineage
-                    last, was = int(rec), None
-                if batch_id <= last:
-                    if was is not None and lineage is not None and was != lineage:
-                        raise RuntimeError(
-                            f"streaming_mixture_gate: batch {batch_id} from "
-                            f"query lineage {lineage!r} is ≤ the ledger's "
-                            f"applied marker {last} written by lineage "
-                            f"{was!r} — the checkpoint was reset against an "
-                            f"existing state_dir, and skipping would "
-                            f"silently drop new data. Use a fresh "
-                            f"state_dir, or delete "
-                            f"{os.path.join(ledger_path, marker)} after "
-                            f"verifying the new stream does not replay "
-                            f"rows the ledger already counted."
-                        )
-                    return  # at-least-once replay of an applied batch
-            except FileNotFoundError:
-                pass
+            if _replay_guard(
+                os.path.join(ledger_path, marker),
+                batch_id,
+                lineage,
+                "streaming_mixture_gate",
+            ):
+                return  # at-least-once replay of an applied batch
             ledger = spark.read.parquet(ledger_path)
         kept, updated = sampling.mixture_sample_incremental(
             batch_df, ledger, group_col, target_shares, key, weight_col
@@ -321,6 +343,152 @@ def streaming_mixture_gate(
 
         atomic_dir_publish(
             ledger_path, _stage, caller="streaming_mixture_gate ledger publish"
+        )
+
+    return docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+    )
+
+
+def streaming_semantic_gate(
+    docs_stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: int = 16,
+    rotations: int = 1,
+    max_bucket: int | None = 10_000,
+    compact_max_files: int = 64,
+):
+    """foreachBatch twin of ``similarity.lsh_neardup_incremental`` +
+    corpus-canonical admission — the continuous form of the ingest
+    loop's semantic leg (r13): each micro-batch's embeddings probe the
+    persisted sketch index, batch docs that near-duplicate INDEXED
+    content drop (the corpus member stays canonical), within-batch
+    duplicate groups keep their min-id member, and the admitted docs'
+    sketches and vectors append to the index.
+
+    The two state directories are COUPLED (a sketch whose vector is
+    missing breaks verification; a vector whose sketch is missing is
+    invisible to the probe), so they commit through
+    ``snapshot.publish_generation`` — one ``gen-N`` per applied batch,
+    one atomic pointer flip, the applied batch id + query lineage
+    recorded INSIDE the generation (``_applied``, moving atomically
+    with the states it describes). Both states publish APPEND-form
+    (``publish_append_state``: hardlink previous parts + write the
+    batch delta, compacting at ``compact_max_files`` — O(batch) IO
+    per micro-batch, file count bounded).
+
+    Exactly-once under foreachBatch's at-least-once contract, same
+    argument as ``streaming_mixture_gate``: a crash between the
+    admitted write and the generation flip re-delivers the batch,
+    which recomputes IDENTICAL admissions (the gate is deterministic
+    given the same current generation) and re-overwrites
+    ``out_dir/batch_id=N`` before completing the publish; a replayed
+    batch id ≤ the current generation's marker is skipped outright —
+    with the same lineage guard (a reset checkpoint against an
+    existing ``state_dir`` raises instead of silently dropping new
+    data; ``_replay_guard``).
+
+    Day 0 needs no bootstrap: the first batch probes an empty index
+    (within-batch dedup only) and its admissions found generation 1.
+    To seed from an existing corpus instead, bootstrap the states
+    with ``plans.ingest.bootstrap_state(vec_col=...)``-style writes
+    or point ``state_dir`` at a root whose generation already holds
+    ``sketches``/``vectors``.
+
+    Returns the configured ``writeStream`` (checkpoint under
+    ``state_dir/_checkpoint``); the caller picks the trigger."""
+    import json
+    import os
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators import dedup, similarity
+        from ..sinks import snapshot as snap
+
+        spark = batch_df.sparkSession
+        lineage = _query_lineage(spark, state_dir)
+        cur = snap.current_generation(state_dir)
+        if cur is not None and _replay_guard(
+            os.path.join(cur, "_applied"),
+            batch_id,
+            lineage,
+            "streaming_semantic_gate",
+        ):
+            return  # at-least-once replay of an applied batch
+
+        batch = batch_df.localCheckpoint(eager=True)
+        empty = batch.filter(F.lit(False))
+        if cur is None:
+            idx_sk = similarity.hyperplane_sketches(
+                empty, planes, rotations, id_col, vec_col
+            )
+            idx_vec = empty.select(id_col, vec_col)
+        else:
+            idx_sk = spark.read.parquet(os.path.join(cur, "sketches"))
+            idx_vec = spark.read.parquet(os.path.join(cur, "vectors"))
+
+        # ONE sketch pass per batch: probe + state delta share it
+        batch_sk = similarity.hyperplane_sketches(
+            batch, planes, rotations, id_col, vec_col
+        ).localCheckpoint(eager=True)
+        pairs, _ = similarity.lsh_neardup_incremental(
+            batch.select(id_col, vec_col),
+            idx_sk,
+            idx_vec,
+            threshold=threshold,
+            planes=planes,
+            rotations=rotations,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_bucket=max_bucket,
+            new_sketches=batch_sk,
+        )
+        # corpus-canonical admission (the ingest loop's step 3, min-id
+        # within batch): index endpoints outscore every batch member
+        comp = dedup.connected_components(pairs.select("id1", "id2"))
+        batch_ids = batch.select(F.col(id_col).alias("id"))
+        index_members = comp.select("id").join(batch_ids, "id", "left_anti")
+        keep = dedup.component_keepers(
+            comp, index_members.withColumn("score", F.lit(float("inf")))
+        )
+        admitted = batch.join(
+            keep.filter(~F.col("keep")).select(F.col("id").alias(id_col)),
+            id_col,
+            "left_anti",
+        ).localCheckpoint(eager=True)
+
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        adm_ids = admitted.select(F.col(id_col).alias("id"))
+        new_sk = batch_sk.join(adm_ids, "id", "left_semi")
+        new_vec = admitted.select(id_col, vec_col)
+
+        def _stage(gen: str) -> None:
+            if cur is None:
+                new_sk.write.parquet(os.path.join(gen, "sketches"))
+                new_vec.write.parquet(os.path.join(gen, "vectors"))
+            else:
+                for name, delta in (
+                    ("sketches", new_sk), ("vectors", new_vec)
+                ):
+                    snap.publish_append_state(
+                        spark,
+                        os.path.join(cur, name),
+                        os.path.join(gen, name),
+                        delta,
+                        max_files=compact_max_files,
+                    )
+            with open(
+                os.path.join(gen, "_applied"), "w", encoding="utf-8"
+            ) as f:
+                json.dump({"last_batch": batch_id, "lineage": lineage}, f)
+
+        snap.publish_generation(
+            state_dir, _stage, caller="streaming_semantic_gate publish"
         )
 
     return docs_stream.writeStream.foreachBatch(_process).option(
