@@ -1568,6 +1568,29 @@ def embedding_lsh_neardup(spark, sf_dir):
     ).orderBy("id1", "id2")
 
 
+def embedding_neardup_incremental(spark, sf_dir):
+    """Incremental embedding near-dup (r13,
+    similarity.lsh_neardup_incremental): every 10th vector plays the
+    daily batch against the rest's persisted sketch index — the
+    EMBEDDING twin of dedup_minhash_incremental's split. NOT
+    registered (same emptiness adjudication as embedding_lsh_neardup:
+    the corpus's pair cosines top out below the strict threshold, so
+    a hash check would verify nothing); correctness is pytest-pinned
+    (subset invariant, randomized differential, cap parity) and this
+    callable keeps the batch-sketch + bucket-probe + id-keyed-verify
+    cost on record per round."""
+    from pyspark.sql import functions as _F
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    batch = emb.filter(_F.col("vec_id") % 10 == 0)
+    index = emb.filter(_F.col("vec_id") % 10 != 0)
+    idx_sk = similarity.hyperplane_sketches(index, planes=16, rotations=4)
+    pairs, _ = similarity.lsh_neardup_incremental(
+        batch, idx_sk, index, threshold=0.95, planes=16, rotations=4
+    )
+    return pairs.orderBy("id1", "id2")
+
+
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 # Rotated out of the driver registry in r10 for docs_split_by_component,
