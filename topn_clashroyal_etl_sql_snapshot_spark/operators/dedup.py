@@ -1681,6 +1681,7 @@ def minhash_lsh_incremental(
     max_bucket: int | None = 10_000,
     new_postings: DataFrame | None = None,
     estimate: bool = True,
+    new_sigs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection: a NEW batch against a PERSISTED
     signature index — the daily-ingest shape. Re-deduping a 100 TB
@@ -1725,6 +1726,12 @@ def minhash_lsh_incremental(
     verifies with true Jaccard, so the whole incremental plan shares
     ONE tokenize; the index must then have been signed from hashed
     postings too (caller contract, same (n, k) rule as above).
+    ``new_sigs`` (a :func:`minhash_signatures` frame for the batch,
+    same signing mode and (n, k) as the index) takes precedence over
+    both and skips the batch signing entirely — the sharing device
+    for callers that ALSO persist the batch's signatures (the ingest
+    loop's state delta signed the batch twice before r13: once in
+    here, once for the committed-docs delta).
     ``estimate=False`` skips the signature-agreement joins and
     returns bare (id1, id2) candidates — the right shape when a
     :func:`true_jaccard_for_pairs` post-verification follows anyway
@@ -1737,7 +1744,9 @@ def minhash_lsh_incremental(
     components pick a keeper as usual)."""
     _check_banding(k, bands, rows_per_band)
     sigs_new = (
-        minhash_signatures(k=k, postings=new_postings)
+        new_sigs
+        if new_sigs is not None
+        else minhash_signatures(k=k, postings=new_postings)
         if new_postings is not None
         else minhash_signatures(new_docs, text_col, id_col, n, k)
     ).localCheckpoint(eager=False)

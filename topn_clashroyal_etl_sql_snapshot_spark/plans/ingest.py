@@ -295,8 +295,19 @@ def run_daily_ingest(
     surv = surv.localCheckpoint(eager=True)
     n_surv = surv.count()
 
+    # ONE signing pass for the day (r13, the semantic-leg fix applied
+    # to the minhash leg too): the probe consumes it here and the
+    # committed state delta filters it below
+    surv_sigs = dedup.minhash_signatures(
+        surv, text_col, id_col
+    ).localCheckpoint(eager=True)
     pairs, _ = dedup.minhash_lsh_incremental(
-        surv, st["minhash"], text_col, id_col, threshold=threshold
+        surv,
+        st["minhash"],
+        text_col,
+        id_col,
+        threshold=threshold,
+        new_sigs=surv_sigs,
     )
     surv_sketches = None
     if vec_col is not None:
@@ -450,7 +461,9 @@ def run_daily_ingest(
         tx.content_fingerprint(F.col(text_col)).alias("fingerprint")
     ).distinct()
     bloom1 = dedup.bloom_bitmap_merge(st["bloom"], dedup.bloom_bitmap(new_fps))
-    new_sigs = dedup.minhash_signatures(to_index, text_col, id_col)
+    new_sigs = surv_sigs.join(
+        to_index.select(F.col(id_col).alias("id")), "id", "left_semi"
+    )
     if vec_col is not None:
         # filter the day's ONE sketch pass down to the committed docs
         # (to_index ⊆ surv, so the semi-join is exact)
