@@ -1074,3 +1074,82 @@ def test_streaming_semantic_gate_end_to_end(spark, tmp_path):
     )
     with _pytest.raises(StreamingQueryException, match="checkpoint was reset"):
         q3.awaitTermination(240)
+
+
+def test_streaming_semantic_gate_guards(spark, tmp_path):
+    """r13 review fixes: (a) a batch doc whose id ALREADY exists in
+    the index is a recrawl — dropped before the probe, never appended
+    as duplicate state rows; (b) the gate refuses a generation root
+    carrying states it does not manage (publishing there would drop
+    and then delete the ingest loop's text-dedup states)."""
+    import json as _json
+    import os
+    import random as _r
+
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    from topn_clashroyal_etl_sql_snapshot_spark.plans import ingest
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import snapshot as snap
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.incremental import (
+        streaming_semantic_gate,
+    )
+
+    def vec(seed):
+        rng = _r.Random(seed)
+        return [rng.gauss(0, 1) for _ in range(8)]
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    batches = [
+        [(1, vec(1)), (2, vec(2))],
+        [(1, vec(1)), (3, vec(3))],  # id 1 is a RECRAWL of batch 0's
+    ]
+    for k, rows in enumerate(batches):
+        with open(land / f"b{k}.jsonl", "w") as f:
+            for doc_id, emb in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "embedding": emb}) + "\n")
+        os.utime(land / f"b{k}.jsonl", (1_000_000 + k, 1_000_000 + k))
+
+    schema = "doc_id long, embedding array<float>"
+    state_dir, out_dir = str(tmp_path / "state"), str(tmp_path / "out")
+    q = (
+        streaming_semantic_gate(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(land)),
+            state_dir, out_dir, threshold=0.95, planes=8,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    cur = snap.current_generation(state_dir)
+    vec_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(cur, "vectors")).collect()
+    ]
+    # the recrawl of id 1 was dropped: states stay UNIQUE per id
+    assert sorted(vec_ids) == [1, 2, 3]
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1, 2, 3}
+
+    # (b) sibling-state refusal: an ingest-loop root is not a gate root
+    loop_root = str(tmp_path / "loop_state")
+    corpus = spark.createDataFrame(
+        [(i, f"seed{i} " * 20, "web", vec(100 + i)) for i in range(1, 6)],
+        "doc_id long, text string, source string, embedding array<float>",
+    )
+    ingest.bootstrap_state(spark, corpus, loop_root, vec_col="embedding")
+    q2 = (
+        streaming_semantic_gate(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(land)),
+            loop_root, str(tmp_path / "out2"), threshold=0.95, planes=8,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(StreamingQueryException, match="does not manage"):
+        q2.awaitTermination(240)

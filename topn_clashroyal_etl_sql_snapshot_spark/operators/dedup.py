@@ -1744,12 +1744,14 @@ def minhash_lsh_incremental(
     components pick a keeper as usual)."""
     _check_banding(k, bands, rows_per_band)
     sigs_new = (
-        new_sigs
-        if new_sigs is not None
-        else minhash_signatures(k=k, postings=new_postings)
-        if new_postings is not None
-        else minhash_signatures(new_docs, text_col, id_col, n, k)
-    ).localCheckpoint(eager=False)
+        _checkpointed_once(new_sigs)  # caller-injected: often already
+        if new_sigs is not None  # an eager checkpoint — don't double it
+        else (
+            minhash_signatures(k=k, postings=new_postings)
+            if new_postings is not None
+            else minhash_signatures(new_docs, text_col, id_col, n, k)
+        ).localCheckpoint(eager=False)
+    )
 
     banded_new = _banded(sigs_new, bands, rows_per_band).localCheckpoint(
         eager=False
@@ -2551,6 +2553,35 @@ def simhash_verified_pairs(
         if cands.count() > 4 * n_docs:
             return true_jaccard_for_pairs_dense(cands, postings, threshold)
     return true_jaccard_for_pairs(cands, postings, threshold)
+
+
+def corpus_canonical_admission(
+    pairs: DataFrame,
+    batch_ids: DataFrame,
+    quality: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The admission policy shared by the daily-ingest loop and the
+    streaming semantic gate (r13 review finding: two near-verbatim
+    copies had already started to drift — the gate's copy hardcoded
+    min-id while the loop's took a quality frame): connected
+    components over the day's near-dup ``pairs``, INDEX members (ids
+    not in ``batch_ids``) scored strictly above every batch member
+    (corpus content is canonical — immutability is not a quality
+    question), the user's ``quality`` frame (an (id, score) frame;
+    scores apply to batch members only) deciding within-batch groups,
+    min-id as the unscored fallback. Returns ``(comp, keep)`` — the
+    component labels and the :func:`component_keepers` verdicts —
+    so callers can both reject batch losers (anti-join
+    ``keep.filter(~keep)``) and drive downstream state merges off the
+    same ``comp`` frame."""
+    comp = connected_components(pairs)
+    index_members = comp.select("id").join(batch_ids, "id", "left_anti")
+    scores = index_members.withColumn("score", F.lit(float("inf")))
+    if quality is not None:
+        scores = scores.unionByName(
+            quality.join(batch_ids, "id", "left_semi")
+        )
+    return comp, component_keepers(comp, scores)
 
 
 def component_keepers(

@@ -320,15 +320,17 @@ def lsh_neardup_incremental(
     ``new_postings``: a caller that also persists the batch's
     sketches (the ingest loop's state delta) computes them ONCE and
     feeds both uses."""
-    from .dedup import _hot_buckets
+    from .dedup import _checkpointed_once, _hot_buckets
 
     sk_new = (
-        new_sketches
+        # caller-injected frames are often already eager checkpoints —
+        # _checkpointed_once skips the redundant second materialization
+        _checkpointed_once(new_sketches)
         if new_sketches is not None
         else hyperplane_sketches(
             new_embeddings, planes, rotations, id_col, vec_col
-        )
-    ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False)
+    )
     # ONE join covers both candidate classes (the minhash_lsh_incremental
     # shape): right side is index ∪ batch with an _idx flag — index
     # collisions keep every orientation (disjoint namespaces), batch
@@ -350,7 +352,14 @@ def lsh_neardup_incremental(
     cands = (
         banded_new.withColumnRenamed("id", "id1")
         .join(right, ["rot", "bucket"])
-        .filter(F.col("_idx") | (F.col("id1") < F.col("id2")))
+        # id1 != id2 defends against a violated id-namespace contract
+        # (an id present in BOTH batch and index would otherwise emit
+        # a self-pair the full-corpus run never produces); within
+        # batch, keep id1 < id2
+        .filter(
+            (F.col("id1") != F.col("id2"))
+            & (F.col("_idx") | (F.col("id1") < F.col("id2")))
+        )
         .select("id1", "id2")
         .distinct()
     )

@@ -345,26 +345,21 @@ def run_daily_ingest(
         )
     pairs = pairs.localCheckpoint(eager=True)
 
-    # Admission: index-side endpoints get a constant score ABOVE every
-    # unscored batch member (component_keepers' scored-beats-unscored
-    # rule), so the corpus member wins each cross component outright;
-    # the user's quality frame, when given, decides within-batch groups
-    # (its scores apply to batch members; index members keep a floor
-    # strictly above — corpus immutability is not a quality question)
-    comp = dedup.connected_components(pairs)
+    # Admission — the shared corpus-canonical policy (r13: one
+    # implementation for the loop and the streaming gate): index-side
+    # endpoints get a constant score ABOVE every unscored batch member
+    # so the corpus member wins each cross component outright; the
+    # user's quality frame, when given, decides within-batch groups
     batch_ids = surv.select(F.col(id_col).alias("id"))
-    index_members = comp.select("id").join(batch_ids, "id", "left_anti")
-    q_parts = [index_members.withColumn("score", F.lit(float("inf")))]
-    if quality is not None:
-        q_parts.append(
-            quality.select(F.col(id_col).alias("id"), "score").join(
-                batch_ids, "id", "left_semi"
-            )
-        )
-    admission_scores = q_parts[0] if len(q_parts) == 1 else (
-        q_parts[0].unionByName(q_parts[1])
+    comp, keep = dedup.corpus_canonical_admission(
+        pairs,
+        batch_ids,
+        quality=(
+            None
+            if quality is None
+            else quality.select(F.col(id_col).alias("id"), "score")
+        ),
     )
-    keep = dedup.component_keepers(comp, admission_scores)
     admitted = surv.join(
         keep.filter(~F.col("keep")).select(F.col("id").alias(id_col)),
         id_col,

@@ -394,10 +394,16 @@ def streaming_semantic_gate(
 
     Day 0 needs no bootstrap: the first batch probes an empty index
     (within-batch dedup only) and its admissions found generation 1.
-    To seed from an existing corpus instead, bootstrap the states
-    with ``plans.ingest.bootstrap_state(vec_col=...)``-style writes
-    or point ``state_dir`` at a root whose generation already holds
-    ``sketches``/``vectors``.
+    To seed from an existing corpus, publish a generation holding
+    ONLY ``sketches`` + ``vectors`` into a DEDICATED root (e.g. via
+    ``publish_generation`` over ``similarity.hyperplane_sketches`` of
+    the corpus). The gate REFUSES a root whose generation carries
+    sibling states (an ingest-loop root): it manages only the two
+    semantic states, so publishing there would drop the others from
+    the next generation and retention would delete them — the loud
+    inverse of ``run_daily_ingest``'s vec_col handshake. Batch doc
+    ids must be NEW ids (a batch id already present in the index is
+    treated as a recrawl and dropped before the probe).
 
     Returns the configured ``writeStream`` (checkpoint under
     ``state_dir/_checkpoint``); the caller picks the trigger."""
@@ -427,8 +433,39 @@ def streaming_semantic_gate(
             )
             idx_vec = empty.select(id_col, vec_col)
         else:
+            # this gate manages ONLY sketches/vectors: a generation
+            # carrying sibling states (an ingest-loop root) would see
+            # them dropped from the next generation and pruned —
+            # silent destruction of the text-dedup states (r13 review
+            # finding). Refuse loudly; seed from a DEDICATED root
+            # holding just the two semantic states.
+            others = [
+                d
+                for d in os.listdir(cur)
+                if os.path.isdir(os.path.join(cur, d))
+                and d not in ("sketches", "vectors")
+            ]
+            if others:
+                raise RuntimeError(
+                    f"streaming_semantic_gate: generation {cur!r} "
+                    f"carries states this gate does not manage "
+                    f"({sorted(others)}) — publishing would drop them "
+                    "from the next generation and retention would "
+                    "delete them. Use plans.ingest.run_daily_ingest "
+                    "for the full state set, or seed a dedicated root "
+                    "holding only sketches/vectors."
+                )
             idx_sk = spark.read.parquet(os.path.join(cur, "sketches"))
             idx_vec = spark.read.parquet(os.path.join(cur, "vectors"))
+            # id-recrawl gate (r13 review finding): a batch doc whose
+            # id ALREADY exists in the index is a recrawl — admitting
+            # it would append duplicate sketch/vector rows for the id
+            # (and the self-pair would defeat the index-member scoring
+            # below, since the id is also in batch_ids). The exact
+            # gate's by-id analog, applied before the probe.
+            batch = batch.join(
+                idx_vec.select(id_col), id_col, "left_anti"
+            ).localCheckpoint(eager=True)
 
         # ONE sketch pass per batch: probe + state delta share it
         batch_sk = similarity.hyperplane_sketches(
@@ -446,13 +483,12 @@ def streaming_semantic_gate(
             max_bucket=max_bucket,
             new_sketches=batch_sk,
         )
-        # corpus-canonical admission (the ingest loop's step 3, min-id
-        # within batch): index endpoints outscore every batch member
-        comp = dedup.connected_components(pairs.select("id1", "id2"))
+        # corpus-canonical admission — the SAME implementation the
+        # ingest loop runs (dedup.corpus_canonical_admission; min-id
+        # within batch, index members always win)
         batch_ids = batch.select(F.col(id_col).alias("id"))
-        index_members = comp.select("id").join(batch_ids, "id", "left_anti")
-        keep = dedup.component_keepers(
-            comp, index_members.withColumn("score", F.lit(float("inf")))
+        _comp, keep = dedup.corpus_canonical_admission(
+            pairs.select("id1", "id2"), batch_ids
         )
         admitted = batch.join(
             keep.filter(~F.col("keep")).select(F.col("id").alias(id_col)),
