@@ -1153,3 +1153,69 @@ def test_streaming_semantic_gate_guards(spark, tmp_path):
     )
     with _pytest.raises(StreamingQueryException, match="does not manage"):
         q2.awaitTermination(240)
+
+
+def test_streaming_semantic_gate_seeded_from_corpus(spark, tmp_path):
+    """seed_semantic_state publishes generation 1 with exactly the two
+    gate-managed states; the first streamed batch then dedups against
+    the SEEDED corpus — embedding near-dups and id-recrawls of corpus
+    docs both drop, genuinely new docs found generation 2."""
+    import json as _json
+    import os
+    import random as _r
+
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import snapshot as snap
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.incremental import (
+        seed_semantic_state,
+        streaming_semantic_gate,
+    )
+
+    def vec(seed, like=None):
+        rng = _r.Random(seed)
+        if like is None:
+            return [rng.gauss(0, 1) for _ in range(8)]
+        return [x + rng.gauss(0, 1e-3) for x in like]
+
+    corpus_vecs = {i: vec(i) for i in range(1, 6)}
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in corpus_vecs.items()],
+        "doc_id long, embedding array<float>",
+    )
+    state_dir = str(tmp_path / "state")
+    g1 = seed_semantic_state(
+        spark, corpus, state_dir, planes=8, rotations=2
+    )
+    assert snap.current_generation(state_dir) == g1
+    assert sorted(os.listdir(g1)) == ["sketches", "vectors"]
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    rows = [
+        (100, vec(9100, corpus_vecs[3])),  # embedding near-dup of corpus 3
+        (3, vec(903)),                     # id-recrawl of corpus id 3
+        (101, vec(101)),                   # genuinely new
+    ]
+    with open(land / "b0.jsonl", "w") as f:
+        for doc_id, emb in rows:
+            f.write(_json.dumps({"doc_id": doc_id, "embedding": emb}) + "\n")
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_semantic_gate(
+            spark.readStream.schema("doc_id long, embedding array<float>")
+            .json(str(land)),
+            state_dir, out_dir, threshold=0.95, planes=8, rotations=2,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {101}
+    cur = snap.current_generation(state_dir)
+    assert cur != g1
+    vec_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(cur, "vectors")).collect()
+    )
+    assert vec_ids == [1, 2, 3, 4, 5, 101]

@@ -530,3 +530,39 @@ def streaming_semantic_gate(
     return docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", os.path.join(state_dir, "_checkpoint")
     )
+
+
+def seed_semantic_state(
+    spark: SparkSession,
+    corpus: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    rotations: int = 1,
+) -> str:
+    """Seed :func:`streaming_semantic_gate`'s state root from an
+    existing corpus: publish generation 1 holding exactly the two
+    states the gate manages — the corpus's hyperplane sketches and
+    its vectors — into a DEDICATED root (the gate refuses roots
+    carrying sibling states; this helper is the sanctioned seeding
+    path its docstring names). Same atomic publish discipline as
+    every other state write; ``planes``/``rotations`` must match the
+    gate's (the sketch layout IS the index format). Returns the
+    generation directory."""
+    import os
+
+    from ..operators import similarity
+    from ..sinks import snapshot as snap
+
+    def day0(gen: str) -> None:
+        similarity.hyperplane_sketches(
+            corpus, planes, rotations, id_col, vec_col
+        ).write.parquet(os.path.join(gen, "sketches"))
+        corpus.select(id_col, vec_col).write.parquet(
+            os.path.join(gen, "vectors")
+        )
+
+    return snap.publish_generation(
+        state_dir, day0, caller="seed_semantic_state"
+    )
