@@ -150,3 +150,29 @@ def test_incremental_ingest_example(spark):
     assert out["generations"] == ["gen-000001", "gen-000002"]
     assert out["current_generation"] == "gen-000002"
     assert out["day1_shards_verified"] is (out["mixture_admitted"] > 0)
+
+
+def test_semantic_stream_example(spark):
+    path = (
+        Path(__file__).resolve().parent.parent
+        / "examples"
+        / "semantic_stream.py"
+    )
+    spec = importlib.util.spec_from_file_location("sem_stream_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.run(spark, "/root/testdata/sf0.001")
+    # both planted embedding near-dups of indexed content dropped,
+    # checked by id; the id-recrawl died at the by-id gate
+    assert out["neardups_dropped"] == 2
+    assert out["recrawl_dropped"] is True
+    # the fresh docs were admitted
+    assert {1_000_001, 1_000_003, 1_000_004} <= out["admitted_ids"]
+    assert 1_000_000 not in out["admitted_ids"]
+    assert 1_000_002 not in out["admitted_ids"]
+    # one atomic generation per applied batch atop the seed
+    assert out["current_generation"] == "gen-000003"
+    # the index IS corpus + admissions, nothing else
+    assert out["index_is_corpus_plus_admissions"] is True
+    assert out["index_rows"] == out["corpus"] + len(out["admitted_ids"])
