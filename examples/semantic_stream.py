@@ -112,7 +112,8 @@ def run(spark, sf_dir: str, work_root: str | None = None) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    if not q.awaitTermination(240):
+        raise TimeoutError("semantic_stream: availableNow run did not finish")
 
     admitted = spark.read.parquet(out_dir)
     admitted_ids = {r["doc_id"] for r in admitted.collect()}
@@ -135,9 +136,8 @@ def run(spark, sf_dir: str, work_root: str | None = None) -> dict:
         "recrawl_dropped": ids[1] not in admitted_ids,
         "index_rows": len(index_ids),
         "index_is_corpus_plus_admissions": index_ids
-        == set(ids) | set(
-            r["doc_id"] for r in corpus.collect()
-        ) | admitted_ids,
+        == {r["doc_id"] for r in corpus.select("doc_id").collect()}
+        | admitted_ids,
         "generations": sorted(
             d for d in os.listdir(state_dir) if d.startswith("gen-")
         ),

@@ -587,3 +587,23 @@ def test_semantic_bootstrap_components_span_both_relations(spark, tmp_path):
     assert labels[1] == labels[2]
     keepers = {r["id"]: r["keep"] for r in st["keepers"].collect()}
     assert [keepers.get(1), keepers.get(2)].count(True) == 1
+
+
+def test_semantic_layout_handshake(spark, tmp_path):
+    """r13 third-pass fix: a day run whose semantic_planes/rotations
+    disagree with the bootstrapped sketch layout raises loudly —
+    probing across layouts silently finds nothing."""
+    root = str(tmp_path / "state")
+    corpus = _docs_vec(
+        spark, [(i, "seed", "web", _vec(i)) for i in range(1, 6)]
+    )
+    ingest.bootstrap_state(
+        spark, corpus, root, vec_col="embedding",
+        semantic_planes=8, semantic_rotations=2,
+    )
+    with pytest.raises(ValueError, match="was built with layout"):
+        ingest.run_daily_ingest(
+            spark, _docs_vec(spark, [(50, "x", "web", _vec(50))]),
+            root, RECIPE, vec_col="embedding",
+            semantic_planes=16, semantic_rotations=1,
+        )

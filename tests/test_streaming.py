@@ -1219,3 +1219,49 @@ def test_streaming_semantic_gate_seeded_from_corpus(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(cur, "vectors")).collect()
     )
     assert vec_ids == [1, 2, 3, 4, 5, 101]
+
+
+def test_seed_guards_fresh_root_and_layout(spark, tmp_path):
+    """r13 third-pass fixes: re-seeding an existing root refuses
+    (would replace and then delete the current state set), and a
+    planes/rotations mismatch between the seeded layout and the gate
+    raises instead of silently zeroing recall."""
+    import json as _json
+    import os
+    import random as _r
+
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.incremental import (
+        seed_semantic_state,
+        streaming_semantic_gate,
+    )
+
+    rng = _r.Random(5)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(1, 6)],
+        "doc_id long, embedding array<float>",
+    )
+    state_dir = str(tmp_path / "state")
+    seed_semantic_state(spark, corpus, state_dir, planes=8, rotations=2)
+    with _pytest.raises(ValueError, match="already has a published"):
+        seed_semantic_state(spark, corpus, state_dir, planes=8, rotations=2)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    with open(land / "b0.jsonl", "w") as f:
+        f.write(_json.dumps(
+            {"doc_id": 100, "embedding": [0.1] * 8}) + "\n")
+    q = (
+        streaming_semantic_gate(
+            spark.readStream.schema("doc_id long, embedding array<float>")
+            .json(str(land)),
+            state_dir, str(tmp_path / "out"),
+            planes=16, rotations=1,  # NOT the seeded 8/2
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(StreamingQueryException, match="was built with layout"):
+        q.awaitTermination(240)

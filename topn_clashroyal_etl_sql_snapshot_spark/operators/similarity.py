@@ -258,6 +258,51 @@ def lsh_neardup_pairs(
     return exact_cosine_for_pairs(cands, embeddings, threshold, id_col, vec_col)
 
 
+_SKETCH_LAYOUT_FILE = "_LAYOUT"
+
+
+def write_sketch_layout(dir_path: str, planes: int, rotations: int) -> None:
+    """Record a persisted sketch state's layout next to its part files
+    (underscore-prefixed — invisible to parquet readers). The layout
+    IS the index format: probing 8-plane sketches with 16-plane batch
+    buckets silently finds nothing, so every consumer that persists a
+    sketch state stamps it and every opener checks it
+    (:func:`check_sketch_layout`) — the loud-handshake pattern (r13
+    review finding: the mismatch used to zero out recall silently)."""
+    import json
+    import os
+
+    with open(
+        os.path.join(dir_path, _SKETCH_LAYOUT_FILE), "w", encoding="utf-8"
+    ) as f:
+        json.dump({"planes": planes, "rotations": rotations}, f)
+
+
+def check_sketch_layout(dir_path: str, planes: int, rotations: int) -> None:
+    """Raise when a persisted sketch state's recorded layout disagrees
+    with the caller's (planes, rotations). A state with no recorded
+    layout (pre-r13 writers) passes — the check cannot retroactively
+    protect it, and the next publish stamps it."""
+    import json
+    import os
+
+    try:
+        with open(
+            os.path.join(dir_path, _SKETCH_LAYOUT_FILE), encoding="utf-8"
+        ) as f:
+            rec = json.load(f)
+    except FileNotFoundError:
+        return
+    if rec.get("planes") != planes or rec.get("rotations") != rotations:
+        raise ValueError(
+            f"sketch state {dir_path!r} was built with layout "
+            f"planes={rec.get('planes')} rotations={rec.get('rotations')} "
+            f"but the caller passed planes={planes} rotations={rotations} "
+            "— probing across layouts finds nothing (the layout IS the "
+            "index format); use the recorded values or rebuild the state"
+        )
+
+
 def lsh_neardup_incremental(
     new_embeddings: DataFrame,
     index_sketches: DataFrame,

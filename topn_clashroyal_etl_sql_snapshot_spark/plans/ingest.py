@@ -120,9 +120,13 @@ def bootstrap_state(
         if vec_col is not None:
             from ..operators import similarity
 
+            sk_dir = os.path.join(gen, "sketches")
             similarity.hyperplane_sketches(
                 corpus, semantic_planes, semantic_rotations, id_col, vec_col
-            ).write.parquet(os.path.join(gen, "sketches"))
+            ).write.parquet(sk_dir)
+            similarity.write_sketch_layout(
+                sk_dir, semantic_planes, semantic_rotations
+            )
             corpus.select(id_col, vec_col).write.parquet(
                 os.path.join(gen, "vectors")
             )
@@ -278,6 +282,17 @@ def run_daily_ingest(
             "semantic states (sketches/vectors) but vec_col was not "
             "passed — the semantic index must advance with every day "
             "or lose recall; pass the vec_col it was bootstrapped with"
+        )
+    if vec_col is not None:
+        from ..operators.similarity import check_sketch_layout
+
+        # layout handshake (r13 review finding): probing a sketch
+        # state built under a different (planes, rotations) silently
+        # finds nothing — raise loudly instead
+        check_sketch_layout(
+            os.path.join(snap.current_generation(state_root), "sketches"),
+            semantic_planes,
+            semantic_rotations,
         )
     n_in = batch.count()
     n_gated = n_in
@@ -511,6 +526,14 @@ def run_daily_ingest(
                 os.path.join(gen, "vectors"),
                 new_vectors,
                 max_files=compact_max_files,
+            )
+            # re-stamp each day: the append form links only part files
+            from ..operators.similarity import write_sketch_layout
+
+            write_sketch_layout(
+                os.path.join(gen, "sketches"),
+                semantic_planes,
+                semantic_rotations,
             )
         bloom1.write.parquet(os.path.join(gen, "bloom"))
         labels1.write.parquet(os.path.join(gen, "labels"))

@@ -455,6 +455,12 @@ def streaming_semantic_gate(
                     "for the full state set, or seed a dedicated root "
                     "holding only sketches/vectors."
                 )
+            # layout handshake (r13 review finding): probing a state
+            # sketched under a different (planes, rotations) silently
+            # finds nothing — raise instead
+            similarity.check_sketch_layout(
+                os.path.join(cur, "sketches"), planes, rotations
+            )
             idx_sk = spark.read.parquet(os.path.join(cur, "sketches"))
             idx_vec = spark.read.parquet(os.path.join(cur, "vectors"))
             # id-recrawl gate (r13 review finding): a batch doc whose
@@ -518,6 +524,11 @@ def streaming_semantic_gate(
                         delta,
                         max_files=compact_max_files,
                     )
+            # stamp the layout every publish (the append form links
+            # only part files, so the marker does not carry over)
+            similarity.write_sketch_layout(
+                os.path.join(gen, "sketches"), planes, rotations
+            )
             with open(
                 os.path.join(gen, "_applied"), "w", encoding="utf-8"
             ) as f:
@@ -547,18 +558,33 @@ def seed_semantic_state(
     its vectors — into a DEDICATED root (the gate refuses roots
     carrying sibling states; this helper is the sanctioned seeding
     path its docstring names). Same atomic publish discipline as
-    every other state write; ``planes``/``rotations`` must match the
-    gate's (the sketch layout IS the index format). Returns the
+    every other state write. The sketch layout is stamped into the
+    state (``_LAYOUT``) and the gate checks it — a planes/rotations
+    mismatch between seed and gate raises instead of silently zeroing
+    recall. FRESH roots only: a root that already has a generation
+    refuses (re-seeding would replace the whole current state set and
+    retention would then delete it — the same silent-destruction
+    hazard the gate's sibling-state check refuses). Returns the
     generation directory."""
     import os
 
     from ..operators import similarity
     from ..sinks import snapshot as snap
 
+    if snap.current_generation(state_dir) is not None:
+        raise ValueError(
+            f"seed_semantic_state: {state_dir!r} already has a "
+            "published generation — seeding would replace the entire "
+            "current state set and retention would delete it. Seed a "
+            "fresh root, or let the gate keep advancing this one."
+        )
+
     def day0(gen: str) -> None:
+        sk_dir = os.path.join(gen, "sketches")
         similarity.hyperplane_sketches(
             corpus, planes, rotations, id_col, vec_col
-        ).write.parquet(os.path.join(gen, "sketches"))
+        ).write.parquet(sk_dir)
+        similarity.write_sketch_layout(sk_dir, planes, rotations)
         corpus.select(id_col, vec_col).write.parquet(
             os.path.join(gen, "vectors")
         )
