@@ -128,7 +128,7 @@ def run(spark, sf_dir: str, state_root: str | None = None) -> dict:
             F.count(F.lit(1)).cast("double").alias("kept_w")
         ).write.parquet(os.path.join(gen, "ledger"))
 
-    gen1 = snap.publish_generation(state_root, day0)
+    gen1 = snap.publish_generation(state_root, day0, expected_parent=None)
 
     # Day 1 opens yesterday's generation through the pointer — every
     # state is a plain parquet read of the committed set
@@ -239,7 +239,10 @@ def run(spark, sf_dir: str, state_root: str | None = None) -> dict:
                 mixed, os.path.join(gen, "shards"), key="doc_id", n_shards=4
             )
 
-    gen2 = snap.publish_generation(state_root, day1)
+    # expected_parent=cur: every day-1 state above derives from cur's
+    # reads — an interleaved writer's publish must refuse this flip
+    # instead of being silently dropped (r14)
+    gen2 = snap.publish_generation(state_root, day1, expected_parent=cur)
     cur2 = snap.current_generation(state_root)
     ledger_total = (
         spark.read.parquet(os.path.join(cur2, "ledger"))

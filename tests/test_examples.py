@@ -176,3 +176,28 @@ def test_semantic_stream_example(spark):
     # the index IS corpus + admissions, nothing else
     assert out["index_is_corpus_plus_admissions"] is True
     assert out["index_rows"] == out["corpus"] + len(out["admitted_ids"])
+
+def test_check_correctness_misuse_is_not_a_failure():
+    """r13 verdict what's-wrong #2: an unknown entry name (or --help)
+    exits 2 with usage text BEFORE any Spark startup — distinguishable
+    at exit-code level from a real red row (exit 1)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    tool = str(repo / "tools" / "check_correctness.py")
+    r = subprocess.run(
+        [sys.executable, tool, "no_such_entry_name"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2, r.stdout + r.stderr
+    assert "usage error" in r.stdout and "not registered" in r.stdout
+    assert "FAIL" not in r.stdout
+
+    h = subprocess.run(
+        [sys.executable, tool, "--help"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert h.returncode == 2
+    assert "Registered entries" in h.stdout

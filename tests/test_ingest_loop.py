@@ -589,6 +589,79 @@ def test_semantic_bootstrap_components_span_both_relations(spark, tmp_path):
     assert [keepers.get(1), keepers.get(2)].count(True) == 1
 
 
+def test_semantic_id_recrawl_gate(spark, tmp_path):
+    """r14 advisor: a recrawl with the SAME doc_id but CHANGED
+    text+embedding passes the exact (byte-fingerprint) gate; without
+    the by-id gate it would append a duplicate-id row to the vectors/
+    sketches states and multiply every later day's id-keyed verify
+    join. The loop now drops it by id before any probe."""
+    root = str(tmp_path / "state")
+    corpus = _docs_vec(
+        spark,
+        [(i, "seed", "web" if i % 2 else "books", _vec(i)) for i in range(1, 11)],
+    )
+    ingest.bootstrap_state(
+        spark, corpus, root, vec_col="embedding",
+        semantic_threshold=0.95, semantic_planes=8, semantic_rotations=2,
+    )
+    # doc_id 1 recrawled with entirely different text AND embedding —
+    # nothing but the id ties it to the corpus; 500 is genuinely new
+    batch = _docs_vec(
+        spark,
+        [(1, "changed", "web", _vec(777)), (500, "new", "web", _vec(500))],
+    )
+    rep = ingest.run_daily_ingest(
+        spark, batch, root, RECIPE, vec_col="embedding",
+        semantic_threshold=0.95, semantic_planes=8, semantic_rotations=2,
+    )
+    assert rep["exact_dropped"] == 0
+    assert rep["id_recrawl_dropped"] == 1
+    assert {r["doc_id"] for r in rep["admitted"].collect()} == {500}
+    # no duplicate-id rows in the id-keyed semantic states
+    vec_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(rep["generation"], "vectors")
+        ).collect()
+    ]
+    assert sorted(vec_ids) == sorted(set(vec_ids))
+    assert vec_ids.count(1) == 1
+
+
+def test_interleaved_writer_refused_not_lost(spark, tmp_path):
+    """r14 advisor (medium): an overlapping writer that publishes
+    between this day's state READ and its PUBLISH must surface as a
+    loud ConcurrentPublishError — not a silent drop of the other
+    writer's delta. The interleave is injected through the gates=
+    hook, which runs after the loop captured its parent generation."""
+    root = str(tmp_path / "state")
+    ingest.bootstrap_state(spark, _docs(spark, range(1, 11)), root)
+
+    def interleaving_gates(df):
+        # a second writer commits a full generation mid-day
+        ingest.run_daily_ingest(spark, _docs(spark, [900]), root, RECIPE)
+        return df
+
+    with pytest.raises(snap.ConcurrentPublishError, match="staged against"):
+        ingest.run_daily_ingest(
+            spark, _docs(spark, [800]), root, RECIPE,
+            gates=interleaving_gates,
+        )
+    # the interloper's generation is still current — nothing was lost
+    cur = snap.current_generation(root)
+    fp = spark.read.parquet(os.path.join(cur, "fingerprints"))
+    # the interloper's doc 900 fingerprint survived
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+
+    fp900 = (
+        _docs(spark, [900])
+        .select(tx.content_fingerprint(F.col("text")).alias("fingerprint"))
+        .collect()[0]["fingerprint"]
+    )
+    assert fp.filter(F.col("fingerprint") == fp900).count() == 1
+    assert not os.path.exists(os.path.join(root, "_LOCK"))
+
+
 def test_semantic_layout_handshake(spark, tmp_path):
     """r13 third-pass fix: a day run whose semantic_planes/rotations
     disagree with the bootstrapped sketch layout raises loudly —

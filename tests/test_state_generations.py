@@ -350,6 +350,78 @@ def test_publish_cas_refuses_moved_pointer(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "_LOCK"))
 
 
+def test_publish_cas_expected_parent_refuses_lost_update(spark, tmp_path):
+    """r14 advisor (medium): the lock serializes the publish WINDOW,
+    not the caller's read-compute-publish cycle. Two overlapping runs
+    both read gen 1; A publishes gen 2 and releases the lock; B then
+    acquires the lock cleanly and would stage gen 3 from its stale
+    prev=1 — silently dropping A's delta, with the window-scope CAS
+    never firing. expected_parent closes that: B's publish refuses
+    BEFORE staging."""
+    root = str(tmp_path / "state")
+    g1 = sink.publish_generation(
+        root, lambda d: _write_states(spark, d, "day0")
+    )
+
+    # writers A and B both capture the same parent (gen 1)
+    parent_a = sink.current_generation(root)
+    parent_b = sink.current_generation(root)
+    assert parent_a == parent_b == g1
+
+    g2 = sink.publish_generation(
+        root,
+        lambda d: _write_states(spark, d, "dayA"),
+        expected_parent=parent_a,
+    )
+    assert sink.current_generation(root) == g2
+
+    staged = []
+
+    def write_b(d):
+        staged.append(d)
+        _write_states(spark, d, "dayB")
+
+    with pytest.raises(
+        sink.ConcurrentPublishError, match="staged against generation 1"
+    ):
+        sink.publish_generation(
+            root, write_b, expected_parent=parent_b
+        )
+    # refused BEFORE staging (no wasted write), pointer untouched,
+    # lock released — A's delta survives
+    assert staged == []
+    assert sink.current_generation(root) == g2
+    assert all(v == "dayA" for v in _read_tags(spark, g2).values())
+    assert not os.path.exists(os.path.join(root, "_LOCK"))
+
+    # B re-reads, recomputes against gen 2, and the publish goes through
+    g3 = sink.publish_generation(
+        root,
+        lambda d: _write_states(spark, d, "dayB2"),
+        expected_parent=sink.current_generation(root),
+    )
+    assert sink.current_generation(root) == g3
+
+
+def test_publish_expected_parent_none_requires_fresh_root(spark, tmp_path):
+    """expected_parent=None asserts 'no generation existed when I
+    staged' — a bootstrap against a root that concurrently gained one
+    refuses instead of replacing it; on a genuinely fresh root it
+    publishes gen 1."""
+    root = str(tmp_path / "state")
+    g1 = sink.publish_generation(
+        root, lambda d: _write_states(spark, d, "day0"), expected_parent=None
+    )
+    assert sink.current_generation(root) == g1
+    with pytest.raises(sink.ConcurrentPublishError, match="current generation is 1"):
+        sink.publish_generation(
+            root,
+            lambda d: _write_states(spark, d, "rebootstrap"),
+            expected_parent=None,
+        )
+    assert sink.current_generation(root) == g1
+
+
 def test_publish_lock_under_real_contention(tmp_path):
     """Four processes each retry-publishing five deltas into ONE root
     concurrently (plain-file write_fn — the lock protocol is

@@ -1265,3 +1265,406 @@ def test_seed_guards_fresh_root_and_layout(spark, tmp_path):
     )
     with _pytest.raises(StreamingQueryException, match="was built with layout"):
         q.awaitTermination(240)
+
+def test_streaming_gates_skip_empty_batches_without_churn(spark, tmp_path):
+    """r14 advisor: an empty micro-batch (restarts/recovery) must not
+    publish a generation — the semantic gate would hardlink the ENTIRE
+    sketch/vector state and write an empty out partition, and repeated
+    empty triggers would accelerate pruning of useful generations; the
+    mixture gate would republish an unchanged ledger. Both now
+    early-return; replays of the unrecorded empty batch are no-ops."""
+    import json as _json
+    import os
+    import random as _r
+
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import snapshot as snap
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.incremental import (
+        streaming_mixture_gate,
+        streaming_semantic_gate,
+    )
+
+    def vec(seed):
+        rng = _r.Random(seed)
+        return [rng.gauss(0, 1) for _ in range(8)]
+
+    # batch 0: EMPTY file; batch 1: real rows — both delivered in order
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "b0.jsonl").write_text("")
+    with open(land / "b1.jsonl", "w") as f:
+        for i in (1, 2):
+            f.write(_json.dumps({"doc_id": i, "embedding": vec(i)}) + "\n")
+    os.utime(land / "b0.jsonl", (1_000_000, 1_000_000))
+    os.utime(land / "b1.jsonl", (1_000_001, 1_000_001))
+
+    schema = "doc_id long, embedding array<float>"
+    state_dir, out_dir = str(tmp_path / "state"), str(tmp_path / "out")
+    q = (
+        streaming_semantic_gate(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(land)),
+            state_dir, out_dir, threshold=0.95, planes=8,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    # exactly ONE generation: the empty batch 0 published nothing
+    gens = [d for d in os.listdir(state_dir) if d.startswith("gen-")]
+    assert len(gens) == 1
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    } == {1, 2}
+    # no empty out partition for the skipped batch
+    assert not os.path.exists(os.path.join(out_dir, "batch_id=0"))
+
+    # all-recrawl batch: same rows again under a NEW file — the
+    # (recrawl-filtered) batch is empty, so again no publish
+    cur_before = snap.current_generation(state_dir)
+    with open(land / "b2.jsonl", "w") as f:
+        for i in (1, 2):
+            f.write(_json.dumps({"doc_id": i, "embedding": vec(i)}) + "\n")
+    os.utime(land / "b2.jsonl", (1_000_002, 1_000_002))
+    q2 = (
+        streaming_semantic_gate(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(land)),
+            state_dir, out_dir, threshold=0.95, planes=8,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(240)
+    assert snap.current_generation(state_dir) == cur_before
+    assert len(
+        [d for d in os.listdir(state_dir) if d.startswith("gen-")]
+    ) == 1
+
+    # mixture gate: an empty first batch creates no ledger at all
+    mland = tmp_path / "mlanding"
+    mland.mkdir()
+    (mland / "b0.jsonl").write_text("")
+    mstate = str(tmp_path / "mstate")
+    qm = (
+        streaming_mixture_gate(
+            spark.readStream.schema("doc_id long, source string")
+            .json(str(mland)),
+            mstate, str(tmp_path / "mout"), "source", {"web": 1.0},
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert qm.awaitTermination(240)
+    assert not os.path.exists(os.path.join(mstate, "ledger"))
+
+
+def test_corrupt_markers_raise_contextual_errors(tmp_path):
+    """r14 advisor: truncated/corrupt _applied//_LAYOUT JSON surfaces
+    as a contextual ValueError naming the file and the remedy — the
+    publish lock's posture — never a bare JSONDecodeError/KeyError
+    traceback."""
+    import pytest as _pytest
+
+    from topn_clashroyal_etl_sql_snapshot_spark.operators.similarity import (
+        check_sketch_layout,
+    )
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.incremental import (
+        _replay_guard,
+    )
+
+    # truncated JSON in an applied-batch marker
+    marker = tmp_path / "_applied"
+    marker.write_text('{"last_batch": 3, "lin')
+    with _pytest.raises(ValueError, match="unparseable content"):
+        _replay_guard(str(marker), 1, "qid", "test_gate")
+    # well-formed JSON missing the required key
+    marker.write_text('{"batch": 3}')
+    with _pytest.raises(ValueError, match="unparseable content"):
+        _replay_guard(str(marker), 1, "qid", "test_gate")
+
+    # truncated layout marker
+    sk = tmp_path / "sketches"
+    sk.mkdir()
+    (sk / "_LAYOUT").write_text('{"planes": 8, "rot')
+    with _pytest.raises(ValueError, match="unparseable content"):
+        check_sketch_layout(str(sk), 8, 2)
+    # JSON of the wrong shape
+    (sk / "_LAYOUT").write_text("[8, 2]")
+    with _pytest.raises(ValueError, match="does not hold"):
+        check_sketch_layout(str(sk), 8, 2)
+
+def _funnel_vec(seed, like=None):
+    import random as _r
+
+    rng = _r.Random(seed)
+    if like is None:
+        return [rng.gauss(0, 1) for _ in range(8)]
+    return [x + rng.gauss(0, 1e-3) for x in like]
+
+
+def _funnel_days():
+    """Three daily batches exercising every funnel stage: genuinely
+    new docs, a byte recrawl, a text near-dup, a SEMANTIC near-dup
+    (novel text, duplicate embedding), and enough volume per source
+    for the mixture gate to bite."""
+    seed_text = {i: f"seed{i} " + " ".join(f"s{i}w{j}" for j in range(25))
+                 for i in range(1, 11)}
+    seed = [
+        (i, seed_text[i], "web" if i % 2 else "books", _funnel_vec(i))
+        for i in range(1, 11)
+    ]
+    days = [
+        # day 1: two new docs, a byte recrawl of seed 1, a text
+        # near-dup of seed 2, a semantic near-dup of seed 3
+        [
+            (101, "new101 " + " ".join(f"a{j}" for j in range(25)), "web",
+             _funnel_vec(101)),
+            (102, "new102 " + " ".join(f"b{j}" for j in range(25)), "books",
+             _funnel_vec(102)),
+            (103, seed_text[1], "web", _funnel_vec(103)),
+            (104, seed_text[2] + " banner", "books", _funnel_vec(104)),
+            (105, "novel105 " + " ".join(f"c{j}" for j in range(25)), "web",
+             _funnel_vec(9105, like=_funnel_vec(3))),
+        ],
+        # day 2: near-dup of day-1-admitted 101 (index must have
+        # advanced), plus three new web docs to skew the mixture
+        [
+            (201, "fresh201 " + " ".join(f"d{j}" for j in range(25)), "web",
+             _funnel_vec(9201, like=_funnel_vec(101))),
+            (202, "new202 " + " ".join(f"e{j}" for j in range(25)), "web",
+             _funnel_vec(202)),
+            (203, "new203 " + " ".join(f"f{j}" for j in range(25)), "web",
+             _funnel_vec(203)),
+            (204, "new204 " + " ".join(f"g{j}" for j in range(25)), "web",
+             _funnel_vec(204)),
+        ],
+        # day 3: books-side supply + a recrawl of rejected day-1 104
+        [
+            (301, "new301 " + " ".join(f"h{j}" for j in range(25)), "books",
+             _funnel_vec(301)),
+            (302, "new302 " + " ".join(f"i{j}" for j in range(25)), "books",
+             _funnel_vec(302)),
+            (303, seed_text[2] + " banner", "books", _funnel_vec(104)),
+        ],
+    ]
+    return seed, days
+
+
+_FUNNEL_SCHEMA = (
+    "doc_id long, text string, source string, embedding array<float>"
+)
+_FUNNEL_KW = dict(
+    vec_col="embedding", semantic_threshold=0.95,
+    semantic_planes=8, semantic_rotations=2,
+)
+
+
+def _state_fingerprint(spark, gen):
+    """Order-insensitive content snapshot of a generation's states."""
+    import os
+
+    out = {}
+    for name in ("fingerprints", "minhash", "labels", "keepers",
+                 "ledger", "vectors", "sketches"):
+        p = os.path.join(gen, name)
+        if not os.path.isdir(p):
+            continue
+        df = spark.read.parquet(p)
+        if name == "minhash":
+            df = df.select("id")  # signatures compare by membership
+        if name == "sketches":
+            df = df.select("id").distinct()
+        if name == "vectors":
+            df = df.select("doc_id")
+        out[name] = sorted(map(tuple, df.collect()))
+    return out
+
+
+def test_streaming_ingest_gate_matches_batch_loop_day_for_day(
+    spark, tmp_path
+):
+    """r14 (r13 verdict next #1): the unified streaming funnel gate ≡
+    run_daily_ingest day-for-day — same admitted ids per batch, same
+    final states — with the full state set committing as ONE generation
+    per micro-batch. Also: exactly-once crash replay and the
+    reset-checkpoint lineage guard carry over."""
+    import json as _json
+    import os
+
+    from topn_clashroyal_etl_sql_snapshot_spark.plans import ingest
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import snapshot as snap
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.incremental import (
+        streaming_ingest_gate,
+    )
+
+    seed, days = _funnel_days()
+    recipe = {"web": 0.5, "books": 0.5}
+    corpus = spark.createDataFrame(seed, _FUNNEL_SCHEMA)
+
+    # BATCH arm
+    broot = str(tmp_path / "batch_state")
+    ingest.bootstrap_state(spark, corpus, broot, **_FUNNEL_KW)
+    batch_admitted = []
+    for rows in days:
+        rep = ingest.run_daily_ingest(
+            spark, spark.createDataFrame(rows, _FUNNEL_SCHEMA),
+            broot, recipe, **_FUNNEL_KW,
+        )
+        batch_admitted.append(
+            sorted(r["doc_id"] for r in rep["mixed"].collect())
+        )
+
+    # STREAMING arm: same seed bootstrap, one micro-batch per day
+    sroot = str(tmp_path / "stream_state")
+    ingest.bootstrap_state(spark, corpus, sroot, **_FUNNEL_KW)
+    land = tmp_path / "landing"
+    land.mkdir()
+    for k, rows in enumerate(days):
+        with open(land / f"day{k}.jsonl", "w") as f:
+            for doc_id, text, source, emb in rows:
+                f.write(_json.dumps({
+                    "doc_id": doc_id, "text": text,
+                    "source": source, "embedding": emb,
+                }) + "\n")
+        os.utime(land / f"day{k}.jsonl", (1_000_000 + k, 1_000_000 + k))
+
+    out_dir = str(tmp_path / "out")
+
+    def stream():
+        return (
+            spark.readStream.schema(_FUNNEL_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(land))
+        )
+
+    q = (
+        streaming_ingest_gate(stream(), sroot, out_dir, recipe, **_FUNNEL_KW)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(420), "stream did not finish in time"
+
+    # day-for-day admitted ids match the batch loop exactly
+    for k in range(len(days)):
+        got = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(
+                os.path.join(out_dir, f"batch_id={k}")
+            ).collect()
+        )
+        assert got == batch_admitted[k], f"day {k}: {got} vs batch arm"
+    # the funnel actually exercised its stages (not all-admitted)
+    assert sum(map(len, batch_admitted)) < sum(map(len, days))
+
+    # final states identical across the two arms
+    bgen = snap.current_generation(broot)
+    sgen = snap.current_generation(sroot)
+    bstate = _state_fingerprint(spark, bgen)
+    sstate = _state_fingerprint(spark, sgen)
+    assert set(bstate) == set(sstate)
+    for name in bstate:
+        assert bstate[name] == sstate[name], f"state {name} diverged"
+    # joint atomicity: ONE generation root carries the WHOLE state set
+    assert {"fingerprints", "minhash", "labels", "keepers", "ledger",
+            "vectors", "sketches"} <= set(os.listdir(sgen))
+
+    # exactly-once: crash after the last publish but before the
+    # checkpoint commit — redelivery must skip via the _applied marker
+    n_gens = len([d for d in os.listdir(sroot) if d.startswith("gen-")])
+    last = str(len(days) - 1)
+    os.remove(os.path.join(sroot, "_checkpoint", "commits", last))
+    crc = os.path.join(sroot, "_checkpoint", "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = (
+        streaming_ingest_gate(stream(), sroot, out_dir, recipe, **_FUNNEL_KW)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(420)
+    assert snap.current_generation(sroot) == sgen  # no replay publish
+    assert len(
+        [d for d in os.listdir(sroot) if d.startswith("gen-")]
+    ) == n_gens
+    assert _state_fingerprint(spark, sgen) == sstate
+
+    # reset-lineage guard: fresh checkpoint against live state raises
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    q3 = (
+        streaming_ingest_gate(stream(), sroot, out_dir, recipe, **_FUNNEL_KW)
+        .option("checkpointLocation", str(tmp_path / "ckpt_reset"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(StreamingQueryException, match="checkpoint was reset"):
+        q3.awaitTermination(420)
+
+
+def test_streaming_ingest_gate_cold_start_and_guards(spark, tmp_path):
+    """Cold start: bootstrap_state with an EMPTY seed corpus, then the
+    first micro-batches found the corpus through the full funnel; an
+    un-bootstrapped root raises with the remedy named."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    from topn_clashroyal_etl_sql_snapshot_spark.plans import ingest
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import snapshot as snap
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.incremental import (
+        streaming_ingest_gate,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    rows = [
+        (1, "alpha " + " ".join(f"a{j}" for j in range(25)), "web"),
+        (2, "beta " + " ".join(f"b{j}" for j in range(25)), "web"),
+        (3, "alpha " + " ".join(f"a{j}" for j in range(25)), "web"),  # dup of 1
+    ]
+    with open(land / "b0.jsonl", "w") as f:
+        for doc_id, text, source in rows:
+            f.write(_json.dumps(
+                {"doc_id": doc_id, "text": text, "source": source}) + "\n")
+
+    schema = "doc_id long, text string, source string"
+    root = str(tmp_path / "state")
+
+    # un-bootstrapped root: loud error naming bootstrap_state
+    q0 = (
+        streaming_ingest_gate(
+            spark.readStream.schema(schema).json(str(land)),
+            root, str(tmp_path / "out0"), {"web": 1.0},
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(StreamingQueryException, match="bootstrap_state"):
+        q0.awaitTermination(240)
+
+    # cold start from an EMPTY seed corpus
+    ingest.bootstrap_state(
+        spark,
+        spark.createDataFrame([], schema),
+        root2 := str(tmp_path / "state2"),
+    )
+    out = str(tmp_path / "out")
+    q = (
+        streaming_ingest_gate(
+            spark.readStream.schema(schema).json(str(land)),
+            root2, out, {"web": 1.0},
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2]  # 3 deduped within the batch
+    cur = snap.current_generation(root2)
+    fp = spark.read.parquet(os.path.join(cur, "fingerprints"))
+    assert fp.count() == 2

@@ -5,6 +5,11 @@ column names, and an order-insensitive value hash.
 
 Usage:
     python tools/check_correctness.py [query_name ...]   # default: all
+    python tools/check_correctness.py --help             # list entries
+
+Exit codes: 0 all green; 1 at least one red row (rows/schema/hash
+mismatch or query error); 2 usage error (unknown entry name / --help)
+— misuse is never reported as a correctness failure.
 """
 
 from __future__ import annotations
@@ -62,7 +67,24 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    names = sys.argv[1:] or list(qs)
+    args = sys.argv[1:]
+    # Misuse is NOT a hash failure (r13 verdict, what's-wrong #2): an
+    # unknown entry name or --help exits 2 with usage text, before any
+    # Spark startup — a red correctness row always exits 1.
+    if any(a in ("-h", "--help") for a in args):
+        print(__doc__.strip())
+        print(f"\nRegistered entries ({len(qs)}):")
+        for n in sorted(qs):
+            print(f"  {n}")
+        return 2
+    unknown = [a for a in args if a not in qs]
+    if unknown:
+        print(
+            f"usage error: not registered: {', '.join(unknown)}\n"
+            "run with --help to list registered entry names"
+        )
+        return 2
+    names = args or list(qs)
 
     spark = get_spark(app_name="check_correctness")
 
@@ -74,10 +96,6 @@ def main() -> int:
 
     failures = 0
     for name in names:
-        if name not in qs:
-            print(f"{name}: NOT REGISTERED")
-            failures += 1
-            continue
         try:
             sdf = qs[name](spark, SF_DIR)
             # Registry contract: SCALAR columns only. The driver's

@@ -286,13 +286,28 @@ def check_sketch_layout(dir_path: str, planes: int, rotations: int) -> None:
     import json
     import os
 
+    path = os.path.join(dir_path, _SKETCH_LAYOUT_FILE)
     try:
-        with open(
-            os.path.join(dir_path, _SKETCH_LAYOUT_FILE), encoding="utf-8"
-        ) as f:
+        with open(path, encoding="utf-8") as f:
             rec = json.load(f)
     except FileNotFoundError:
         return
+    except json.JSONDecodeError as exc:
+        # corrupt/truncated layout marker: loud contextual error, not a
+        # bare decode traceback (r14 advisor finding — the same posture
+        # the publish lock takes with unparseable _LOCK content)
+        raise ValueError(
+            f"sketch layout marker {path!r} has unparseable content "
+            f"({exc}) — it was truncated or hand-edited; re-stamp it "
+            "with write_sketch_layout using the planes/rotations the "
+            "state was built with, or rebuild the state"
+        ) from exc
+    if not isinstance(rec, dict):
+        raise ValueError(
+            f"sketch layout marker {path!r} does not hold a "
+            f"{{planes, rotations}} object (got {type(rec).__name__}) "
+            "— re-stamp it with write_sketch_layout or rebuild the state"
+        )
     if rec.get("planes") != planes or rec.get("rotations") != rotations:
         raise ValueError(
             f"sketch state {dir_path!r} was built with layout "

@@ -163,7 +163,24 @@ def bootstrap_state(
             F.count(F.lit(1)).cast("double").alias("kept_w")
         ).write.parquet(os.path.join(gen, "ledger"))
 
-    return snap.publish_generation(state_root, day0)
+    # expected_parent=None: bootstrap stages against "no generation" —
+    # a root that concurrently gained one refuses instead of silently
+    # replacing it (the read-compute-publish CAS, r14)
+    return snap.publish_generation(state_root, day0, expected_parent=None)
+
+
+def _open_generation(spark: SparkSession, gen_dir: str) -> dict[str, DataFrame]:
+    """A SPECIFIC generation's states as plain parquet reads — the
+    core six always, plus the semantic pair (``sketches``/``vectors``)
+    when the generation carries them."""
+    st = {
+        name: spark.read.parquet(os.path.join(gen_dir, name))
+        for name in STATE_NAMES
+    }
+    for name in SEMANTIC_STATE_NAMES:
+        if os.path.isdir(os.path.join(gen_dir, name)):
+            st[name] = spark.read.parquet(os.path.join(gen_dir, name))
+    return st
 
 
 def open_state(spark: SparkSession, state_root: str) -> dict[str, DataFrame]:
@@ -177,14 +194,7 @@ def open_state(spark: SparkSession, state_root: str) -> dict[str, DataFrame]:
             f"no generation published under {state_root!r} — run "
             "bootstrap_state first"
         )
-    st = {
-        name: spark.read.parquet(os.path.join(cur, name))
-        for name in STATE_NAMES
-    }
-    for name in SEMANTIC_STATE_NAMES:
-        if os.path.isdir(os.path.join(cur, name)):
-            st[name] = spark.read.parquet(os.path.join(cur, name))
-    return st
+    return _open_generation(spark, cur)
 
 
 def run_daily_ingest(
@@ -207,6 +217,7 @@ def run_daily_ingest(
     semantic_planes: int = 16,
     semantic_rotations: int = 1,
     semantic_max_bucket: int | None = 10_000,
+    extra_state: Callable[[str, dict], None] | None = None,
 ) -> dict:
     """One ingest day, end to end:
 
@@ -223,7 +234,12 @@ def run_daily_ingest(
        (a recrawl re-fails the same stateless gate for the price of a
        column expression — there is nothing to persist);
     1. exact gate (Bloom-prefiltered) vs the persisted fingerprint
-       index — byte-identical recrawls drop before any shingling;
+       index — byte-identical recrawls drop before any shingling; on
+       ``vec_col`` runs an ID-recrawl gate follows (r14): a doc whose
+       id already exists in the corpus vector state is a recrawl with
+       CHANGED content — admitting it would append a duplicate-id row
+       to the id-keyed semantic states, so it drops by id before any
+       probe (``id_recrawl_dropped`` in the report);
     2. near-dup pairs vs the persisted MinHash index (batch texts
        touched once) — and, on ``vec_col`` runs, SEMANTIC near-dup
        pairs vs the persisted sketch index
@@ -254,15 +270,35 @@ def run_daily_ingest(
        new generation.
 
     Returns a report dict: counts (``batch_in``, ``exact_dropped``,
-    ``neardup_dropped``, ``admitted``, ``mixture_admitted``), the new
+    ``id_recrawl_dropped``, ``neardup_dropped``, ``admitted``,
+    ``mixture_admitted``), the new
     ``generation`` path, the day's frames (``admitted``, ``mixed``,
     ``pairs``, ``labels``, ``keepers``, ``ledger`` — all checkpointed,
     safe to consume after the publish), and ``state_modes`` — which
     append-form mode each append-only state took this day
     (``"linked"`` or ``"compacted"``; ``compact_max_files`` bounds the
     accumulated fileset count, see
-    :func:`~..sinks.snapshot.publish_append_state`)."""
-    st = open_state(spark, state_root)
+    :func:`~..sinks.snapshot.publish_append_state`).
+
+    ``extra_state`` (r14): a ``(gen_dir, report) -> None`` hook invoked
+    INSIDE the generation writer, after every state has been staged and
+    before the pointer flip — the joint-atomicity extension point the
+    streaming funnel gate uses to commit its applied-batch marker (and
+    its out-directory write) in the SAME generation as the states.
+    ``report`` is the day's report dict without ``generation`` (the
+    publish has not committed yet)."""
+    # ONE read of the current generation for the whole day: the states,
+    # the layout check, the append-state hardlinks, and the publish CAS
+    # all key on THIS generation — re-reading the pointer later would
+    # let an interleaved writer's flip desynchronize them (r14 advisor
+    # finding: publish_generation's expected_parent closes the cycle).
+    prev = snap.current_generation(state_root)
+    if prev is None:
+        raise ValueError(
+            f"no generation published under {state_root!r} — run "
+            "bootstrap_state first"
+        )
+    st = _open_generation(spark, prev)
     # Semantic-state handshake (r13): the persisted semantic states and
     # the call's ``vec_col`` must agree — running WITHOUT vec_col
     # against a semantic-bootstrapped store would publish a generation
@@ -290,7 +326,7 @@ def run_daily_ingest(
         # state built under a different (planes, rotations) silently
         # finds nothing — raise loudly instead
         check_sketch_layout(
-            os.path.join(snap.current_generation(state_root), "sketches"),
+            os.path.join(prev, "sketches"),
             semantic_planes,
             semantic_rotations,
         )
@@ -308,7 +344,27 @@ def run_daily_ingest(
         batch, st["fingerprints"], st["bloom"], text_col=text_col
     )
     surv = surv.localCheckpoint(eager=True)
-    n_surv = surv.count()
+    n_exact_surv = surv.count()
+    n_surv = n_exact_surv
+
+    n_recrawl = 0
+    if vec_col is not None:
+        # id-recrawl gate (r14 advisor finding, mirroring the streaming
+        # semantic gate): a recrawl with the SAME doc_id but changed
+        # text/embedding passes the exact (byte-fingerprint) gate, and
+        # if admitted would append a duplicate-id row to the vectors/
+        # sketches states — the duplicated id then multiplies the
+        # exact_cosine_for_pairs id-keyed join on every later day. The
+        # id already names corpus content, so the crawl is dropped by
+        # id BEFORE any probe (the minhash-only loop keeps the
+        # documented id-namespace caller contract — it persists no
+        # id-keyed verification state for a duplicate to corrupt).
+        surv = surv.join(
+            st["vectors"].select(id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        n_after = surv.count()
+        n_recrawl = n_surv - n_after
+        n_surv = n_after
 
     # ONE signing pass for the day (r13, the semantic-leg fix applied
     # to the minhash leg too): the probe consumes it here and the
@@ -491,9 +547,25 @@ def run_daily_ingest(
     # chain resets (r13: without it a year of ingest left the indexes
     # as hundreds of small part-file groups — r12 verdict missing #1).
     # The bitmap (16 MB, bit-merged) and labels/keepers (rows change in
-    # place) stay full writes.
-    prev = snap.current_generation(state_root)
+    # place) stay full writes. ``prev`` is the ONE generation read at
+    # the top of the day — the hardlinks and the publish CAS share it.
     modes: dict[str, str] = {}
+    report = {
+        "batch_in": n_in,
+        "gate_dropped": n_in - n_gated,
+        "exact_dropped": n_gated - n_exact_surv,
+        "id_recrawl_dropped": n_recrawl,
+        "neardup_dropped": n_surv - n_admitted,
+        "admitted": admitted,
+        "n_admitted": n_admitted,
+        "mixture_admitted": n_mixed,
+        "mixed": mixed,
+        "pairs": pairs,
+        "labels": labels1,
+        "keepers": keepers1,
+        "ledger": ledger1,
+        "state_modes": modes,
+    }
 
     def day(gen: str) -> None:
         modes["fingerprints"] = snap.publish_append_state(
@@ -547,21 +619,18 @@ def run_daily_ingest(
                 n_shards=n_shards,
                 weight_col=shard_weight_col,
             )
+        if extra_state is not None:
+            # sequenced BEFORE the pointer flip: the streaming funnel
+            # gate writes its applied-batch marker (inside gen — moves
+            # atomically with the states) and its admitted-docs out
+            # partition here, so a crash anywhere before the flip
+            # re-delivers the batch, which recomputes identically (r14)
+            extra_state(gen, report)
 
-    gen = snap.publish_generation(state_root, day)
-    return {
-        "generation": gen,
-        "batch_in": n_in,
-        "gate_dropped": n_in - n_gated,
-        "exact_dropped": n_gated - n_surv,
-        "neardup_dropped": n_surv - n_admitted,
-        "admitted": admitted,
-        "n_admitted": n_admitted,
-        "mixture_admitted": n_mixed,
-        "mixed": mixed,
-        "pairs": pairs,
-        "labels": labels1,
-        "keepers": keepers1,
-        "ledger": ledger1,
-        "state_modes": modes,
-    }
+    # expected_parent=prev: the whole day computed against prev's
+    # states and hardlinked prev's part files — if another writer
+    # published meanwhile, flipping would silently drop that writer's
+    # delta; the CAS refuses instead (r14 advisor finding)
+    gen = snap.publish_generation(state_root, day, expected_parent=prev)
+    report["generation"] = gen
+    return report

@@ -349,8 +349,17 @@ def current_generation(root: str) -> str | None:
     return os.path.join(root, name)
 
 
+# Sentinel distinguishing "caller did not pass expected_parent" from
+# "caller staged against no generation" (expected_parent=None).
+_PARENT_UNSET = object()
+
+
 def publish_generation(
-    root: str, write_fn, keep: int = 1, caller: str = "publish_generation"
+    root: str,
+    write_fn,
+    keep: int = 1,
+    caller: str = "publish_generation",
+    expected_parent=_PARENT_UNSET,
 ) -> str:
     """Joint-atomic publish for a SET of coupled state directories —
     the daily-ingest loop persists four-plus states that must move
@@ -377,21 +386,39 @@ def publish_generation(
     generations are retained after a successful flip (readers mid-scan
     on the old generation keep their files); older ones are pruned.
 
-    Single-writer contract — ENFORCED, not just documented (r13; the
-    same promotion the streaming gate's lineage contract got):
-    concurrent publishers would race the staging cleanup and the
-    orphan pruning, and the surviving flip would silently drop the
-    losing writer's delta. The whole publish runs under an exclusive
-    ``<root>/_LOCK`` (:func:`_acquire_publish_lock` — create-exclusive
-    with pid-liveness stale-lock breaking, released in ``finally`` on
-    any failure), and the pointer flip is additionally guarded by a
-    compare-and-swap re-read: if ``_CURRENT`` moved since the publish
-    began (a lock broken on a reused pid, an operator's manual flip),
-    the flip is ABORTED with :class:`ConcurrentPublishError` and the
-    staged generation is left as an orphan — the established pointer
-    is never overwritten by a publish that staged against a stale
-    parent. Local filesystems only, like :func:`atomic_dir_publish` —
-    on object stores the SAME pointer pattern applies through the
+    Single-writer contract — enforced at two scopes (r13/r14):
+
+    - **The publish window** (always): concurrent publishers would
+      race the staging cleanup and the orphan pruning, and the
+      surviving flip would silently drop the losing writer's delta.
+      The whole publish runs under an exclusive ``<root>/_LOCK``
+      (:func:`_acquire_publish_lock` — create-exclusive with
+      pid-liveness stale-lock breaking, released in ``finally`` on
+      any failure), and the pointer flip is additionally guarded by a
+      compare-and-swap re-read: if ``_CURRENT`` moved since the
+      publish began (a lock broken on a reused pid, an operator's
+      manual flip), the flip is ABORTED with
+      :class:`ConcurrentPublishError` and the staged generation is
+      left as an orphan.
+    - **The caller's read-compute-publish cycle** (``expected_parent``
+      — r14 advisor finding): the lock alone cannot see that a
+      caller's delta was COMPUTED against a generation that is no
+      longer current. Two overlapping ingest runs both read gen N;
+      A publishes N+1 and releases the lock; B then acquires it
+      cleanly, stages N+2 from B's stale prev=N — and A's delta is
+      silently dropped, with the window-scope CAS never firing (it
+      compares two reads that both see N+1). Callers that stage
+      hardlinks or deltas derived from a previously-read generation
+      MUST pass that generation (the :func:`current_generation` value
+      they computed against — ``None`` for "no generation existed")
+      as ``expected_parent``; the publish then refuses — BEFORE
+      staging — when the current generation is no longer that parent,
+      raising :class:`ConcurrentPublishError` instead of losing the
+      other writer's update. Every state-publishing caller in this
+      package passes it.
+
+    Local filesystems only, like :func:`atomic_dir_publish` — on
+    object stores the SAME pointer pattern applies through the
     store's conditional-put (whose precondition IS this CAS). Returns
     the new generation directory."""
     if "://" in root:
@@ -405,7 +432,9 @@ def publish_generation(
     os.makedirs(root, exist_ok=True)
     lock = _acquire_publish_lock(root, caller)
     try:
-        return _publish_generation_locked(root, write_fn, keep, caller)
+        return _publish_generation_locked(
+            root, write_fn, keep, caller, expected_parent
+        )
     finally:
         try:
             os.unlink(lock)
@@ -414,10 +443,28 @@ def publish_generation(
 
 
 def _publish_generation_locked(
-    root: str, write_fn, keep: int, caller: str
+    root: str, write_fn, keep: int, caller: str, expected_parent
 ) -> str:
     cur = current_generation(root)
     cur_n = _gen_number(os.path.basename(cur)) if cur else 0
+    if expected_parent is not _PARENT_UNSET:
+        exp_n = (
+            _gen_number(os.path.basename(expected_parent.rstrip("/")))
+            if expected_parent
+            else 0
+        )
+        if exp_n != cur_n:
+            # refuse BEFORE staging: the caller's delta was computed
+            # against a generation another writer already replaced —
+            # flipping would silently drop that writer's update (r14
+            # advisor finding: the window-scope CAS cannot see this)
+            raise ConcurrentPublishError(
+                f"{caller}: this publish was staged against generation "
+                f"{exp_n} of {root!r} but the current generation is "
+                f"{cur_n} — another writer published in between; "
+                "re-read the current generation, recompute the delta "
+                "against it, and publish again"
+            )
     # (number, LISTED name) pairs: cleanup must remove the directory
     # by the name it actually has — rebuilding gen-%06d from the
     # parsed number silently no-ops on non-canonically padded names

@@ -214,13 +214,27 @@ def _replay_guard(
 
     try:
         with open(marker_path, encoding="utf-8") as f:
-            rec = json.loads(f.read().strip())
+            raw = f.read().strip()
     except FileNotFoundError:
         return False
-    if isinstance(rec, dict):
-        last, was = rec["last_batch"], rec.get("lineage")
-    else:  # pre-r13 marker: bare int, no lineage
-        last, was = int(rec), None
+    # truncated/corrupt marker content surfaces as a contextual loud
+    # error naming the file and the remedy, matching the publish
+    # lock's posture — not a bare JSONDecodeError/KeyError traceback
+    # (r14 advisor finding)
+    try:
+        rec = json.loads(raw)
+        if isinstance(rec, dict):
+            last, was = rec["last_batch"], rec.get("lineage")
+        else:  # pre-r13 marker: bare int, no lineage
+            last, was = int(rec), None
+    except (KeyError, TypeError, ValueError) as exc:
+        raise ValueError(
+            f"{gate}: applied-batch marker {marker_path!r} has "
+            f"unparseable content ({exc!r}) — it was truncated or "
+            "hand-edited; restore it from the generation's publish or "
+            "delete it after verifying the stream will not replay "
+            "batches the state already counted"
+        ) from exc
     if batch_id > last:
         return False
     if was is not None and lineage is not None and was != lineage:
@@ -272,7 +286,11 @@ def streaming_mixture_gate(
     production day that must also move shards and other coupled
     states in one commit uses ``snapshot.publish_generation`` (see
     examples/incremental_ingest.py); this twin is the lightweight
-    continuous form.
+    continuous form. KEPT (r14) as the single-state form for streams
+    that genuinely run only the mixture stage — a stream that needs
+    dedup AND mixture should use :func:`streaming_ingest_gate`, whose
+    single generation root gives the stages joint atomicity this gate
+    cannot provide across its separate root.
 
     OPERATIONAL CONTRACT (ENFORCED since r13 — advisor finding: the
     documented hazard was silent data loss): Spark numbers batches per
@@ -306,6 +324,11 @@ def streaming_mixture_gate(
         from ..operators import sampling
         from ..sinks.snapshot import atomic_dir_publish, recover_parked_dir
 
+        if batch_df.isEmpty():
+            # restarts/recovery can deliver empty batches — republishing
+            # an unchanged ledger would be pure churn; skipping is safe
+            # (an unrecorded empty batch replays to another no-op)
+            return
         spark = batch_df.sparkSession
         ledger_path = os.path.join(state_dir, "ledger")
         # a crash between the publish's two renames parks the ledger at
@@ -392,6 +415,11 @@ def streaming_semantic_gate(
     existing ``state_dir`` raises instead of silently dropping new
     data; ``_replay_guard``).
 
+    KEPT (r14) as the single-state form for embedding-only streams; a
+    stream that also needs the text/exact/mixture stages should use
+    :func:`streaming_ingest_gate` — one generation root, all states
+    joint-atomic per micro-batch.
+
     Day 0 needs no bootstrap: the first batch probes an empty index
     (within-batch dedup only) and its admissions found generation 1.
     To seed from an existing corpus, publish a generation holding
@@ -414,6 +442,14 @@ def streaming_semantic_gate(
         from ..operators import dedup, similarity
         from ..sinks import snapshot as snap
 
+        if batch_df.isEmpty():
+            # empty micro-batches (possible after restarts/recovery)
+            # must not churn generations: publishing would hardlink the
+            # ENTIRE sketch/vector state, write an empty out partition,
+            # and accelerate pruning of useful older generations (r14
+            # advisor finding). Skipping is safe — an unrecorded empty
+            # batch replays deterministically to another no-op.
+            return
         spark = batch_df.sparkSession
         lineage = _query_lineage(spark, state_dir)
         cur = snap.current_generation(state_dir)
@@ -472,6 +508,10 @@ def streaming_semantic_gate(
             batch = batch.join(
                 idx_vec.select(id_col), id_col, "left_anti"
             ).localCheckpoint(eager=True)
+            if batch.isEmpty():
+                # all-recrawl batch: nothing to admit, nothing to
+                # index — same no-publish rule as the empty batch
+                return
 
         # ONE sketch pass per batch: probe + state delta share it
         batch_sk = similarity.hyperplane_sketches(
@@ -534,12 +574,146 @@ def streaming_semantic_gate(
             ) as f:
                 json.dump({"last_batch": batch_id, "lineage": lineage}, f)
 
+        # expected_parent=cur: this batch's admissions and hardlinks
+        # derive from cur's states — an interleaved writer's flip must
+        # refuse the publish, not lose the writer's delta (r14)
         snap.publish_generation(
-            state_dir, _stage, caller="streaming_semantic_gate publish"
+            state_dir,
+            _stage,
+            caller="streaming_semantic_gate publish",
+            expected_parent=cur,
         )
 
     return docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+    )
+
+
+def streaming_ingest_gate(
+    docs_stream: DataFrame,
+    state_root: str,
+    out_dir: str,
+    target_shares,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality: DataFrame | None = None,
+    threshold: float = 0.5,
+    mixture_weight_col: str | None = None,
+    n_shards: int = 0,
+    shard_weight_col: str | None = None,
+    compact_max_files: int = 64,
+    gates=None,
+    vec_col: str | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_planes: int = 16,
+    semantic_rotations: int = 1,
+    semantic_max_bucket: int | None = 10_000,
+):
+    """The FULL ingest funnel as one streaming gate (r14, r13 verdict
+    next #1): each micro-batch runs exact → MinHash → (optional)
+    semantic → mixture admission — BY CALLING
+    :func:`~..plans.ingest.run_daily_ingest` itself, so the streaming
+    form cannot drift from the batch loop's semantics — and ALL states
+    (fingerprints, bloom, minhash, labels, keepers, ledger, optional
+    sketches/vectors, optional shards) plus the batch's admitted docs
+    commit in ONE ``publish_generation`` per micro-batch. This is the
+    joint atomicity the single-purpose gates cannot give: composing
+    :func:`streaming_mixture_gate` and :func:`streaming_semantic_gate`
+    across their separate roots leaves a crash window between the two
+    generation flips in which admission and ledger desynchronize; here
+    a crash anywhere in the batch leaves the previous generation
+    serving, complete and self-consistent — the reference's
+    one-transaction load semantics
+    (``scripts/etl_snapshot_topn.py:363-364``) per micro-batch. The
+    single-purpose gates remain supported as the lightweight forms for
+    pipelines that genuinely run only one stateful stage.
+
+    Per micro-batch: replay-guard against the current generation's
+    ``_applied`` marker (same exactly-once + reset-lineage contract as
+    the other gates: a replayed batch id ≤ the marker from the SAME
+    query lineage is skipped; a lower id from a DIFFERENT lineage
+    raises — the checkpoint was reset against live state); then one
+    ``run_daily_ingest`` day whose ``extra_state`` hook — inside the
+    generation writer, before the pointer flip — overwrites the
+    admitted docs into ``out_dir/batch_id=N`` and stamps ``_applied``.
+    A crash between those writes and the flip re-delivers the batch,
+    which recomputes IDENTICAL admissions against the unchanged
+    current generation and re-overwrites both. Empty micro-batches
+    are skipped without generation churn.
+
+    The state root must be :func:`~..plans.ingest.bootstrap_state`-ed
+    first (an empty seed corpus is fine for a cold start); ``vec_col``
+    and the sketch layout must match the bootstrap, enforced by
+    ``run_daily_ingest``'s handshakes. Day-for-day equivalence with
+    the batch loop — same admitted ids, same final states — is pinned
+    in tests/test_streaming.py.
+
+    Returns the configured ``writeStream`` (checkpoint under
+    ``state_root/_checkpoint``); the caller picks the trigger."""
+    import json
+    import os
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..plans import ingest
+        from ..sinks import snapshot as snap
+
+        if batch_df.isEmpty():
+            # restarts/recovery deliver empty batches; publishing would
+            # hardlink every append state for nothing (same no-churn
+            # rule as the single-purpose gates)
+            return
+        spark = batch_df.sparkSession
+        lineage = _query_lineage(spark, state_root)
+        cur = snap.current_generation(state_root)
+        if cur is None:
+            raise ValueError(
+                f"streaming_ingest_gate: no generation published under "
+                f"{state_root!r} — run plans.ingest.bootstrap_state "
+                "first (an empty seed corpus bootstraps a cold start)"
+            )
+        if _replay_guard(
+            os.path.join(cur, "_applied"),
+            batch_id,
+            lineage,
+            "streaming_ingest_gate",
+        ):
+            return  # at-least-once replay of an applied batch
+
+        def extra(gen: str, report: dict) -> None:
+            report["mixed"].write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+            with open(
+                os.path.join(gen, "_applied"), "w", encoding="utf-8"
+            ) as f:
+                json.dump({"last_batch": batch_id, "lineage": lineage}, f)
+
+        ingest.run_daily_ingest(
+            spark,
+            batch_df,
+            state_root,
+            target_shares,
+            group_col=group_col,
+            text_col=text_col,
+            id_col=id_col,
+            quality=quality,
+            threshold=threshold,
+            mixture_weight_col=mixture_weight_col,
+            n_shards=n_shards,
+            shard_weight_col=shard_weight_col,
+            compact_max_files=compact_max_files,
+            gates=gates,
+            vec_col=vec_col,
+            semantic_threshold=semantic_threshold,
+            semantic_planes=semantic_planes,
+            semantic_rotations=semantic_rotations,
+            semantic_max_bucket=semantic_max_bucket,
+            extra_state=extra,
+        )
+
+    return docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", os.path.join(state_root, "_checkpoint")
     )
 
 
@@ -590,5 +764,5 @@ def seed_semantic_state(
         )
 
     return snap.publish_generation(
-        state_dir, day0, caller="seed_semantic_state"
+        state_dir, day0, caller="seed_semantic_state", expected_parent=None
     )
