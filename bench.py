@@ -59,12 +59,11 @@ def main() -> None:
     # nothing) but stays in the bench: it times the sketch+bucket-join
     # pruning regime that the sampled-exact query doesn't exercise.
     qs["embedding_lsh_neardup"] = llm_queries.embedding_lsh_neardup
-    # r13: the incremental (batch-vs-persisted-sketch-index) twin —
-    # same emptiness adjudication, pytest-pinned correctness; benched
-    # so the daily-ingest probe cost is on record per round.
-    qs["embedding_neardup_incremental"] = (
-        llm_queries.embedding_neardup_incremental
-    )
+    # r14 rotation bookkeeping: q1_pricing_summary left the registry
+    # (slot ceded to embedding_neardup_incremental, which is now a
+    # REGISTERED row and needs no manual add) but keeps its bench
+    # series — cross-round comparability outlives registry rotation.
+    qs["q1_pricing_summary"] = testdata_queries.q1_pricing_summary
     # IVF-PQ ANN perf probe: timed here — fit + encode + ADC search
     # from codes at the pruning configuration (the correctness-gated
     # registry row is embedding_pq_adc below).

@@ -1829,6 +1829,72 @@ def test_simhash_screenless_dense_plan_fires_and_matches(spark, monkeypatch):
     assert got == want and got
 
 
+def test_simhash_mixed_regime_corpus_stays_correct(spark, monkeypatch):
+    """r14 (r13 verdict next #3): a corpus HALF template-compressed,
+    half spread — the Σ C(m,2) estimator is a GLOBAL decision, so the
+    template cluster alone pushes the whole corpus onto the screenless
+    plan even though the spread half would have pruned fine. Pins:
+    (a) the screenless plan fires on the mixed corpus (the template
+    half dominates the estimate); (b) output ≡ the screened pipeline
+    assembled by hand at the same layout — INCLUDING the spread half's
+    planted near-dup pair, which must survive the regime flip; (c) the
+    spread half contributes no spurious pairs. The cost worst-case of
+    the global decision is measured and recorded in SCALE.md
+    (tools/simhash_mixed_r14.py)."""
+    rng = random.Random(7)
+    template = [
+        (i, "common template words repeated across every document "
+            "in this synthetic crawl slice " * 3 + f"tail marker {i % 7}")
+        for i in range(200)
+    ]
+    # spread half: unique token streams, plus ONE planted near-dup
+    # pair (ids 9000/9001) the regime flip must not lose
+    spread_text = " ".join(f"w{rng.randrange(100_000)}" for _ in range(40))
+    spread = [
+        (1000 + i, f"doc {i} " + " ".join(
+            f"w{rng.randrange(100_000)}" for _ in range(40)))
+        for i in range(200)
+    ] + [
+        (9000, spread_text),
+        (9001, spread_text + " banner"),
+    ]
+    docs = spark.createDataFrame(
+        template + spread, "doc_id long, text string"
+    )
+
+    # ground truth: the screened plan assembled by hand, same layout
+    fps = dedup.simhash_fingerprints(docs)
+    cands = dedup.simhash_candidate_pairs(
+        fps, max_hamming=15, chunks=8, piece_radius=1
+    )
+    postings = dedup.hashed_postings(docs)
+    want = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in dedup.true_jaccard_for_pairs(cands, postings, 0.5).collect()
+    }
+    assert (9000, 9001) in want  # the spread half's planted pair
+
+    def _boom(*a, **k):  # pragma: no cover — fires only on regression
+        raise AssertionError(
+            "mixed-regime corpus did not take the screenless plan"
+        )
+
+    monkeypatch.setattr(dedup, "simhash_candidate_pairs", _boom)
+    got = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in dedup.simhash_verified_pairs(
+            docs, threshold=0.5, chunks=8, piece_radius=1
+        ).collect()
+    }
+    assert got == want and (9000, 9001) in got
+    # no spread-spread pair other than the planted one
+    spurious = [
+        p for p in got
+        if p[0] >= 1000 and p[1] >= 1000 and p != (9000, 9001)
+    ]
+    assert spurious == []
+
+
 def test_simhash_spread_fingerprints_keep_the_screen(spark, monkeypatch):
     """Cold fingerprint space (random 64-bit values, wide pieces) must
     stay on the screened plan — the estimator's Σ C(m,2) sits far

@@ -33,8 +33,8 @@ def test_broadcast_joins_in_join_queries(spark):
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):
-    qs = testdata_queries.queries()
-    plan = _plan(qs["q1_pricing_summary"](spark, SF))
+    # q1 rotated out of the registry r14; its pushdown bar stays here
+    plan = _plan(testdata_queries.q1_pricing_summary(spark, SF))
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
 
 

@@ -157,6 +157,14 @@ CASES = {
         llm_queries.docs_pack_greedy,
         llm_queries.DOCS_PACK_GREEDY_SQL,
     ),
+    # rotated out r14 for embedding_neardup_incremental (the last
+    # dedup family member without a driver row); the lineitem scan-agg
+    # shape stays driver-covered by cube_returnflag_status's strictly
+    # larger grouping-sets aggregate
+    "q1_pricing_summary": (
+        testdata_queries.q1_pricing_summary,
+        testdata_queries.Q1_PRICING_SUMMARY_SQL,
+    ),
     # rotated out r12 for mixture_gate (the incremental mixer was the
     # only substantial r11 capability outside the driver's oracle);
     # the confusion-matrix bar keeps running here, and the lang-ID

@@ -127,6 +127,27 @@ def test_xxh64_bucket_sql_matches_spark_and_twin(spark):
         ) % (1 << 64)
 
 
+def test_xxh64_int_chain_matches_spark(spark):
+    """hash_int (r14): the 4-byte-lane twin behind the
+    embedding_neardup_incremental oracle's literal coefficient table —
+    spark_xxhash64_int2(q, d) must equal F.xxhash64(q, d) over INT
+    columns exactly, including negative ints (zero-extension, not
+    sign-extension) and 31-bit boundaries."""
+    from pyspark.sql import functions as F
+
+    from topn_clashroyal_etl_sql_snapshot_spark.plans.xxh64_sql import (
+        spark_xxhash64_int2,
+    )
+
+    vals = [0, 1, 63, 64, 127, 2**16, 2**31 - 1, -1, -2**31]
+    rows = [(a, b) for a in vals for b in vals]
+    df = spark.createDataFrame(rows, "a int, b int").withColumn(
+        "h", F.xxhash64(F.col("a"), F.col("b"))
+    )
+    for r in df.collect():
+        assert spark_xxhash64_int2(r["a"], r["b"]) == r["h"], (r["a"], r["b"])
+
+
 def test_xxh64_ascii_sql_matches_spark_strings(spark):
     """The byte-level string-hash CTE chain
     (plans/xxh64_sql.py::xxh64_ascii_ctes) must equal Spark's

@@ -1568,25 +1568,122 @@ def embedding_lsh_neardup(spark, sf_dir):
     ).orderBy("id1", "id2")
 
 
+_NEARDUP_INCR_PLANES = 8
+_NEARDUP_INCR_ROTATIONS = 2
+_NEARDUP_INCR_THRESHOLD = 0.35
+_EMB_DIMS = 64  # the driver embeddings tables' width at every sf
+
+
+def _neardup_incr_oracle_sql(
+    planes: int = _NEARDUP_INCR_PLANES,
+    rotations: int = _NEARDUP_INCR_ROTATIONS,
+    dims: int = _EMB_DIMS,
+    threshold: float = _NEARDUP_INCR_THRESHOLD,
+) -> str:
+    """Bit-exact DuckDB replica of the ENTIRE incremental LSH plan —
+    no recall assumption at any threshold. Possible because
+    ``similarity.hyperplane_sketches`` derives its coefficients from
+    ``xxhash64(q, d)`` over INT columns (no stored model): the oracle
+    bakes coef(q, d) = signed(xxhash64(q, d)) / 2⁶³ as a literal table
+    via the Python twin (``xxh64_sql.spark_xxhash64_int2``,
+    Spark-parity pinned in tests/test_sampling.py), then re-derives
+    the integer-scaled plane dots (same float→double cast, same
+    (x·c)·2⁴⁰ association, same round-half-away — the proven
+    _SEM_DOT_SCALED pattern), the per-(id, rot) sign-bit buckets, the
+    batch-vs-(index ∪ batch) candidate join with the operator's
+    orientation rule (cross pairs keep id1 = new doc in every
+    orientation; within-batch id1 < id2), and the 9-dp verify
+    cosines."""
+    from .xxh64_sql import spark_xxhash64_int2
+
+    total = planes * rotations
+    coef_rows = ",".join(
+        f"({q},{d},{float(spark_xxhash64_int2(q, d)) / float(1 << 63)!r})"
+        for q in range(total)
+        for d in range(dims)
+    )
+    qmap_rows = ",".join(
+        f"({q},{q // planes},{1 << (q % planes)})" for q in range(total)
+    )
+    cos = """round(list_sum(list_transform(generate_series(1, len(x.embedding)),
+                 i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                 / NULLIF(x.nrm * y.nrm, 0.0), 9)"""
+    nrm = (
+        "sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return f"""
+    WITH coef(q, d, c) AS (VALUES {coef_rows}),
+    qmap(q, rot, bitval) AS (VALUES {qmap_rows}),
+    terms AS (
+      SELECT e.vec_id, c.q,
+             CAST(round((CAST(e.embedding[c.d + 1] AS DOUBLE)
+                         * CAST(c.c AS DOUBLE)) * 1099511627776.0)
+                  AS BIGINT) AS t
+      FROM embeddings e CROSS JOIN coef c
+    ),
+    psums AS (SELECT vec_id, q, SUM(t) AS s FROM terms GROUP BY vec_id, q),
+    bks AS (
+      SELECT p.vec_id, m.rot,
+             SUM(CASE WHEN p.s > 0 THEN m.bitval ELSE 0 END) AS bucket
+      FROM psums p JOIN qmap m USING (q)
+      GROUP BY p.vec_id, m.rot
+    ),
+    cand AS (
+      SELECT DISTINCT b.vec_id AS id1, r.vec_id AS id2
+      FROM bks b JOIN bks r ON b.rot = r.rot AND b.bucket = r.bucket
+      WHERE b.vec_id % 10 = 0
+        AND b.vec_id <> r.vec_id
+        AND (r.vec_id % 10 <> 0 OR b.vec_id < r.vec_id)
+    ),
+    n AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)
+    SELECT c.id1, c.id2, {cos} AS cosine
+    FROM cand c
+    JOIN n x ON x.vec_id = c.id1
+    JOIN n y ON y.vec_id = c.id2
+    WHERE {cos} >= {threshold}
+    ORDER BY id1, id2
+    """
+
+
+@register("embedding_neardup_incremental", _neardup_incr_oracle_sql())
 def embedding_neardup_incremental(spark, sf_dir):
-    """Incremental embedding near-dup (r13,
-    similarity.lsh_neardup_incremental): every 10th vector plays the
-    daily batch against the rest's persisted sketch index — the
-    EMBEDDING twin of dedup_minhash_incremental's split. NOT
-    registered (same emptiness adjudication as embedding_lsh_neardup:
-    the corpus's pair cosines top out below the strict threshold, so
-    a hash check would verify nothing); correctness is pytest-pinned
-    (subset invariant, randomized differential, cap parity) and this
-    callable keeps the batch-sketch + bucket-probe + id-keyed-verify
-    cost on record per round."""
+    """Incremental embedding near-dup (r13 operator,
+    similarity.lsh_neardup_incremental; REGISTERED r14 per the r13
+    verdict's next #4 — the last dedup family member whose correctness
+    rode on pytest alone): every 10th vector plays the daily batch
+    against the rest's persisted sketch index, the EMBEDDING twin of
+    dedup_minhash_incremental's split. The r13 strict-threshold form
+    was empty at every driver sf (hash-checking nothing); this row
+    runs the PERMISSIVE regime (0.35) where pairs exist, and the
+    oracle replays the whole plan bit-for-bit — coefficient
+    derivation, integer-scaled sign bits, bucket collisions,
+    orientation, verify cosines (see ``_neardup_incr_oracle_sql``) —
+    so LSH recall at the permissive threshold is part of WHAT IS
+    CHECKED, not an assumption. max_bucket=None keeps the oracle
+    cap-free; the cap's subset invariant stays pytest-pinned
+    (tests/test_similarity.py). Scale: the batch sketches once, the
+    index is touched only through colliding (rot, bucket) keys, and
+    verification probes the batch-sized frame on the id1 side — the
+    daily-ingest probe shape, now driver-hash-gated at all sf."""
     from pyspark.sql import functions as _F
 
     emb = read_testdata(spark, sf_dir, "embeddings")
     batch = emb.filter(_F.col("vec_id") % 10 == 0)
     index = emb.filter(_F.col("vec_id") % 10 != 0)
-    idx_sk = similarity.hyperplane_sketches(index, planes=16, rotations=4)
+    idx_sk = similarity.hyperplane_sketches(
+        index,
+        planes=_NEARDUP_INCR_PLANES,
+        rotations=_NEARDUP_INCR_ROTATIONS,
+    )
     pairs, _ = similarity.lsh_neardup_incremental(
-        batch, idx_sk, index, threshold=0.95, planes=16, rotations=4
+        batch,
+        idx_sk,
+        index,
+        threshold=_NEARDUP_INCR_THRESHOLD,
+        planes=_NEARDUP_INCR_PLANES,
+        rotations=_NEARDUP_INCR_ROTATIONS,
+        max_bucket=None,
     )
     return pairs.orderBy("id1", "id2")
 

@@ -207,9 +207,15 @@ def f7_order_line_counts(spark, sf_dir):
 # TPC-H-shaped coverage (joins, multi-way star, window, semi/anti, dates)
 # ---------------------------------------------------------------------------
 
-@register(
-    "q1_pricing_summary",
-    f"""
+# Rotated out of the driver registry in r14 for
+# embedding_neardup_incremental (50-row cap; r13 verdict next #4): the
+# lineitem scan-agg shape stays driver-covered by
+# cube_returnflag_status, whose grouping-sets plan strictly contains
+# Q1's (returnflag, linestatus) base aggregate over the same decimal
+# sums, and the filter-pushdown bar stays pinned in
+# tests/test_plans.py. THIS query keeps the identical oracle bar in
+# tests/test_rotated_rows.py and its bench series.
+Q1_PRICING_SUMMARY_SQL = f"""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
@@ -219,11 +225,14 @@ def f7_order_line_counts(spark, sf_dir):
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
-    """,
-)
+    """
+
+
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-heavy partial+final hash aggregate; the filter
-    pushes to the parquet scan; decimal sums are order-independent."""
+    pushes to the parquet scan; decimal sums are order-independent.
+    Registered r1-r13; rotated r14 (slot ceded to
+    embedding_neardup_incremental — see Q1_PRICING_SUMMARY_SQL)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))

@@ -75,6 +75,30 @@ def hash_long(lane: int, seed: int) -> int:
     return _py_fmix(h)
 
 
+def hash_int(value: int, seed: int) -> int:
+    """Python twin of Spark's ``XXH64.hashInt`` — the 4-byte-lane
+    variant Spark applies to INT columns (length addend 4, the int
+    zero-extended through ``& 0xFFFFFFFF``, rotl 23 with P1/P2/P3
+    where hashLong uses 31/27 with P2/P1/P4). Multi-column
+    ``xxhash64(a, b)`` over ints chains ``hashInt(b, hashInt(a, 42))``
+    — parity with ``F.xxhash64`` over int columns is pinned in
+    tests/test_sampling.py. Used to bake the hyperplane-coefficient
+    literal table into the embedding_neardup_incremental oracle
+    (``similarity.hyperplane_sketches`` derives coef(q, d) from
+    ``xxhash64(q, d)`` with q, d INT — no stored model, so the oracle
+    can re-derive the exact coefficients driver-side)."""
+    h = (seed + _P5 + 4) & _MASK
+    h ^= ((value & 0xFFFFFFFF) * _P1) & _MASK
+    h = (_py_rotl(h, 23) * _P2 + _P3) & _MASK
+    return _py_fmix(h)
+
+
+def spark_xxhash64_int2(a: int, b: int) -> int:
+    """SIGNED Spark ``xxhash64(a, b)`` for two INT columns."""
+    u = hash_int(b, hash_int(a, 42))
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
 # xxhash64(42L, key) == hashLong(key, hashLong(42, 42)); fold the
 # constant inner hash + P5 + 8 into the chain's first addend.
 ACC0 = (hash_long(42, 42) + _P5 + 8) & _MASK
