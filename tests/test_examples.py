@@ -201,3 +201,27 @@ def test_check_correctness_misuse_is_not_a_failure():
     )
     assert h.returncode == 2
     assert "Registered entries" in h.stdout
+
+def test_funnel_stream_example(spark):
+    path = (
+        Path(__file__).resolve().parent.parent
+        / "examples"
+        / "funnel_stream.py"
+    )
+    spec = importlib.util.spec_from_file_location("funnel_stream_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.run(spark, "/root/testdata/sf0.001")
+    # day 1: only the fresh doc survives the funnel — the byte recrawl
+    # died at the exact gate, the same-id changed-content recrawl at
+    # the by-id gate, the banner near-dup at the MinHash leg
+    assert out["day1_admitted"] == {1_000_000}
+    # day 2: the fresh doc admits; the byte recrawl of day 1's
+    # admission dies — proof the states ADVANCED batch-over-batch
+    assert out["day2_admitted"] == {2_000_000}
+    # one generation per applied batch atop the bootstrap, holding the
+    # WHOLE state set (joint atomicity)
+    assert out["current_generation"] == "gen-000003"
+    assert {"fingerprints", "bloom", "minhash", "labels", "keepers",
+            "ledger", "sketches", "vectors"} <= set(out["states_in_current"])
