@@ -79,10 +79,8 @@ def run(spark, sf_dir: str, work_root: str | None = None) -> dict:
         )
     ).localCheckpoint(eager=True)
     n_seed = seed.count()
-    recipe = {
-        r["source"]: 1.0 / seed.select("source").distinct().count()
-        for r in seed.select("source").distinct().collect()
-    }
+    srcs = [r["source"] for r in seed.select("source").distinct().collect()]
+    recipe = {s: 1.0 / len(srcs) for s in srcs}
     ingest.bootstrap_state(
         spark, seed, state_root, vec_col="embedding",
         semantic_threshold=0.95, semantic_planes=8, semantic_rotations=2,

@@ -680,3 +680,25 @@ def test_semantic_layout_handshake(spark, tmp_path):
             root, RECIPE, vec_col="embedding",
             semantic_planes=16, semantic_rotations=1,
         )
+
+def test_applied_marker_carries_through_manual_batch_days(spark, tmp_path):
+    """r14 review finding: a run_daily_ingest day interleaved into a
+    streaming gate's state root must CARRY the gate's applied-batch
+    marker into the generation it publishes — a generation without it
+    would erase the gate's replay protection (a crash-redelivered
+    stream batch would reprocess and overwrite its committed out
+    partition with an empty frame)."""
+    import json
+
+    root = str(tmp_path / "state")
+    ingest.bootstrap_state(spark, _docs(spark, range(1, 11)), root)
+    # simulate the streaming gate's marker on the current generation
+    marker = {"last_batch": 7, "lineage": "qid-abc"}
+    with open(
+        os.path.join(snap.current_generation(root), "_applied"), "w"
+    ) as f:
+        json.dump(marker, f)
+
+    rep = ingest.run_daily_ingest(spark, _docs(spark, [50]), root, RECIPE)
+    with open(os.path.join(rep["generation"], "_applied")) as f:
+        assert json.load(f) == marker

@@ -54,13 +54,12 @@ def _doc(i: int, tag: str) -> str:
     return f"{tag}{i} " + " ".join(f"{tag}{i}w{j}" for j in range(30))
 
 
-def synth(spark, ids, tag):
+def _embed(df):
+    """Deterministic per-id embedding — ONE derivation shared by the
+    seed, recrawl, and near-dup frames (a drifted copy would silently
+    measure mismatched vectors; r14 review finding)."""
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame(
-        [(i, _doc(i, tag), "web" if i % 5 else "books") for i in ids],
-        "doc_id long, text string, source string",
-    )
     return df.withColumn(
         "embedding",
         F.transform(
@@ -73,9 +72,14 @@ def synth(spark, ids, tag):
     )
 
 
-def main() -> None:
-    from pyspark.sql import functions as F
+def synth(spark, ids, tag):
+    return _embed(spark.createDataFrame(
+        [(i, _doc(i, tag), "web" if i % 5 else "books") for i in ids],
+        "doc_id long, text string, source string",
+    ))
 
+
+def main() -> None:
     from topn_clashroyal_etl_sql_snapshot_spark.plans import ingest
     from topn_clashroyal_etl_sql_snapshot_spark.session import get_spark
 
@@ -109,18 +113,9 @@ def main() -> None:
             (base + 900_000 + k, r["text"], r["source"])
             for k, r in enumerate(seed_rows[: int(DAY_N * 0.10)])
         ]
-        recrawls = spark.createDataFrame(
+        recrawls = _embed(spark.createDataFrame(
             rec_rows, "doc_id long, text string, source string"
-        ).withColumn(
-            "embedding",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(DIM - 1)),
-                lambda d: (
-                    F.xxhash64(F.col("doc_id"), d).cast("double")
-                    / F.lit(float(1 << 63))
-                ).cast("float"),
-            ),
-        )
+        ))
         # 5% same-id CHANGED-content recrawls of seed ids (the r14
         # by-id gate's kill path)
         id_rec = synth(
@@ -131,22 +126,13 @@ def main() -> None:
         nd_src = prior_admitted[: int(DAY_N * 0.10)]
         parts = [fresh, recrawls, id_rec]
         if nd_src:
-            nd = spark.createDataFrame(
+            nd = _embed(spark.createDataFrame(
                 [
                     (base + 950_000 + k, r["text"] + " crawl banner", r["source"])
                     for k, r in enumerate(nd_src)
                 ],
                 "doc_id long, text string, source string",
-            ).withColumn(
-                "embedding",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(DIM - 1)),
-                    lambda d: (
-                        F.xxhash64(F.col("doc_id"), d).cast("double")
-                        / F.lit(float(1 << 63))
-                    ).cast("float"),
-                ),
-            )
+            ))
             parts.append(nd)
         batch = parts[0]
         for p in parts[1:]:

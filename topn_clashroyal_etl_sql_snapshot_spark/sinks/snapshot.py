@@ -323,6 +323,29 @@ def _acquire_publish_lock(root: str, caller: str) -> str:
             pass
 
 
+def fsync_dir_tree(root_dir: str) -> None:
+    """fsync every file and directory under ``root_dir`` — the
+    durability walk the generation publish runs before its pointer
+    flip, exposed for writers whose durability is GATED by that flip
+    but whose files live OUTSIDE the generation directory (r14 review
+    finding: the streaming funnel gate's admitted-docs partition must
+    be durable before the ``_applied`` marker that suppresses its
+    replay is — otherwise power loss can durably record a batch as
+    applied while its output is lost)."""
+    for dirpath, _dirnames, filenames in os.walk(root_dir):
+        for fname in filenames:
+            fd = os.open(os.path.join(dirpath, fname), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        dfd = os.open(dirpath, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+
 def _gen_number(name: str) -> int | None:
     if not name.startswith(_GEN_PREFIX):
         return None
@@ -489,18 +512,7 @@ def _publish_generation_locked(
     # generation whose files were lost to power loss would break the
     # complete-old-or-complete-new guarantee (review finding). One
     # open+fsync per file — state publishes are file-count bounded.
-    for dirpath, _dirnames, filenames in os.walk(gen_dir):
-        for fname in filenames:
-            fd = os.open(os.path.join(dirpath, fname), os.O_RDONLY)
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
-        dfd = os.open(dirpath, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+    fsync_dir_tree(gen_dir)
     # Compare-and-swap: re-read the pointer and refuse to flip if it
     # no longer names the parent this publish staged against. Under
     # the lock this only fires on the documented escape hatches (a

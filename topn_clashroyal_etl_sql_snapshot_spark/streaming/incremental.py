@@ -681,9 +681,13 @@ def streaming_ingest_gate(
             return  # at-least-once replay of an applied batch
 
         def extra(gen: str, report: dict) -> None:
-            report["mixed"].write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"batch_id={batch_id}")
-            )
+            part = os.path.join(out_dir, f"batch_id={batch_id}")
+            report["mixed"].write.mode("overwrite").parquet(part)
+            # the out partition's durability is GATED by the _applied
+            # marker the publish fsyncs — fsync it too, or power loss
+            # could durably record the batch as applied while its
+            # output sits lost in the page cache (r14 review finding)
+            snap.fsync_dir_tree(part)
             with open(
                 os.path.join(gen, "_applied"), "w", encoding="utf-8"
             ) as f:
