@@ -1668,3 +1668,59 @@ def test_streaming_ingest_gate_cold_start_and_guards(spark, tmp_path):
     cur = snap.current_generation(root2)
     fp = spark.read.parquet(os.path.join(cur, "fingerprints"))
     assert fp.count() == 2
+
+def test_streaming_ingest_gate_with_gates_and_shards(spark, tmp_path):
+    """The gate passes the full run_daily_ingest signature through:
+    a stateless gates= transform (hygiene-style drop) runs before the
+    stateful funnel, and n_shards>0 writes the batch's admitted shard
+    set INSIDE the same generation (verified against its manifest)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from topn_clashroyal_etl_sql_snapshot_spark.plans import ingest
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import shards as shard_sink
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import snapshot as snap
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.incremental import (
+        streaming_ingest_gate,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    rows = [
+        (1, "short", "web"),  # gate-dropped (too short)
+        (2, "kept document " + " ".join(f"a{j}" for j in range(25)), "web"),
+        (3, "kept document " + " ".join(f"b{j}" for j in range(25)), "web"),
+    ]
+    with open(land / "b0.jsonl", "w") as f:
+        for doc_id, text, source in rows:
+            f.write(_json.dumps(
+                {"doc_id": doc_id, "text": text, "source": source}) + "\n")
+
+    schema = "doc_id long, text string, source string"
+    root = str(tmp_path / "state")
+    ingest.bootstrap_state(spark, spark.createDataFrame([], schema), root)
+
+    def hygiene(df):
+        return df.filter(F.length("text") > 20)
+
+    out = str(tmp_path / "out")
+    q = (
+        streaming_ingest_gate(
+            spark.readStream.schema(schema).json(str(land)),
+            root, out, {"web": 1.0}, gates=hygiene, n_shards=2,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [2, 3]  # 1 died at the stateless gate
+    gen = snap.current_generation(root)
+    # the shard set committed INSIDE the generation and verifies
+    ver = shard_sink.verify_shards(spark, os.path.join(gen, "shards"))
+    assert all(r["ok"] for r in ver.collect())
+    # gate-dropped docs are NOT indexed (stateless gates re-fail free)
+    fp = spark.read.parquet(os.path.join(gen, "fingerprints"))
+    assert fp.count() == 2
