@@ -702,3 +702,34 @@ def test_applied_marker_carries_through_manual_batch_days(spark, tmp_path):
     rep = ingest.run_daily_ingest(spark, _docs(spark, [50]), root, RECIPE)
     with open(os.path.join(rep["generation"], "_applied")) as f:
         assert json.load(f) == marker
+
+def test_applied_marker_carries_even_with_custom_extra_state(
+    spark, tmp_path
+):
+    """r14 second review pass: the marker carry is UNCONDITIONAL — a
+    manual day with a user extra_state hook (audit write, etc.) must
+    not erase the streaming gate's replay protection either. A hook
+    that writes its own marker (the gate) still wins: it runs after
+    the carry."""
+    import json
+
+    root = str(tmp_path / "state")
+    ingest.bootstrap_state(spark, _docs(spark, range(1, 11)), root)
+    marker = {"last_batch": 3, "lineage": "qid-z"}
+    with open(
+        os.path.join(snap.current_generation(root), snap.APPLIED_MARKER),
+        "w",
+    ) as f:
+        json.dump(marker, f)
+
+    seen = {}
+
+    def audit(gen, report):
+        seen["admitted"] = report["n_admitted"]
+
+    rep = ingest.run_daily_ingest(
+        spark, _docs(spark, [60]), root, RECIPE, extra_state=audit
+    )
+    assert seen == {"admitted": 1}
+    with open(os.path.join(rep["generation"], snap.APPLIED_MARKER)) as f:
+        assert json.load(f) == marker

@@ -619,6 +619,23 @@ def run_daily_ingest(
                 n_shards=n_shards,
                 weight_col=shard_weight_col,
             )
+        # carry the streaming gate's applied-batch marker through
+        # batch days UNCONDITIONALLY (r14 review findings, both
+        # passes): a generation published without it would erase the
+        # gate's replay protection — a crash-redelivered stream batch
+        # would then reprocess against states that already contain
+        # its docs and overwrite its committed out partition with an
+        # empty frame. The marker records the last APPLIED stream
+        # batch, which a batch day does not change — so it carries
+        # over; a gate's own extra_state hook overwrites it below
+        # with the batch it is applying.
+        prev_marker = os.path.join(prev, snap.APPLIED_MARKER)
+        if os.path.exists(prev_marker):
+            import shutil as _shutil
+
+            _shutil.copyfile(
+                prev_marker, os.path.join(gen, snap.APPLIED_MARKER)
+            )
         if extra_state is not None:
             # sequenced BEFORE the pointer flip: the streaming funnel
             # gate writes its applied-batch marker (inside gen — moves
@@ -626,22 +643,6 @@ def run_daily_ingest(
             # partition here, so a crash anywhere before the flip
             # re-delivers the batch, which recomputes identically (r14)
             extra_state(gen, report)
-        else:
-            # carry the streaming gate's applied-batch marker through
-            # MANUAL batch days (r14 review finding): a generation
-            # published without it would erase the gate's replay
-            # protection — a crash-redelivered stream batch would then
-            # reprocess against states that already contain its docs
-            # and overwrite its committed out partition with an empty
-            # frame. The marker records the last APPLIED stream batch,
-            # which a batch day does not change — so it carries over.
-            prev_marker = os.path.join(prev, "_applied")
-            if os.path.exists(prev_marker):
-                import shutil as _shutil
-
-                _shutil.copyfile(
-                    prev_marker, os.path.join(gen, "_applied")
-                )
 
     # expected_parent=prev: the whole day computed against prev's
     # states and hardlinked prev's part files — if another writer

@@ -222,6 +222,13 @@ _GEN_PREFIX = "gen-"
 _CURRENT_FILE = "_CURRENT"
 _LOCK_FILE = "_LOCK"
 
+# The streaming gates' applied-batch marker, written INSIDE a
+# generation so it moves atomically with the states it describes.
+# Shared constant (r14 review finding): plans/ingest.py carries it
+# through manual batch days and streaming/incremental.py writes and
+# guards on it — a drifted literal would silently stop the carry.
+APPLIED_MARKER = "_applied"
+
 
 class ConcurrentPublishError(RuntimeError):
     """A second writer attempted to publish into a generation root

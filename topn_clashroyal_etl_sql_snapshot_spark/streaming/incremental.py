@@ -454,7 +454,7 @@ def streaming_semantic_gate(
         lineage = _query_lineage(spark, state_dir)
         cur = snap.current_generation(state_dir)
         if cur is not None and _replay_guard(
-            os.path.join(cur, "_applied"),
+            os.path.join(cur, snap.APPLIED_MARKER),
             batch_id,
             lineage,
             "streaming_semantic_gate",
@@ -570,7 +570,8 @@ def streaming_semantic_gate(
                 os.path.join(gen, "sketches"), planes, rotations
             )
             with open(
-                os.path.join(gen, "_applied"), "w", encoding="utf-8"
+                os.path.join(gen, snap.APPLIED_MARKER), "w",
+                encoding="utf-8",
             ) as f:
                 json.dump({"last_batch": batch_id, "lineage": lineage}, f)
 
@@ -673,7 +674,7 @@ def streaming_ingest_gate(
                 "first (an empty seed corpus bootstraps a cold start)"
             )
         if _replay_guard(
-            os.path.join(cur, "_applied"),
+            os.path.join(cur, snap.APPLIED_MARKER),
             batch_id,
             lineage,
             "streaming_ingest_gate",
@@ -686,10 +687,22 @@ def streaming_ingest_gate(
             # the out partition's durability is GATED by the _applied
             # marker the publish fsyncs — fsync it too, or power loss
             # could durably record the batch as applied while its
-            # output sits lost in the page cache (r14 review finding)
+            # output sits lost in the page cache (r14 review finding).
+            # The walk covers part and below; the DIRENTS for part and
+            # out_dir live in their parents, so fsync those two as
+            # well (second-pass finding: overwrite recreates the
+            # batch_id=N entry every batch, and out_dir itself is
+            # created by the first batch)
             snap.fsync_dir_tree(part)
+            for d in (out_dir, os.path.dirname(out_dir.rstrip("/"))):
+                fd = os.open(d, os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
             with open(
-                os.path.join(gen, "_applied"), "w", encoding="utf-8"
+                os.path.join(gen, snap.APPLIED_MARKER), "w",
+                encoding="utf-8",
             ) as f:
                 json.dump({"last_batch": batch_id, "lineage": lineage}, f)
 
