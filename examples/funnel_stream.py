@@ -70,7 +70,10 @@ def run(spark, sf_dir: str, work_root: str | None = None) -> dict:
     state_root = os.path.join(work_root, "state")
     out_dir = os.path.join(work_root, "admitted")
     landing = os.path.join(work_root, "landing")
-    os.makedirs(landing)
+    # exist_ok: a re-run with an explicit work_root should reach the
+    # engine's own loud refusal (bootstrap on a rooted generation),
+    # not die at a directory crumb (r14 review)
+    os.makedirs(landing, exist_ok=True)
 
     # 1. seed corpus: the testdata documents table + derived embeddings
     seed = _with_embedding(

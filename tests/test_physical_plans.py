@@ -299,3 +299,18 @@ def test_per_group_quantile_cap_single_exchange_no_python(spark):
     shuffles = re.findall(r"[+:]- Exchange", plan)
     assert len(shuffles) == 1, f"expected 1 shuffle in quantile cap:\n{plan}"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r14_registered_row_plan_pins(spark):
+    """Registered-query-level plan audit for the r14 row
+    (embedding_neardup_incremental at its permissive driver
+    configuration): no cartesian, no Python eval nodes — the candidate
+    join shuffles on (rot, bucket) keys and verification is two
+    id-keyed joins, never an all-pairs plan."""
+    from topn_clashroyal_etl_sql_snapshot_spark.plans import llm_queries as q
+
+    plan = _plan(q.embedding_neardup_incremental(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

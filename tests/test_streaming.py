@@ -1383,6 +1383,11 @@ def test_corrupt_markers_raise_contextual_errors(tmp_path):
     marker.write_text('{"batch": 3}')
     with _pytest.raises(ValueError, match="unparseable content"):
         _replay_guard(str(marker), 1, "qid", "test_gate")
+    # well-formed JSON with a non-numeric value (null) — must be the
+    # contextual error, not a bare TypeError at the comparison
+    marker.write_text('{"last_batch": null}')
+    with _pytest.raises(ValueError, match="unparseable content"):
+        _replay_guard(str(marker), 1, "qid", "test_gate")
 
     # truncated layout marker
     sk = tmp_path / "sketches"

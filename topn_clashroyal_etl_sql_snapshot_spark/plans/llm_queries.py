@@ -1597,8 +1597,15 @@ def _neardup_incr_oracle_sql(
     from .xxh64_sql import spark_xxhash64_int2
 
     total = planes * rotations
+    # scientific notation, NOT repr (r14 third review pass, verified
+    # empirically): DuckDB types a plain decimal literal like
+    # 0.4278592836270982 as DECIMAL(17,16), whose cast to DOUBLE is 1
+    # ulp off Spark's double for 223/1024 coefficients — green only
+    # while no drifted (id, q) partial sum crosses zero. An
+    # exponent-form literal parses as DOUBLE directly, and 17
+    # significant digits round-trip every double exactly.
     coef_rows = ",".join(
-        f"({q},{d},{float(spark_xxhash64_int2(q, d)) / float(1 << 63)!r})"
+        f"({q},{d},{float(spark_xxhash64_int2(q, d)) / float(1 << 63):.17e})"
         for q in range(total)
         for d in range(dims)
     )

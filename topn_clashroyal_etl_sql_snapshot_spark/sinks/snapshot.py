@@ -330,6 +330,19 @@ def _acquire_publish_lock(root: str, caller: str) -> str:
             pass
 
 
+def fsync_path(path: str) -> None:
+    """fsync one file or directory by path — the shared primitive for
+    every durability site (the generation walk, the funnel gate's
+    out-dirent syncs), so a future durability fix lands in ONE place
+    (r14 review finding: the fd-fsync idiom had grown three inline
+    copies)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def fsync_dir_tree(root_dir: str) -> None:
     """fsync every file and directory under ``root_dir`` — the
     durability walk the generation publish runs before its pointer
@@ -338,19 +351,12 @@ def fsync_dir_tree(root_dir: str) -> None:
     finding: the streaming funnel gate's admitted-docs partition must
     be durable before the ``_applied`` marker that suppresses its
     replay is — otherwise power loss can durably record a batch as
-    applied while its output is lost)."""
+    applied while its output is lost). Covers ``root_dir`` itself and
+    below; the caller owns the dirent in root_dir's PARENT."""
     for dirpath, _dirnames, filenames in os.walk(root_dir):
         for fname in filenames:
-            fd = os.open(os.path.join(dirpath, fname), os.O_RDONLY)
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
-        dfd = os.open(dirpath, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+            fsync_path(os.path.join(dirpath, fname))
+        fsync_path(dirpath)
 
 
 def _gen_number(name: str) -> int | None:

@@ -224,7 +224,11 @@ def _replay_guard(
     try:
         rec = json.loads(raw)
         if isinstance(rec, dict):
-            last, was = rec["last_batch"], rec.get("lineage")
+            # int() normalization: a non-numeric last_batch (null, a
+            # string) must fail HERE into the contextual error, not as
+            # a bare TypeError at the comparison below (r14 third
+            # review pass). bools are ints; fine either way.
+            last, was = int(rec["last_batch"]), rec.get("lineage")
         else:  # pre-r13 marker: bare int, no lineage
             last, was = int(rec), None
     except (KeyError, TypeError, ValueError) as exc:
@@ -694,12 +698,12 @@ def streaming_ingest_gate(
             # batch_id=N entry every batch, and out_dir itself is
             # created by the first batch)
             snap.fsync_dir_tree(part)
-            for d in (out_dir, os.path.dirname(out_dir.rstrip("/"))):
-                fd = os.open(d, os.O_RDONLY)
-                try:
-                    os.fsync(fd)
-                finally:
-                    os.close(fd)
+            # abspath first: a relative single-segment out_dir would
+            # make dirname() return '' and crash the generation writer
+            # (r14 third review pass)
+            out_abs = os.path.abspath(out_dir)
+            snap.fsync_path(out_abs)
+            snap.fsync_path(os.path.dirname(out_abs))
             with open(
                 os.path.join(gen, snap.APPLIED_MARKER), "w",
                 encoding="utf-8",
