@@ -212,9 +212,17 @@ def atomic_dir_publish(
             # complete snapshot — restore it to serving first
             os.rename(old, base)
     write_fn(staging)
+    # durability before the swap (r14, extending the generation
+    # publish's discipline to the dir-swap form): Spark writes land in
+    # the page cache, and a power loss after the renames' dirents
+    # flush but before the data does would serve a truncated snapshot
+    # as current — fsync the staged tree first, then the parent dirent
+    # after the swap so the renames themselves survive.
+    fsync_dir_tree(staging)
     if os.path.exists(base):
         os.rename(base, old)
     os.rename(staging, base)
+    fsync_path(os.path.dirname(os.path.abspath(base)))
     shutil.rmtree(old, ignore_errors=True)
 
 

@@ -254,6 +254,22 @@ def _replay_guard(
     return True
 
 
+def _fsync_out_partition(part: str) -> None:
+    """Make a gate's admitted-docs partition durable — contents, the
+    partition's own dirent, and its parents' — BEFORE the marker that
+    suppresses the batch's replay becomes durable (r14: power loss
+    must never record a batch as applied while its output sits in the
+    page cache). One helper for all three gates."""
+    import os
+
+    from ..sinks import snapshot as snap
+
+    snap.fsync_dir_tree(part)
+    out_abs = os.path.dirname(os.path.abspath(part))
+    snap.fsync_path(out_abs)
+    snap.fsync_path(os.path.dirname(out_abs))
+
+
 def streaming_mixture_gate(
     docs_stream: DataFrame,
     state_dir: str,
@@ -354,9 +370,13 @@ def streaming_mixture_gate(
         kept, updated = sampling.mixture_sample_incremental(
             batch_df, ledger, group_col, target_shares, key, weight_col
         )
-        kept.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
+        part = os.path.join(out_dir, f"batch_id={batch_id}")
+        kept.write.mode("overwrite").parquet(part)
+        # durable BEFORE the marker that suppresses this batch's
+        # replay becomes durable (r14, the funnel gate's discipline
+        # applied here too): power loss must never record the batch
+        # as applied while its admitted output sits in the page cache
+        _fsync_out_partition(part)
         rows, schema = updated.collect(), updated.schema
 
         def _stage(staging: str) -> None:
@@ -546,9 +566,10 @@ def streaming_semantic_gate(
             "left_anti",
         ).localCheckpoint(eager=True)
 
-        admitted.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
+        part = os.path.join(out_dir, f"batch_id={batch_id}")
+        admitted.write.mode("overwrite").parquet(part)
+        # durable before the _applied marker is (r14 discipline)
+        _fsync_out_partition(part)
         adm_ids = admitted.select(F.col(id_col).alias("id"))
         new_sk = batch_sk.join(adm_ids, "id", "left_semi")
         new_vec = admitted.select(id_col, vec_col)
@@ -689,21 +710,12 @@ def streaming_ingest_gate(
             part = os.path.join(out_dir, f"batch_id={batch_id}")
             report["mixed"].write.mode("overwrite").parquet(part)
             # the out partition's durability is GATED by the _applied
-            # marker the publish fsyncs — fsync it too, or power loss
-            # could durably record the batch as applied while its
-            # output sits lost in the page cache (r14 review finding).
-            # The walk covers part and below; the DIRENTS for part and
-            # out_dir live in their parents, so fsync those two as
-            # well (second-pass finding: overwrite recreates the
-            # batch_id=N entry every batch, and out_dir itself is
-            # created by the first batch)
-            snap.fsync_dir_tree(part)
-            # abspath first: a relative single-segment out_dir would
-            # make dirname() return '' and crash the generation writer
-            # (r14 third review pass)
-            out_abs = os.path.abspath(out_dir)
-            snap.fsync_path(out_abs)
-            snap.fsync_path(os.path.dirname(out_abs))
+            # marker the publish fsyncs — make it durable first, or
+            # power loss could record the batch as applied while its
+            # output sits lost in the page cache (r14 review finding;
+            # shared helper covers contents + the partition/out_dir
+            # dirents, abspath-safe)
+            _fsync_out_partition(part)
             with open(
                 os.path.join(gen, snap.APPLIED_MARKER), "w",
                 encoding="utf-8",
