@@ -1729,3 +1729,32 @@ def test_streaming_ingest_gate_with_gates_and_shards(spark, tmp_path):
     # gate-dropped docs are NOT indexed (stateless gates re-fail free)
     fp = spark.read.parquet(os.path.join(gen, "fingerprints"))
     assert fp.count() == 2
+
+def test_gates_refuse_non_local_out_dir(spark, tmp_path):
+    """r14 fourth review pass: the gates fsync their admitted out
+    partitions, which needs os-level access — a non-local out_dir is
+    refused LOUDLY at gate construction instead of crashing every
+    micro-batch with a mangled-path traceback."""
+    import pytest as _pytest
+
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.incremental import (
+        streaming_ingest_gate,
+        streaming_mixture_gate,
+        streaming_semantic_gate,
+    )
+
+    stream = spark.readStream.schema("doc_id long, source string").json(
+        str(tmp_path)
+    )
+    with _pytest.raises(ValueError, match="not a local path"):
+        streaming_mixture_gate(
+            stream, str(tmp_path / "s"), "hdfs://nn/out", "source", {"w": 1.0}
+        )
+    with _pytest.raises(ValueError, match="not a local path"):
+        streaming_semantic_gate(
+            stream, str(tmp_path / "s2"), "s3://bucket/out"
+        )
+    with _pytest.raises(ValueError, match="not a local path"):
+        streaming_ingest_gate(
+            stream, str(tmp_path / "s3"), "file://x/out", {"w": 1.0}
+        )

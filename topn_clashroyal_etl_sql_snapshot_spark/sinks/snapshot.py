@@ -217,7 +217,12 @@ def atomic_dir_publish(
     # the page cache, and a power loss after the renames' dirents
     # flush but before the data does would serve a truncated snapshot
     # as current — fsync the staged tree first, then the parent dirent
-    # after the swap so the renames themselves survive.
+    # after the swap so the renames themselves survive. Cost: one
+    # open+fsync per staged file, once per publish — bounded for
+    # state/ledger publishes; a full-warehouse snapshot pays it too
+    # (the price of complete-old-or-complete-new being a DURABILITY
+    # guarantee, not just a crash-ordering one); truly huge local
+    # warehouses can batch via syncfs at the platform layer.
     fsync_dir_tree(staging)
     if os.path.exists(base):
         os.rename(base, old)
@@ -560,11 +565,7 @@ def _publish_generation_locked(
     # fsync the DIRECTORY so the rename itself survives power loss —
     # the tmp file's content was fsynced above, but the directory
     # entry swap is a separate durability unit on POSIX
-    dirfd = os.open(root, os.O_RDONLY)
-    try:
-        os.fsync(dirfd)
-    finally:
-        os.close(dirfd)
+    fsync_path(root)
     for n, name in gens:
         if n <= cur_n - keep:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)

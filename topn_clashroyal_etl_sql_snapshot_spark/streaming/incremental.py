@@ -254,12 +254,31 @@ def _replay_guard(
     return True
 
 
+def _check_local_out_dir(out_dir: str, gate: str) -> None:
+    """The gates' replay markers gate the durability of their admitted
+    out partitions through os-level fsync, which cannot reach a
+    non-local/URI path — refuse LOUDLY at gate construction (the same
+    posture as the publish paths' non-local checks) instead of
+    crashing every micro-batch with a mangled-path traceback (r14
+    review finding: Spark happily writes hdfs://... but the fsync walk
+    silently no-ops and the dirent sync raises)."""
+    if "://" in out_dir:
+        raise ValueError(
+            f"{gate}: out_dir {out_dir!r} is not a local path — the "
+            "gate fsyncs the admitted partition before its replay "
+            "marker (exactly-once durability), which needs os-level "
+            "access; write to a local directory, or relay to object "
+            "storage downstream of the gate"
+        )
+
+
 def _fsync_out_partition(part: str) -> None:
     """Make a gate's admitted-docs partition durable — contents, the
     partition's own dirent, and its parents' — BEFORE the marker that
     suppresses the batch's replay becomes durable (r14: power loss
     must never record a batch as applied while its output sits in the
-    page cache). One helper for all three gates."""
+    page cache). One helper for all three gates; local paths only
+    (enforced at gate construction by :func:`_check_local_out_dir`)."""
     import os
 
     from ..sinks import snapshot as snap
@@ -335,6 +354,7 @@ def streaming_mixture_gate(
     import json
     import os
 
+    _check_local_out_dir(out_dir, "streaming_mixture_gate")
     marker = "_last_batch"
 
     def _lineage(spark) -> str | None:
@@ -461,6 +481,8 @@ def streaming_semantic_gate(
     ``state_dir/_checkpoint``); the caller picks the trigger."""
     import json
     import os
+
+    _check_local_out_dir(out_dir, "streaming_semantic_gate")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators import dedup, similarity
@@ -679,6 +701,8 @@ def streaming_ingest_gate(
     ``state_root/_checkpoint``); the caller picks the trigger."""
     import json
     import os
+
+    _check_local_out_dir(out_dir, "streaming_ingest_gate")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from ..plans import ingest
