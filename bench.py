@@ -150,6 +150,24 @@ def main() -> None:
         # r10: new broadcast-scoring decontam entry read 2.7 s
         # single-shot at registration — medians from day one
         "docs_semantic_decontam": 3,
+        # r15 (r14 verdict next #3): the r14 driver artifact recorded
+        # phantom 1.6-2.4x regressions on code-untouched rows under
+        # box load — every entry whose recorded r11-r14 cross-round
+        # spread exceeded 1.5x moves to median-of-3 so driver
+        # artifacts self-stabilize (spreads annotated at entry):
+        "cube_returnflag_status": 3,        # 2.37x
+        "docs_term_quality": 3,             # 1.70x
+        "docs_with_split": 3,               # 1.66x
+        "docs_dedup_lines": 3,              # 1.65x
+        "q5_region_order_volume": 3,        # 1.61x
+        "events_asof_join": 3,              # 1.60x
+        "docs_gopher_gates": 3,             # 1.60x
+        "embedding_centroid_gate": 3,       # 1.58x
+        "embedding_ann_topk": 3,            # 1.58x
+        "dedup_components_incremental": 3,  # 1.56x
+        "docs_split_by_component": 3,       # 1.55x
+        "dedup_exact_incremental_gate": 3,  # 1.52x
+        "docs_dsir_weights": 3,             # 1.51x
     }
 
     # Box-drift hardening (r12, verdict #6): SPARK_GRAFT_BENCH_MIN_OF=k

@@ -1400,6 +1400,82 @@ def test_corrupt_markers_raise_contextual_errors(tmp_path):
     with _pytest.raises(ValueError, match="does not hold"):
         check_sketch_layout(str(sk), 8, 2)
 
+def test_empty_batch_still_recovers_and_guards_lineage(spark, tmp_path):
+    """r15 advisor finding: the gates' empty-batch early return ran
+    BEFORE the parked-dir recovery and the replay/lineage guard — a
+    crash between the mixture publish's two renames left the ledger
+    parked (readers failing) across any run of empty batches, and a
+    reset-checkpoint lineage mismatch surfaced only at the first
+    non-empty batch. The shared scaffold now orders recovery + guard
+    first; empty batches skip only after both."""
+    import json as _json
+    import os
+
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming.incremental import (
+        streaming_mixture_gate,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    with open(land / "b0.jsonl", "w") as f:
+        for i in range(4):
+            f.write(_json.dumps({"doc_id": i, "source": "web"}) + "\n")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    schema = "doc_id long, source string"
+    q = (
+        streaming_mixture_gate(
+            spark.readStream.schema(schema).json(str(land)),
+            state, out, "source", {"web": 1.0},
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    ledger = os.path.join(state, "ledger")
+    assert os.path.exists(ledger)
+
+    # crash between the publish's two renames: ledger parked at __old
+    os.rename(ledger, ledger + "__old")
+    # the next trigger delivers ONLY an empty batch — recovery must
+    # run anyway (the r14 order skipped it and left readers failing)
+    (land / "b1.jsonl").write_text("")
+    q2 = (
+        streaming_mixture_gate(
+            spark.readStream.schema(schema).json(str(land)),
+            state, out, "source", {"web": 1.0},
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(240)
+    assert os.path.exists(ledger), "empty batch must restore the parked ledger"
+    assert not os.path.exists(ledger + "__old")
+
+    # reset-checkpoint lineage mismatch now raises at the FIRST batch
+    # EVEN WHEN IT IS EMPTY: fresh checkpoint (batch ids restart at 0)
+    # against the live ledger whose marker records a prior lineage —
+    # only empty files remain in landing, so the r14 order would have
+    # returned silently and deferred detection indefinitely
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(state, "_checkpoint"))
+    os.remove(land / "b0.jsonl")
+    (land / "b2.jsonl").write_text("")
+    q3 = (
+        streaming_mixture_gate(
+            spark.readStream.schema(schema).json(str(land)),
+            state, out, "source", {"web": 1.0},
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="checkpoint was reset"):
+        q3.awaitTermination(240)
+
+
 def _funnel_vec(seed, like=None):
     import random as _r
 

@@ -7,9 +7,11 @@ Usage:
     python tools/check_correctness.py [query_name ...]   # default: all
     python tools/check_correctness.py --help             # list entries
 
-Exit codes: 0 all green; 1 at least one red row (rows/schema/hash
-mismatch or query error); 2 usage error (unknown entry name / --help)
-— misuse is never reported as a correctness failure.
+Exit codes: 0 all green (or an explicitly requested -h/--help screen
+— the near-universal CLI convention, r15 advisor note); 1 at least
+one red row (rows/schema/hash mismatch or query error); 2 usage error
+(unknown entry name) — misuse is never reported as a correctness
+failure.
 """
 
 from __future__ import annotations
@@ -69,14 +71,16 @@ def main() -> int:
     oracles = entry.oracle_sql()
     args = sys.argv[1:]
     # Misuse is NOT a hash failure (r13 verdict, what's-wrong #2): an
-    # unknown entry name or --help exits 2 with usage text, before any
-    # Spark startup — a red correctness row always exits 1.
+    # unknown entry name exits 2 with usage text, before any Spark
+    # startup — a red correctness row always exits 1. An explicitly
+    # REQUESTED help screen exits 0 (r15 advisor finding: wrappers
+    # that check the return code must not report help as a failure).
     if any(a in ("-h", "--help") for a in args):
         print(__doc__.strip())
         print(f"\nRegistered entries ({len(qs)}):")
         for n in sorted(qs):
             print(f"  {n}")
-        return 2
+        return 0
     unknown = [a for a in args if a not in qs]
     if unknown:
         print(

@@ -40,7 +40,7 @@ candidates quadratically while carrying no dedup signal.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
@@ -2132,9 +2132,9 @@ def connected_components(
     key-partitioned join + one aggregate (plus the jump join once
     engaged), labels are eagerly checkpointed so round N+1's plan
     doesn't re-derive rounds 1..N. The convergence test is folded into
-    the label rows themselves (a ``chg`` flag summed off the freshly
-    checkpointed in-memory block) — no extra join-and-count job per
-    round. Labels only ever decrease, and the jump target is itself a
+    the checkpoint job ITSELF (a ``chg`` flag summed as a
+    ``df.observe`` metric, collected when the eager checkpoint's job
+    completes) — zero extra jobs per round. Labels only ever decrease, and the jump target is itself a
     node's label, so the fixpoint is identical to plain propagation:
     every node carries its component's minimum id. Returns
     (id, component).
@@ -2187,6 +2187,11 @@ def connected_components(
         else:
             new_comp = hooked
             stepped = labels.join(nbr, "id", "left")
+        # The convergence sum rides the checkpoint's OWN job as an
+        # observed metric (r15: eager localCheckpoint fires df.observe)
+        # — zero extra jobs per round where the r14 form paid a
+        # separate scan-and-collect per round.
+        chg_obs = Observation()
         new_labels = (
             stepped.select(
                 "id",
@@ -2194,11 +2199,10 @@ def connected_components(
                 (new_comp != F.col("comp")).cast("long").alias("chg"),
             )
             .withColumnRenamed("new_comp", "comp")
+            .observe(chg_obs, F.sum("chg").alias("chg"))
             .localCheckpoint(eager=True)
         )
-        # The checkpoint just materialized these rows in block storage;
-        # summing chg off them is a cheap scan, not a re-join.
-        changed = new_labels.agg(F.sum("chg")).collect()[0][0] or 0
+        changed = chg_obs.get["chg"] or 0
         labels = new_labels.drop("chg")
         if changed == 0:
             break

@@ -47,7 +47,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable, Mapping
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
@@ -239,7 +239,13 @@ def run_daily_ingest(
        id already exists in the corpus vector state is a recrawl with
        CHANGED content — admitting it would append a duplicate-id row
        to the id-keyed semantic states, so it drops by id before any
-       probe (``id_recrawl_dropped`` in the report);
+       probe (``id_recrawl_dropped`` in the report). This means corpus
+       content for an existing id can never be UPDATED through the
+       loop (r15, advisor note): a caller that needs refresh semantics
+       re-ids the changed document (mint a new doc_id — the old
+       content stays canonical and the new version competes through
+       the normal gates) or rebuilds the state set from the corrected
+       corpus via :func:`bootstrap_state` into a fresh root;
     2. near-dup pairs vs the persisted MinHash index (batch texts
        touched once) — and, on ``vec_col`` runs, SEMANTIC near-dup
        pairs vs the persisted sketch index
@@ -330,11 +336,33 @@ def run_daily_ingest(
             semantic_planes,
             semantic_rotations,
         )
-    n_in = batch.count()
-    n_gated = n_in
+    # ---- Counter fusion (r15, the r14 verdict's headline ask): every
+    # report counter rides an eager checkpoint's OWN job as a
+    # ``df.observe`` metric instead of a separate count() barrier, and
+    # checkpoints whose frames have a single pre-publish consumer (or
+    # whose first consumer is a day() write) are LAZY — materialized by
+    # that consumer's job, lineage truncated at the same point. The r14
+    # form ran ~13 eager checkpoints + ~6 count barriers per day; the
+    # day's fixed orchestration floor was job-count-dominated
+    # (SCALE.md r14 curve). Observe nodes are placed only on LINEAR
+    # plan segments (directly under the checkpoint) — an observe below
+    # a fan-out would be duplicated into every branch and double-count.
+    obs_in = Observation()
+    batch = batch.observe(
+        obs_in, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    n_in = n_gated = int(obs_in.get["n"])
     if gates is not None:
-        batch = gates(batch).localCheckpoint(eager=True)
-        n_gated = batch.count()
+        # gates is an arbitrary caller transform (it may fan out its
+        # input internally), so it runs on the ALREADY-materialized
+        # batch and gets its own fused counter checkpoint
+        obs_gated = Observation()
+        batch = (
+            gates(batch)
+            .observe(obs_gated, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_gated = int(obs_gated.get["n"])
 
     # the gate's own updated index/bitmap cover EVERY exact-gate
     # survivor — the committed state deltas are rebuilt below from the
@@ -343,11 +371,8 @@ def run_daily_ingest(
     surv, _, _ = dedup.dedup_exact_incremental_bloom(
         batch, st["fingerprints"], st["bloom"], text_col=text_col
     )
-    surv = surv.localCheckpoint(eager=True)
-    n_exact_surv = surv.count()
-    n_surv = n_exact_surv
-
-    n_recrawl = 0
+    obs_exact = Observation()
+    surv = surv.observe(obs_exact, F.count(F.lit(1)).alias("n"))
     if vec_col is not None:
         # id-recrawl gate (r14 advisor finding, mirroring the streaming
         # semantic gate): a recrawl with the SAME doc_id but changed
@@ -359,19 +384,55 @@ def run_daily_ingest(
         # id BEFORE any probe (the minhash-only loop keeps the
         # documented id-namespace caller contract — it persists no
         # id-keyed verification state for a duplicate to corrupt).
+        # Fused into the same checkpoint job as the exact gate (r15):
+        # obs_exact counts rows BELOW the anti-join, obs_recrawl above.
+        obs_recrawl = Observation()
         surv = surv.join(
             st["vectors"].select(id_col), id_col, "left_anti"
-        ).localCheckpoint(eager=True)
-        n_after = surv.count()
-        n_recrawl = n_surv - n_after
-        n_surv = n_after
+        ).observe(obs_recrawl, F.count(F.lit(1)).alias("n"))
+    surv = surv.localCheckpoint(eager=True)
+    n_exact_surv = int(obs_exact.get["n"])
+    n_surv = n_exact_surv
+    n_recrawl = 0
+    if vec_col is not None:
+        n_surv = int(obs_recrawl.get["n"])
+        n_recrawl = n_exact_surv - n_surv
 
     # ONE signing pass for the day (r13, the semantic-leg fix applied
     # to the minhash leg too): the probe consumes it here and the
-    # committed state delta filters it below
-    surv_sigs = dedup.minhash_signatures(
-        surv, text_col, id_col
-    ).localCheckpoint(eager=True)
+    # committed state delta filters it below. LAZY checkpoint (r15):
+    # the pairs checkpoint's job is its first consumer and materializes
+    # it; the day() state-delta semi-join then reuses the stored blocks.
+    # The two lazy-checkpoint calls compile their (wide — k aggregates
+    # / planes×dims sums) physical plans on the DRIVER; they are
+    # independent, so on vec_col runs they compile CONCURRENTLY (r15:
+    # the profile attributed ~1 s/day to these two calls alone).
+    def _sign():
+        return dedup.minhash_signatures(
+            surv, text_col, id_col
+        ).localCheckpoint(eager=False)
+
+    surv_sketches = None
+    if vec_col is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..operators import similarity
+
+        # ONE sketch pass for the day: the probe consumes it here and
+        # the committed state delta filters it below (r13 review
+        # finding — recomputing sketches for to_index paid the
+        # expensive dims×planes aggregation twice per day). Lazy (r15):
+        # the semantic probe's first job materializes it.
+        def _sketch():
+            return similarity.hyperplane_sketches(
+                surv, semantic_planes, semantic_rotations, id_col, vec_col
+            ).localCheckpoint(eager=False)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            sig_f, sk_f = pool.submit(_sign), pool.submit(_sketch)
+            surv_sigs, surv_sketches = sig_f.result(), sk_f.result()
+    else:
+        surv_sigs = _sign()
     pairs, _ = dedup.minhash_lsh_incremental(
         surv,
         st["minhash"],
@@ -380,17 +441,7 @@ def run_daily_ingest(
         threshold=threshold,
         new_sigs=surv_sigs,
     )
-    surv_sketches = None
     if vec_col is not None:
-        from ..operators import similarity
-
-        # ONE sketch pass for the day: the probe consumes it here and
-        # the committed state delta filters it below (r13 review
-        # finding — recomputing sketches for to_index paid the
-        # expensive dims×planes aggregation twice per day)
-        surv_sketches = similarity.hyperplane_sketches(
-            surv, semantic_planes, semantic_rotations, id_col, vec_col
-        ).localCheckpoint(eager=True)
         # embedding near-dups vs the persisted sketch index — same
         # orientation contract as the MinHash leg (id1 = new doc on
         # cross pairs, id1 < id2 within batch), so the union feeds the
@@ -414,7 +465,11 @@ def run_daily_ingest(
             .unionByName(sem_pairs.select("id1", "id2"))
             .distinct()
         )
-    pairs = pairs.localCheckpoint(eager=True)
+    # lazy (r15): no counter rides this frame, and the admission CC's
+    # first round is its immediate next consumer — that job
+    # materializes the probe pipeline once; pairs_committed and the
+    # report then read the stored blocks
+    pairs = pairs.localCheckpoint(eager=False)
 
     # Admission — the shared corpus-canonical policy (r13: one
     # implementation for the loop and the streaming gate): index-side
@@ -431,12 +486,17 @@ def run_daily_ingest(
             else quality.select(F.col(id_col).alias("id"), "score")
         ),
     )
-    admitted = surv.join(
-        keep.filter(~F.col("keep")).select(F.col("id").alias(id_col)),
-        id_col,
-        "left_anti",
-    ).localCheckpoint(eager=True)
-    n_admitted = admitted.count()
+    obs_adm = Observation()
+    admitted = (
+        surv.join(
+            keep.filter(~F.col("keep")).select(F.col("id").alias(id_col)),
+            id_col,
+            "left_anti",
+        )
+        .observe(obs_adm, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_admitted = int(obs_adm.get["n"])
 
     mixed, ledger1 = sampling.mixture_sample_incremental(
         admitted,
@@ -446,9 +506,16 @@ def run_daily_ingest(
         key=id_col,
         weight_col=mixture_weight_col,
     )
-    mixed = mixed.localCheckpoint(eager=True)
-    ledger1 = ledger1.localCheckpoint(eager=True)
-    n_mixed = mixed.count()
+    obs_mix = Observation()
+    mixed = (
+        mixed.observe(obs_mix, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    # lazy: day()'s ledger write is the first action and materializes
+    # it (the frame is a label-set-bounded aggregate — cheap to build,
+    # but it must detach from prev's parquet before prev is prunable)
+    ledger1 = ledger1.localCheckpoint(eager=False)
+    n_mixed = int(obs_mix.get["n"])
 
     # Committed-representative rule (r13, advisor finding): a day
     # component's state deltas commit only when the component has a
@@ -474,16 +541,21 @@ def run_daily_ingest(
         )
         .distinct()
     )
+    # lazy (r15): the CC merge's batch-bound fuse count is the first
+    # action over it and materializes it; the keeper merge reuses the
+    # stored blocks — both consumers, one compute, no dedicated job
     pairs_committed = (
         pairs.join(comp.withColumnRenamed("id", "id1").select("id1", "comp"), "id1")
         .join(committed_comps, "comp", "left_semi")
         .drop("comp")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
+    # lazy (r15): first materialized by the keeper merge / day()'s
+    # labels write; post-publish consumers then read truncated lineage
     labels1 = dedup.connected_components_incremental(
         st["labels"], pairs_committed
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Keeper-merge scoring: REJECTED batch docs are excluded from the
     # scoring frame entirely (unscored members lose to any scored one),
     # so a dedup-dropped doc can never be crowned the persisted keeper
@@ -506,7 +578,7 @@ def run_daily_ingest(
         ).select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
     keepers1 = dedup.component_keepers_incremental(
         labels1, st["keepers"], pairs_committed, merge_q
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # Committed dedup-state deltas: near-dup losers of COMMITTED
     # components ARE indexed (a recrawl of a duplicate should die at
@@ -522,7 +594,9 @@ def run_daily_ingest(
         .join(committed_comps, "comp", "left_semi")
         .drop("comp")
     )
-    to_index = indexable_losers.unionByName(mixed).localCheckpoint(eager=True)
+    # lazy: day()'s fingerprint-delta write materializes it; the other
+    # three state deltas then reuse the stored blocks
+    to_index = indexable_losers.unionByName(mixed).localCheckpoint(eager=False)
     new_fps = to_index.select(
         tx.content_fingerprint(F.col(text_col)).alias("fingerprint")
     ).distinct()
@@ -568,37 +642,61 @@ def run_daily_ingest(
     }
 
     def day(gen: str) -> None:
-        modes["fingerprints"] = snap.publish_append_state(
-            spark,
-            os.path.join(prev, "fingerprints"),
-            os.path.join(gen, "fingerprints"),
-            new_fps,
-            max_files=compact_max_files,
-        )
-        modes["minhash"] = snap.publish_append_state(
-            spark,
-            os.path.join(prev, "minhash"),
-            os.path.join(gen, "minhash"),
-            new_sigs,
-            max_files=compact_max_files,
-        )
+        # The state writes are independent small jobs whose wall cost
+        # is scheduling-dominated at daily-batch size — run them
+        # CONCURRENTLY (r15, the verdict's orchestration-floor ask) in
+        # two dependency-safe waves. Wave 1 holds exactly one write
+        # per SHARED lazily-checkpointed parent (to_index via the
+        # fingerprint delta, labels1+pairs_committed via the labels
+        # write, ledger1), so each lazy checkpoint is materialized by
+        # a single job — wave 2's consumers (minhash/sketch/vector
+        # deltas over to_index, the keeper merge over labels1) then
+        # read stored blocks, never racing a concurrent first
+        # materialization of the same marked RDD.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _append(name, delta):
+            modes[name] = snap.publish_append_state(
+                spark,
+                os.path.join(prev, name),
+                os.path.join(gen, name),
+                delta,
+                max_files=compact_max_files,
+            )
+
+        wave1 = [
+            lambda: _append("fingerprints", new_fps),
+            lambda: labels1.write.parquet(os.path.join(gen, "labels")),
+            lambda: ledger1.write.parquet(os.path.join(gen, "ledger")),
+        ]
+        wave2 = [
+            lambda: _append("minhash", new_sigs),
+            lambda: bloom1.write.parquet(os.path.join(gen, "bloom")),
+            lambda: keepers1.write.parquet(os.path.join(gen, "keepers")),
+        ]
         if vec_col is not None:
             # same append-only discipline as fingerprints/minhash: the
             # sketch index and the verification vectors only ever grow
-            modes["sketches"] = snap.publish_append_state(
-                spark,
-                os.path.join(prev, "sketches"),
-                os.path.join(gen, "sketches"),
-                new_sketches,
-                max_files=compact_max_files,
+            wave2.append(lambda: _append("sketches", new_sketches))
+            wave2.append(lambda: _append("vectors", new_vectors))
+        if n_shards > 0 and n_mixed:
+            wave2.append(
+                lambda: shard_sink.write_training_shards(
+                    mixed,
+                    os.path.join(gen, "shards"),
+                    key=id_col,
+                    n_shards=n_shards,
+                    weight_col=shard_weight_col,
+                )
             )
-            modes["vectors"] = snap.publish_append_state(
-                spark,
-                os.path.join(prev, "vectors"),
-                os.path.join(gen, "vectors"),
-                new_vectors,
-                max_files=compact_max_files,
-            )
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            for wave in (wave1, wave2):
+                # .result() re-raises the first failure — a failed
+                # state write must abort the publish, same as r14's
+                # sequential form
+                for fut in [pool.submit(fn) for fn in wave]:
+                    fut.result()
+        if vec_col is not None:
             # re-stamp each day: the append form links only part files
             from ..operators.similarity import write_sketch_layout
 
@@ -606,18 +704,6 @@ def run_daily_ingest(
                 os.path.join(gen, "sketches"),
                 semantic_planes,
                 semantic_rotations,
-            )
-        bloom1.write.parquet(os.path.join(gen, "bloom"))
-        labels1.write.parquet(os.path.join(gen, "labels"))
-        keepers1.write.parquet(os.path.join(gen, "keepers"))
-        ledger1.write.parquet(os.path.join(gen, "ledger"))
-        if n_shards > 0 and n_mixed:
-            shard_sink.write_training_shards(
-                mixed,
-                os.path.join(gen, "shards"),
-                key=id_col,
-                n_shards=n_shards,
-                weight_col=shard_weight_col,
             )
         # carry the streaming gate's applied-batch marker through
         # batch days UNCONDITIONALLY (r14 review findings, both

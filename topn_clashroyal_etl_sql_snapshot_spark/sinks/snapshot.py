@@ -58,6 +58,7 @@ def write_snapshot_atomic(
     tables: dict[str, DataFrame],
     warehouse_dir: str,
     partition_keys: dict[str, list[str]] | None = None,
+    durable: bool = True,
 ) -> None:
     """All-or-nothing parquet snapshot — the one-transaction load of the
     reference (``scripts/etl_snapshot_topn.py:363-364``) as a
@@ -79,11 +80,18 @@ def write_snapshot_atomic(
     URIs, so non-local ``warehouse_dir`` schemes are rejected up
     front — on HDFS use the Hadoop FileSystem rename; on object
     stores point readers through a catalog/manifest and publish by
-    updating the pointer."""
+    updating the pointer.
+
+    ``durable=True`` (default) fsyncs every staged file before the
+    swap so the published snapshot survives power loss; a huge local
+    warehouse can pass ``durable=False`` to skip the per-file walk
+    (crash-ordering guarantee kept; power-loss durability then owned
+    at the platform layer, e.g. one syncfs) — r15 advisor finding."""
     atomic_dir_publish(
         warehouse_dir,
         lambda staging: write_snapshot(tables, staging, partition_keys),
         caller="write_snapshot_atomic",
+        durable=durable,
     )
 
 
@@ -182,7 +190,10 @@ def recover_parked_dir(base_dir: str) -> None:
 
 
 def atomic_dir_publish(
-    base_dir: str, write_fn, caller: str = "atomic publish"
+    base_dir: str,
+    write_fn,
+    caller: str = "atomic publish",
+    durable: bool = True,
 ) -> None:
     """Stage-and-swap a directory-valued artifact: ``write_fn(staging)``
     writes the full new generation to ``<base>__staging``; only after
@@ -219,11 +230,15 @@ def atomic_dir_publish(
     # as current — fsync the staged tree first, then the parent dirent
     # after the swap so the renames themselves survive. Cost: one
     # open+fsync per staged file, once per publish — bounded for
-    # state/ledger publishes; a full-warehouse snapshot pays it too
-    # (the price of complete-old-or-complete-new being a DURABILITY
-    # guarantee, not just a crash-ordering one); truly huge local
-    # warehouses can batch via syncfs at the platform layer.
-    fsync_dir_tree(staging)
+    # state/ledger publishes. ``durable=False`` (r15, advisor finding:
+    # full-warehouse snapshot callers paid an unbounded per-publish
+    # latency with no in-code opt-out) skips the per-file walk: the
+    # publish keeps its complete-old-or-complete-new CRASH-ordering
+    # guarantee (process crash / Spark failure) but a power loss may
+    # lose staged contents — callers choosing it own flushing at the
+    # platform layer (e.g. one syncfs over the volume).
+    if durable:
+        fsync_dir_tree(staging)
     if os.path.exists(base):
         os.rename(base, old)
     os.rename(staging, base)
@@ -478,6 +493,30 @@ def publish_generation(
         )
     if keep < 0:
         raise ValueError(f"keep must be ≥ 0, got {keep}")
+    # expected_parent must actually name a generation OF THIS ROOT
+    # (r15 advisor finding): a same-numbered gen-N path from a
+    # DIFFERENT root would satisfy the number-compare CAS, and a
+    # non-canonical basename would parse to None and surface as a
+    # confusing "staged against generation None" refusal — both are
+    # caller bugs, raised as clear ValueErrors before the lock.
+    if expected_parent is not _PARENT_UNSET and expected_parent:
+        exp = os.path.normpath(str(expected_parent))
+        if _gen_number(os.path.basename(exp)) is None:
+            raise ValueError(
+                f"{caller}: expected_parent {expected_parent!r} does "
+                f"not name a {_GEN_PREFIX}N generation directory — "
+                "pass the current_generation() value this publish was "
+                "computed against (or None for 'no generation')"
+            )
+        if os.path.dirname(os.path.realpath(exp)) != os.path.realpath(
+            root
+        ):
+            raise ValueError(
+                f"{caller}: expected_parent {expected_parent!r} is not "
+                f"a generation of {root!r} — a same-numbered "
+                "generation from a different root must not satisfy "
+                "the publish CAS"
+            )
     os.makedirs(root, exist_ok=True)
     lock = _acquire_publish_lock(root, caller)
     try:

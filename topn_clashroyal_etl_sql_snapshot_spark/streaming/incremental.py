@@ -289,6 +289,58 @@ def _fsync_out_partition(part: str) -> None:
     snap.fsync_path(os.path.dirname(out_abs))
 
 
+def _exactly_once_gate(
+    docs_stream: DataFrame,
+    state_dir: str,
+    gate: str,
+    prepare,
+    process,
+):
+    """The per-batch scaffold shared by every exactly-once gate in
+    this module (r15, r14 verdict next #6: the three gates carried the
+    replay-guard / lineage / empty-skip plumbing as hand-maintained
+    copies that had already begun to drift in ORDER — the next gate
+    could have forked the durability discipline). One implementation:
+
+    1. ``prepare(spark) -> (marker_path | None, ctx)`` — gate-specific
+       recovery (e.g. the mixture ledger's parked-dir restore) and the
+       location of the applied-batch marker (``None`` when no state
+       exists yet, so there is nothing to guard against);
+    2. the replay/lineage guard (:func:`_replay_guard`) — BEFORE the
+       empty-batch check (r15 advisor finding: guarding after it
+       deferred reset-lineage detection to the first non-empty batch,
+       and skipped the mixture gate's parked-ledger recovery on empty
+       batches entirely);
+    3. empty micro-batches skip without state churn (an unrecorded
+       empty batch replays deterministically to another no-op);
+    4. ``process(spark, batch_df, batch_id, lineage, ctx)`` — the
+       gate's actual work, which owns compute → out-partition write →
+       fsync → marker stamp → atomic publish.
+
+    Returns the configured ``writeStream`` (checkpoint under
+    ``state_dir/_checkpoint``); the caller picks the trigger."""
+    import os
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        lineage = _query_lineage(spark, state_dir)
+        marker, ctx = prepare(spark)
+        if marker is not None and _replay_guard(
+            marker, batch_id, lineage, gate
+        ):
+            return  # at-least-once replay of an applied batch
+        if batch_df.isEmpty():
+            # restarts/recovery deliver empty batches; publishing would
+            # churn generations (hardlink every append state, write an
+            # empty out partition, accelerate pruning) for nothing
+            return
+        process(spark, batch_df, batch_id, lineage, ctx)
+
+    return docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+    )
+
+
 def streaming_mixture_gate(
     docs_stream: DataFrame,
     state_dir: str,
@@ -356,36 +408,30 @@ def streaming_mixture_gate(
 
     _check_local_out_dir(out_dir, "streaming_mixture_gate")
     marker = "_last_batch"
+    ledger_path = os.path.join(state_dir, "ledger")
 
-    def _lineage(spark) -> str | None:
-        return _query_lineage(spark, state_dir)
+    def _prepare(spark):
+        from ..sinks.snapshot import recover_parked_dir
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators import sampling
-        from ..sinks.snapshot import atomic_dir_publish, recover_parked_dir
-
-        if batch_df.isEmpty():
-            # restarts/recovery can deliver empty batches — republishing
-            # an unchanged ledger would be pure churn; skipping is safe
-            # (an unrecorded empty batch replays to another no-op)
-            return
-        spark = batch_df.sparkSession
-        ledger_path = os.path.join(state_dir, "ledger")
         # a crash between the publish's two renames parks the ledger at
         # ledger__old — restore it BEFORE the day-0 check, or the
         # replayed batch would gate against an empty ledger and then
-        # overwrite the history (review finding)
+        # overwrite the history (review finding). Runs on EVERY batch,
+        # empty ones included (r15 advisor finding: the old order left
+        # the ledger parked — readers failing — until a non-empty
+        # batch arrived).
         recover_parked_dir(ledger_path)
-        lineage = _lineage(spark)
+        # the marker lives inside the ledger dir; before day 0 the
+        # _replay_guard's FileNotFoundError path treats it as "no
+        # batch applied yet"
+        return os.path.join(ledger_path, marker), {}
+
+    def _process(spark, batch_df, batch_id, lineage, ctx) -> None:
+        from ..operators import sampling
+        from ..sinks.snapshot import atomic_dir_publish
+
         ledger = None
         if os.path.exists(ledger_path):
-            if _replay_guard(
-                os.path.join(ledger_path, marker),
-                batch_id,
-                lineage,
-                "streaming_mixture_gate",
-            ):
-                return  # at-least-once replay of an applied batch
             ledger = spark.read.parquet(ledger_path)
         kept, updated = sampling.mixture_sample_incremental(
             batch_df, ledger, group_col, target_shares, key, weight_col
@@ -412,8 +458,8 @@ def streaming_mixture_gate(
             ledger_path, _stage, caller="streaming_mixture_gate ledger publish"
         )
 
-    return docs_stream.writeStream.foreachBatch(_process).option(
-        "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+    return _exactly_once_gate(
+        docs_stream, state_dir, "streaming_mixture_gate", _prepare, _process
     )
 
 
@@ -484,29 +530,21 @@ def streaming_semantic_gate(
 
     _check_local_out_dir(out_dir, "streaming_semantic_gate")
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
+    def _prepare(spark):
+        from ..sinks import snapshot as snap
+
+        cur = snap.current_generation(state_dir)
+        marker = (
+            os.path.join(cur, snap.APPLIED_MARKER) if cur is not None
+            else None  # day 0: no state yet, nothing to guard
+        )
+        return marker, {"cur": cur}
+
+    def _process(spark, batch_df, batch_id, lineage, ctx) -> None:
         from ..operators import dedup, similarity
         from ..sinks import snapshot as snap
 
-        if batch_df.isEmpty():
-            # empty micro-batches (possible after restarts/recovery)
-            # must not churn generations: publishing would hardlink the
-            # ENTIRE sketch/vector state, write an empty out partition,
-            # and accelerate pruning of useful older generations (r14
-            # advisor finding). Skipping is safe — an unrecorded empty
-            # batch replays deterministically to another no-op.
-            return
-        spark = batch_df.sparkSession
-        lineage = _query_lineage(spark, state_dir)
-        cur = snap.current_generation(state_dir)
-        if cur is not None and _replay_guard(
-            os.path.join(cur, snap.APPLIED_MARKER),
-            batch_id,
-            lineage,
-            "streaming_semantic_gate",
-        ):
-            return  # at-least-once replay of an applied batch
-
+        cur = ctx["cur"]
         batch = batch_df.localCheckpoint(eager=True)
         empty = batch.filter(F.lit(False))
         if cur is None:
@@ -632,8 +670,8 @@ def streaming_semantic_gate(
             expected_parent=cur,
         )
 
-    return docs_stream.writeStream.foreachBatch(_process).option(
-        "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+    return _exactly_once_gate(
+        docs_stream, state_dir, "streaming_semantic_gate", _prepare, _process
     )
 
 
@@ -704,31 +742,25 @@ def streaming_ingest_gate(
 
     _check_local_out_dir(out_dir, "streaming_ingest_gate")
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        from ..plans import ingest
+    def _prepare(spark):
         from ..sinks import snapshot as snap
 
-        if batch_df.isEmpty():
-            # restarts/recovery deliver empty batches; publishing would
-            # hardlink every append state for nothing (same no-churn
-            # rule as the single-purpose gates)
-            return
-        spark = batch_df.sparkSession
-        lineage = _query_lineage(spark, state_root)
         cur = snap.current_generation(state_root)
         if cur is None:
+            # raised for EMPTY batches too (the scaffold runs prepare
+            # first): an un-bootstrapped root is a configuration error
+            # the operator should hear about at the first trigger, not
+            # at the first non-empty one
             raise ValueError(
                 f"streaming_ingest_gate: no generation published under "
                 f"{state_root!r} — run plans.ingest.bootstrap_state "
                 "first (an empty seed corpus bootstraps a cold start)"
             )
-        if _replay_guard(
-            os.path.join(cur, snap.APPLIED_MARKER),
-            batch_id,
-            lineage,
-            "streaming_ingest_gate",
-        ):
-            return  # at-least-once replay of an applied batch
+        return os.path.join(cur, snap.APPLIED_MARKER), {}
+
+    def _process(spark, batch_df, batch_id, lineage, ctx) -> None:
+        from ..plans import ingest
+        from ..sinks import snapshot as snap
 
         def extra(gen: str, report: dict) -> None:
             part = os.path.join(out_dir, f"batch_id={batch_id}")
@@ -769,8 +801,8 @@ def streaming_ingest_gate(
             extra_state=extra,
         )
 
-    return docs_stream.writeStream.foreachBatch(_process).option(
-        "checkpointLocation", os.path.join(state_root, "_checkpoint")
+    return _exactly_once_gate(
+        docs_stream, state_root, "streaming_ingest_gate", _prepare, _process
     )
 
 
