@@ -83,6 +83,45 @@ def test_bootstrap_and_one_day(spark, tmp_path):
     assert {r["k"] for r in per_comp.collect()} == {1}
 
 
+def test_report_counters_exact_under_fanout_gates(spark, tmp_path):
+    """r15 counter fusion: every report counter rides a checkpoint
+    job as a ``df.observe`` metric. A CollectMetrics node duplicated
+    below a plan fan-out double-counts, so the fusion's invariant is
+    that observes sit only on LINEAR segments directly under their
+    checkpoint — in particular the pre-gate counter must stay exact
+    when the ``gates=`` transform FANS OUT its input internally (a
+    self-join dedup here: keep docs whose length is not strictly
+    dominated by another doc of the same source — contrived, but it
+    references its input twice, the shape that would double-count a
+    naively placed observe)."""
+    root = str(tmp_path / "state")
+    ingest.bootstrap_state(spark, _docs(spark, range(1, 21)), root)
+
+    def fanout_gate(df):
+        # references df TWICE: an aggregate of it joined back to it
+        mx = df.groupBy("source").agg(
+            F.max(F.length("text")).alias("_mx")
+        )
+        return (
+            df.join(mx, "source")
+            .filter(F.length("text") <= F.col("_mx"))
+            .drop("_mx")
+        )
+
+    batch = _docs(spark, [100, 101, 102, 103])
+    rep = ingest.run_daily_ingest(
+        spark, batch, root, RECIPE, gates=fanout_gate
+    )
+    # the gate keeps everything (<= max is always true): every counter
+    # must read the TRUE row counts, not a doubled one
+    assert rep["batch_in"] == 4
+    assert rep["gate_dropped"] == 0
+    assert rep["exact_dropped"] == 0
+    assert rep["neardup_dropped"] == 0
+    assert rep["n_admitted"] == 4
+    assert rep["admitted"].count() == 4
+
+
 def test_quality_steers_within_batch_admission(spark, tmp_path):
     root = str(tmp_path / "state")
     ingest.bootstrap_state(spark, _docs(spark, range(1, 21)), root)
