@@ -204,6 +204,15 @@ def test_check_correctness_misuse_is_not_a_failure():
     assert h.returncode == 0
     assert "Registered entries" in h.stdout
 
+    # help MIXED with entry names stays a loud usage error — a wrapper
+    # must not record a green gate that verified nothing (r15 review)
+    hm = subprocess.run(
+        [sys.executable, tool, "dedup_simhash", "--help"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert hm.returncode == 2
+    assert "nothing was checked" in hm.stdout
+
 def test_funnel_stream_example(spark):
     path = (
         Path(__file__).resolve().parent.parent

@@ -467,6 +467,15 @@ def test_publish_expected_parent_must_name_a_gen_of_this_root(
         expected_parent=g1 + "/",
     )
     assert sink.current_generation(root) == g2
+    # '/.'-spelled parent: validation and the locked CAS must agree on
+    # the SAME normalized path (r15 review finding: the raw string
+    # re-parsed to gen None at the flip and falsely refused)
+    g3 = sink.publish_generation(
+        root,
+        lambda d: _write_states(spark, d, "day2"),
+        expected_parent=g2 + "/.",
+    )
+    assert sink.current_generation(root) == g3
 
 
 def test_atomic_dir_publish_durable_opt_out(tmp_path):

@@ -7,11 +7,11 @@ Usage:
     python tools/check_correctness.py [query_name ...]   # default: all
     python tools/check_correctness.py --help             # list entries
 
-Exit codes: 0 all green (or an explicitly requested -h/--help screen
-— the near-universal CLI convention, r15 advisor note); 1 at least
-one red row (rows/schema/hash mismatch or query error); 2 usage error
-(unknown entry name) — misuse is never reported as a correctness
-failure.
+Exit codes: 0 all green (or a BARE -h/--help screen — the
+near-universal CLI convention, r15 advisor note); 1 at least one red
+row (rows/schema/hash mismatch or query error); 2 usage error
+(unknown entry name, or --help mixed with entry names — nothing was
+checked) — misuse is never reported as a correctness failure.
 """
 
 from __future__ import annotations
@@ -72,15 +72,25 @@ def main() -> int:
     args = sys.argv[1:]
     # Misuse is NOT a hash failure (r13 verdict, what's-wrong #2): an
     # unknown entry name exits 2 with usage text, before any Spark
-    # startup — a red correctness row always exits 1. An explicitly
-    # REQUESTED help screen exits 0 (r15 advisor finding: wrappers
-    # that check the return code must not report help as a failure).
+    # startup — a red correctness row always exits 1. A BARE
+    # -h/--help exits 0 (r15 advisor finding: wrappers that check the
+    # return code must not report an explicitly requested help screen
+    # as a failure) — but help MIXED with entry names is a usage
+    # error and keeps exit 2: a wrapper that accidentally appends
+    # --help to its entry list must not record a green gate that
+    # verified nothing (r15 review finding).
     if any(a in ("-h", "--help") for a in args):
         print(__doc__.strip())
         print(f"\nRegistered entries ({len(qs)}):")
         for n in sorted(qs):
             print(f"  {n}")
-        return 0
+        bare = all(a in ("-h", "--help") for a in args)
+        if not bare:
+            print(
+                "\nusage error: --help combined with entry names — "
+                "nothing was checked"
+            )
+        return 0 if bare else 2
     unknown = [a for a in args if a not in qs]
     if unknown:
         print(

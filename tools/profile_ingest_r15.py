@@ -50,19 +50,23 @@ def _caller() -> str:
     return "?"
 
 
-def _shim(cls, name, label):
-    orig = getattr(cls, name)
+def _shim(owner, name, label, method=True):
+    """Wrap `owner.name` (method on a class, or function on a module —
+    getattr/setattr work identically) with a wall-clock recorder;
+    `method=True` drops the self argument from the display."""
+    orig = getattr(owner, name)
 
-    def timed(self, *a, **kw):
+    def timed(*a, **kw):
         t0 = time.perf_counter()
-        r = orig(self, *a, **kw)
+        r = orig(*a, **kw)
+        shown = a[1:] if method else a
         ACTIONS.append({
             "kind": label, "sec": time.perf_counter() - t0,
-            "at": _caller(), "args": repr(a)[:40],
+            "at": _caller(), "args": repr(shown)[:40],
         })
         return r
 
-    setattr(cls, name, timed)
+    setattr(owner, name, timed)
 
 
 def main() -> None:
@@ -114,22 +118,8 @@ def main() -> None:
 
     from topn_clashroyal_etl_sql_snapshot_spark.sinks import snapshot as snap
 
-    for mod, fn in (
-        (snap, "fsync_dir_tree"),
-        (snap, "link_state_files"),
-    ):
-        orig_f = getattr(mod, fn)
-
-        def timed_f(*a, _orig=orig_f, _name=fn, **kw):
-            t0 = time.perf_counter()
-            r = _orig(*a, **kw)
-            ACTIONS.append({
-                "kind": _name, "sec": time.perf_counter() - t0,
-                "at": _caller(), "args": repr(a)[:40],
-            })
-            return r
-
-        setattr(mod, fn, timed_f)
+    _shim(snap, "fsync_dir_tree", "fsync_dir_tree", method=False)
+    _shim(snap, "link_state_files", "link_state_files", method=False)
 
     t0 = time.perf_counter()
     ingest.run_daily_ingest(

@@ -124,7 +124,11 @@ def main() -> None:
             if p.get("numInputRows", 0) > 0
         )
         med = trig_ms[len(trig_ms) // 2]
-        p90 = trig_ms[min(len(trig_ms) - 1, int(len(trig_ms) * 0.9))]
+        # nearest-rank p90: ceil(0.9 n)-th order statistic (at n=10
+        # that is index 8, NOT the max — r15 review finding)
+        import math
+
+        p90 = trig_ms[max(0, math.ceil(0.9 * len(trig_ms)) - 1)]
         print(json.dumps({
             "batch_size": size, "triggers": len(trig_ms),
             "bootstrap_sec": boot, "stream_wall_sec": wall,

@@ -500,7 +500,11 @@ def publish_generation(
     # confusing "staged against generation None" refusal — both are
     # caller bugs, raised as clear ValueErrors before the lock.
     if expected_parent is not _PARENT_UNSET and expected_parent:
-        exp = os.path.normpath(str(expected_parent))
+        # normalize ONCE and pass the normalized path down — the
+        # locked CAS parses the same string, and a legitimate parent
+        # spelled '<gen>/.' would pass these checks yet re-parse to
+        # gen None at the flip (r15 review finding)
+        exp = expected_parent = os.path.normpath(str(expected_parent))
         if _gen_number(os.path.basename(exp)) is None:
             raise ValueError(
                 f"{caller}: expected_parent {expected_parent!r} does "

@@ -531,14 +531,45 @@ def streaming_semantic_gate(
     _check_local_out_dir(out_dir, "streaming_semantic_gate")
 
     def _prepare(spark):
+        from ..operators import similarity
         from ..sinks import snapshot as snap
 
         cur = snap.current_generation(state_dir)
-        marker = (
-            os.path.join(cur, snap.APPLIED_MARKER) if cur is not None
-            else None  # day 0: no state yet, nothing to guard
+        if cur is None:
+            # day 0: no state yet, nothing to guard or validate
+            return None, {"cur": None}
+        # Configuration errors surface at the FIRST trigger, empty
+        # batches included (r15 review finding — the same principle
+        # the scaffold applies to the replay/lineage guard):
+        # this gate manages ONLY sketches/vectors: a generation
+        # carrying sibling states (an ingest-loop root) would see
+        # them dropped from the next generation and pruned —
+        # silent destruction of the text-dedup states (r13 review
+        # finding). Refuse loudly; seed from a DEDICATED root
+        # holding just the two semantic states.
+        others = [
+            d
+            for d in os.listdir(cur)
+            if os.path.isdir(os.path.join(cur, d))
+            and d not in ("sketches", "vectors")
+        ]
+        if others:
+            raise RuntimeError(
+                f"streaming_semantic_gate: generation {cur!r} "
+                f"carries states this gate does not manage "
+                f"({sorted(others)}) — publishing would drop them "
+                "from the next generation and retention would "
+                "delete them. Use plans.ingest.run_daily_ingest "
+                "for the full state set, or seed a dedicated root "
+                "holding only sketches/vectors."
+            )
+        # layout handshake (r13 review finding): probing a state
+        # sketched under a different (planes, rotations) silently
+        # finds nothing — raise instead
+        similarity.check_sketch_layout(
+            os.path.join(cur, "sketches"), planes, rotations
         )
-        return marker, {"cur": cur}
+        return os.path.join(cur, snap.APPLIED_MARKER), {"cur": cur}
 
     def _process(spark, batch_df, batch_id, lineage, ctx) -> None:
         from ..operators import dedup, similarity
@@ -553,34 +584,8 @@ def streaming_semantic_gate(
             )
             idx_vec = empty.select(id_col, vec_col)
         else:
-            # this gate manages ONLY sketches/vectors: a generation
-            # carrying sibling states (an ingest-loop root) would see
-            # them dropped from the next generation and pruned —
-            # silent destruction of the text-dedup states (r13 review
-            # finding). Refuse loudly; seed from a DEDICATED root
-            # holding just the two semantic states.
-            others = [
-                d
-                for d in os.listdir(cur)
-                if os.path.isdir(os.path.join(cur, d))
-                and d not in ("sketches", "vectors")
-            ]
-            if others:
-                raise RuntimeError(
-                    f"streaming_semantic_gate: generation {cur!r} "
-                    f"carries states this gate does not manage "
-                    f"({sorted(others)}) — publishing would drop them "
-                    "from the next generation and retention would "
-                    "delete them. Use plans.ingest.run_daily_ingest "
-                    "for the full state set, or seed a dedicated root "
-                    "holding only sketches/vectors."
-                )
-            # layout handshake (r13 review finding): probing a state
-            # sketched under a different (planes, rotations) silently
-            # finds nothing — raise instead
-            similarity.check_sketch_layout(
-                os.path.join(cur, "sketches"), planes, rotations
-            )
+            # sibling-state and layout checks ran in _prepare (every
+            # trigger, before the empty-batch skip)
             idx_sk = spark.read.parquet(os.path.join(cur, "sketches"))
             idx_vec = spark.read.parquet(os.path.join(cur, "vectors"))
             # id-recrawl gate (r13 review finding): a batch doc whose
