@@ -400,20 +400,33 @@ def run_daily_ingest(
 
     # ONE signing pass for the day (r13, the semantic-leg fix applied
     # to the minhash leg too): the probe consumes it here and the
-    # committed state delta filters it below. LAZY checkpoint (r15):
-    # the pairs checkpoint's job is its first consumer and materializes
-    # it; the day() state-delta semi-join then reuses the stored blocks.
-    # The two lazy-checkpoint calls compile their (wide — k aggregates
-    # / planes×dims sums) physical plans on the DRIVER; they are
-    # independent, so on vec_col runs they compile CONCURRENTLY (r15:
-    # the profile attributed ~1 s/day to these two calls alone).
-    def _sign():
-        return dedup.minhash_signatures(
+    # committed state delta filters it below. LAZY checkpoints (r15):
+    # the admission CC's first job materializes the probe pipelines;
+    # the day() state-delta semi-joins then reuse the stored blocks.
+    # Both probe LEGS are pure plan builders over the materialized
+    # `surv` (no eager actions inside), and their wide plans —
+    # k minhash aggregates / planes×dims sketch sums, the banded and
+    # bucketed join trees — cost real DRIVER time to compile, so on
+    # vec_col runs each leg compiles on its own thread (r15: the
+    # profile attributed ~2 s/day to these compilations).
+    def _minhash_leg():
+        sigs = dedup.minhash_signatures(
             surv, text_col, id_col
         ).localCheckpoint(eager=False)
+        p, _ = dedup.minhash_lsh_incremental(
+            surv,
+            st["minhash"],
+            text_col,
+            id_col,
+            threshold=threshold,
+            new_sigs=sigs,
+        )
+        return sigs, p
 
     surv_sketches = None
-    if vec_col is not None:
+    if vec_col is None:
+        surv_sigs, pairs = _minhash_leg()
+    else:
         from concurrent.futures import ThreadPoolExecutor
 
         from ..operators import similarity
@@ -421,45 +434,35 @@ def run_daily_ingest(
         # ONE sketch pass for the day: the probe consumes it here and
         # the committed state delta filters it below (r13 review
         # finding — recomputing sketches for to_index paid the
-        # expensive dims×planes aggregation twice per day). Lazy (r15):
-        # the semantic probe's first job materializes it.
-        def _sketch():
-            return similarity.hyperplane_sketches(
+        # expensive dims×planes aggregation twice per day). The
+        # embedding near-dups keep the same orientation contract as
+        # the MinHash leg (id1 = new doc on cross pairs, id1 < id2
+        # within batch), so the union feeds the identical component/
+        # admission machinery; the relation is the ids, scores differ
+        # per leg (est_jaccard vs cosine) and drop at the union.
+        def _semantic_leg():
+            sk = similarity.hyperplane_sketches(
                 surv, semantic_planes, semantic_rotations, id_col, vec_col
             ).localCheckpoint(eager=False)
+            sp, _ = similarity.lsh_neardup_incremental(
+                surv.select(id_col, vec_col),
+                st["sketches"],
+                st["vectors"],
+                threshold=semantic_threshold,
+                planes=semantic_planes,
+                rotations=semantic_rotations,
+                id_col=id_col,
+                vec_col=vec_col,
+                max_bucket=semantic_max_bucket,
+                new_sketches=sk,
+            )
+            return sk, sp
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            sig_f, sk_f = pool.submit(_sign), pool.submit(_sketch)
-            surv_sigs, surv_sketches = sig_f.result(), sk_f.result()
-    else:
-        surv_sigs = _sign()
-    pairs, _ = dedup.minhash_lsh_incremental(
-        surv,
-        st["minhash"],
-        text_col,
-        id_col,
-        threshold=threshold,
-        new_sigs=surv_sigs,
-    )
-    if vec_col is not None:
-        # embedding near-dups vs the persisted sketch index — same
-        # orientation contract as the MinHash leg (id1 = new doc on
-        # cross pairs, id1 < id2 within batch), so the union feeds the
-        # identical component/admission machinery; the relation is the
-        # ids, scores differ per leg (est_jaccard vs cosine) and drop
-        # at the union
-        sem_pairs, _ = similarity.lsh_neardup_incremental(
-            surv.select(id_col, vec_col),
-            st["sketches"],
-            st["vectors"],
-            threshold=semantic_threshold,
-            planes=semantic_planes,
-            rotations=semantic_rotations,
-            id_col=id_col,
-            vec_col=vec_col,
-            max_bucket=semantic_max_bucket,
-            new_sketches=surv_sketches,
-        )
+            mh_f = pool.submit(_minhash_leg)
+            sem_f = pool.submit(_semantic_leg)
+            surv_sigs, pairs = mh_f.result()
+            surv_sketches, sem_pairs = sem_f.result()
         pairs = (
             pairs.select("id1", "id2")
             .unionByName(sem_pairs.select("id1", "id2"))
