@@ -476,6 +476,18 @@ def test_publish_expected_parent_must_name_a_gen_of_this_root(
         expected_parent=g2 + "/.",
     )
     assert sink.current_generation(root) == g3
+    # a SYMLINKED generation directory (operator relocated gen dirs to
+    # another volume) is still a generation of this root — only the
+    # PARENT may be resolved, not the leaf (r15 review finding)
+    relocated = str(tmp_path / "bigdisk-gen")
+    os.rename(g3, relocated)
+    os.symlink(relocated, g3)
+    g4 = sink.publish_generation(
+        root,
+        lambda d: _write_states(spark, d, "day3"),
+        expected_parent=g3,
+    )
+    assert sink.current_generation(root) == g4
 
 
 def test_atomic_dir_publish_durable_opt_out(tmp_path):

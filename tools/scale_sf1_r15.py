@@ -67,6 +67,21 @@ def _build_sf1(spark) -> None:
     docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     embs = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
 
+    # the disjoint-vocabulary guarantee holds only if the text is
+    # pure [a-z ] — digits/uppercase/punctuation would pass through
+    # the a-z rotation verbatim and share shingles across replicas,
+    # silently inflating the growth line (r15 review finding). The
+    # sf0.1 corpus satisfies this (verified); ENFORCE it so a future
+    # corpus change fails loudly instead of skewing the measurement.
+    leak = docs.filter(F.col("text").rlike("[^a-z ]")).count()
+    if leak:
+        raise SystemExit(
+            f"{leak} documents contain characters outside [a-z ] — "
+            "the per-replica alphabet rotation would no longer make "
+            "replica vocabularies disjoint; extend the rotation to "
+            "the corpus's full character set first"
+        )
+
     doc_parts, emb_parts = [], []
     for k in range(REPLICAS):
         rot = _ALPHA[k:] + _ALPHA[:k]

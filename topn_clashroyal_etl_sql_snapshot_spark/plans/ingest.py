@@ -347,15 +347,16 @@ def run_daily_ingest(
     # (SCALE.md r14 curve). Observe nodes are placed only on LINEAR
     # plan segments (directly under the checkpoint) — an observe below
     # a fan-out would be duplicated into every branch and double-count.
-    obs_in = Observation()
-    batch = batch.observe(
-        obs_in, F.count(F.lit(1)).alias("n")
-    ).localCheckpoint(eager=True)
-    n_in = n_gated = int(obs_in.get["n"])
     if gates is not None:
         # gates is an arbitrary caller transform (it may fan out its
-        # input internally), so it runs on the ALREADY-materialized
-        # batch and gets its own fused counter checkpoint
+        # input internally — an observe on the RAW batch would be
+        # duplicated into every branch and double-count), so the
+        # pre-gate counter is a plain count and only the GATE OUTPUT
+        # is pinned: checkpointing the raw batch too would hold two
+        # input-sized copies in block storage for the whole day (r15
+        # review finding) for no consumer — the gated frame is the
+        # only thing anything downstream reads.
+        n_in = batch.count()
         obs_gated = Observation()
         batch = (
             gates(batch)
@@ -363,6 +364,15 @@ def run_daily_ingest(
             .localCheckpoint(eager=True)
         )
         n_gated = int(obs_gated.get["n"])
+    else:
+        # single input-sized pin: the exact gate consumes the batch
+        # through three subplans, which would otherwise recompute the
+        # caller's source three times
+        obs_in = Observation()
+        batch = batch.observe(
+            obs_in, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
+        n_in = n_gated = int(obs_in.get["n"])
 
     # the gate's own updated index/bitmap cover EVERY exact-gate
     # survivor — the committed state deltas are rebuilt below from the
@@ -458,9 +468,17 @@ def run_daily_ingest(
             )
             return sk, sp
 
+        # inheritable_thread_target: pool threads do not inherit the
+        # calling thread's Spark local properties under pinned-thread
+        # mode, so without it a caller's job group / scheduler pool
+        # (and structured streaming's per-run cancellation group)
+        # would not reach jobs launched from these threads (r15
+        # review finding)
+        from pyspark import inheritable_thread_target
+
         with ThreadPoolExecutor(max_workers=2) as pool:
-            mh_f = pool.submit(_minhash_leg)
-            sem_f = pool.submit(_semantic_leg)
+            mh_f = pool.submit(inheritable_thread_target(_minhash_leg))
+            sem_f = pool.submit(inheritable_thread_target(_semantic_leg))
             surv_sigs, pairs = mh_f.result()
             surv_sketches, sem_pairs = sem_f.result()
         pairs = (
@@ -692,12 +710,22 @@ def run_daily_ingest(
                     weight_col=shard_weight_col,
                 )
             )
+        # inheritable_thread_target: without it the write jobs
+        # launched from pool threads would carry empty Spark local
+        # properties — a caller's cancelJobGroup (or the streaming
+        # run's cancellation) would never reach them (r15 review
+        # finding)
+        from pyspark import inheritable_thread_target
+
         with ThreadPoolExecutor(max_workers=6) as pool:
             for wave in (wave1, wave2):
                 # .result() re-raises the first failure — a failed
                 # state write must abort the publish, same as r14's
                 # sequential form
-                for fut in [pool.submit(fn) for fn in wave]:
+                for fut in [
+                    pool.submit(inheritable_thread_target(fn))
+                    for fn in wave
+                ]:
                     fut.result()
         if vec_col is not None:
             # re-stamp each day: the append form links only part files

@@ -512,7 +512,12 @@ def publish_generation(
                 "pass the current_generation() value this publish was "
                 "computed against (or None for 'no generation')"
             )
-        if os.path.dirname(os.path.realpath(exp)) != os.path.realpath(
+        # resolve only the PARENT directory: realpath on the full path
+        # would resolve a symlinked generation directory itself (an
+        # operator relocating gen dirs to another volume behind
+        # symlinks) and falsely reject its legitimate root (r15
+        # review finding)
+        if os.path.realpath(os.path.dirname(exp)) != os.path.realpath(
             root
         ):
             raise ValueError(
