@@ -117,7 +117,12 @@ def main() -> None:
     # single-shot numbers ticked up 1.3-1.5x vs r3 and could not be
     # adjudicated as noise without medians (r5 verdict item 2).
     HEAVY = {
-        "curation_funnel": 3,
+        # r16 (r15 verdict #6): the artifact's worst recorded in-run
+        # spread (2.22x at median-of-3 — the funnel re-runs the whole
+        # dedup family with caches evicted, so it samples the box five
+        # ways per repeat); median-of-5 stabilizes the recorded value
+        # with the output schema unchanged
+        "curation_funnel": 5,
         "cr_pipeline": 3,
         "dedup_simhash": 3,
         "dedup_minhash_lsh": 3,

@@ -264,16 +264,21 @@ def test_connected_components_raises_on_nonconvergence(spark):
     default the covered label distance is ~2 after the plain prefix,
     roughly doubling per jump round); returning the partial labels
     would be a silently-wrong KEEP/DROP decision, so the operator must
-    raise instead."""
+    raise instead. small_collect=None pins the DISTRIBUTED loop — the
+    r16 driver fast path solves a 40-edge chain exactly and never
+    engages the fuse (that exactness is pinned separately by the
+    fast-vs-loop differential)."""
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id1 long, id2 long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain, max_iter=3)
+        dedup.connected_components(chain, max_iter=3, small_collect=None)
     # the same chain converges fine with a logarithmic round budget
     comp = {
         r["id"]: r["comp"]
-        for r in dedup.connected_components(chain, max_iter=10).collect()
+        for r in dedup.connected_components(
+            chain, max_iter=10, small_collect=None
+        ).collect()
     }
     assert comp == {i: 0 for i in range(41)}
 
@@ -286,23 +291,126 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     plain prefix, then the covered distance roughly doubles per jump
     round), where plain min-label propagation would need ~399 rounds
     and trip any sane fuse. Labels must still be exactly the component
-    minimum, and jump_start=0 (always-jump) must agree."""
+    minimum, and jump_start=0 (always-jump) must agree.
+    small_collect=None: this pins the DISTRIBUTED loop's round
+    budget, so the r16 driver fast path must stay out of the way."""
     n = 400
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id1 long, id2 long"
     )
     comp = {
         r["id"]: r["comp"]
-        for r in dedup.connected_components(chain, max_iter=12).collect()
+        for r in dedup.connected_components(
+            chain, max_iter=12, small_collect=None
+        ).collect()
     }
     assert comp == {i: 0 for i in range(n + 1)}
     comp0 = {
         r["id"]: r["comp"]
         for r in dedup.connected_components(
-            chain, max_iter=12, jump_start=0
+            chain, max_iter=12, jump_start=0, small_collect=None
         ).collect()
     }
     assert comp0 == comp
+
+
+def test_observation_resolves_after_eager_checkpoint(spark):
+    """Version canary (r15 advisor finding): the fused-counter design
+    — connected_components' convergence sum and every ingest report
+    counter — rides ``df.observe`` metrics delivered by
+    ``localCheckpoint(eager=True)``'s withAction path, and
+    ``Observation.get`` has NO timeout: if a Spark upgrade ever stops
+    firing observed metrics for the checkpoint action, the failure
+    mode is a silently hung ingest day, not an error. This pins the
+    contract with a bounded wait so the upgrade surfaces as a fast
+    red test instead. Verified working on the pinned PySpark 4.1.2."""
+    import queue
+    import threading
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = (
+        spark.range(1000)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    q: queue.Queue = queue.Queue()
+    t = threading.Thread(target=lambda: q.put(obs.get["n"]), daemon=True)
+    t.start()
+    try:
+        n = q.get(timeout=60)
+    except queue.Empty:
+        pytest.fail(
+            "Observation.get did not resolve within 60s of an eager "
+            "localCheckpoint — the fused-counter contract (observed "
+            "metrics fire on the checkpoint's withAction) broke; "
+            "every dedup/ingest counter site would hang"
+        )
+    assert n == 1000
+    assert df.count() == 1000
+
+
+def test_connected_components_fast_path_matches_loop(spark):
+    """The r16 small-relation fast path (driver union-find over one
+    bounded collect) must produce BIT-IDENTICAL labels to the
+    distributed min-label loop — randomized differential over mixed
+    graph shapes (self-loops, duplicate edges, chains, stars,
+    singletons), plus schema equality so downstream joins see the
+    same column types either way."""
+    import random
+
+    rng = random.Random(1234)
+    for _ in range(4):
+        n_nodes = rng.choice([1, 7, 60, 300])
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.randint(0, 2 * n_nodes))
+        ]
+        edges += [(i, i + 1) for i in range(0, min(20, n_nodes - 1))]
+        df = spark.createDataFrame(
+            edges or [(0, 0)], "id1 long, id2 long"
+        )
+        fast = dedup.connected_components(df, n_pairs=df.count())
+        loop = dedup.connected_components(df, small_collect=None)
+        assert fast.schema == loop.schema
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, loop.collect())
+        )
+
+
+def test_connected_components_fast_path_null_and_type_fallbacks(spark):
+    """Null endpoints and mixed endpoint types take the distributed
+    path's semantics — the fast path must defer, not approximate."""
+    withnull = spark.createDataFrame(
+        [(1, 2), (None, 3)], "id1 long, id2 long"
+    )
+    fast = sorted(
+        map(
+            tuple,
+            dedup.connected_components(withnull, n_pairs=2).collect(),
+        ),
+        key=repr,
+    )
+    loop = sorted(
+        map(
+            tuple,
+            dedup.connected_components(
+                withnull, small_collect=None
+            ).collect(),
+        ),
+        key=repr,
+    )
+    assert fast == loop
+    mixed = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id1 int, id2 long"
+    )
+    fastm = dedup.connected_components(mixed, n_pairs=2)
+    loopm = dedup.connected_components(mixed, small_collect=None)
+    assert fastm.schema == loopm.schema
+    assert sorted(map(tuple, fastm.collect())) == sorted(
+        map(tuple, loopm.collect())
+    )
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
@@ -1998,3 +2106,131 @@ def test_simhash_incremental_piece_radius_matches_full_run(spark):
         elif a in new_ids and b in new_ids:
             want[(min(a, b), max(a, b))] = h
     assert got == want
+
+
+def test_bloom_probe_tolerates_append_fileset_duplicates(spark):
+    """r16 (append-only bloom state): a bitmap carrying SEVERAL rows
+    per word — the accumulated daily deltas of the ingest loop's bloom
+    state — must probe exactly like the bit_or-merged bitmap (the
+    pre-r16 per-probe bool_and would false-NEGATIVE on bits split
+    across delta rows, breaking the gate's no-false-negative identity
+    contract), the incremental gate must admit the identical set over
+    either layout, and fill telemetry must not double-count bits set
+    in more than one delta."""
+    rng = random.Random(23)
+    mk = lambda n: " ".join(rng.choice(WORDS) for _ in range(n))  # noqa: E731
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+
+    day1 = spark.createDataFrame(
+        [(i, mk(12)) for i in range(30)], "doc_id long, text string"
+    ).select(tx.content_fingerprint(F.col("text")).alias("fingerprint"))
+    day2 = spark.createDataFrame(
+        [(100 + i, mk(12)) for i in range(30)], "doc_id long, text string"
+    ).select(tx.content_fingerprint(F.col("text")).alias("fingerprint"))
+    m = 1 << 10  # small: forces many shared words across the deltas
+    b1 = dedup.bloom_bitmap(day1, m_bits=m)
+    b2 = dedup.bloom_bitmap(day2, m_bits=m)
+    appended = b1.unionAll(b2)  # the append-state layout (dup words)
+    merged = dedup.bloom_bitmap_merge(b1, b2)
+    # dup words actually present, else the test pins nothing
+    n_rows = appended.count()
+    assert n_rows > merged.count()
+
+    probes = day1.unionAll(day2).unionAll(
+        spark.createDataFrame(
+            [(900 + i, mk(12)) for i in range(20)],
+            "doc_id long, text string",
+        ).select(tx.content_fingerprint(F.col("text")).alias("fingerprint"))
+    )
+    got = {
+        r["fingerprint"]: r["bloom_maybe"]
+        for r in dedup.bloom_maybe(probes, appended, m_bits=m).collect()
+    }
+    want = {
+        r["fingerprint"]: r["bloom_maybe"]
+        for r in dedup.bloom_maybe(probes, merged, m_bits=m).collect()
+    }
+    assert got == want
+    # every indexed fingerprint still reports maybe=True (the
+    # no-false-negative contract, over the duplicate layout)
+    for r in day1.unionAll(day2).collect():
+        assert got[r["fingerprint"]] is True
+    # fill telemetry merges before counting: identical either way
+    assert dedup.bloom_fill_fraction(appended, m) == pytest.approx(
+        dedup.bloom_fill_fraction(merged, m)
+    )
+    # the incremental gate admits the identical set over either layout
+    batch = spark.createDataFrame(
+        [(500 + i, mk(12)) for i in range(15)], "doc_id long, text string"
+    )
+    index = day1.unionAll(day2)
+    adm_a, _, _ = dedup.dedup_exact_incremental_bloom(
+        batch, index, appended, m_bits=m
+    )
+    adm_m, _, _ = dedup.dedup_exact_incremental_bloom(
+        batch, index, merged, m_bits=m
+    )
+    assert sorted(r["doc_id"] for r in adm_a.collect()) == sorted(
+        r["doc_id"] for r in adm_m.collect()
+    )
+
+
+def test_publish_append_state_compact_fn_remerges_bloom(spark, tmp_path):
+    """r16: publish_append_state's compact_fn hook — the bloom state's
+    daily duplicate word rows re-aggregate to the canonical
+    one-row-per-word bitmap at compaction, equal to a fresh build over
+    all fingerprints ever appended."""
+    import os
+
+    from topn_clashroyal_etl_sql_snapshot_spark.functions import text as tx
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import snapshot as snap
+
+    m = 1 << 10
+    days = []
+    rng = random.Random(31)
+    mk = lambda n: " ".join(rng.choice(WORDS) for _ in range(n))  # noqa: E731
+    for d in range(3):
+        days.append(
+            spark.createDataFrame(
+                [(100 * d + i, mk(12)) for i in range(20)],
+                "doc_id long, text string",
+            ).select(
+                tx.content_fingerprint(F.col("text")).alias("fingerprint")
+            )
+        )
+    g = [str(tmp_path / f"gen-{k}") for k in range(4)]
+    os.makedirs(g[0])
+    dedup.bloom_bitmap(days[0], m_bits=m).coalesce(1).write.parquet(
+        os.path.join(g[0], "bloom")
+    )
+    merge = lambda df: df.groupBy("word").agg(  # noqa: E731
+        F.bit_or("bits").alias("bits")
+    )
+    # two linked days, then force compaction with max_files=1
+    modes = []
+    for k, mf in ((1, 64), (2, 64), (3, 1)):
+        os.makedirs(g[k])
+        modes.append(
+            snap.publish_append_state(
+                spark,
+                os.path.join(g[k - 1], "bloom"),
+                os.path.join(g[k], "bloom"),
+                dedup.bloom_bitmap(days[min(k, 2)], m_bits=m)
+                if k <= 2
+                else dedup.bloom_bitmap(days[2], m_bits=m).limit(0),
+                max_files=mf,
+                compact_fn=merge,
+            )
+        )
+    assert modes[:2] == ["linked", "linked"] and modes[2] == "compacted"
+    got = {
+        r["word"]: r["bits"]
+        for r in spark.read.parquet(os.path.join(g[3], "bloom")).collect()
+    }
+    fresh = {
+        r["word"]: r["bits"]
+        for r in dedup.bloom_bitmap(
+            days[0].unionAll(days[1]).unionAll(days[2]), m_bits=m
+        ).collect()
+    }
+    assert got == fresh  # canonical one-row-per-word, all days' bits

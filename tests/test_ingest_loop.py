@@ -772,3 +772,43 @@ def test_applied_marker_carries_even_with_custom_extra_state(
     assert seen == {"admitted": 1}
     with open(os.path.join(rep["generation"], snap.APPLIED_MARKER)) as f:
         assert json.load(f) == marker
+
+
+def test_pool_inherit_propagates_job_group_and_session_tags(spark):
+    """r16 (r15 verdict #3 + advisor): the funnel's worker pools wrap
+    thunks with the SESSION form of ``inheritable_thread_target`` —
+    pool threads must inherit BOTH the JVM local properties (job
+    group / scheduler pool: a caller's cancelJobGroup, and structured
+    streaming's per-run cancellation, reach pool-launched jobs through
+    these) AND the session tags (``spark.addTag`` — the newer
+    cancellation surface the bare-function form silently dropped,
+    warning once per wrap). Pins the mechanism and the absence of the
+    'Tags will not be inherited' warning."""
+    import warnings
+    from concurrent.futures import ThreadPoolExecutor
+
+    sc = spark.sparkContext
+    sc.setJobGroup("r16-pin-group", "pool inheritance pin")
+    spark.addTag("r16-pin-tag")
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            wrap = ingest._pool_inherit(spark)
+
+            def probe():
+                return (
+                    sc.getLocalProperty("spark.jobGroup.id"),
+                    set(spark.getTags()),
+                )
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                group, tags = pool.submit(wrap(probe)).result()
+    finally:
+        sc.setJobGroup(None, None)
+        spark.removeTag("r16-pin-tag")
+    assert group == "r16-pin-group"
+    assert "r16-pin-tag" in tags
+    leaked = [
+        w for w in caught if "Tags will not be inherited" in str(w.message)
+    ]
+    assert not leaked, "session-form wrapper must not warn per wrap"

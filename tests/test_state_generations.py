@@ -488,6 +488,26 @@ def test_publish_expected_parent_must_name_a_gen_of_this_root(
         expected_parent=g3,
     )
     assert sink.current_generation(root) == g4
+    # a BARE generation name means a generation of THIS root — it must
+    # publish regardless of the process cwd (r16, r15 advisor finding:
+    # dirname('') realpathed to the cwd and falsely failed the root
+    # check whenever cwd != root)
+    assert os.path.realpath(os.getcwd()) != os.path.realpath(root)
+    g5 = sink.publish_generation(
+        root,
+        lambda d: _write_states(spark, d, "day4"),
+        expected_parent=os.path.basename(g4),
+    )
+    assert sink.current_generation(root) == g5
+    # and a bare name from the WRONG root's sequence still refuses via
+    # the number CAS (it names a generation of this root by contract)
+    with pytest.raises(sink.ConcurrentPublishError):
+        sink.publish_generation(
+            root,
+            lambda d: _write_states(spark, d, "bad"),
+            expected_parent=os.path.basename(g1),
+        )
+    assert sink.current_generation(root) == g5
 
 
 def test_atomic_dir_publish_durable_opt_out(tmp_path):

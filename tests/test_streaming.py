@@ -1834,3 +1834,197 @@ def test_gates_refuse_non_local_out_dir(spark, tmp_path):
         streaming_ingest_gate(
             stream, str(tmp_path / "s3"), "file://x/out", {"w": 1.0}
         )
+
+
+# ---------------------------------------------------------------------------
+# r16 (r15 verdict next #4): mid-trigger SIGKILL fuzz for the funnel gate.
+# The child must be a module-level function (spawn-context pickling).
+
+_FUZZ_SCHEMA = "doc_id long, text string, source string"
+_FUZZ_RECIPE = {"web": 0.5, "books": 0.5}
+
+
+def _gate_fuzz_child(landing, sroot, out_dir, stage, kill_at):
+    """Run streaming_ingest_gate over the landing dir with a SIGKILL
+    hook armed at one of the trigger's durability boundaries:
+
+    - ``out_written``: after the admitted out partition is written,
+      BEFORE its fsync — page-cache-only output, no marker, no flip;
+    - ``out_fsynced``: after the fsync, BEFORE the applied-batch
+      marker is stamped into the staged generation;
+    - ``marker_staged_preflip``: marker stamped and the staged
+      generation fully fsynced, BEFORE the ``_CURRENT`` pointer flip;
+    - ``none``: no hook (the finisher run).
+
+    The kill is the child killing ITSELF (deterministic placement —
+    no parent-side timing roulette)."""
+    import os
+    import signal
+
+    from pyspark.sql import SparkSession
+
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import (
+        snapshot as snap,
+    )
+    from topn_clashroyal_etl_sql_snapshot_spark.streaming import (
+        incremental as inc,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName(f"gate-fuzz-{stage}")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    def boom():
+        os.kill(os.getpid(), signal.SIGKILL)
+
+    seen = {"n": 0}
+    if stage in ("out_written", "out_fsynced"):
+        real_fsync = inc._fsync_out_partition
+
+        def hook(part):
+            if stage == "out_written":
+                if seen["n"] == kill_at:
+                    boom()
+                seen["n"] += 1
+                real_fsync(part)
+            else:
+                real_fsync(part)
+                if seen["n"] == kill_at:
+                    boom()
+                seen["n"] += 1
+
+        inc._fsync_out_partition = hook
+    elif stage == "marker_staged_preflip":
+        real_tree = snap.fsync_dir_tree
+
+        def hook(path):
+            real_tree(path)
+            # only the publish-level call on the staged generation
+            # directory itself — per-state and out-partition fsyncs
+            # pass through
+            if os.path.basename(path).startswith("gen-"):
+                if seen["n"] == kill_at:
+                    boom()
+                seen["n"] += 1
+
+        snap.fsync_dir_tree = hook
+    elif stage != "none":
+        raise ValueError(stage)
+
+    stream = (
+        spark.readStream.schema(_FUZZ_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    q = (
+        inc.streaming_ingest_gate(
+            stream, sroot, out_dir, _FUZZ_RECIPE
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    ok = q.awaitTermination(300)
+    spark.stop()
+    raise SystemExit(0 if ok else 3)
+
+
+def test_streaming_ingest_gate_mid_trigger_sigkill_fuzz(spark, tmp_path):
+    """r16 (r15 verdict next #4): REAL SIGKILLs mid-trigger — a child
+    process runs the full funnel gate and kills itself at a seeded,
+    randomized batch inside each durability window (out written / out
+    fsynced / marker staged pre-flip); a clean child then restarts
+    from the streaming checkpoint. After every crash-and-restart the
+    gate must deliver exactly the batch-loop reference: same admitted
+    ids per batch partition, same final states, marker at the last
+    batch — exactly-once under hard crashes, not just simulated
+    ones."""
+    import json as _json
+    import multiprocessing as mp
+    import os
+    import random
+    import signal
+
+    from topn_clashroyal_etl_sql_snapshot_spark.plans import ingest
+    from topn_clashroyal_etl_sql_snapshot_spark.sinks import snapshot as snap
+
+    seed, days = _funnel_days()
+    seed = [(i, t, s) for i, t, s, _ in seed]  # text-only: the crash
+    days = [[(i, t, s) for i, t, s, _ in d] for d in days]  # windows
+    # under test are identical with/without the semantic leg
+
+    # batch-loop reference arm (in THIS session)
+    broot = str(tmp_path / "batch_state")
+    corpus = spark.createDataFrame(seed, _FUZZ_SCHEMA)
+    ingest.bootstrap_state(spark, corpus, broot)
+    ref_admitted = []
+    for rows in days:
+        rep = ingest.run_daily_ingest(
+            spark, spark.createDataFrame(rows, _FUZZ_SCHEMA),
+            broot, _FUZZ_RECIPE,
+        )
+        ref_admitted.append(sorted(r["doc_id"] for r in rep["mixed"].collect()))
+    ref_state = _state_fingerprint(spark, snap.current_generation(broot))
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    for k, rows in enumerate(days):
+        with open(land / f"day{k}.jsonl", "w") as f:
+            for doc_id, text, source in rows:
+                f.write(_json.dumps(
+                    {"doc_id": doc_id, "text": text, "source": source}
+                ) + "\n")
+        os.utime(land / f"day{k}.jsonl", (1_000_000 + k, 1_000_000 + k))
+
+    rng = random.Random(0x516B16)  # seeded: reproducible kill points
+    ctx = mp.get_context("spawn")
+    for stage in ("out_written", "out_fsynced", "marker_staged_preflip"):
+        kill_at = rng.randrange(len(days))
+        sroot = str(tmp_path / f"stream_{stage}")
+        out_dir = str(tmp_path / f"out_{stage}")
+        ingest.bootstrap_state(spark, corpus, sroot)
+
+        crasher = ctx.Process(
+            target=_gate_fuzz_child,
+            args=(str(land), sroot, out_dir, stage, kill_at),
+        )
+        crasher.start()
+        crasher.join(420)
+        assert not crasher.is_alive(), f"{stage}: crasher hung"
+        assert crasher.exitcode == -signal.SIGKILL, (
+            f"{stage}: expected SIGKILL death, got {crasher.exitcode}"
+        )
+
+        finisher = ctx.Process(
+            target=_gate_fuzz_child,
+            args=(str(land), sroot, out_dir, "none", -1),
+        )
+        finisher.start()
+        finisher.join(420)
+        assert finisher.exitcode == 0, (
+            f"{stage}: finisher exit {finisher.exitcode}"
+        )
+
+        # exactly-once: per-batch admitted output equals the batch arm
+        for k in range(len(days)):
+            got = sorted(
+                r["doc_id"]
+                for r in spark.read.parquet(
+                    os.path.join(out_dir, f"batch_id={k}")
+                ).collect()
+            )
+            assert got == ref_admitted[k], (
+                f"{stage} kill@{kill_at}: batch {k}: {got} "
+                f"vs {ref_admitted[k]}"
+            )
+        # final states equal the batch arm's; marker is at the last
+        # batch from a resolvable, complete generation
+        sgen = snap.current_generation(sroot)
+        assert sgen is not None
+        got_state = _state_fingerprint(spark, sgen)
+        assert got_state == ref_state, f"{stage}: states diverged"
+        with open(os.path.join(sgen, snap.APPLIED_MARKER)) as f:
+            assert _json.load(f)["last_batch"] == len(days) - 1

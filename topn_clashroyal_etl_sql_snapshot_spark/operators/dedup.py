@@ -331,9 +331,17 @@ def bloom_fill_fraction(bitmap: DataFrame, m_bits: int) -> float:
     daily-ingest loop should log this against its ingest counter and
     re-size/rebuild the bitmap when growth pushes it past ~0.5 —
     or pass ``max_fill`` to the bloom gates to make the breach loud."""
-    row = bitmap.agg(
-        F.sum(F.bit_count(F.col("bits"))).alias("set_bits")
-    ).collect()[0]
+    # bit_or per word first (r16): the append-only bloom state carries
+    # several rows per word (one per delta), and summing raw
+    # bit_counts would double-count bits set in more than one delta —
+    # merge to the canonical value, then count. One extra aggregation
+    # on a ≤ m_bits/64-row frame; telemetry stays telemetry-cheap.
+    row = (
+        bitmap.groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .agg(F.sum(F.bit_count(F.col("bits"))).alias("set_bits"))
+        .collect()[0]
+    )
     return (row["set_bits"] or 0) / float(m_bits)
 
 
@@ -380,12 +388,16 @@ def bloom_maybe(
 
     Plan: explode k probes → left join the bitmap on ``word`` (a
     missing word row means those 64 bits are all zero — coalesce(bits,
-    0)) → per-fingerprint bool_and. ``bitmap`` must carry ONE row per
-    word — the invariant :func:`bloom_bitmap` and
-    :func:`bloom_bitmap_merge` guarantee; a bitmap with duplicate word
-    rows would fan out probes and the bool_and could report a false
-    NEGATIVE (bits split across rows), which breaks the gate's
-    identity contract — never hand-build the frame. ``broadcast_bitmap=True`` (default)
+    0)) → per-(fingerprint, position) ``bool_or`` → per-fingerprint
+    ``bool_and``. The intermediate ``bool_or`` (r16) makes the probe
+    DUPLICATE-TOLERANT: a bitmap carrying several rows per word — the
+    append-only bloom state, where each ingest day's delta contributes
+    its own word rows — reads as the OR of its rows, exactly the
+    merged bitmap's value; for the canonical one-row form the bool_or
+    is the identity and the verdicts are bit-identical to the r15
+    plan. Both aggregations key on the batch's fingerprints, so the
+    extra level is batch-bounded, never
+    index-bounded. ``broadcast_bitmap=True`` (default)
     broadcasts the bitmap — right for bitmaps up to a few hundred MB;
     at full 100 TB index scale (a ~10¹¹-fingerprint bitmap is ~10¹⁰
     words ≈ 150 GB) set it False for a word-keyed shuffle join, still
@@ -413,6 +425,7 @@ def bloom_maybe(
         )
         .select(
             *cols,
+            "pos",
             F.shiftright(F.col("pos"), 6).alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
                 "mask"
@@ -420,13 +433,16 @@ def bloom_maybe(
         )
         .join(bmp, "word", "left")
     )
-    return probed.groupBy(*cols).agg(
-        F.bool_and(
+    per_pos = probed.groupBy(*cols, "pos").agg(
+        F.bool_or(
             F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
                 F.col("mask")
             )
             != 0
-        ).alias("bloom_maybe")
+        ).alias("pos_set")
+    )
+    return per_pos.groupBy(*cols).agg(
+        F.bool_and(F.col("pos_set")).alias("bloom_maybe")
     )
 
 
@@ -2098,12 +2114,74 @@ def simhash_incremental_pairs(
     )
 
 
+def _components_local(spark, id_type, rows) -> DataFrame | None:
+    """Exact driver-side union-find over a SMALL collected edge list —
+    labels identical to the distributed loop's fixpoint (union-by-min
+    keeps every root the minimum id of its tree, so the final find is
+    the component minimum, which is precisely the loop's invariant).
+    Returns None when an endpoint is null (the distributed path's
+    null-join semantics are not worth reproducing here — fall back)."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+    nodes = set()
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while x != r:
+            parent[x], x = r, parent.get(x, x)
+        return r
+
+    for row in rows:
+        a, b = row[0], row[1]
+        if a is None or b is None:
+            return None
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    schema = StructType(
+        [StructField("id", id_type), StructField("comp", id_type)]
+    )
+    import pandas as pd
+
+    labels = [(x, find(x)) for x in nodes]
+    try:
+        # TWO measured pitfalls shape this return (100-doc ingest-day
+        # A/B, SCALE.md r16): createDataFrame(list) builds a
+        # parallelized PYTHON RDD whose scan re-launches Python
+        # workers in every consuming job (+~2.5 s/day); the pandas
+        # form lands as a JVM LocalRelation under the Arrow
+        # local-relation threshold — but an in-plan LocalRelation
+        # EMBEDS in every downstream consumer's plan and made their
+        # analysis/execution slower than the loop it replaced
+        # (+~3 s/day). The eager checkpoint converts it to the same
+        # kind of truncated RDD scan the distributed loop returns —
+        # one trivial LocalTableScan job — and downstream plans are
+        # byte-for-byte the shape they had before the fast path.
+        return spark.createDataFrame(
+            pd.DataFrame(labels, columns=["id", "comp"]), schema
+        ).localCheckpoint(eager=True)
+    except Exception:
+        # exotic id types the Arrow bridge can't carry — let the
+        # caller take the distributed path
+        return None
+
+
 def connected_components(
     pairs: DataFrame,
     id1: str = "id1",
     id2: str = "id2",
     max_iter: int = 25,
     jump_start: int = 2,
+    small_collect: int | None = 100_000,
+    n_pairs: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list — the KEEP/DROP
     step of corpus dedup: every document in a component is a duplicate
@@ -2146,8 +2224,42 @@ def connected_components(
     downstream. With jumping the default covers components of diameter
     ~2^23 — effectively any real graph; the fuse remains for safety.
     ``jump_start=0`` jumps from the first round; a huge ``jump_start``
-    degrades to plain propagation."""
+    degrades to plain propagation.
+
+    SMALL-RELATION FAST PATH (r16, the streaming gate's planning-floor
+    cut): when the caller KNOWS the edge count (``n_pairs``) and it
+    fits ``small_collect`` rows, components are computed by an exact
+    driver-side union-find over ONE bounded collect instead of the
+    iterative job loop — identical labels (union-by-min ≡ the loop's
+    min-label fixpoint, differential-pinned), returned as a
+    checkpointed local relation so downstream plans keep the loop
+    output's exact shape. The per-round fixed cost (checkpoint job +
+    plan analysis, ~2-6 driver jobs even for a 2-round graph)
+    collapses to one collect + one trivial checkpoint. Engagement
+    requires ``n_pairs`` deliberately: probing the size here would
+    cost the count job the fast path exists to avoid (measured: a
+    probing variant was a wash at micro-batch scale), and the callers
+    that live in the small regime — the incremental merge's broadcast
+    fuse, the ingest funnel's observed pairs checkpoint — already
+    hold the count for free. The driver transfer is hard-bounded:
+    ``n_pairs ≤ small_collect`` rows of two ids (~a few MB at the
+    default) — never corpus-scale. ``small_collect=None`` disables
+    the fast path entirely; unknown sizes take the distributed loop
+    unchanged."""
+    spark = pairs.sparkSession
     edges = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    if (
+        small_collect is not None
+        and n_pairs is not None
+        and n_pairs <= small_collect
+        # mixed endpoint types would take the union's coercion in the
+        # distributed path — keep that behavior there
+        and edges.schema["a"].dataType == edges.schema["b"].dataType
+    ):
+        id_type = edges.schema["a"].dataType
+        local = _components_local(spark, id_type, edges.collect())
+        if local is not None:
+            return local
     und = (
         edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -2286,9 +2398,10 @@ def connected_components_incremental(
     # (minhash_lsh_incremental's output); it feeds the fuse count, the
     # endpoint set, AND the contracted edge list — without the
     # checkpoint the whole candidate pipeline would re-run ~3x
+    n_edges = None
     if max_batch_pairs is not None:
-        n = edges.limit(max_batch_pairs + 1).count()
-        if n > max_batch_pairs:
+        n_edges = edges.limit(max_batch_pairs + 1).count()
+        if n_edges > max_batch_pairs:
             raise ValueError(
                 f"new_pairs exceeds max_batch_pairs={max_batch_pairs}: the "
                 "incremental merge broadcasts batch-bounded maps; chunk the "
@@ -2323,8 +2436,14 @@ def connected_components_incremental(
         )
         .select(F.col("ra").alias("id1"), F.col("rb").alias("id2"))
     )
+    # contraction is 1:1 on endpoints, so |contracted| == |edges| —
+    # the fuse count doubles as the fast-path probe (n_pairs), saving
+    # the inner CC its own count job
     small = connected_components(
-        contracted, max_iter=max_iter, jump_start=jump_start
+        contracted,
+        max_iter=max_iter,
+        jump_start=jump_start,
+        n_pairs=n_edges,
     )
 
     # 3. broadcast relabel of the persisted frame (changed roots only)
@@ -2563,6 +2682,7 @@ def corpus_canonical_admission(
     pairs: DataFrame,
     batch_ids: DataFrame,
     quality: DataFrame | None = None,
+    n_pairs: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The admission policy shared by the daily-ingest loop and the
     streaming semantic gate (r13 review finding: two near-verbatim
@@ -2577,8 +2697,10 @@ def corpus_canonical_admission(
     component labels and the :func:`component_keepers` verdicts —
     so callers can both reject batch losers (anti-join
     ``keep.filter(~keep)``) and drive downstream state merges off the
-    same ``comp`` frame."""
-    comp = connected_components(pairs)
+    same ``comp`` frame. ``n_pairs`` (r16): a caller that already
+    holds the pair count (the funnel's observed pairs checkpoint)
+    passes it through so the CC takes its small-relation fast path."""
+    comp = connected_components(pairs, n_pairs=n_pairs)
     index_members = comp.select("id").join(batch_ids, "id", "left_anti")
     scores = index_members.withColumn("score", F.lit(float("inf")))
     if quality is not None:

@@ -130,6 +130,7 @@ def publish_append_state(
     delta_df,
     max_files: int = 64,
     target_file_bytes: int = 128 << 20,
+    compact_fn=None,
 ) -> str:
     """Append-form state publish with BOUNDED file count — the delta
     compaction the r12 append-only generation store lacked (r12
@@ -159,7 +160,18 @@ def publish_append_state(
     inodes; compaction writes fresh files), so pruning old
     generations never invalidates the current one. Returns
     ``"linked"`` or ``"compacted"`` (callers/report surfaces can
-    expose which mode the day took)."""
+    expose which mode the day took).
+
+    ``compact_fn`` (r16): an optional ``DataFrame -> DataFrame``
+    transform applied to ``prev ∪ delta`` at COMPACTION time only —
+    the hook that lets row-mergeable states (the Bloom bitmap's
+    word-keyed ``bit_or``) ride the append form: their daily rows
+    accumulate as duplicates the probe tolerates, and compaction
+    re-aggregates them back to the canonical one-row form instead of
+    copying the duplicates forward. When it changes the row count the
+    file sizing still targets ``target_file_bytes`` via the PRE-merge
+    byte total — an upper bound, so compacted files err small, never
+    oversized. Identity (None) keeps the historical behavior."""
     data = [f for f in os.listdir(prev_dir) if f.startswith("part-")]
     if len(data) < max_files:
         link_state_files(prev_dir, dst_dir)
@@ -168,7 +180,10 @@ def publish_append_state(
     total = sum(os.path.getsize(os.path.join(prev_dir, f)) for f in data)
     k = max(1, -(-total // int(target_file_bytes)))
     prev = spark.read.parquet(prev_dir)
-    prev.unionByName(delta_df).coalesce(k).write.parquet(dst_dir)
+    merged = prev.unionByName(delta_df)
+    if compact_fn is not None:
+        merged = compact_fn(merged)
+    merged.coalesce(k).write.parquet(dst_dir)
     return "compacted"
 
 
@@ -505,6 +520,18 @@ def publish_generation(
         # spelled '<gen>/.' would pass these checks yet re-parse to
         # gen None at the flip (r15 review finding)
         exp = expected_parent = os.path.normpath(str(expected_parent))
+        if not os.path.isabs(exp) and not os.path.dirname(exp):
+            # a BARE generation name ('gen-000001') means a generation
+            # of THIS root, not of the cwd — without this, dirname('')
+            # realpaths to the cwd and the root check below falsely
+            # rejects a valid parent whenever cwd != root (r15 advisor
+            # finding). Relative paths WITH a directory part are left
+            # alone: current_generation() under a relative root
+            # returns root-prefixed paths that already realpath
+            # correctly against the same cwd.
+            exp = expected_parent = os.path.normpath(
+                os.path.join(root, exp)
+            )
         if _gen_number(os.path.basename(exp)) is None:
             raise ValueError(
                 f"{caller}: expected_parent {expected_parent!r} does "

@@ -585,9 +585,13 @@ def streaming_semantic_gate(
             idx_vec = empty.select(id_col, vec_col)
         else:
             # sibling-state and layout checks ran in _prepare (every
-            # trigger, before the empty-batch skip)
-            idx_sk = spark.read.parquet(os.path.join(cur, "sketches"))
-            idx_vec = spark.read.parquet(os.path.join(cur, "vectors"))
+            # trigger, before the empty-batch skip). Schema-cached
+            # reads (r16): the per-trigger footer-inference jobs are
+            # part of the planning floor the r15 verdict targets.
+            from ..plans.ingest import read_state_cached
+
+            idx_sk = read_state_cached(spark, cur, "sketches")
+            idx_vec = read_state_cached(spark, cur, "vectors")
             # id-recrawl gate (r13 review finding): a batch doc whose
             # id ALREADY exists in the index is a recrawl — admitting
             # it would append duplicate sketch/vector rows for the id
@@ -620,10 +624,21 @@ def streaming_semantic_gate(
         )
         # corpus-canonical admission — the SAME implementation the
         # ingest loop runs (dedup.corpus_canonical_admission; min-id
-        # within batch, index members always win)
+        # within batch, index members always win). The observed-count
+        # eager checkpoint (r16) materializes the banded probe once
+        # and hands the CC its small-relation fast path — no iterative
+        # rounds at micro-batch size, same funnel discipline.
+        from pyspark.sql import Observation
+
+        obs_pairs = Observation()
+        pairs = (
+            pairs.select("id1", "id2")
+            .observe(obs_pairs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
         batch_ids = batch.select(F.col(id_col).alias("id"))
         _comp, keep = dedup.corpus_canonical_admission(
-            pairs.select("id1", "id2"), batch_ids
+            pairs, batch_ids, n_pairs=int(obs_pairs.get["n"])
         )
         admitted = batch.join(
             keep.filter(~F.col("keep")).select(F.col("id").alias(id_col)),
@@ -846,6 +861,12 @@ def seed_semantic_state(
             "current state set and retention would delete it. Seed a "
             "fresh root, or let the gate keep advancing this one."
         )
+    # a deleted-and-reseeded root may carry a different vector schema
+    # — drop any cached state schemas for this path (same invalidation
+    # discipline as plans.ingest.bootstrap_state)
+    from ..plans.ingest import _SCHEMA_CACHE
+
+    _SCHEMA_CACHE.pop(os.path.realpath(state_dir), None)
 
     def day0(gen: str) -> None:
         sk_dir = os.path.join(gen, "sketches")
