@@ -2257,9 +2257,14 @@ def connected_components(
         and edges.schema["a"].dataType == edges.schema["b"].dataType
     ):
         id_type = edges.schema["a"].dataType
-        local = _components_local(spark, id_type, edges.collect())
-        if local is not None:
-            return local
+        # limit belt: an inaccurate caller-supplied n_pairs must not
+        # become an unbounded driver transfer — cap the collect and
+        # fall back to the loop if more rows than promised show up
+        rows = edges.limit(small_collect + 1).collect()
+        if len(rows) <= small_collect:
+            local = _components_local(spark, id_type, rows)
+            if local is not None:
+                return local
     und = (
         edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
