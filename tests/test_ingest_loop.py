@@ -404,7 +404,7 @@ def test_ingest_compacts_append_states_at_the_fileset_bound(spark, tmp_path):
         return [f for f in os.listdir(d) if f.startswith("part-")]
 
     day_ids = [[700, 701], [710, 711], [720, 721], [730, 731]]
-    modes, counts = [], []
+    modes, counts, bloom_modes, bloom_gens = [], [], [], []
     for k, ids in enumerate(day_ids):
         rep = ingest.run_daily_ingest(
             spark, _docs(spark, ids, tag=f"d{k}"), root, RECIPE,
@@ -412,9 +412,20 @@ def test_ingest_compacts_append_states_at_the_fileset_bound(spark, tmp_path):
         )
         modes.append(rep["state_modes"]["fingerprints"])
         counts.append(len(_files(rep["generation"], "fingerprints")))
+        bloom_modes.append(rep["state_modes"]["bloom"])
+        bloom_gens.append(rep["generation"])
     assert "compacted" in modes and "linked" in modes, modes
     # the bound holds: never more than max_files + the day's delta
     assert max(counts) <= 3 + 1, (modes, counts)
+    # r16: the bloom state rides the same append family — both modes
+    # occur, and a compaction day re-merges the accumulated delta rows
+    # back to the canonical ONE row per word (compact_fn)
+    assert "compacted" in bloom_modes and "linked" in bloom_modes, (
+        bloom_modes
+    )
+    compacted_gen = bloom_gens[bloom_modes.index("compacted")]
+    bl = spark.read.parquet(os.path.join(compacted_gen, "bloom"))
+    assert bl.count() == bl.select("word").distinct().count()
     # recrawls of EVERY prior day die at the exact gate — including
     # days whose filesets were folded away by a later compaction
     all_recrawls = None
