@@ -126,3 +126,37 @@ def test_snapshot_roundtrips_through_read_table(spark, tmp_path):
     for name in pipeline.SNAPSHOT_TABLES:
         back = readers.read_table(spark, wh, name)
         assert back.count() > 0, name
+
+
+def test_read_testdata_relation_cache(spark, tmp_path):
+    """r16 (guide §6): read_testdata hands back the SAME analyzed
+    relation for an unchanged table (no repeated footer-inference
+    jobs), and a REWRITTEN table (new mtime) is re-read — stale
+    listings/schemas must never survive an on-disk change."""
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    from topn_clashroyal_etl_sql_snapshot_spark.sources import readers
+
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "documents.parquet")
+    spark.createDataFrame([Row(doc_id=1, text="a")]).write.parquet(path)
+
+    d1 = readers.read_testdata(spark, sf_dir, "documents")
+    d2 = readers.read_testdata(spark, sf_dir, "documents")
+    assert d1 is d2  # cached relation, zero extra reads
+    assert [r.doc_id for r in d1.collect()] == [1]
+
+    # rewrite with different content AND schema: the cache must miss
+    time.sleep(0.05)  # ensure a distinguishable mtime
+    spark.createDataFrame(
+        [Row(doc_id=7, text="b", extra=3)]
+    ).write.mode("overwrite").parquet(path)
+    os.utime(path)  # directory mtime moves even on fast filesystems
+    d3 = readers.read_testdata(spark, sf_dir, "documents")
+    assert d3 is not d1
+    rows = d3.collect()
+    assert [r.doc_id for r in rows] == [7]
+    assert "extra" in d3.columns
