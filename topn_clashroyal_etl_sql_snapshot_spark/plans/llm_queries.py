@@ -54,12 +54,37 @@ def _toks_cached(spark, sf_dir: str):
 
 
 def _jaccard_pairs_cached(spark, sf_dir: str):
+    return _jaccard_pairs_counted(spark, sf_dir)[0]
+
+
+def _jaccard_pairs_counted(spark, sf_dir: str):
+    """(pairs, n_pairs) — the cached exact-pair relation plus its row
+    count. The count rides the checkpoint's OWN materialization job as
+    a ``df.observe`` metric (the fused-counter pattern from the ingest
+    funnel — zero extra jobs), and its existence lets every
+    ``connected_components`` consumer in this module take the r16
+    small-relation driver fast path instead of the iterative job loop
+    (guide §5: the per-round fixed cost — checkpoint job + plan
+    analysis — dominates CC at driver-corpus pair volumes; at corpora
+    where the count exceeds the fast path's bound the loop engages
+    unchanged). The checkpoint is eager now for exactly that reason —
+    the count must exist before the consumers build their plans; the
+    first consumer previously paid the same materialization job
+    lazily."""
+    from pyspark.sql import Observation
+
     per_session = _PAIRS_CACHE.setdefault(spark, {})
     if sf_dir not in per_session:
         docs = read_testdata(spark, sf_dir, "documents")
-        per_session[sf_dir] = dedup.jaccard_pairs(
-            docs, n=3, threshold=0.5, toks=_toks_cached(spark, sf_dir)
-        ).localCheckpoint(eager=False)
+        obs = Observation()
+        pairs = (
+            dedup.jaccard_pairs(
+                docs, n=3, threshold=0.5, toks=_toks_cached(spark, sf_dir)
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        per_session[sf_dir] = (pairs, int(obs.get["n"]))
     return per_session[sf_dir]
 
 # Shared DuckDB tokenization fragment — must mirror functions/text.py
@@ -997,14 +1022,16 @@ def dedup_components_incremental(spark, sf_dir):
     ∪ batch endpoints = every paired id). The pair set comes from the
     session cache shared with dedup_trigram_jaccard /
     curation_funnel."""
-    pairs = _jaccard_pairs_cached(spark, sf_dir)
+    pairs, n_pairs = _jaccard_pairs_counted(spark, sf_dir)
     hist = pairs.filter(
         (F.col("id1") % 10 != 0) & (F.col("id2") % 10 != 0)
     )
     batch_pairs = pairs.filter(
         (F.col("id1") % 10 == 0) | (F.col("id2") % 10 == 0)
     )
-    labels = dedup.connected_components(hist)
+    # n_pairs is an upper bound on the history slice — engagement only
+    # needs a bound, the limit-belt collect sees the true row count
+    labels = dedup.connected_components(hist, n_pairs=n_pairs)
     merged = dedup.connected_components_incremental(labels, batch_pairs)
     return (
         merged.select(
@@ -1038,7 +1065,8 @@ def dedup_components(spark, sf_dir):
     oracle: transitive closure via a recursive CTE. The pair set comes
     from the session cache shared with dedup_trigram_jaccard /
     curation_funnel."""
-    comp = dedup.connected_components(_jaccard_pairs_cached(spark, sf_dir))
+    pairs, n_pairs = _jaccard_pairs_counted(spark, sf_dir)
+    comp = dedup.connected_components(pairs, n_pairs=n_pairs)
     return (
         comp.select(
             F.col("id").alias("doc_id"),
@@ -1124,7 +1152,8 @@ def dedup_component_keepers(spark, sf_dir):
     comp-keyed join — no window sort; the oracle re-derives the
     identical decision with a window over the recursive-CTE
     components."""
-    labels = dedup.connected_components(_jaccard_pairs_cached(spark, sf_dir))
+    pairs, n_pairs = _jaccard_pairs_counted(spark, sf_dir)
+    labels = dedup.connected_components(pairs, n_pairs=n_pairs)
     toks = _toks_cached(spark, sf_dir)
     scores = toks.select("id", F.size("toks").cast("long").alias("score"))
     out = dedup.component_keepers(labels, scores)
@@ -1245,7 +1274,8 @@ def curation_funnel(spark, sf_dir):
             (tx.quality_score(F.col("text")) >= 0.5).alias("quality_ok"),
         )
     )
-    comp = dedup.connected_components(_jaccard_pairs_cached(spark, sf_dir))
+    pairs, n_pairs = _jaccard_pairs_counted(spark, sf_dir)
+    comp = dedup.connected_components(pairs, n_pairs=n_pairs)
     dropped = comp.filter(F.col("comp") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )
@@ -1765,7 +1795,8 @@ def docs_split_by_component(spark, sf_dir):
     from ..operators.sampling import bucket_expr, split_by_component
 
     docs = read_testdata(spark, sf_dir, "documents")
-    labels = dedup.connected_components(_jaccard_pairs_cached(spark, sf_dir))
+    pairs, n_pairs = _jaccard_pairs_counted(spark, sf_dir)
+    labels = dedup.connected_components(pairs, n_pairs=n_pairs)
     out = split_by_component(docs.select("doc_id"), labels, _SPLIT_WEIGHTS)
     lab = labels.select(F.col("id").alias("doc_id"), "comp")
     key = F.coalesce(F.col("comp"), F.col("doc_id"))
