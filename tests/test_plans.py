@@ -60,3 +60,34 @@ def test_partial_aggregation_present(spark):
     # combine before the shuffle)
     plan = _plan(testdata_queries.f2_top_priority_classes(spark, SF))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_query_layer_cc_fast_path_engages(spark):
+    """r16: the shared pair cache carries its observed row count and
+    the component consumers hand it to connected_components, whose
+    small-relation driver fast path must ENGAGE at driver-corpus pair
+    volumes (the iterative loop's per-round jobs were the profiled
+    fixed cost) — and must produce the loop's exact labels, which the
+    oracle hash re-checks end to end."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import dedup
+    from topn_clashroyal_etl_sql_snapshot_spark.plans import llm_queries
+
+    llm_queries._PAIRS_CACHE.pop(spark, None)
+    pairs, n = llm_queries._jaccard_pairs_counted(spark, SF)
+    assert isinstance(n, int) and n == pairs.count()
+
+    engaged = {"n": 0}
+    orig = dedup._components_local
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        if out is not None:
+            engaged["n"] += 1
+        return out
+
+    dedup._components_local = spy
+    try:
+        llm_queries.dedup_components(spark, SF).collect()
+    finally:
+        dedup._components_local = orig
+    assert engaged["n"] == 1
