@@ -25,6 +25,8 @@ if str(_REPO) not in sys.path:
 
 from topn_clashroyal_etl_sql_snapshot_spark.testing.telemetry import (  # noqa: E402
     cpu_busy as _cpu_busy,
+    cpu_steal as _cpu_steal,
+    jvm_gc_ms as _jvm_gc_ms,
 )
 
 
@@ -201,10 +203,16 @@ def main() -> None:
     # costing a manual adjudication rerun next round.
     entry_load: dict[str, dict[str, float]] = {}
     for name, fn in sorted(qs.items()):
-        n = max(HEAVY.get(name, 1), min_of)
+        # r17 (r16 verdict #1): EVERY entry is at least median-of-3 —
+        # the ~20 remaining single-shot entries were where 0.3-0.6 s of
+        # absolute box drift flipped 26 ratios in the r16 artifact.
+        # Output schema unchanged; HEAVY keeps its per-entry overrides.
+        n = max(HEAVY.get(name, 3), min_of)
         samples = []
         load1 = os.getloadavg()[0]
         busy0, tot0 = _cpu_busy()
+        steal0, stot0 = _cpu_steal()
+        gc0 = _jvm_gc_ms(spark)
         # Per-query fault isolation: one broken query must not lose the
         # timings of every green one (a single AnalysisException killed
         # the entire r4 run). Record the error and keep going.
@@ -238,9 +246,17 @@ def main() -> None:
         if n > 1:
             raw_samples[name] = [round(s, 4) for s in samples]
         busy1, tot1 = _cpu_busy()
+        steal1, stot1 = _cpu_steal()
+        gc1 = _jvm_gc_ms(spark)
         entry_load[name] = {
             "load1": round(load1, 2),
             "cpu_busy": round((busy1 - busy0) / max(tot1 - tot0, 1e-9), 3),
+            # r17: hypervisor steal fraction + driver-JVM GC ms over the
+            # entry's samples — separates shared-host contention from
+            # in-JVM pressure, the adjudication r14/r16 lacked receipts
+            # for (cpu_busy counts steal as busy; GC is also busy).
+            "steal": round((steal1 - steal0) / max(stot1 - stot0, 1e-9), 4),
+            "gc_ms": round(gc1 - gc0) if gc0 >= 0 and gc1 >= 0 else -1,
         }
 
     # Domain snapshot pipeline at sf-proportional battle volume: the
@@ -305,6 +321,8 @@ def main() -> None:
         samples = []
         load1 = os.getloadavg()[0]
         busy0, tot0 = _cpu_busy()
+        steal0, stot0 = _cpu_steal()
+        gc0 = _jvm_gc_ms(spark)
         for _ in range(max(HEAVY["cr_pipeline"], min_of)):
             # Same hygiene as the main loop: release dead refs + cached
             # blocks so the 30 earlier queries' block-manager residue
@@ -316,9 +334,13 @@ def main() -> None:
         repeats["cr_pipeline"] = max(HEAVY["cr_pipeline"], min_of)
         raw_samples["cr_pipeline"] = [round(s, 4) for s in samples]
         busy1, tot1 = _cpu_busy()
+        steal1, stot1 = _cpu_steal()
+        gc1 = _jvm_gc_ms(spark)
         entry_load["cr_pipeline"] = {
             "load1": round(load1, 2),
             "cpu_busy": round((busy1 - busy0) / max(tot1 - tot0, 1e-9), 3),
+            "steal": round((steal1 - steal0) / max(stot1 - stot0, 1e-9), 4),
+            "gc_ms": round(gc1 - gc0) if gc0 >= 0 and gc1 >= 0 else -1,
         }
     except Exception as exc:  # noqa: BLE001 — harness boundary
         errors["cr_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
@@ -364,6 +386,16 @@ def main() -> None:
             ),
             "cpu_busy_min": min(busies),
             "cpu_busy_max": max(busies),
+            # r17: run-level steal + GC receipts (per-entry detail in
+            # BENCH_DIAG) — additive keys, schema otherwise unchanged
+            "steal_max": max(
+                [v.get("steal", 0.0) for v in entry_load.values()] or [0.0]
+            ),
+            "gc_sec": round(
+                sum(max(v.get("gc_ms", 0), 0) for v in entry_load.values())
+                / 1000.0,
+                1,
+            ),
         },
         "spread": {
             "max": max(spreads.values(), default=1.0),
