@@ -60,12 +60,29 @@ def test_no_python_eval_anywhere(snapshot):
         assert "mapInPandas" not in plan, f"{name}: pandas map in plan"
 
 
-def test_dim_joins_broadcast(snapshot):
-    """The override applications (team + opp side) and the TopN player
-    gate are BroadcastHashJoins; no SortMergeJoin sneaks into the core."""
+def test_dim_joins_broadcast(spark, snapshot):
+    """The override applications (team + opp side, now inside the
+    pre-checkpoint lineage) and the TopN player gate are
+    BroadcastHashJoins; no SortMergeJoin sneaks into the core or the
+    fan-out."""
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import deck as deck_ops
+
+    leaderboard, battles, overrides = generate_fixture()
+    maps = deck_ops.catalog_maps(
+        spark.createDataFrame(CATALOG_ROWS, CARD_METADATA_SCHEMA)
+    )
+    core_plan = _plan(
+        pipeline.participant_rows(
+            spark.createDataFrame(battles, BATTLE_SCHEMA),
+            maps,
+            spark.createDataFrame(overrides, OVERRIDES_SCHEMA),
+        )
+    )
+    assert core_plan.count("BroadcastHashJoin") >= 2, core_plan  # overrides ×2
+    assert "SortMergeJoin" not in core_plan, "override join fell back to shuffle"
+
     plan = _plan(snapshot.tables["player_decks"])
-    assert plan.count("BroadcastHashJoin") >= 2, plan  # overrides ×2 upstream...
-    # the TopN semi gate is also a broadcast
+    assert plan.count("BroadcastHashJoin") >= 1, plan  # TopN semi gate
     assert "SortMergeJoin" not in plan, "dim join fell back to shuffle join"
 
 
@@ -80,31 +97,60 @@ def test_matchups_no_join_at_all(snapshot):
 
 def test_fanout_reads_persisted_cores(snapshot):
     """Every warehouse table except the leaderboard-derived player dim
-    reads through a cache boundary (InMemoryTableScan over the persisted
-    participant core / first-seen deck dim). A table whose plan has no
-    cache boundary re-executes the whole parse/dedup/classify upstream
-    once per write job — at corpus scale that N×es the most expensive
-    stage of the pipeline."""
+    reads through a materialization boundary — the checkpointed
+    participant core (Scan ExistingRDD) or a persisted grain/dim
+    (InMemoryTableScan) — and never re-derives the parse/dedup/classify
+    upstream (witnessed by the match-dedup Window, which only exists in
+    that lineage). A table that re-derived the raw input would repeat
+    the most expensive stage of the pipeline once per write job at
+    corpus scale."""
     for name, df in snapshot.tables.items():
         if name == "player":
             continue
         plan = _plan(df)
-        assert "InMemoryTableScan" in plan, (
-            f"{name}: no cache boundary in plan — re-derives the raw input\n{plan}"
+        assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan, (
+            f"{name}: no materialization boundary in plan\n{plan}"
+        )
+        # the match-hash dedup window only exists in the raw parse
+        # lineage (deck_first's first-seen window over the checkpointed
+        # core partitions by deck_hash and is expected)
+        assert "windowspecdefinition(match_hash" not in plan, (
+            f"{name}: match-dedup window in plan — re-derives the raw "
+            f"input\n{plan}"
         )
 
 
-def test_participants_single_shuffle_lineage(snapshot):
-    """The persisted participant core contains exactly ONE shuffle
-    Exchange — the match-hash dedup window — between the scan and the
-    unpivot (content-hash keys: uniform distribution, no skew). The
-    override dims enter via BroadcastExchange, which moves no fact
-    data."""
+def test_participants_single_shuffle_lineage(spark):
+    """The participant construction (pre-checkpoint lineage, exposed as
+    ``participant_rows``) contains exactly ONE shuffle Exchange — the
+    match-hash dedup window — between the scan and the unpivot
+    (content-hash keys: uniform distribution, no skew). The override
+    dims enter via BroadcastExchange, which moves no fact data. The
+    checkpointed core ``build_snapshot`` hands out is a bare block scan
+    (zero Exchanges) — the fan-out never repeats this lineage."""
     import re
 
-    plan = _plan(snapshot.participants)
+    from topn_clashroyal_etl_sql_snapshot_spark.operators import deck as deck_ops
+
+    leaderboard, battles, overrides = generate_fixture()
+    bdf = spark.createDataFrame(battles, BATTLE_SCHEMA)
+    odf = spark.createDataFrame(overrides, OVERRIDES_SCHEMA)
+    maps = deck_ops.catalog_maps(
+        spark.createDataFrame(CATALOG_ROWS, CARD_METADATA_SCHEMA)
+    )
+    plan = _plan(pipeline.participant_rows(bdf, maps, odf))
     shuffles = re.findall(r"[+:]- Exchange", plan)
     assert len(shuffles) == 1, f"expected 1 shuffle in participant core:\n{plan}"
+
+
+def test_checkpointed_core_is_bare_scan(snapshot):
+    """The materialized core is a lineage-truncated block scan: no
+    Exchange, no Window — downstream tables analyze one node instead of
+    the whole parse/dedup/classify tree (the r17 build-cost fix)."""
+    plan = _plan(snapshot.participants)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
 
 
 def test_scan_counters_report_is_relational(spark):

@@ -57,11 +57,14 @@ SNAPSHOT_TABLES = (
 @dataclass
 class SnapshotResult:
     tables: dict[str, DataFrame]
-    participants: DataFrame  # persisted core; caller unpersists
+    participants: DataFrame  # materialized core (localCheckpoint)
     counters: dict[str, int] = field(default_factory=dict)
     _persisted: list[DataFrame] = field(default_factory=list)
 
     def unpersist(self) -> None:
+        # participants is checkpoint-backed (blocks release via
+        # ContextCleaner once the result drops); unpersist() is a safe
+        # no-op there and real for the persisted grain frames.
         self.participants.unpersist()
         for df in self._persisted:
             df.unpersist()
@@ -218,35 +221,24 @@ def scan_counters_report(battles: DataFrame, catalog: DataFrame) -> DataFrame:
     )
 
 
-def build_snapshot(
-    spark: SparkSession,
+def participant_rows(
     battles: DataFrame,
-    leaderboard: DataFrame,
-    catalog: DataFrame,
+    maps: dict,
     overrides: DataFrame,
-    top_n: int = 20,
-    collect_counters: bool = True,
-) -> SnapshotResult:
-    """Run the full snapshot ETL; returns all 11 warehouse tables as
-    (lazy) DataFrames sharing one persisted participant core.
-
-    ``collect_counters=False`` skips the E7 scan counters (two extra
-    actions) — use for latency-sensitive runs; the tables are unaffected.
-    """
-    maps = deck_ops.catalog_maps(catalog)
-
-    player = top_players_df(leaderboard, top_n)
-
-    # E7 counter (scripts:249) — raw battlelog entries scanned
-    scanned_entries = battles.count() if collect_counters else -1
-
-    deduped = deduped_battles(battles)
-
-    # E7 counter (scripts:261) — counted BEFORE structural/deck validation,
-    # matching the reference's accounting (dedup happens at scripts:257-261,
-    # battles can still be discarded later at :279-282).
-    deduped_matches = deduped.count() if collect_counters else -1
-
+    deduped: DataFrame | None = None,
+) -> DataFrame:
+    """The LAZY participant-grain construction: ranked filter → match
+    dedup → extraction/validation → B8 hash + C1-C3 classify (override
+    beats classifier, broadcast left joins) → D1 unpivot (each deduped
+    battle → 2 participant observations, scripts:304-310; side index
+    keeps first-seen ordering deterministic downstream; each row also
+    carries the OPPONENT's deck type so every table — including the E6
+    matchup matrix — derives from this one frame). ``build_snapshot``
+    materializes it once (localCheckpoint) before the table fan-out;
+    exposed separately so plan pins can assert the lineage shape (one
+    content-hash shuffle, dims via BroadcastExchange only)."""
+    if deduped is None:
+        deduped = deduped_battles(battles)
     extracted = extracted_battles(deduped, maps)
 
     # --- B8 hash + C1-C3 classify (override beats classifier) -----------
@@ -294,14 +286,7 @@ def build_snapshot(
         .withColumn("opp_won", F.col("opp_crowns") > F.col("team_crowns"))
     )
 
-    # --- D1 unpivot to participant grain + persist ----------------------
-    # Each deduped battle → 2 participant observations (scripts:304-310).
-    # side index keeps the first-seen ordering deterministic downstream.
-    # Each row also carries the OPPONENT's deck type so every table —
-    # including the E6 matchup matrix — derives from this one persisted
-    # core: anything reading battles_core directly would re-execute the
-    # whole parse/dedup/classify upstream once per materialized table.
-    participants = battles_core.select(
+    return battles_core.select(
         "match_hash",
         "battleTime",
         F.inline(
@@ -326,16 +311,101 @@ def build_snapshot(
                 ),
             )
         ),
-    ).persist()
+    )
+
+
+def build_snapshot(
+    spark: SparkSession,
+    battles: DataFrame,
+    leaderboard: DataFrame,
+    catalog: DataFrame,
+    overrides: DataFrame,
+    top_n: int = 20,
+    collect_counters: bool = True,
+) -> SnapshotResult:
+    """Run the full snapshot ETL; returns all 11 warehouse tables as
+    (lazy) DataFrames sharing one persisted participant core.
+
+    ``collect_counters=False`` skips the E7 scan counters (two extra
+    actions) — use for latency-sensitive runs; the tables are unaffected.
+    """
+    maps = deck_ops.catalog_maps(catalog)
+
+    player = top_players_df(leaderboard, top_n)
+
+    # E7 counter (scripts:249) — raw battlelog entries scanned
+    scanned_entries = battles.count() if collect_counters else -1
+
+    deduped = deduped_battles(battles)
+
+    # E7 counter (scripts:261) — counted BEFORE structural/deck validation,
+    # matching the reference's accounting (dedup happens at scripts:257-261,
+    # battles can still be discarded later at :279-282).
+    deduped_matches = deduped.count() if collect_counters else -1
+
+    # --- D1 unpivot to participant grain + materialize -------------------
+    # localCheckpoint, not persist (r17, guide §3.3 "materialising an
+    # intermediate truncates the plan"): the parse/dedup/classify
+    # lineage embeds the catalog maps as ~10³ literal nodes, and under
+    # persist() every one of the 12 downstream table constructions
+    # re-analyzed that whole tree — profiled at 4.0 s of per-op JVM
+    # analysis (6,990 py4j round trips) per build, as much as the
+    # compute. The checkpoint truncates the plan to a block scan, so
+    # downstream analysis walks one node; the materialization job is
+    # the same first-action job persist() paid, just moved into the
+    # build. Storage/reuse behavior is identical (stored blocks, every
+    # table reads them once); blocks release via ContextCleaner when
+    # the result drops, same as the dedup family's checkpoint caches.
+    # The lazy construction lives in :func:`participant_rows` so the
+    # physical-plan pins (single shuffle, broadcast dims) can still see
+    # the pre-checkpoint lineage.
+    participants = participant_rows(
+        battles, maps, overrides, deduped=deduped
+    ).localCheckpoint(eager=True)
+
+    # --- shared rollup grains (r17, guide §2.3/§2.4) ----------------------
+    # The E-family rollups all group by subsets of two grains, and each
+    # previously re-scanned the persisted core and paid its OWN
+    # corpus-sized exchange (plus its own ×8 obs explode for the card
+    # tables). One aggregation per grain — cardinality ~ unique
+    # (type, opp_type, deck) / (type, card) combinations, model-sized,
+    # never corpus-sized — now feeds the siblings; the downstream
+    # groupBys re-aggregate pre-aggregated partials (sum of counts =
+    # count, sum of sums = sum — exact, order-free). Corpus-sized
+    # exchanges across these five tables: 5 → 2; obs explodes: 2 → 1.
+    #
+    # ``type_grain`` serves meta_type_matchups / meta_deck_types /
+    # meta_type_deck_ids; ``card_grain`` serves meta_type_cards / cards
+    # (card_name rides as a grain key so the cards dim's max-per-id is
+    # a regroup of the same frame).
+    type_grain = (
+        participants.groupBy("deck_type", "opp_deck_type", "deck_hash")
+        .agg(*_uses_wins())
+        .persist()
+    )
+    card_grain = (
+        participants.select("deck_type", "won", F.explode("obs").alias("c"))
+        .groupBy(
+            "deck_type",
+            F.col("c.card_id").alias("card_id"),
+            F.col("c.card_variant").alias("card_variant"),
+            F.col("c.card_name").alias("card_name"),
+        )
+        .agg(*_uses_wins())
+        .persist()
+    )
+
+    def _sum_uses_wins():
+        return [F.sum("uses").alias("uses"), F.sum("wins").alias("wins")]
 
     # --- E6 matchup matrix (both perspectives) ---------------------------
     # Each deduped match inserts TWO directional rows (scripts:296-302);
     # G5's `meta == 2×matches` invariant depends on it. The participant
     # grain IS that double-insert (side 0 = team perspective, side 1 =
     # opponent perspective), so the matrix is one aggregate over the
-    # persisted core — no second pass over the battle grain.
-    meta_type_matchups = participants.groupBy("deck_type", "opp_deck_type").agg(
-        *_uses_wins()
+    # shared type grain — no second pass over the battle grain.
+    meta_type_matchups = type_grain.groupBy("deck_type", "opp_deck_type").agg(
+        *_sum_uses_wins()
     )
 
     # --- dims -------------------------------------------------------------
@@ -370,13 +440,11 @@ def build_snapshot(
     # cards dim (D4, scripts:317-319): reference is last-write-wins over a
     # nondeterministic scan; we take max(card_name) per id — deterministic,
     # equivalent whenever a card_id maps to one name (always, in practice).
+    # Regroups the shared card grain (max of per-group maxes = max; NULL
+    # and '' names form their own grain groups and are filtered exactly
+    # as the raw-row filter did).
     cards = (
-        participants.select(F.explode("obs").alias("c"))
-        .select(
-            F.col("c.card_id").alias("card_id"),
-            F.col("c.card_name").alias("card_name"),
-        )
-        .filter(F.col("card_name") != "")
+        card_grain.filter(F.col("card_name") != "")
         .groupBy("card_id")
         .agg(F.max("card_name").alias("card_name"))
     )
@@ -384,23 +452,16 @@ def build_snapshot(
     # deck_types labels (D3, scripts:367-372)
     deck_types = decks.select("deck_type").distinct()
 
-    # --- E1-E4 rollups ----------------------------------------------------
-    meta_deck_types = participants.groupBy("deck_type").agg(*_uses_wins())
-    meta_type_deck_ids = participants.groupBy("deck_type", "deck_hash").agg(
-        *_uses_wins()
+    # --- E1-E4 rollups (re-aggregations of the shared grains) -------------
+    meta_deck_types = type_grain.groupBy("deck_type").agg(*_sum_uses_wins())
+    meta_type_deck_ids = type_grain.groupBy("deck_type", "deck_hash").agg(
+        *_sum_uses_wins()
     )
-    # E3: each deck observation fans out ×8 card observations (scripts:328-330)
-    meta_type_cards = (
-        participants.select(
-            "deck_type", "won", F.explode("obs").alias("c")
-        )
-        .groupBy(
-            "deck_type",
-            F.col("c.card_id").alias("card_id"),
-            F.col("c.card_variant").alias("card_variant"),
-        )
-        .agg(*_uses_wins())
-    )
+    # E3: each deck observation fans out ×8 card observations
+    # (scripts:328-330) — the explode is paid once, in card_grain.
+    meta_type_cards = card_grain.groupBy(
+        "deck_type", "card_id", "card_variant"
+    ).agg(*_sum_uses_wins())
 
     # E4: player facts gated to TopN tags (D5 semi join, scripts:332-335).
     # player is ≤ top_n rows → broadcast semi join, no shuffle on the fact.
@@ -480,5 +541,5 @@ def build_snapshot(
         tables=tables,
         participants=participants,
         counters=counters,
-        _persisted=[deck_first],
+        _persisted=[deck_first, type_grain, card_grain],
     )
