@@ -214,3 +214,64 @@ def test_match_hash_symmetric_across_perspectives(spark):
     b2 = _battle("T1", 72000006, "Ladder", "PvP", [("#B", 1), ("#A", 2)], [("#C", 0)])
     h1, h2 = _spark_match_hash(spark, [b1, b2])
     assert h1 == h2
+
+
+def test_lit_array_helpers_bit_parity(spark):
+    """litarrays builds the SAME array literals the per-element
+    F.lit form folds to — bit-identical doubles (struct-packed
+    comparison), exact longs, and strings through the SQL-literal
+    escaping path (quotes, backslashes, newlines, unicode). These
+    helpers carry every model-as-literal operator (PQ codebooks, IVF
+    centroid matrices, classifier/LM/DSIR tables, simhash masks), so
+    a parity break here is a silent results change there."""
+    import struct
+
+    from topn_clashroyal_etl_sql_snapshot_spark.functions.litarrays import (
+        lit_doubles,
+        lit_longs,
+        lit_strings,
+    )
+
+    ds = [0.0, -0.0, 1e-300, -1e308, 3.141592653589793, 1e17 + 1.0, 0.1]
+    ls = [0, -1, 2**63 - 1, -(2**63), 42]
+    ss = [
+        "plain",
+        "it's",
+        "back\\slash",
+        "new\nline",
+        "tab\tx",
+        "quote'and\\'mix",
+        "unicode λ→…",
+        "",
+        " ",
+        "%s {brace} $x",
+    ]
+    df = spark.range(1).select(
+        lit_doubles(ds).alias("d1"),
+        F.array(*[F.lit(v) for v in ds]).alias("d2"),
+        lit_longs(ls).alias("l1"),
+        F.array(*[F.lit(int(v)).cast("long") for v in ls]).alias("l2"),
+        lit_strings(ss).alias("s1"),
+        F.array(*[F.lit(v) for v in ss]).alias("s2"),
+    )
+    assert df.schema["d1"].dataType.simpleString() == "array<double>"
+    assert df.schema["l1"].dataType.simpleString() == "array<bigint>"
+    assert df.schema["s1"].dataType.simpleString() == "array<string>"
+    r = df.collect()[0]
+
+    def bits(xs):
+        return [struct.pack("<d", x) for x in xs]
+
+    assert bits(list(r["d1"])) == bits(list(r["d2"]))
+    assert list(r["l1"]) == list(r["l2"])
+    assert list(r["s1"]) == list(r["s2"])
+
+    # non-finite doubles and NULL strings take the per-element fallback
+    import math
+
+    r2 = spark.range(1).select(
+        lit_doubles([1.0, float("nan"), float("inf")]).alias("d"),
+        lit_strings(["a", None]).alias("s"),
+    ).collect()[0]
+    assert r2["d"][0] == 1.0 and math.isnan(r2["d"][1]) and math.isinf(r2["d"][2])
+    assert list(r2["s"]) == ["a", None]

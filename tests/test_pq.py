@@ -215,10 +215,13 @@ def test_search_plan_no_python_no_cartesian(spark):
     # The query-batch-bounded tables ride BROADCAST joins when the
     # call declares a batch via query_filter — the candidate stream
     # and the corpus vector table must never shuffle for them. After
-    # the r9 fusion the batch side is exactly TWO broadcasts: the one
-    # combined query table (lut + norm + vector) into the ADC
-    # projection, and the survivors into the re-rank — the r8 shape's
-    # separate lut/qnorms/query-vector-fetch broadcasts are gone.
+    # the r9 fusion + the r17 narrow ADC window the batch side is
+    # exactly THREE broadcasts: the combined query table (lut + norm +
+    # vector) into the ADC projection, the query vector RE-ATTACH onto
+    # the ranking survivors (r17 — the vector no longer rides every
+    # candidate row through the window shuffle), and the survivors
+    # into the re-rank. The r8 shape's separate lut/qnorms/query-
+    # vector-fetch broadcasts stay gone.
     from pyspark.sql import functions as F
 
     batch_plan = (
@@ -230,7 +233,7 @@ def test_search_plan_no_python_no_cartesian(spark):
         .executedPlan()
         .toString()
     )
-    assert batch_plan.count("BroadcastHashJoin") == 2
+    assert batch_plan.count("BroadcastHashJoin") == 3
     # probed (nprobe < n_coarse) batches keep the keyed bucket join —
     # no nested-loop pair generation outside the full-probe shortcut
     assert "BroadcastNestedLoopJoin" not in batch_plan

@@ -44,6 +44,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litarrays import lit_longs
+
 MICRO = 1_000_000
 
 
@@ -359,8 +361,7 @@ def margin_expr(model: dict, text_col: str = "text", max_weights: int = 20_000):
     )
     if w_micro:
         wmap = F.map_from_arrays(
-            F.array(*[F.lit(int(k)).cast("long") for k in w_micro]),
-            F.array(*[F.lit(int(v)).cast("long") for v in w_micro.values()]),
+            lit_longs(w_micro), lit_longs(w_micro.values())
         )
         lookup = lambda term: F.coalesce(  # noqa: E731
             F.element_at(wmap, F.pmod(F.xxhash64(term), F.lit(n_buckets))),

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litarrays import lit_doubles
+
 from . import dedup
 
 
@@ -525,7 +527,7 @@ def semantic_score_expr(
         *[
             F.struct(
                 F.lit(int(bid)).cast("long").alias("bid"),
-                F.array(*[F.lit(float(x)) for x in bv]).alias("bv"),
+                lit_doubles(bv).alias("bv"),
                 F.lit(float(bn)).alias("bn"),
             )
             for bid, bv, bn in bench

@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
+from ..functions.litarrays import lit_longs
 
 _WIDE_PLAN_NODES = (
     "Join", "Aggregate", "Window", "Deduplicate", "Repartition",
@@ -1821,7 +1822,7 @@ def simhash(tokens_col: Column) -> Column:
     Pure per-row fold (no explode/shuffle): aggregate an array<int> of 64
     counters across tokens, then OR the positive bits together.
     """
-    masks = F.array(*[F.lit(v).cast("long") for v in _BIT_VALUES])
+    masks = lit_longs(_BIT_VALUES)
 
     def contrib(t: Column) -> Column:
         # bit test via mask (shift functions need literal shift amounts)

@@ -57,6 +57,7 @@ MICRO = 1_000_000
 # tokenizes in Python — via the ONE shared twin of
 # functions/text.py::tokens (a private re-implementation here could
 # drift from the Spark tokenizer and break the oracle row).
+from ..functions.litarrays import lit_longs, lit_strings  # noqa: E402
 from ..functions.text import py_tokens  # noqa: E402  (re-exported)
 
 
@@ -341,8 +342,7 @@ def logweight_expr(model: dict, text_col: str = "text", max_terms: int = 20_000)
     )
     if table:
         rmap = F.map_from_arrays(
-            F.array(*[F.lit(t) for t in table]),
-            F.array(*[F.lit(int(v)).cast("long") for v in table.values()]),
+            lit_strings(table), lit_longs(table.values())
         )
         total = F.aggregate(
             terms,

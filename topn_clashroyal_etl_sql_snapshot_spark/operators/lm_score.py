@@ -38,6 +38,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litarrays import lit_doubles, lit_strings
+
 
 def fit_char_lm_counts(texts, n: int = 3, add_k: float = 0.5) -> dict:
     """Pure-Python model fit over an in-memory text iterable — the
@@ -144,12 +146,10 @@ def lm_avg_logprob_expr(
     if not logp or not ctx_floor:
         raise ValueError("model has no grams — fit it before scoring")
     gmap = F.map_from_arrays(
-        F.array(*[F.lit(k) for k in logp]),
-        F.array(*[F.lit(float(v)) for v in logp.values()]),
+        lit_strings(logp), lit_doubles(logp.values())
     )
     cmap = F.map_from_arrays(
-        F.array(*[F.lit(k) for k in ctx_floor]),
-        F.array(*[F.lit(float(v)) for v in ctx_floor.values()]),
+        lit_strings(ctx_floor), lit_doubles(ctx_floor.values())
     )
     floor = float(model["floor"])
     t = F.col(text_col)

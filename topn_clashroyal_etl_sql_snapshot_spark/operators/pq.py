@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as vx
+from ..functions.litarrays import lit_doubles
 from .similarity import _nearest_centroids, _spread_vectors, _with_norm, ivf_centroids
 
 # Integer-scale headroom contracts (same analysis as
@@ -100,21 +101,17 @@ def _flat_codes(model: dict):
     The whole model ships inside the plan (M·K·sub_dim doubles: at
     M=8, K=256, D=768 that is ~1.5 MB of literals — fine; far beyond
     that, move the model to a broadcast join, same trade as
-    ``classifier.margin_expr``)."""
-    flat = [
-        float(x)
-        for book in model["codebooks"]
-        for code in book
-        for x in code
-    ]
-    return F.array(*[F.lit(v) for v in flat])
+    ``classifier.margin_expr``). Built via ``lit_doubles`` (r17): the
+    per-element F.lit form cost ~0.4 s of py4j round trips per call,
+    and fit/encode/search built this five times per query."""
+    return lit_doubles(
+        x for book in model["codebooks"] for code in book for x in code
+    )
 
 
 def _flat_norms2(model: dict):
     """Per-code squared norms as a flat literal, indexed ``s·K + j``."""
-    return F.array(
-        *[F.lit(float(n)) for book in model["norms2"] for n in book]
-    )
+    return lit_doubles(n for book in model["norms2"] for n in book)
 
 
 def _dot_frame(
@@ -601,7 +598,8 @@ def pq_topk(
             .select("query_id", "neighbor_id")
         )
 
-    if codes is None:
+    internal_codes = codes is None
+    if internal_codes:
         codes = pq_encode(embeddings, model, id_col, vec_col)
     # named code_norms2, NOT n2: the re-rank frame aliases a COLUMN
     # "n2", and a captured-variable mixup there would silently score
@@ -717,8 +715,17 @@ def pq_topk(
         # UNFILTERED full-probe self-search (corpus × corpus) still
         # flows through the keyed join rather than a nested-loop
         # cartesian.
-        pairs = (
-            codes_sel.join(
+        #
+        # r17: when the codes frame was built HERE from this very
+        # embeddings frame (internal_codes), the semi-join is provably
+        # the identity — pq_encode's _vec_frame(dim) gate (non-NULL,
+        # right width, no NULL elements) is strictly stronger than the
+        # guard's own filter, so codes ids ⊆ guard ids by construction
+        # — and is skipped (one exchange + join removed from the plan).
+        # A caller-supplied codes index keeps the guard.
+        guarded = codes_sel
+        if not internal_codes:
+            guarded = codes_sel.join(
                 # NULL/empty vectors never assign on the probed path
                 # (posexplode emits nothing), so they must not be
                 # candidates here either: a row whose vector was
@@ -732,6 +739,8 @@ def pq_topk(
                 "neighbor_id",
                 "left_semi",
             )
+        pairs = (
+            guarded
             .crossJoin(F.broadcast(qtable))
             .filter(F.col("query_id") != F.col("neighbor_id"))
         )
@@ -781,15 +790,37 @@ def pq_topk(
     wa = Window.partitionBy("query_id").orderBy(
         F.desc_nulls_last("approx_cos"), F.col("neighbor_id")
     )
-    # Survivors CARRY the query vector + norm through the window
-    # (per-query constants already on the ADC rows — the window
-    # payload grows by one batch-bounded vector per row and the
-    # re-rank's query-side fetch join disappears entirely).
-    survivors = (
-        approx.withColumn("_r", F.row_number().over(wa))
-        .filter(F.col("_r") <= rerank * k)
-        .select("query_id", "neighbor_id", "_qv", "qnorm")
-    )
+    if query_filter is not None:
+        # Batch path (r17, guide §2.3 "shuffle keys and metadata, not
+        # payloads"): the ADC ranking window shuffles |corpus|·|Q|
+        # candidate rows, and carrying the query vector through it made
+        # every one of those rows ~dim doubles wide (~540 B at dim 64)
+        # for a column only the ≤ |Q|·rerank·k SURVIVORS need. The
+        # window now ships (query_id, neighbor_id, approx_cos) — ~25×
+        # fewer shuffle bytes — and the survivors re-attach the query
+        # vector from the same broadcast-sized qtable (a second
+        # broadcast of a |Q|-row table, no shuffle).
+        survivors = (
+            approx.select("query_id", "neighbor_id", "approx_cos")
+            .withColumn("_r", F.row_number().over(wa))
+            .filter(F.col("_r") <= rerank * k)
+            .select("query_id", "neighbor_id")
+            .join(
+                F.broadcast(qtable.select("query_id", "_qv", "qnorm")),
+                "query_id",
+            )
+            .select("query_id", "neighbor_id", "_qv", "qnorm")
+        )
+    else:
+        # Self-search (query set = corpus): qtable is corpus-sized, so
+        # a re-attach join would be a real shuffle — survivors CARRY
+        # the query vector + norm through the window instead (the r9
+        # trade, still right for this shape).
+        survivors = (
+            approx.withColumn("_r", F.row_number().over(wa))
+            .filter(F.col("_r") <= rerank * k)
+            .select("query_id", "neighbor_id", "_qv", "qnorm")
+        )
 
     vecs = _with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("neighbor_id"),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as vx
+from ..functions.litarrays import lit_doubles
 
 
 def _with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -534,10 +535,8 @@ def _nearest_centroids(
             "centroids must be non-empty (an empty fit usually means the "
             "fit frame was empty or fully filtered)"
         )
-    cmat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec, _ in centroids]
-    )
-    cnorms = F.array(*[F.lit(float(nrm)) for _, _, nrm in centroids])
+    cmat = F.array(*[lit_doubles(vec) for _, vec, _ in centroids])
+    cnorms = lit_doubles(nrm for _, _, nrm in centroids)
     dims = _spread_vectors(vecs, id_col).select(
         F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x")
     )
@@ -713,9 +712,9 @@ def _best_cosine_vs_batch(cur: DataFrame, batch: list[list[float]]) -> DataFrame
     centroid table, replay-deterministic argmax/max. One shuffle
     (the (id, cidx) partial-sum), one self-join back on id."""
     m = len(batch)
-    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in vec]) for vec in batch])
-    cnorms = F.array(
-        *[F.lit(float(sum(x * x for x in vec) ** 0.5) or 1.0) for vec in batch]
+    cmat = F.array(*[lit_doubles(vec) for vec in batch])
+    cnorms = lit_doubles(
+        float(sum(x * x for x in vec) ** 0.5) or 1.0 for vec in batch
     )
     dims = cur.select("id", F.posexplode(F.col("v")).alias("d", "x"))
     terms = dims.select(
@@ -1037,7 +1036,7 @@ def kcenter_centroids(
     )
     while len(pivots) < n_centroids:
         _, pv, pn = pivots[-1]
-        pcol = F.array(*[F.lit(float(x)) for x in pv])
+        pcol = lit_doubles(pv)
         cos = vx.cosine_prenormed(vx.dot(F.col("v"), pcol), F.col("n"), F.lit(pn))
         cur = cur.withColumn(
             "best", F.greatest(F.col("best"), F.round(cos, 9))
@@ -1317,7 +1316,7 @@ def centroid_similarity_scores(
     import math
 
     cnorm = math.sqrt(sum(v * v for v in centroid))
-    cvec = F.array(*[F.lit(v) for v in centroid])
+    cvec = lit_doubles(centroid)
     score = F.when(
         clean & (F.size(vd) == d),
         F.round(

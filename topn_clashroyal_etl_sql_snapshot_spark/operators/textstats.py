@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
+from ..functions.litarrays import lit_strings
 
 
 def _safe_div(a, b):
@@ -543,9 +544,7 @@ def gopher_quality_gates(
             F.filter(F.col("_w"), lambda w: w.rlike("[A-Za-z]"))
         ).alias("_aw"),
         F.size(
-            F.array_intersect(
-                F.col("_k"), F.array(*[F.lit(s) for s in tx.EN_STOPWORDS])
-            )
+            F.array_intersect(F.col("_k"), lit_strings(tx.EN_STOPWORDS))
         ).alias("_sh"),
     )
     n_words = F.col("_nw")
