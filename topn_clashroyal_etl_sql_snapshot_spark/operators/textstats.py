@@ -353,24 +353,25 @@ def ngram_repetition_stats(
       DISTINCT (doc, position) → sum of covered token lengths — no
       interval algebra needed, the distinct IS the union.
 
-    Plan per n: grams come from the shared token-ARRAY scan
-    (``dedup.token_arrays``) via slice+join inside a transform (arrays
-    are document-sized, so the per-row HOF touches ~100 elements, not
-    the corpus); duplicated-gram detection is one (doc, gram) groupBy;
-    coverage is one explode + distinct + join keyed on the doc id.
-    Every shuffle is doc-keyed or (doc, gram)-keyed — high cardinality,
-    no skew surface. Costs scale with Σ|ns| passes over the token
-    stream; that is Gopher's price, and each pass is
-    partial-aggregated map-side.
+    Plan (r17, GROUPED passes): grams come from the shared token-ARRAY
+    scan (``dedup.token_arrays``) via slice+join inside a transform
+    (arrays are document-sized, so the per-row HOF touches ~100
+    elements, not the corpus). The n values run in GROUPS — all
+    ``top_ns`` as one (id, n, gram) pass, ``dup_ns`` in chunks of 3 —
+    with n riding the gram stream as a small int key and each group's
+    per-n outputs pivoted out of one aggregation, so 9 default ns cost
+    4 gram passes instead of 9. Duplicated-gram detection is one
+    (doc, n, gram) groupBy per group; coverage is one explode +
+    distinct + join keyed on the doc id. Every shuffle is doc-keyed or
+    (doc, n, gram)-keyed — high cardinality, no skew surface.
 
-    Adjudicated r9 (tools/ab_ngram_r9.py): an r8 attempt fused all 9
-    passes through ONE (id, n, gram) count aggregation (~10 exchanges
-    vs ~30). Interleaved same-session A/B at sf0.1, bit-identical
-    results asserted, median-of-3: per-n 3.61 s vs fused 4.92 s
-    (ratio 1.36) — the wider fused shuffle rows (gram strings carried
-    per n, n in every key) and the lost per-n partial-agg locality cost
-    more than the saved exchanges, so the per-n form is kept. Driver
-    evidence agreed (r7 per-n 4.13 s → r8 fused 6.44 s).
+    Adjudication history: an r8 attempt fused ALL 9 passes through ONE
+    (id, n, gram) aggregation and lost 1.36× (tools/ab_ngram_r9.py —
+    wider shuffle rows across all 9 ns beat the saved exchanges); the
+    r16 verdict asked for the middle ground and the r17 A/B
+    (tools/ab_ngram3_r17.py: interleaved alternating, bit-identical
+    asserted at sf0.01) read per-n 3.29 s vs 3-way-grouped 2.13 s
+    median at sf0.1 — non-overlapping samples, adopted.
 
     Empty/NULL docs surface with zero fractions via the final left
     joins (no NULL poisoning). Reference: Rae et al. 2021, Table A1;
@@ -382,7 +383,7 @@ def ngram_repetition_stats(
     toks = toks.select(F.col("id"), F.col("toks"))
 
     # (id, p, len): the 0-based token-position stream with lengths —
-    # the coverage unit every dup_n pass joins against.
+    # the coverage unit every dup group joins against.
     tokstream = toks.select(
         "id", F.posexplode("toks").alias("p", "tok")
     ).select("id", "p", F.length("tok").alias("len"))
@@ -390,41 +391,62 @@ def ngram_repetition_stats(
         F.sum("len").alias("_token_chars")
     )
 
-    def grams_of(n: int) -> DataFrame:
+    def grams_of_group(ns: tuple[int, ...]) -> DataFrame:
+        # one exploded (id, n, pos, gram) stream for the whole group.
         # sequence(1, 0) DESCENDS in Spark (it never returns empty), so
-        # docs shorter than n need an explicit empty-array branch
-        idx = F.when(
-            F.size("toks") >= n,
-            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-        ).otherwise(F.array().cast("array<int>"))
+        # docs shorter than n need an explicit empty-array branch.
+        # The per-n lambda comes from a SINGLE-parameter factory — a
+        # `lambda i, _n=n` default would be read by F.transform as the
+        # two-arg (element, index) form and bind _n to the index.
+        def gram_struct(n: int):
+            return lambda i: F.struct(
+                F.lit(n).alias("n"),
+                (i - 1).alias("pos"),
+                F.array_join(F.slice(F.col("toks"), i, n), " ").alias("gram"),
+            )
+
+        per_n = [
+            F.transform(
+                F.when(
+                    F.size("toks") >= n,
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                ).otherwise(F.array().cast("array<int>")),
+                gram_struct(n),
+            )
+            for n in ns
+        ]
         return toks.select(
-            "id",
-            F.posexplode(
-                F.transform(
-                    idx,
-                    lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
-                )
-            ).alias("pos", "gram"),
-        )
+            "id", F.explode(F.flatten(F.array(*per_n))).alias("g")
+        ).select("id", "g.n", "g.pos", "g.gram")
 
     out = docs.select(F.col(id_col).alias("id"))
     safe_div = _safe_div
 
     stats_cols: list = []
-    for n in top_ns:
-        grams = grams_of(n)
+    if top_ns:
         top = (
-            grams.groupBy("id", "gram")
+            grams_of_group(tuple(top_ns))
+            .groupBy("id", "n", "gram")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .groupBy("id")
+            .groupBy("id", "n")
             .agg(
                 F.max_by(
-                    F.col("cnt") * (F.length("gram") - (n - 1)),
+                    F.col("cnt") * (F.length("gram") - (F.col("n") - 1)),
                     F.struct(F.col("cnt"), F.col("gram")),
-                ).alias(f"_top{n}")
+                ).alias("_top")
+            )
+            .groupBy("id")
+            .agg(
+                *[
+                    F.sum(F.when(F.col("n") == n, F.col("_top"))).alias(
+                        f"_top{n}"
+                    )
+                    for n in top_ns
+                ]
             )
         )
         out = out.join(top, "id", "left")
+    for n in top_ns:
         stats_cols.append(
             F.least(
                 F.lit(1.0),
@@ -435,28 +457,40 @@ def ngram_repetition_stats(
             ).alias(f"top_{n}gram_char_frac")
         )
 
-    for n in dup_ns:
-        grams = grams_of(n)
+    dup_groups = [
+        tuple(dup_ns[i : i + 3]) for i in range(0, len(dup_ns), 3)
+    ]
+    for ns in dup_groups:
+        grams = grams_of_group(ns)
         dup_keys = (
-            grams.groupBy("id", "gram")
+            grams.groupBy("id", "n", "gram")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") > 1)
-            .select("id", "gram")
+            .select("id", "n", "gram")
         )
         covered = (
-            grams.join(dup_keys, ["id", "gram"])
+            grams.join(dup_keys, ["id", "n", "gram"])
             .select(
                 "id",
+                "n",
                 F.explode(
-                    F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+                    F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
                 ).alias("p"),
             )
             .distinct()
             .join(tokstream, ["id", "p"])
             .groupBy("id")
-            .agg(F.sum("len").alias(f"_dup{n}"))
+            .agg(
+                *[
+                    F.sum(F.when(F.col("n") == n, F.col("len"))).alias(
+                        f"_dup{n}"
+                    )
+                    for n in ns
+                ]
+            )
         )
         out = out.join(covered, "id", "left")
+    for n in dup_ns:
         stats_cols.append(
             safe_div(
                 F.coalesce(F.col(f"_dup{n}"), F.lit(0)),
