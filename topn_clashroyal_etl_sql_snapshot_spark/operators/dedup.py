@@ -1377,11 +1377,22 @@ def minhash_signatures(
     """
     if postings is None:
         postings = shingle_sets(docs, text_col, id_col, n)
+    # Parsed-expression construction (r17): the per-Column form
+    # (F.min(F.xxhash64(F.lit(i), col)) × k) cost ~640 py4j round
+    # trips ≈ 1 s of driver time per call — and callers build two
+    # signature frames per query. One F.expr per aggregate (and one
+    # for the array assembly) is the same expression tree: SQL integer
+    # literal i ≡ F.lit(i) (both IntegerType, so xxhash64 sees the
+    # identical input), verified hash-identical end to end by the
+    # dedup oracle rows.
     mins = postings.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"_m{i}") for i in range(k)]
+        *[F.expr(f"min(xxhash64({i}, sh)) AS _m{i}") for i in range(k)]
     )
     return mins.select(
-        "id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig")
+        "id",
+        F.expr("array(" + ",".join(f"_m{i}" for i in range(k)) + ")").alias(
+            "sig"
+        ),
     )
 
 
