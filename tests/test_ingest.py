@@ -129,12 +129,14 @@ def test_snapshot_roundtrips_through_read_table(spark, tmp_path):
 
 
 def test_read_testdata_relation_cache(spark, tmp_path):
-    """r16 (guide §6): read_testdata hands back the SAME analyzed
-    relation for an unchanged table (no repeated footer-inference
-    jobs), and a REWRITTEN table (new mtime) is re-read — stale
-    listings/schemas must never survive an on-disk change."""
+    """r16 (guide §6) + r17 advisor fixes: read_testdata hands back the
+    SAME analyzed relation for an unchanged table (no repeated
+    footer-inference jobs); a REWRITTEN table is re-read through the
+    REAL (mtime_ns, size) signature path — no artificial utime nudges,
+    the previous test's sleep+utime masked coarse-mtime staleness —
+    and the rewrite REPLACES the entry instead of accumulating stale
+    live DataFrames per rewrite."""
     import os
-    import time
 
     from pyspark.sql import Row
 
@@ -150,13 +152,21 @@ def test_read_testdata_relation_cache(spark, tmp_path):
     assert [r.doc_id for r in d1.collect()] == [1]
 
     # rewrite with different content AND schema: the cache must miss
-    time.sleep(0.05)  # ensure a distinguishable mtime
+    # on the real stat signature (size differs even when a coarse
+    # filesystem clock leaves mtime in the same tick)
     spark.createDataFrame(
-        [Row(doc_id=7, text="b", extra=3)]
+        [Row(doc_id=7, text="bbbb", extra=3)]
     ).write.mode("overwrite").parquet(path)
-    os.utime(path)  # directory mtime moves even on fast filesystems
     d3 = readers.read_testdata(spark, sf_dir, "documents")
     assert d3 is not d1
     rows = d3.collect()
     assert [r.doc_id for r in rows] == [7]
     assert "extra" in d3.columns
+
+    # eviction: one live entry per realpath — the rewrite REPLACED the
+    # stale relation instead of adding a second key
+    per_session = readers._TESTDATA_CACHE[spark]
+    rp = os.path.realpath(path)
+    assert rp in per_session
+    assert per_session[rp][1] is d3
+    assert sum(1 for k in per_session if k == rp) == 1

@@ -1,13 +1,13 @@
 #!/usr/bin/env python
 """Capture ``.explain("formatted")`` for every declared query (and the
-bench-only extras) into plans/r16/<name>_<tag>.txt.
+bench-only extras) into plans/r17/<name>_<tag>.txt.
 
-Usage: python tools/explain_r16.py <tag> [name ...]
+Usage: python tools/explain_r17.py <tag> [name ...]
 
 With no names, captures every registered query plus the bench extras.
 Plan capture is driver-side compilation, so the files witness plan
 shape (Exchange count, join strategy, PushedFilters, ReadSchema), not
-timing — but note (r16 advisor) that building a component-consumer
+timing — but note (r17 advisor) that building a component-consumer
 query DOES execute jobs at capture time: the shared jaccard-pairs
 cache materializes its eager localCheckpoint and the CC fast path runs
 its bounded collect while the plan is being constructed.
@@ -36,14 +36,14 @@ def main() -> None:
         testdata_queries,
     )
 
-    out_dir = _REPO / "plans" / "r16"
+    out_dir = _REPO / "plans" / "r17"
     out_dir.mkdir(parents=True, exist_ok=True)
 
     # full field lists in the captured plans — the default truncates
     # wide Projects to "... N more fields", hiding exactly the column
     # flow a plan audit checks
     spark = get_spark(
-        app_name="explain_r16",
+        app_name="explain_r17",
         extra_conf={"spark.sql.debug.maxToStringFields": "2000"},
     )
 

@@ -78,10 +78,11 @@ def read_table(spark: SparkSession, warehouse_dir: str, name: str) -> DataFrame:
 # left. DataFrames are immutable plan objects, so handing every caller
 # the SAME analyzed relation changes nothing about what executes
 # downstream (each caller builds its own plan on top); this caches no
-# rows and no results — every action still scans the parquet. The key
-# carries the directory mtime so a rewritten table (tests writing
-# their own sf_dir) re-reads; the session key is weak so a stopped
-# session's entries drop with it.
+# rows and no results — every action still scans the parquet. Each
+# realpath holds ONE entry stamped with the file's (mtime_ns, size)
+# signature, so a rewritten table (tests writing their own sf_dir)
+# re-reads and replaces its entry; the session key is weak so a
+# stopped session's entries drop with it.
 _TESTDATA_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
@@ -99,13 +100,24 @@ def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        mtime = os.path.getmtime(path)
+        # (mtime_ns, size) signature, not getmtime (r16 advisor): on
+        # filesystems with coarse mtime granularity a rewrite within
+        # one tick would otherwise serve a stale relation; size breaks
+        # most same-tick ties, and nanosecond stamps the rest where
+        # the filesystem records them.
+        st = os.stat(path)
+        sig = (st.st_mtime_ns, st.st_size)
     except OSError:
-        mtime = None  # let spark.read surface the real error uncached
+        sig = None  # let spark.read surface the real error uncached
     per_session = _TESTDATA_CACHE.setdefault(spark, {})
-    key = (os.path.realpath(path), mtime)
-    if mtime is not None and key in per_session:
-        return per_session[key]
+    # keyed by realpath with the signature stored alongside (r16
+    # advisor): a rewritten table REPLACES its entry instead of
+    # accumulating one live stale DataFrame per (path, mtime) for the
+    # session's lifetime.
+    rp = os.path.realpath(path)
+    hit = per_session.get(rp)
+    if sig is not None and hit is not None and hit[0] == sig:
+        return hit[1]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -116,8 +128,8 @@ def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
-    if mtime is not None:
-        per_session[key] = df
+    if sig is not None:
+        per_session[rp] = (sig, df)
     return df
 
 
